@@ -1,0 +1,28 @@
+"""remote_vector_index_builder_ray — a Ray-Data-native inverted-index build +
+Okapi BM25 top-k query engine over Parquet transcript tables.
+
+Built from scratch in the spirit of opensearch-project/remote-vector-index-builder's
+remote index-build workflow (partition-parallel build workers producing mergeable
+index segments, reference: ``core/tasks.py:80-211``), re-expressed Ray-Data-first:
+
+- ``ray.data.read_parquet`` -> ``map_batches`` over zero-copy Arrow batches
+- SPIMI-style per-batch posting-list partials (pre-aggregated combiner)
+- one ``groupby(term, shard)`` shuffle merging partials into compressed global
+  postings (delta + varint blocks with block-max metadata)
+- actor-pool searcher running block-max WAND / exhaustive BM25 top-k
+- per-partition checkpoints + manifest lineage for resume
+
+Public surface (the analog of the reference's ``core.tasks`` library path,
+``/root/reference/remote_vector_index_builder/core/tasks.py:20-33``)::
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    manifest = build_index(BuildConfig(input_paths=[...], index_dir=...))
+    results  = search(index_dir, queries_ds, k=10)
+"""
+
+from remote_vector_index_builder_ray.config import BM25Config, BuildConfig
+from remote_vector_index_builder_ray.pipelines.build import build_index
+from remote_vector_index_builder_ray.pipelines.query import search
+
+__all__ = ["BM25Config", "BuildConfig", "build_index", "search"]

@@ -1,0 +1,103 @@
+"""Typed configuration + errors for the engine.
+
+Analog of the reference's request model
+(``/root/reference/remote_vector_index_builder/core/common/models/index_build_parameters.py:136-174``):
+the schema/shape of a job is declared up front and validated with typed errors
+(their ``VectorsDatasetError``, ``core/common/exceptions.py:26-31``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+class EngineError(Exception):
+    """Base class for typed engine errors."""
+
+
+class SchemaValidationError(EngineError):
+    """Input table does not match the declared transcript schema.
+
+    Analog of the reference's parse-time shape validation
+    (``core/common/models/vectors_dataset.py:70-84``).
+    """
+
+
+class HashCollisionError(EngineError):
+    """Same job id, different parameters (idempotency violation).
+
+    Analog of ``app/services/job_service.py:60-83``.
+    """
+
+
+# The declared transcript input schema (input_hint shape). Column -> Arrow type str.
+TRANSCRIPT_SCHEMA = {
+    "conv_id": "string",
+    "turn_idx": "int32",
+    "role": "string",
+    "text": "string",
+    "tool": "string",
+    "ts": "timestamp[us]",
+}
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """Scoring + index-format hyperparameters.
+
+    Analog of the reference's typed index hyperparameter objects
+    (``faiss_gpu_index_cagra_builder.py:54-176``). Frozen once; the oracle and
+    the engine share this object so rank identity is by construction.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    block_size: int = 128          # postings per compressed block (block-max unit)
+    # Heavy-hitter salt: postings of one term are sharded by docid range so no
+    # single merge group exceeds ~shard_range postings (SURVEY.md section 7,
+    # "Very wide groups"). At 10^12 turns a stopword's posting list must span
+    # many groups/rows; the querier reads a term's shards in shard order.
+    shard_range: int = 1 << 23     # docids per shard (8M)
+
+    def job_fingerprint(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+
+@dataclass
+class BuildConfig:
+    """One index-build job.
+
+    ``job_id`` is a deterministic SHA-256 of (inputs, parameters) — the
+    idempotency key, analog of ``app/utils/hash.py:12-28``.
+    """
+
+    input_paths: list[str] = field(default_factory=list)
+    index_dir: str = ""
+    bm25: BM25Config = field(default_factory=BM25Config)
+    # Number of checkpointable build partitions (groups of input files).
+    # Each partition is one resumable unit (segments/part-{pid}), the analog of
+    # one remote-build job in the reference. None -> one partition per file,
+    # capped at 16.
+    num_partitions: int | None = None
+    # Dedup exact duplicates of (conv_id, turn_idx) on ingest (first wins).
+    dedup: bool = False
+    # docid assignment: "dense" validates per-conv dense turn_idx and uses the
+    # metadata-light conv-offset path (no global sort); "sort" does a full
+    # (conv_id, turn_idx) sort + per-block offsets (general fallback).
+    docid_mode: str = "dense"
+    # Tokenize/build batch size (docs per batch = docs per SPIMI partial).
+    batch_size: int = 8192
+
+    def job_id(self) -> str:
+        payload = json.dumps(
+            {
+                "inputs": sorted(self.input_paths),
+                "bm25": self.bm25.job_fingerprint(),
+                "dedup": self.dedup,
+                "docid_mode": self.docid_mode,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()

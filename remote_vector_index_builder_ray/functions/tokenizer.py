@@ -1,0 +1,74 @@
+"""The analyzer: lowercase + ASCII ``[a-z0-9_]+`` token runs.
+
+This is the engine's scalar-function layer (the analog of the reference's only
+per-value transforms — numeric casts and normalization,
+``core/fp32_to_fp16_converting_bytes_io.py:47-151``,
+``benchmarking/dataset/dataset_utils.py:83-86``). The tokenizer is FROZEN: the
+exhaustive oracle, the Ray engine and the DuckDB oracle SQL all implement
+exactly this definition, which is what makes rank-identical top-k achievable.
+
+Definition: ``tokens(text) = regexp_extract_all(lower(text), '[a-z0-9_]+')``
+(unicode-aware lowercase; tokens are ASCII alnum/underscore runs). DuckDB
+equivalent: ``regexp_extract_all(lower(text), '[a-z0-9_]+')``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_REGEX = "[a-z0-9_]+"
+SPLIT_REGEX = "[^a-z0-9_]+"
+DUCKDB_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9_]+')"
+
+_TOKEN_RE = re.compile(TOKEN_REGEX)
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Reference scalar implementation (used by the oracle and unit tests)."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def tokenize_column(col: pa.Array | pa.ChunkedArray):
+    """Vectorized tokenization of a string column.
+
+    Returns ``(tokens, doc_index, doc_len)`` where ``tokens`` is a flat
+    ``pa.StringArray`` of every token in column order, ``doc_index`` is an
+    int64 numpy array mapping each token to its row in ``col``, and
+    ``doc_len`` is an int32 numpy array of per-row token counts.
+
+    All heavy work happens inside Arrow C++ kernels (``utf8_lower``,
+    ``split_pattern_regex``) — no Python-level loop over rows.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int32)
+    lowered = pc.utf8_lower(pc.fill_null(col, ""))
+    splits = pc.split_pattern_regex(lowered, SPLIT_REGEX)
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = splits.flatten()
+    # per-row raw split counts from the list offsets
+    offsets = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_counts = np.diff(offsets)
+    # drop the empty strings produced by splitting at string boundaries
+    nonempty = pc.not_equal(flat, "")
+    nonempty_np = nonempty.to_numpy(zero_copy_only=False)
+    tokens = flat.filter(nonempty)
+    # per-row token count = count of nonempty within each row's split range
+    cums = np.concatenate([[0], np.cumsum(nonempty_np.astype(np.int64))])
+    doc_len = (cums[offsets[1:]] - cums[offsets[:-1]]).astype(np.int32)
+    doc_index = np.repeat(np.arange(n, dtype=np.int64), doc_len)
+    _ = raw_counts  # raw split counts unused beyond offsets bookkeeping
+    return tokens, doc_index, doc_len
+
+
+def doc_lengths(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row token counts only (cheaper when tokens aren't needed)."""
+    _, _, dl = tokenize_column(col)
+    return dl

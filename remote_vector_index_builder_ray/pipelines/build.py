@@ -1,0 +1,255 @@
+"""The index-build pipeline — the analog of ``core.tasks.run_tasks``
+(``/root/reference/remote_vector_index_builder/core/tasks.py:80-211``),
+re-expressed as a sequence of Ray Data stages with per-partition checkpoints.
+
+Phases (each a checkpointed manifest stage; a re-run skips committed work —
+the row-level analog of the reference's job-id idempotency,
+``app/services/job_service.py:60-83``):
+
+  0. conv-offset pass: tiny 2-column ``groupby(conv_id)`` -> docid offsets
+     (no 100 TB sort; see stages/docids.py)
+  A. per input partition p: read -> [dedup] -> assign docids -> tokenize ->
+     write ``docmeta/part-p`` (stored fields + doc_len) and
+     ``segments/part-p`` (SPIMI posting partials). Partition = resume unit.
+  B. corpus stats from per-partition lineage sums (no extra pass)
+  C. merge: ``groupby(term, shard).map_groups(MergeCompress)`` -> term-sorted
+     compressed postings + per-file term ranges in the manifest
+  D. term stats: partial df/cf per batch -> small ``groupby(term)`` sum
+
+All heavy flows stream block-by-block with backpressure; nothing materializes
+the full corpus. Writes are atomic (temp dir + rename) so Ray task retries and
+job re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from remote_vector_index_builder_ray.config import BuildConfig, HashCollisionError
+from remote_vector_index_builder_ray.sources.transcripts import read_transcripts
+from remote_vector_index_builder_ray.stages.docids import (
+    assign_docids_dense,
+    assign_docids_sort,
+    compute_conv_offsets,
+    dedup_exact,
+)
+from remote_vector_index_builder_ray.stages.merge import make_merge_fn
+from remote_vector_index_builder_ray.stages.postings import PostingsPartials, add_doc_len
+from remote_vector_index_builder_ray.state.manifest import Manifest, atomic_write_dir
+
+DOCMETA_COLUMNS = ["docid", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_len"]
+
+
+def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[str]]:
+    paths = sorted(paths)
+    if num_partitions is None:
+        num_partitions = min(len(paths), 16)
+    num_partitions = max(1, min(num_partitions, len(paths)))
+    return [list(chunk) for chunk in np.array_split(np.array(paths, dtype=object), num_partitions)]
+
+
+def _file_term_ranges(dirpath: str) -> list[dict]:
+    """Per-file (term_min, term_max) for query-time file pruning."""
+    out = []
+    for fn in sorted(os.listdir(dirpath)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(dirpath, fn)
+        md = pq.read_metadata(path)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(_term_col_index(md))
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if not mins:  # fallback: read just the term column
+            t = pq.read_table(path, columns=["term"])["term"]
+            mins, maxs = [pa.compute.min(t).as_py()], [pa.compute.max(t).as_py()]
+        tmin = min(m.decode() if isinstance(m, bytes) else m for m in mins)
+        tmax = max(m.decode() if isinstance(m, bytes) else m for m in maxs)
+        out.append({"path": path, "term_min": tmin, "term_max": tmax})
+    return out
+
+
+def _term_col_index(md) -> int:
+    return md.schema.to_arrow_schema().get_field_index("term")
+
+
+def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
+    """Build (or resume) the index; returns the manifest dict."""
+    os.makedirs(cfg.index_dir, exist_ok=True)
+    job_id = cfg.job_id()
+    man = Manifest.load(cfg.index_dir) if resume else None
+    if man is not None and man.data.get("job_id") not in (None, job_id):
+        raise HashCollisionError(
+            f"index dir {cfg.index_dir} was built with different parameters "
+            f"(job {man.data.get('job_id')[:12]} != {job_id[:12]})"
+        )
+    if man is None:
+        man = Manifest(cfg.index_dir)
+        man.data["job_id"] = job_id
+        man.data["config"] = {
+            "input_paths": cfg.input_paths,
+            "bm25": cfg.bm25.__dict__,
+            "dedup": cfg.dedup,
+            "docid_mode": cfg.docid_mode,
+        }
+        man.save()
+
+    # schema check once against declared transcript schema (typed error)
+    read_transcripts(cfg.input_paths[:1])
+
+    # ---- phase 0: conv offsets / docid basis --------------------------------
+    offsets_path = os.path.join(cfg.index_dir, "conv_offsets.parquet")
+    if cfg.docid_mode == "dense":
+        if not (man.stage_done("conv_offsets") and os.path.exists(offsets_path)):
+            t0 = time.time()
+            two = read_transcripts(cfg.input_paths, columns=["conv_id", "turn_idx"])
+            if cfg.dedup:
+                # count DISTINCT (conv_id, turn_idx): dedup pairs first
+                two = two.groupby(["conv_id", "turn_idx"]).count()
+            conv_ids, offsets, n_docs, _ = compute_conv_offsets(two, validate_dense=True)
+            tbl = pa.table({"conv_id": pa.array(conv_ids), "offset": pa.array(offsets, type=pa.int64())})
+            pq.write_table(tbl, offsets_path + ".tmp")
+            os.replace(offsets_path + ".tmp", offsets_path)
+            man.commit_stage("conv_offsets", {"n_convs": len(conv_ids), "n_docs": n_docs, "sec": time.time() - t0})
+        tbl = pq.read_table(offsets_path)
+        conv_ids = tbl["conv_id"].to_numpy(zero_copy_only=False)
+        offsets = tbl["offset"].to_numpy(zero_copy_only=False)
+
+    # ---- phase A: per-partition docmeta + posting partials ------------------
+    partitions = _partition_files(cfg.input_paths, 1 if cfg.docid_mode == "sort" else cfg.num_partitions)
+    for pid, files in enumerate(partitions):
+        key = f"part-{pid:05d}"
+        if man.partition_committed(key):
+            continue
+        t0 = time.time()
+        ds = ray.data.read_parquet(files)
+        if cfg.dedup:
+            ds = dedup_exact(ds)
+        if cfg.docid_mode == "dense":
+            ds = assign_docids_dense(ds, conv_ids, offsets)
+        else:
+            ds = assign_docids_sort(ds)
+        dm = ds.map_batches(add_doc_len, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=cfg.batch_size).select_columns(DOCMETA_COLUMNS)
+        dm_dir = os.path.join(cfg.index_dir, "docmeta", key)
+        atomic_write_dir(lambda d: dm.write_parquet(d), dm_dir)
+        t_meta = time.time()
+
+        # partials read back from the committed docmeta (pruned to 2 columns) —
+        # consistent by construction and avoids re-running docid assignment
+        src = ray.data.read_parquet(dm_dir, columns=["docid", "text", "doc_len"])
+        partials = src.map_batches(
+            PostingsPartials,
+            fn_constructor_args=(cfg.bm25.shard_range,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=(1, 8),
+        )
+        seg_dir = os.path.join(cfg.index_dir, "segments", key)
+        atomic_write_dir(lambda d: partials.write_parquet(d), seg_dir)
+
+        # lineage from the written docmeta footers (no extra data pass)
+        n_docs = 0
+        total_len = 0
+        for fn in os.listdir(dm_dir):
+            if fn.endswith(".parquet"):
+                p = os.path.join(dm_dir, fn)
+                n_docs += pq.read_metadata(p).num_rows
+                total_len += int(pa.compute.sum(pq.read_table(p, columns=["doc_len"])["doc_len"]).as_py() or 0)
+        man.commit_partition(
+            key,
+            {
+                "input_files": files,
+                "n_docs": n_docs,
+                "total_len": total_len,
+                "docmeta": dm_dir,
+                "segments": seg_dir,
+                "sec_docmeta": t_meta - t0,
+                "sec_partials": time.time() - t_meta,
+                "turns_per_sec": n_docs / max(time.time() - t0, 1e-9),
+            },
+        )
+
+    # ---- phase B: corpus stats from lineage ---------------------------------
+    N = sum(p["n_docs"] for p in man.data["partitions"].values())
+    total_len = sum(p["total_len"] for p in man.data["partitions"].values())
+    avgdl = total_len / N if N else 0.0
+    stats = {
+        "N": N,
+        "total_len": total_len,
+        "avgdl": avgdl,
+        "k1": cfg.bm25.k1,
+        "b": cfg.bm25.b,
+        "block_size": cfg.bm25.block_size,
+        "shard_range": cfg.bm25.shard_range,
+    }
+    with open(os.path.join(cfg.index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    man.data["stats"] = stats
+    man.save()
+
+    seg_root = os.path.join(cfg.index_dir, "segments")
+    seg_dirs = [os.path.join(seg_root, d) for d in sorted(os.listdir(seg_root))]
+
+    # ---- phase C: the wide shuffle — merge partials by (term, shard) --------
+    postings_dir = os.path.join(cfg.index_dir, "postings")
+    if not man.stage_done("merge"):
+        t0 = time.time()
+        parts = ray.data.read_parquet(seg_dirs)
+        merged = parts.groupby(["term", "shard"]).map_groups(
+            make_merge_fn(avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size),
+            batch_format="pyarrow",
+        )
+        atomic_write_dir(lambda d: merged.write_parquet(d), postings_dir)
+        files_meta = _file_term_ranges(postings_dir)
+        man.data["postings_files"] = files_meta
+        n_rows = sum(pq.read_metadata(f["path"]).num_rows for f in files_meta)
+        man.commit_stage("merge", {"sec": time.time() - t0, "term_shards": n_rows})
+
+    # ---- phase D: global term stats (df/cf across shards) -------------------
+    termstats_dir = os.path.join(cfg.index_dir, "termstats")
+    if not man.stage_done("termstats"):
+        t0 = time.time()
+        from ray.data.aggregate import Sum
+
+        def df_cf_partial(batch: pa.Table) -> pa.Table:
+            tfs = batch["tfs"].combine_chunks()
+            offsets = tfs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            df = np.diff(offsets)
+            cf = np.zeros(len(df), dtype=np.int64)
+            nonempty = df > 0
+            if values.size:
+                sums = np.add.reduceat(values, offsets[:-1][nonempty])
+                cf[nonempty] = sums
+            return pa.table(
+                {
+                    "term": batch["term"],
+                    "df": pa.array(df, type=pa.int64()),
+                    "cf": pa.array(cf, type=pa.int64()),
+                }
+            )
+
+        parts = ray.data.read_parquet(seg_dirs, columns=["term", "tfs"])
+        ts = (
+            parts.map_batches(df_cf_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .sort("term")
+        )
+        atomic_write_dir(lambda d: ts.write_parquet(d), termstats_dir)
+        man.commit_stage("termstats", {"sec": time.time() - t0})
+
+    man.finalize("COMPLETED")
+    return man.data

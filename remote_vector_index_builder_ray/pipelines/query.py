@@ -1,0 +1,86 @@
+"""Query pipeline: top-k BM25 over a built index + result hydration.
+
+Analog of the reference's search path (``benchmarking/search/search_indices.py:13-55``):
+load index once per actor, answer many queries. The query fan-out is a
+``map_batches`` actor pool over the queries Dataset — no shuffle; the index is
+term-sharded on disk and each actor reads only the files its terms touch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from remote_vector_index_builder_ray.stages.search import BM25Searcher
+
+
+def _as_dataset(queries) -> ray.data.Dataset:
+    if isinstance(queries, ray.data.Dataset):
+        return queries
+    if isinstance(queries, pd.DataFrame):
+        return ray.data.from_pandas(queries)
+    if isinstance(queries, pa.Table):
+        return ray.data.from_arrow(queries)
+    if isinstance(queries, str):
+        return ray.data.read_parquet(queries)
+    raise TypeError(f"unsupported queries type {type(queries)}")
+
+
+def search(
+    index_dir: str,
+    queries,
+    mode: str = "bmw",
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
+    columns (query_id:int64, text:string, k:int32). Returns a Dataset of
+    (query_id, rank, docid, score) — rank-identical to the exhaustive oracle.
+    """
+    qds = _as_dataset(queries)
+    return qds.map_batches(
+        BM25Searcher,
+        fn_constructor_args=(index_dir, mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
+    """Attach stored fields to a (small) result set.
+
+    Broadcast-semi-join: the result docid set is ray.put once; docmeta is
+    scanned with a pruned, vectorized filter (no shuffle) — the pattern for a
+    small-side lookup at 100 TB scale. Returns a pandas DataFrame (results are
+    queries x k rows — driver-small by construction).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    res = results.to_pandas()
+    wanted = np.unique(res["docid"].to_numpy())
+    ref = ray.put(wanted)
+
+    class FilterDocs:
+        def __init__(self, ref):
+            self.wanted = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.wanted, ids)
+            idx = np.clip(idx, 0, len(self.wanted) - 1)
+            mask = self.wanted[idx] == ids
+            return batch.filter(pa.array(mask))
+
+    dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta")).map_batches(
+        FilterDocs, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4),
+    )
+    meta = dm.to_pandas()
+    return res.merge(meta, on="docid", how="left")

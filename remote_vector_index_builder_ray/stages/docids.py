@@ -1,0 +1,137 @@
+"""Stable global docID assignment — the analog of the reference's positional
+vector<->doc_id alignment (``core/common/models/vectors_dataset.py:126-129``),
+generalized to a distributed table read in arbitrary order.
+
+Invariant (FIXTURES.md section 5.2): docIDs are dense ``0..N-1`` in
+``(conv_id, turn_idx)`` sort order, independent of read parallelism and input
+file shuffling.
+
+Two paths:
+
+* **dense** (default, metadata-light — SURVEY.md section 7 "Stable docID under
+  parallelism"): one small shuffle ``groupby(conv_id).count/max`` over just two
+  columns validates that ``turn_idx`` is dense ``0..len-1`` per conversation,
+  then a prefix sum over conv-sorted counts yields each conversation's docid
+  offset; ``docid = offset[conv_id] + turn_idx`` is a pure broadcast-lookup
+  ``map_batches``. The 100 TB table is never sorted. The offsets table is
+  ~n_turns/8 rows; it is broadcast via ``ray.put`` (at 10^12-turn scale it
+  would instead be range-sharded and joined with ``Dataset.join`` — same
+  semantics, noted here for the multi-node path).
+
+* **sort** (general fallback): full ``ds.sort(conv_id, turn_idx)`` +
+  per-block offset zip-with-index (raw Ray tasks over the sorted block refs —
+  one of the few things the Dataset API cannot express).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from remote_vector_index_builder_ray.config import SchemaValidationError
+
+
+def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
+    """Per-conversation docid offsets from a (conv_id, turn_idx) projection.
+
+    Returns ``(conv_ids_sorted: np.ndarray[str], offsets: np.ndarray[int64],
+    n_docs: int, total_turn_rows: int)``.
+    """
+    from ray.data.aggregate import Count, Max
+
+    counts = (
+        ds.select_columns(["conv_id", "turn_idx"])
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n_turns"), Max("turn_idx", alias_name="max_turn"))
+    )
+    pdf = counts.to_pandas()
+    pdf = pdf.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    if validate_dense:
+        bad = pdf[pdf["max_turn"] + 1 != pdf["n_turns"]]
+        if len(bad):
+            raise SchemaValidationError(
+                f"turn_idx not dense 0..len-1 for {len(bad)} conversations "
+                f"(e.g. {bad.head(3).to_dict('records')}); use docid_mode='sort' "
+                "or dedup=True"
+            )
+    n = pdf["n_turns"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+    return pdf["conv_id"].to_numpy(), offsets, int(n.sum()), int(n.sum())
+
+
+class DenseDocIdAssigner:
+    """map_batches callable: ``docid = offset[conv_id] + turn_idx``.
+
+    Stateless w.r.t. the stream; the (sorted conv_ids, offsets) pair is put in
+    the object store ONCE and read per task via ``ray.get`` (broadcast lookup,
+    never re-shipped per batch).
+    """
+
+    def __init__(self, conv_ids_ref, offsets_ref):
+        self.conv_ids = ray.get(conv_ids_ref)
+        self.offsets = ray.get(offsets_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.conv_ids, conv)
+        if (idx >= len(self.conv_ids)).any() or (self.conv_ids[idx] != conv).any():
+            raise SchemaValidationError("conv_id seen in data but absent from offsets pass")
+        turn = batch["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        docid = self.offsets[idx] + turn
+        return batch.append_column("docid", pa.array(docid, type=pa.int64()))
+
+
+def assign_docids_dense(ds: ray.data.Dataset, conv_ids: np.ndarray, offsets: np.ndarray) -> ray.data.Dataset:
+    conv_ref = ray.put(conv_ids)
+    off_ref = ray.put(offsets)
+    return ds.map_batches(
+        DenseDocIdAssigner,
+        fn_constructor_args=(conv_ref, off_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def assign_docids_sort(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """General fallback: full sort + per-block zip-with-index.
+
+    The per-block offset attach is raw Ray tasks over the sorted dataset's
+    Arrow block refs — the Dataset API has no zip_with_index (SURVEY.md 2.2).
+    Block refs are metadata; only tiny length queries and per-block appends run
+    remotely, so this adds no extra shuffle beyond the sort itself.
+    """
+    sorted_ds = ds.sort(["conv_id", "turn_idx"])
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _attach(t: pa.Table, start: int) -> pa.Table:
+        ids = pa.array(np.arange(start, start + t.num_rows, dtype=np.int64), type=pa.int64())
+        return t.append_column("docid", ids)
+
+    lengths = ray.get([_nrows.remote(r) for r in refs])
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    out_refs = [_attach.remote(r, int(s)) for r, s in zip(refs, starts)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup of (conv_id, turn_idx): first-wins by (ts, role, text) order.
+
+    Hash-shuffle keyed exactly like the docid grouping (one partitioning key
+    reused across stages). Analog of the reference's job-id idempotency dedup
+    (``app/services/job_service.py:60-83``) lifted to the row level.
+    """
+    import pandas as pd
+
+    def first_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "role", "text"], kind="mergesort").head(1)
+
+    return ds.groupby(["conv_id", "turn_idx"]).map_groups(first_of_group, batch_format="pandas")

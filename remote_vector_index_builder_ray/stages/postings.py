@@ -1,0 +1,98 @@
+"""SPIMI-style per-batch posting partials — the pre-aggregation combiner.
+
+The analog of the reference's per-worker index segment build (one remote build
+job = one segment, ``faiss_gpu_index_cagra_builder.py:207-225``), re-expressed
+Ray-Data-first: every ``map_batches`` call turns a batch of (docid, text) rows
+into one partial posting row per (term, docid-shard) — so the wide
+``groupby(term, shard)`` merge shuffles compact pre-aggregated lists, never raw
+tokens (see the "Aggregation at scale" pattern; SURVEY.md section 2.2).
+
+Everything is numpy/Arrow-vectorized: dictionary-encode the flat token stream,
+count (term, doc) pairs with one ``np.unique`` over packed int64 keys, and cut
+(term, shard) group boundaries with vectorized comparisons. No Python loop
+touches a token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_column
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("min_docid", pa.int64()),
+        ("docids", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+        ("dls", pa.list_(pa.int32())),
+    ]
+)
+
+
+def _empty_partials() -> pa.Table:
+    return PARTIAL_SCHEMA.empty_table()
+
+
+class PostingsPartials:
+    """map_batches callable building per-batch posting partials."""
+
+    def __init__(self, shard_range: int):
+        self.shard_range = shard_range
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partials()
+        docids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        tokens, doc_index, _dl = tokenize_column(batch["text"])
+        if len(tokens) == 0:
+            return _empty_partials()
+        dicted = tokens.dictionary_encode()
+        if isinstance(dicted, pa.ChunkedArray):
+            dicted = dicted.combine_chunks()
+        codes = dicted.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dicted.dictionary
+
+        # tf per (term, doc): one sorted-unique pass over packed 64-bit keys
+        key = (codes << np.int64(32)) | doc_index
+        uniq, tf = np.unique(key, return_counts=True)
+        u_code = (uniq >> np.int64(32)).astype(np.int64)
+        u_doc = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+        u_docid = docids[u_doc]
+        # doc_len per posting (carried into the index so scoring never needs a
+        # global doc-length array — the norms live with the postings)
+        dl_batch = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(dl_batch, doc_index, 1)
+        u_dl = dl_batch[u_doc]
+
+        # sort postings by (term, docid); shard boundaries follow docid order
+        order = np.lexsort((u_docid, u_code))
+        s_code = u_code[order]
+        s_docid = u_docid[order]
+        s_tf = tf[order].astype(np.int32)
+        s_dl = u_dl[order].astype(np.int32)
+        s_shard = (s_docid // self.shard_range).astype(np.int32)
+
+        change = (s_code[1:] != s_code[:-1]) | (s_shard[1:] != s_shard[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1]).astype(np.int64)
+        offsets = np.concatenate([starts, [len(s_code)]]).astype(np.int32)
+
+        terms = vocab.take(pa.array(s_code[starts]))
+        return pa.table(
+            {
+                "term": terms.cast(pa.string()),
+                "shard": pa.array(s_shard[starts], type=pa.int32()),
+                "min_docid": pa.array(s_docid[starts], type=pa.int64()),
+                "docids": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_docid, type=pa.int64())),
+                "tfs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_tf, type=pa.int32())),
+                "dls": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_dl, type=pa.int32())),
+            }
+        )
+
+
+def add_doc_len(batch: pa.Table) -> pa.Table:
+    """doc_meta stage: append the per-turn token count (BM25 norm)."""
+    _, _, dl = tokenize_column(batch["text"])
+    return batch.append_column("doc_len", pa.array(dl, type=pa.int32()))

@@ -1,0 +1,310 @@
+"""BM25 top-k query path: an actor-pool ``map_batches`` stage over queries.
+
+The analog of the reference's searcher-with-loaded-index
+(``benchmarking/search/search_indices.py:13-63``: ``faiss.read_index`` once,
+then many ``index.search`` calls): the actor loads corpus stats + the postings
+file index ONCE in ``__init__``, caches decoded per-term postings across
+batches, and answers each query with either
+
+* ``exhaustive`` — term-at-a-time vectorized scoring (numpy gather +
+  ``np.add.at`` accumulation in ascending-term order, bit-identical to the
+  oracle), or
+* ``bmw`` — block-max WAND with a size-k heap, skipping whole compressed
+  blocks whose ``idf * block_max_tfnorm`` bound cannot beat the running
+  threshold. Full evaluations sum contributions in ascending-term order, so
+  results are rank-identical (equal float64 scores) to ``exhaustive``.
+
+The index is term-sharded on disk (postings sorted by term, per-file term
+ranges in the manifest), so a query touches only the files covering its terms —
+predicate pushdown via parquet row-group stats does the rest. No shuffle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from remote_vector_index_builder_ray.functions.bm25 import idf as _idf, tfnorm, topk_order
+from remote_vector_index_builder_ray.functions.codec import decode_block, decode_posting_run
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int32()),
+        ("docid", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class _TermPostings:
+    """One term's merged segment rows (all shards, shard==docid order)."""
+
+    __slots__ = ("first", "last", "count", "maxtn", "docb", "tfb", "dlb", "df", "cf")
+
+    def __init__(self, rows: list[dict]):
+        rows = sorted(rows, key=lambda r: r["shard"])
+        self.first = np.concatenate([np.asarray(r["first_docids"], np.int64) for r in rows])
+        self.last = np.concatenate([np.asarray(r["last_docids"], np.int64) for r in rows])
+        self.count = np.concatenate([np.asarray(r["counts"], np.int64) for r in rows])
+        self.maxtn = np.concatenate([np.asarray(r["max_tfnorm"], np.float64) for r in rows])
+        self.docb = [b for r in rows for b in r["docid_bytes"]]
+        self.tfb = [b for r in rows for b in r["tf_bytes"]]
+        self.dlb = [b for r in rows for b in r["dl_bytes"]]
+        self.df = int(sum(r["df_shard"] for r in rows))
+        self.cf = int(sum(r["cf_shard"] for r in rows))
+
+    def decode_all(self):
+        return decode_posting_run(self.first, self.count, self.docb, self.tfb, self.dlb)
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.count)
+
+
+class _Cursor:
+    """Block-skipping posting cursor for WAND (next_geq via block metadata)."""
+
+    __slots__ = ("tp", "w", "term", "bi", "arr_doc", "arr_tf", "arr_dl", "pi", "cur", "max_ub")
+
+    def __init__(self, term: str, tp: _TermPostings, w: float):
+        self.tp = tp
+        self.w = w
+        self.term = term
+        self.max_ub = float(w * tp.maxtn.max())
+        self.bi = -1
+        self.arr_doc = None
+        self.pi = 0
+        self.cur = -1
+        self._open_block(0)
+
+    def _open_block(self, bi: int):
+        if bi >= self.tp.n_blocks:
+            self.cur = np.iinfo(np.int64).max
+            self.bi = self.tp.n_blocks
+            return
+        self.bi = bi
+        tp = self.tp
+        self.arr_doc, self.arr_tf, self.arr_dl = decode_block(
+            int(tp.first[bi]), int(tp.count[bi]), tp.docb[bi], tp.tfb[bi], tp.dlb[bi]
+        )
+        self.pi = 0
+        self.cur = int(self.arr_doc[0])
+
+    @property
+    def exhausted(self) -> bool:
+        return self.bi >= self.tp.n_blocks
+
+    def block_ub(self) -> float:
+        return float(self.w * self.tp.maxtn[self.bi]) if not self.exhausted else 0.0
+
+    def block_last(self) -> int:
+        return int(self.tp.last[self.bi])
+
+    def next_geq(self, target: int):
+        if self.exhausted or self.cur >= target:
+            return
+        tp = self.tp
+        if target > tp.last[self.bi]:
+            # find the first block whose last docid >= target
+            bi = int(np.searchsorted(tp.last, target, side="left"))
+            if bi >= tp.n_blocks:
+                self.cur = np.iinfo(np.int64).max
+                self.bi = tp.n_blocks
+                return
+            self._open_block(bi)
+            if self.cur >= target:
+                return
+        pi = int(np.searchsorted(self.arr_doc, target, side="left"))
+        if pi >= len(self.arr_doc):  # target beyond this block: next block start
+            self._open_block(self.bi + 1)
+        else:
+            self.pi = pi
+            self.cur = int(self.arr_doc[pi])
+
+    def advance(self):
+        self.pi += 1
+        if self.pi >= len(self.arr_doc):
+            self._open_block(self.bi + 1)
+        else:
+            self.cur = int(self.arr_doc[self.pi])
+
+    def contrib(self, k1: float, b: float, avgdl: float) -> float:
+        tf = float(self.arr_tf[self.pi])
+        dl = float(self.arr_dl[self.pi])
+        return self.w * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
+
+class BM25Searcher:
+    """Callable class for ``queries.map_batches(BM25Searcher, concurrency=N)``."""
+
+    def __init__(self, index_dir: str, mode: str = "bmw", cache_terms: int = 8192):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        self.N = int(st["N"])
+        self.avgdl = float(st["avgdl"])
+        self.k1 = float(st["k1"])
+        self.b = float(st["b"])
+        self.mode = mode
+        self.cache_terms = cache_terms
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            man = json.load(f)
+        self.files = man["postings_files"]  # [{path, term_min, term_max}]
+        self._cache: dict[str, _TermPostings | None] = {}
+
+    # -- postings lookup ------------------------------------------------------
+    def _candidate_files(self, terms: list[str]) -> list[str]:
+        out = []
+        for f in self.files:
+            if any(f["term_min"] <= t <= f["term_max"] for t in terms):
+                out.append(f["path"])
+        return out
+
+    def _load_terms(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._cache]
+        if not missing:
+            return
+        rows_by_term: dict[str, list[dict]] = {t: [] for t in missing}
+        paths = self._candidate_files(missing)
+        for path in paths:
+            t = pq.read_table(
+                path, filters=[("term", "in", missing)]
+            )
+            for row in t.to_pylist():
+                rows_by_term[row["term"]].append(row)
+        if len(self._cache) + len(missing) > self.cache_terms:
+            self._cache.clear()
+        for t in missing:
+            self._cache[t] = _TermPostings(rows_by_term[t]) if rows_by_term[t] else None
+
+    # -- scoring --------------------------------------------------------------
+    def _score_exhaustive(self, terms: list[str], k: int):
+        doc_parts, contrib_parts = [], []
+        for t in terms:  # ascending term order fixes float addition order
+            tp = self._cache.get(t)
+            if tp is None:
+                continue
+            w = _idf(self.N, tp.df)
+            docids, tfs, dls = tp.decode_all()
+            doc_parts.append(docids)
+            contrib_parts.append(w * tfnorm(tfs, dls, self.avgdl, self.k1, self.b))
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_doc = np.concatenate(doc_parts)
+        all_con = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_doc, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, all_con)  # sequential, term-major == oracle order
+        sel = topk_order(scores, uniq, k)
+        return uniq[sel], scores[sel]
+
+    def _score_bmw(self, terms: list[str], k: int):
+        cursors = []
+        for t in terms:
+            tp = self._cache.get(t)
+            if tp is not None:
+                cursors.append(_Cursor(t, tp, _idf(self.N, tp.df)))
+        if not cursors:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        heap: list[tuple[float, int]] = []  # (score, -docid): worst on top
+        INF = np.iinfo(np.int64).max
+
+        def threshold() -> float:
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        while True:
+            cursors = [c for c in cursors if not c.exhausted]
+            if not cursors:
+                break
+            cursors.sort(key=lambda c: c.cur)
+            # WAND pivot: first prefix whose max-score sum beats the threshold
+            ub, pivot = 0.0, -1
+            th = threshold()
+            for i, c in enumerate(cursors):
+                ub += c.max_ub
+                if ub > th:
+                    pivot = i
+                    break
+            if pivot < 0:
+                break
+            pivot_doc = cursors[pivot].cur
+            if pivot_doc == INF:
+                break
+            if cursors[0].cur == pivot_doc:
+                # block-max check over the lists that will contribute
+                bub = 0.0
+                for c in cursors[: pivot + 1]:
+                    c.next_geq(pivot_doc)
+                involved = [c for c in cursors if c.cur == pivot_doc]
+                for c in involved:
+                    bub += c.block_ub()
+                if bub <= th and len(heap) >= k:
+                    # the involved lists' current blocks cannot compete: jump
+                    # past the nearest block boundary — but never past the cur
+                    # of a list not positioned at pivot_doc (its docs in the
+                    # skipped range would otherwise be missed)
+                    boundary = min(c.block_last() for c in involved) + 1
+                    others = [c.cur for c in cursors if c.cur > pivot_doc]
+                    if others:
+                        boundary = min(boundary, min(others))
+                    for c in involved:
+                        c.next_geq(boundary)
+                    continue
+                # full evaluation, contributions in ascending-term order
+                involved.sort(key=lambda c: c.term)
+                score = 0.0
+                for c in involved:
+                    score += c.contrib(self.k1, self.b, self.avgdl)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                for c in involved:
+                    c.advance()
+            else:
+                # advance the lagging lists up to the pivot
+                for c in cursors[:pivot]:
+                    c.next_geq(pivot_doc)
+
+        items = sorted(heap, key=lambda sd: (-sd[0], -sd[1]))
+        return (
+            np.array([-d for _, d in items], dtype=np.int64),
+            np.array([s for s, _ in items], dtype=np.float64),
+        )
+
+    # -- batch entry ----------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
+        per_query_terms = [sorted(set(tokenize_text(t or ""))) for t in texts]
+        all_terms = sorted({t for terms in per_query_terms for t in terms})
+        if all_terms:
+            self._load_terms(all_terms)
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        for qid, terms, k in zip(qids, per_query_terms, ks):
+            k = int(k) if k is not None else 10
+            if self.mode == "bmw":
+                docids, scores = self._score_bmw(terms, k)
+            else:
+                docids, scores = self._score_exhaustive(terms, k)
+            n = len(docids)
+            out_qid.extend([int(qid)] * n)
+            out_rank.extend(range(1, n + 1))
+            out_doc.extend(docids.tolist())
+            out_score.extend(scores.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_qid, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int32()),
+                "docid": pa.array(out_doc, type=pa.int64()),
+                "score": pa.array(out_score, type=pa.float64()),
+            }
+        )
