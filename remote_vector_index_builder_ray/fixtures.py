@@ -27,7 +27,7 @@ QUERY_SEED = 43
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 
 SCALES = {
-    "sf0.001": (2_000, 1),
+    "sf0.001": (2_000, 2),
     "sf0.01": (50_000, 4),
     "sf0.1": (500_000, 16),
 }

@@ -125,16 +125,30 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         conv_ids = tbl["conv_id"].to_numpy(zero_copy_only=False)
         offsets = tbl["offset"].to_numpy(zero_copy_only=False)
 
+    # ---- phase dedup (optional, global) -------------------------------------
+    # Duplicates of (conv_id, turn_idx) can span input files, so dedup is a
+    # global keyed shuffle staged BEFORE partitioning (its own checkpoint);
+    # phase A then consumes the deduped staging files.
+    input_paths = cfg.input_paths
+    if cfg.dedup:
+        dedup_dir = os.path.join(cfg.index_dir, "deduped")
+        if not man.stage_done("dedup"):
+            t0 = time.time()
+            ds = ray.data.read_parquet(cfg.input_paths)
+            atomic_write_dir(lambda d: dedup_exact(ds).write_parquet(d), dedup_dir)
+            man.commit_stage("dedup", {"sec": time.time() - t0})
+        input_paths = [
+            os.path.join(dedup_dir, f) for f in sorted(os.listdir(dedup_dir)) if f.endswith(".parquet")
+        ]
+
     # ---- phase A: per-partition docmeta + posting partials ------------------
-    partitions = _partition_files(cfg.input_paths, 1 if cfg.docid_mode == "sort" else cfg.num_partitions)
+    partitions = _partition_files(input_paths, 1 if cfg.docid_mode == "sort" else cfg.num_partitions)
     for pid, files in enumerate(partitions):
         key = f"part-{pid:05d}"
         if man.partition_committed(key):
             continue
         t0 = time.time()
         ds = ray.data.read_parquet(files)
-        if cfg.dedup:
-            ds = dedup_exact(ds)
         if cfg.docid_mode == "dense":
             ds = assign_docids_dense(ds, conv_ids, offsets)
         else:
@@ -200,13 +214,19 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     man.save()
 
     seg_root = os.path.join(cfg.index_dir, "segments")
-    seg_dirs = [os.path.join(seg_root, d) for d in sorted(os.listdir(seg_root))]
+    # read_parquet takes a single dir or a list of FILES — expand explicitly
+    seg_files = [
+        os.path.join(seg_root, d, f)
+        for d in sorted(os.listdir(seg_root))
+        for f in sorted(os.listdir(os.path.join(seg_root, d)))
+        if f.endswith(".parquet")
+    ]
 
     # ---- phase C: the wide shuffle — merge partials by (term, shard) --------
     postings_dir = os.path.join(cfg.index_dir, "postings")
     if not man.stage_done("merge"):
         t0 = time.time()
-        parts = ray.data.read_parquet(seg_dirs)
+        parts = ray.data.read_parquet(seg_files)
         merged = parts.groupby(["term", "shard"]).map_groups(
             make_merge_fn(avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size),
             batch_format="pyarrow",
@@ -241,7 +261,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 }
             )
 
-        parts = ray.data.read_parquet(seg_dirs, columns=["term", "tfs"])
+        parts = ray.data.read_parquet(seg_files, columns=["term", "tfs"])
         ts = (
             parts.map_batches(df_cf_partial, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("term")
