@@ -1,0 +1,121 @@
+"""Benchmark driver: headline BM25 index build + query throughput.
+
+Prints ONE JSON line:
+  {"metric": "bm25_build_search", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": <sf>, "num_cpus": N}
+
+--scaling: runs the same job in fresh processes at num_cpus=8 and 32 and
+reports both throughputs + scaling efficiency (the sandbox stand-in for the
+N-node vs 4N-node cluster criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+    from remote_vector_index_builder_ray.fixtures import ensure_fixture
+
+    fx = ensure_fixture(sf_name)  # cached on disk; generation cost not timed
+    index_dir = f"/tmp/bench_index_{sf_name}_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for p in fx["transcripts"]:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    man = build_index(
+        BuildConfig(
+            input_paths=fx["transcripts"],
+            index_dir=index_dir,
+            num_partitions=min(4, len(fx["transcripts"])),
+        )
+    )
+    timings["build"] = time.time() - t0
+    n_turns = man["stats"]["N"]
+
+    for mode in ("bmw", "exhaustive"):
+        t0 = time.time()
+        n_rows = search(index_dir, fx["queries"], mode=mode).count()
+        timings[f"search_{mode}"] = time.time() - t0
+        assert n_rows > 0
+
+    # stage-level breakdown from the manifest (lineage metrics)
+    for stage, m in man["stages"].items():
+        timings[f"stage_{stage}"] = round(m.get("sec", 0.0), 3)
+    timings["turns_per_sec_build"] = round(n_turns / timings["build"], 1)
+
+    total = timings["build"] + timings["search_bmw"]
+    out = {
+        "metric": "bm25_build_search",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # efficiency = speedup / cpu-ratio; 1.0 = perfectly linear
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "throughput_8": round(r_lo["n_turns"] / t_lo, 1),
+        "throughput_32": round(r_hi["n_turns"] / t_hi, 1),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,123 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with metadata columns
+(mime, width/height/duration). The Ray-side plumbing — schema, actor-pool
+stage shape, small batch sizes for wide rows, output layout — is real and
+tested; the actual codec calls are STUBBED because no image/audio libraries
+exist in this environment:
+
+* ``MediaDecode(backend="real")`` raises NotImplementedError at the decode
+  call site (clearly marked), exactly where PIL/ffmpeg would plug in.
+* ``backend="fake"`` is a deterministic stand-in (blake2b-seeded pixel
+  statistics) so pipelines and tests exercise the full dataflow.
+
+Batch sizing note (memory-aware): payload rows are wide, so stages here use
+small ``batch_size`` (default 64) — batch x concurrency must fit the worker
+heap, per the Ray Data guidance for large binary rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic fake media fixture (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+                for s in rng.integers(256, 4096, size=n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mime": pa.array(["image/png" if i % 3 else "image/jpeg" for i in range(n)]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(rng.integers(16, 512, n).astype(np.int32)),
+            "height": pa.array(rng.integers(16, 512, n).astype(np.int32)),
+        }
+    )
+
+
+class MediaDecode:
+    """Actor-pool stage: decode payload -> per-media feature vector.
+
+    Real backend would hold the decoder state (model weights, codec contexts)
+    per actor — the reason this is a callable CLASS, mirroring the reference's
+    GPU-resident index builder state (``faiss_gpu_index_cagra_builder.py:227-279``).
+    """
+
+    def __init__(self, backend: str = "fake"):
+        self.backend = backend
+        if backend == "real":
+            # STUB: the real decoder would be constructed here, once per actor:
+            #   import PIL.Image / torchaudio / av ...
+            pass
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        # deterministic pseudo-decode: blake2b-seeded "pixel statistics"
+        # (blake2b digest_size caps at 64 bytes -> 16 x uint32 features)
+        digest = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 4).digest()
+        return np.frombuffer(digest, dtype=np.uint32).astype(np.float64) / 2**32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "real":
+            raise NotImplementedError(
+                "real media decode requires an image/audio library not present "
+                "in this environment; plug PIL/ffmpeg in here"
+            )
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([self._decode_fake(p) for p in payloads]) if payloads else np.zeros((0, FEATURE_DIM))
+        n = batch.num_rows
+        offsets = pa.array(np.arange(0, (n + 1) * FEATURE_DIM, FEATURE_DIM, dtype=np.int32))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "feature": pa.ListArray.from_arrays(offsets, pa.array(feats.ravel(), type=pa.float64())),
+                "payload_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+            }
+        )
+
+
+class MediaResize:
+    """Actor-pool stage shape for resize/frame-sample (stubbed identically)."""
+
+    def __init__(self, target: int = 224, backend: str = "fake"):
+        self.target = target
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "real":
+            raise NotImplementedError("real resize needs an imaging library; plug in here")
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        scale = self.target / np.maximum(w, h).astype(np.float64)
+        return (
+            batch.append_column("out_width", pa.array((w * scale).astype(np.int32)))
+            .append_column("out_height", pa.array((h * scale).astype(np.int32)))
+        )
+
+
+def decode_features(ds: ray.data.Dataset, backend: str = "fake", batch_size: int = 64) -> ray.data.Dataset:
+    """The canonical multimodal pipeline stage: small batches (wide rows),
+    actor pool, zero-copy Arrow in/out."""
+    return ds.map_batches(
+        MediaDecode, fn_constructor_args=(backend,),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=(1, 4), num_cpus=1,
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators over a generic documents table (doc_id, text).
+
+Large-scale training-data-pipeline stages, each a vectorized ``map_batches``
+over zero-copy Arrow batches (no shuffle): token counting, quality scoring,
+n-gram-heuristic language ID, document fingerprinting. All are deliberately
+defined so a DuckDB oracle can express the identical computation (see
+``__ray_entry__.oracle_sql``).
+
+Frozen definitions (shared with the SQL oracle):
+  tokens          = regexp_extract_all(lower(text), '[a-z0-9_]+')
+  n_tokens        = len(tokens); n_unique = len(distinct tokens)
+  stopword_ratio  = |tokens in STOPWORDS_SMALL| / n_tokens   (0 if empty)
+  lang_id         = 'en' if stopword_ratio >= 0.1 and n_tokens >= 3 else 'unk'
+  quality_score   = round(0.5*min(1, n_tokens/100)
+                          + 0.3*(unique_ratio) + 0.2*min(1, stopword_ratio*4), 6)
+  fingerprint     = md5(' '.join(tokens))  (canonical normalized-text hash)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_column
+
+# small frozen stopword list (shared verbatim with the SQL oracle)
+STOPWORDS_SMALL = (
+    "the and to of a in is it you that he was for on are with as i his they be "
+    "at one have this from or had by not but what all were we when your can".split()
+)
+
+
+def text_features(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Vectorized per-doc features; one output row per input row."""
+    n = batch.num_rows
+    tokens, doc_index, n_tokens = tokenize_column(batch[text_col])
+    toks_np = np.asarray(tokens.to_pylist(), dtype=object)
+
+    # stopword count per doc (vectorized membership over the flat token stream)
+    stop_set = np.array(STOPWORDS_SMALL, dtype=object)
+    is_stop = np.isin(toks_np, stop_set)
+    stop_count = np.zeros(n, dtype=np.int64)
+    np.add.at(stop_count, doc_index, is_stop.astype(np.int64))
+
+    # unique tokens per doc: unique over (doc_index, token) pairs
+    if len(toks_np):
+        d = tokens.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = doc_index * (codes.max() + 1) + codes
+        uniq_pairs = np.unique(pair)
+        n_unique = np.bincount((uniq_pairs // (codes.max() + 1)).astype(np.int64), minlength=n)
+    else:
+        n_unique = np.zeros(n, dtype=np.int64)
+
+    nt = n_tokens.astype(np.float64)
+    safe_nt = np.maximum(nt, 1.0)
+    stop_ratio = stop_count / safe_nt
+    unique_ratio = n_unique / safe_nt
+    # floor(x*1e6 + 0.5)/1e6: deterministic round-half-up, the exact same
+    # arithmetic the SQL oracle uses (np.round is half-to-even -> rare tie
+    # mismatches vs DuckDB's round)
+    quality = np.floor(
+        (
+            0.5 * np.minimum(1.0, nt / 100.0)
+            + 0.3 * unique_ratio
+            + 0.2 * np.minimum(1.0, stop_ratio * 4.0)
+        )
+        * 1e6
+        + 0.5
+    ) / 1e6
+    lang = np.where((stop_ratio >= 0.1) & (nt >= 3), "en", "unk")
+
+    # fingerprint: md5 over the canonical normalized text (' '-joined tokens)
+    bounds = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
+    fps = [
+        hashlib.md5(" ".join(toks_np[bounds[i] : bounds[i + 1]]).encode()).hexdigest()
+        for i in range(n)
+    ]
+
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens.astype(np.int64), type=pa.int64()),
+            "n_unique": pa.array(n_unique.astype(np.int64), type=pa.int64()),
+            "stopword_ratio": pa.array(np.floor(stop_ratio * 1e6 + 0.5) / 1e6, type=pa.float64()),
+            "lang_id": pa.array(lang.tolist(), type=pa.string()),
+            "quality_score": pa.array(quality, type=pa.float64()),
+            "fingerprint": pa.array(fps, type=pa.string()),
+        }
+    )
+
+
+def text_features_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(text_features, batch_format="pyarrow", zero_copy_batch=True)

@@ -32,7 +32,18 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) ->
 
 
 def topk_order(scores: np.ndarray, docids: np.ndarray, k: int):
-    """Indices of the top-k by (score desc, docid asc)."""
+    """Indices of the top-k by (score desc, docid asc).
+
+    Two-phase for large inputs: an O(n) partition finds the k-th score, then
+    only the (ties-inclusive) head is exactly sorted — bit-identical result to
+    the full lexsort.
+    """
+    n = len(scores)
+    if n > max(4 * k, 1024):
+        kth_score = -np.partition(-scores, k - 1)[k - 1]
+        idx = np.flatnonzero(scores >= kth_score)
+        order = np.lexsort((docids[idx], -scores[idx]))
+        return idx[order[:k]]
     order = np.lexsort((docids, -scores))
     return order[:k]
 

@@ -22,6 +22,27 @@ import numpy as np
 _MAX_VARINT_BYTES = 10
 
 
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value END byte offsets
+    (cumulative), so callers can slice the buffer per value range zero-copy."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nbytes += (v >= np.uint64(1) << np.uint64(shift)).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(ends[-1], dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), ends
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array. Vectorized: one pass per byte position."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
@@ -111,16 +132,41 @@ def decode_block(first_docid: int, count: int, docid_bytes: bytes, tf_bytes: byt
     return docids, tfs, dls
 
 
-def decode_posting_run(first_docids, counts, docid_bytes, tf_bytes, dl_bytes):
-    """Decode all blocks of one (term, shard) row into concatenated arrays."""
-    parts = [
-        decode_block(f, c, db, tb, lb)
-        for f, c, db, tb, lb in zip(first_docids, counts, docid_bytes, tf_bytes, dl_bytes)
-    ]
-    if not parts:
+def decode_posting_run(first_docids, counts, docid_bytes, tf_bytes, dl_bytes, last_docids=None):
+    """Decode all blocks of one posting run into concatenated arrays.
+
+    Fast path (``last_docids`` given, as stored in the segment schema): ONE
+    varint decode per stream over the joined block buffers — per-block Python
+    overhead vanishes. Docids are rebuilt by a single cumsum where each
+    block-start delta is ``first[b] - last[b-1]``.
+    """
+    counts_arr = np.asarray(counts, dtype=np.int64)
+    total = int(counts_arr.sum())
+    if total == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    docids = np.concatenate([p[0] for p in parts])
-    tfs = np.concatenate([p[1] for p in parts])
-    dls = np.concatenate([p[2] for p in parts])
+    if last_docids is None:
+        parts = [
+            decode_block(f, c, db, tb, lb)
+            for f, c, db, tb, lb in zip(first_docids, counts, docid_bytes, tf_bytes, dl_bytes)
+        ]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+    firsts = np.asarray(first_docids, dtype=np.int64)
+    lasts = np.asarray(last_docids, dtype=np.int64)
+    deltas = varint_decode(b"".join(docid_bytes), total - len(counts_arr))
+    tfs = varint_decode(b"".join(tf_bytes), total).astype(np.int64)
+    dls = varint_decode(b"".join(dl_bytes), total).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts_arr)[:-1]])
+    d = np.empty(total, dtype=np.int64)
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    d[mask] = deltas.astype(np.int64)
+    d[starts[0]] = firsts[0]
+    if len(firsts) > 1:
+        d[starts[1:]] = firsts[1:] - lasts[:-1]
+    docids = np.cumsum(d)
     return docids, tfs, dls

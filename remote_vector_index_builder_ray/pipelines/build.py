@@ -40,7 +40,10 @@ from remote_vector_index_builder_ray.stages.docids import (
     compute_conv_offsets,
     dedup_exact,
 )
-from remote_vector_index_builder_ray.stages.merge import make_merge_fn
+from remote_vector_index_builder_ray.stages.merge import (
+    make_bucket_merge_fn,
+    term_bucket_fn,
+)
 from remote_vector_index_builder_ray.stages.postings import PostingsPartials, add_doc_len
 from remote_vector_index_builder_ray.state.manifest import Manifest, atomic_write_dir
 
@@ -55,32 +58,37 @@ def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[
     return [list(chunk) for chunk in np.array_split(np.array(paths, dtype=object), num_partitions)]
 
 
+def _column_min_max(path: str, md, column: str):
+    arrow_schema = md.schema.to_arrow_schema()
+    ci = arrow_schema.get_field_index(column)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is not None and st.has_min_max:
+            mins.append(st.min)
+            maxs.append(st.max)
+    if not mins:  # fallback: read just that column
+        t = pq.read_table(path, columns=[column])[column]
+        mins, maxs = [pa.compute.min(t).as_py()], [pa.compute.max(t).as_py()]
+    dec = lambda v: v.decode() if isinstance(v, bytes) else v
+    return min(dec(m) for m in mins), max(dec(m) for m in maxs)
+
+
 def _file_term_ranges(dirpath: str) -> list[dict]:
-    """Per-file (term_min, term_max) for query-time file pruning."""
+    """Per-file (term_min/max, bucket_min/max) for query-time file pruning."""
     out = []
     for fn in sorted(os.listdir(dirpath)):
         if not fn.endswith(".parquet"):
             continue
         path = os.path.join(dirpath, fn)
         md = pq.read_metadata(path)
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(_term_col_index(md))
-            st = col.statistics
-            if st is not None and st.has_min_max:
-                mins.append(st.min)
-                maxs.append(st.max)
-        if not mins:  # fallback: read just the term column
-            t = pq.read_table(path, columns=["term"])["term"]
-            mins, maxs = [pa.compute.min(t).as_py()], [pa.compute.max(t).as_py()]
-        tmin = min(m.decode() if isinstance(m, bytes) else m for m in mins)
-        tmax = max(m.decode() if isinstance(m, bytes) else m for m in maxs)
-        out.append({"path": path, "term_min": tmin, "term_max": tmax})
+        tmin, tmax = _column_min_max(path, md, "term")
+        bmin, bmax = _column_min_max(path, md, "bucket")
+        out.append(
+            {"path": path, "term_min": tmin, "term_max": tmax,
+             "bucket_min": int(bmin), "bucket_max": int(bmax)}
+        )
     return out
-
-
-def _term_col_index(md) -> int:
-    return md.schema.to_arrow_schema().get_field_index("term")
 
 
 def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
@@ -142,13 +150,27 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         ]
 
     # ---- phase A: per-partition docmeta + posting partials ------------------
-    partitions = _partition_files(input_paths, 1 if cfg.docid_mode == "sort" else cfg.num_partitions)
-    for pid, files in enumerate(partitions):
+    # Partitions are independent sub-pipelines -> run them CONCURRENTLY on the
+    # shared Ray cluster (driver-side thread pool, the analog of the
+    # reference's WorkflowExecutor ThreadPoolExecutor,
+    # ``app/executors/workflow_executor.py:53-71``). Each remains its own
+    # atomic checkpoint; the manifest write is lock-guarded.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    man_lock = threading.Lock()
+    # read_parquet's datasource constructor does lazy fsspec imports that are
+    # not thread-safe on first import (raises ImportError mid-race); it's
+    # cheap, so serialize just the construction
+    read_lock = threading.Lock()
+
+    def _build_partition(pid: int, files: list[str]) -> None:
         key = f"part-{pid:05d}"
         if man.partition_committed(key):
-            continue
+            return
         t0 = time.time()
-        ds = ray.data.read_parquet(files)
+        with read_lock:
+            ds = ray.data.read_parquet(files)
         if cfg.docid_mode == "dense":
             ds = assign_docids_dense(ds, conv_ids, offsets)
         else:
@@ -161,7 +183,8 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
 
         # partials read back from the committed docmeta (pruned to 2 columns) —
         # consistent by construction and avoids re-running docid assignment
-        src = ray.data.read_parquet(dm_dir, columns=["docid", "text", "doc_len"])
+        with read_lock:
+            src = ray.data.read_parquet(dm_dir, columns=["docid", "text", "doc_len"])
         partials = src.map_batches(
             PostingsPartials,
             fn_constructor_args=(cfg.bm25.shard_range,),
@@ -181,19 +204,30 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 p = os.path.join(dm_dir, fn)
                 n_docs += pq.read_metadata(p).num_rows
                 total_len += int(pa.compute.sum(pq.read_table(p, columns=["doc_len"])["doc_len"]).as_py() or 0)
-        man.commit_partition(
-            key,
-            {
-                "input_files": files,
-                "n_docs": n_docs,
-                "total_len": total_len,
-                "docmeta": dm_dir,
-                "segments": seg_dir,
-                "sec_docmeta": t_meta - t0,
-                "sec_partials": time.time() - t_meta,
-                "turns_per_sec": n_docs / max(time.time() - t0, 1e-9),
-            },
-        )
+        with man_lock:
+            man.commit_partition(
+                key,
+                {
+                    "input_files": files,
+                    "n_docs": n_docs,
+                    "total_len": total_len,
+                    "docmeta": dm_dir,
+                    "segments": seg_dir,
+                    "sec_docmeta": t_meta - t0,
+                    "sec_partials": time.time() - t_meta,
+                    "turns_per_sec": n_docs / max(time.time() - t0, 1e-9),
+                },
+            )
+
+    partitions = _partition_files(input_paths, 1 if cfg.docid_mode == "sort" else cfg.num_partitions)
+    # concurrent sub-pipelines only pay off when each can get ~8 CPUs; on a
+    # small cluster they starve each other (each needs read tasks + an actor)
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    workers = max(1, min(4, len(partitions), cluster_cpus // 8))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = [pool.submit(_build_partition, pid, files) for pid, files in enumerate(partitions)]
+        for f in futures:
+            f.result()
 
     # ---- phase B: corpus stats from lineage ---------------------------------
     N = sum(p["n_docs"] for p in man.data["partitions"].values())
@@ -226,16 +260,32 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     postings_dir = os.path.join(cfg.index_dir, "postings")
     if not man.stage_done("merge"):
         t0 = time.time()
+        # bucket count: ~4M postings per merge group keeps each vectorized
+        # merge task small; grows with the corpus (total_len bounds postings)
+        num_buckets = int(np.clip(total_len // 4_000_000, 32, 65536))
         parts = ray.data.read_parquet(seg_files)
-        merged = parts.groupby(["term", "shard"]).map_groups(
-            make_merge_fn(avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size),
-            batch_format="pyarrow",
+        merged = (
+            parts.map_batches(
+                term_bucket_fn(num_buckets), batch_format="pyarrow", zero_copy_batch=True
+            )
+            # coalesce the many small partial blocks before the shuffle: the
+            # sort's map x reduce fan-out is (blocks x partitions) objects, so
+            # tiny blocks drown the merge in scheduling overhead
+            .repartition(num_buckets)
+            .groupby("bucket")
+            .map_groups(
+                make_bucket_merge_fn(avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size),
+                batch_format="pyarrow",
+            )
         )
         atomic_write_dir(lambda d: merged.write_parquet(d), postings_dir)
         files_meta = _file_term_ranges(postings_dir)
         man.data["postings_files"] = files_meta
+        man.data["num_buckets"] = num_buckets
         n_rows = sum(pq.read_metadata(f["path"]).num_rows for f in files_meta)
-        man.commit_stage("merge", {"sec": time.time() - t0, "term_shards": n_rows})
+        man.commit_stage(
+            "merge", {"sec": time.time() - t0, "term_shards": n_rows, "num_buckets": num_buckets}
+        )
 
     # ---- phase D: global term stats (df/cf across shards) -------------------
     termstats_dir = os.path.join(cfg.index_dir, "termstats")
@@ -243,29 +293,12 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         t0 = time.time()
         from ray.data.aggregate import Sum
 
-        def df_cf_partial(batch: pa.Table) -> pa.Table:
-            tfs = batch["tfs"].combine_chunks()
-            offsets = tfs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            values = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            df = np.diff(offsets)
-            cf = np.zeros(len(df), dtype=np.int64)
-            nonempty = df > 0
-            if values.size:
-                sums = np.add.reduceat(values, offsets[:-1][nonempty])
-                cf[nonempty] = sums
-            return pa.table(
-                {
-                    "term": batch["term"],
-                    "df": pa.array(df, type=pa.int64()),
-                    "cf": pa.array(cf, type=pa.int64()),
-                }
-            )
-
-        parts = ray.data.read_parquet(seg_files, columns=["term", "tfs"])
+        # df/cf were already reduced per (term, shard) by the merge — summing
+        # those tiny columns is far cheaper than re-flattening the partials
         ts = (
-            parts.map_batches(df_cf_partial, batch_format="pyarrow", zero_copy_batch=True)
+            ray.data.read_parquet(postings_dir, columns=["term", "df_shard", "cf_shard"])
             .groupby("term")
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .aggregate(Sum("df_shard", alias_name="df"), Sum("cf_shard", alias_name="cf"))
             .sort("term")
         )
         atomic_write_dir(lambda d: ts.write_parquet(d), termstats_dir)

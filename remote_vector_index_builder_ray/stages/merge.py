@@ -20,7 +20,10 @@ import numpy as np
 import pyarrow as pa
 
 from remote_vector_index_builder_ray.functions.bm25 import tfnorm
-from remote_vector_index_builder_ray.functions.codec import encode_posting_blocks
+from remote_vector_index_builder_ray.functions.codec import (
+    encode_posting_blocks,
+    varint_encode_offsets,
+)
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -93,3 +96,173 @@ def make_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
         )
 
     return merge_compress
+
+
+# ---------------------------------------------------------------------------
+# Vectorized bucket merge: the production path. Terms are hashed into B
+# buckets (stable crc32); ONE groupby("bucket") shuffle co-locates each
+# bucket's partials, and merge_partials_table() merges ALL of a bucket's
+# (term, shard) groups in one numpy/Arrow pass — no per-group Python calls,
+# no per-block byte slicing (binary arrays are built zero-copy from the
+# single varint buffer + offset arrays).
+# ---------------------------------------------------------------------------
+
+
+def term_bucket_fn(num_buckets: int):
+    """map_batches callable adding a stable hash bucket per term.
+
+    crc32 is computed once per DISTINCT term in the batch (dictionary-encoded)
+    — the only Python loop is over the batch vocabulary.
+    """
+    import zlib
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], type=pa.int32()))
+        d = batch["term"].combine_chunks().dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        vocab = d.dictionary.to_pylist()
+        buckets = np.array(
+            [zlib.crc32(t.encode()) % num_buckets for t in vocab], dtype=np.int32
+        )
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(buckets[codes], type=pa.int32()))
+
+    return add_bucket
+
+
+def merge_partials_table(
+    tbl: pa.Table, avgdl: float, k1: float, b: float, block_size: int
+) -> pa.Table:
+    """Merge every (term, shard) group in ``tbl`` (posting partials) into
+    compressed segment rows — fully vectorized.
+
+    Steps: flatten list columns -> lexsort postings by (term, shard, docid) ->
+    cut group/block boundaries with masks -> single varint pass per stream ->
+    build list<binary> block payloads zero-copy from (offsets, buffer).
+    """
+    if tbl.num_rows == 0:
+        return SEGMENT_SCHEMA.empty_table()
+    tbl = tbl.combine_chunks()
+    term_d = tbl["term"].combine_chunks().dictionary_encode()
+    if isinstance(term_d, pa.ChunkedArray):
+        term_d = term_d.combine_chunks()
+    row_code = term_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = term_d.dictionary
+    row_shard = tbl["shard"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+
+    docids_col = tbl["docids"].combine_chunks()
+    list_off = docids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    v_doc = docids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    v_tf = tbl["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    v_dl = tbl["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of_value = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), np.diff(list_off))
+    v_code = row_code[row_of_value]
+    v_shard = row_shard[row_of_value]
+
+    order = np.lexsort((v_doc, v_shard, v_code))
+    v_code, v_shard, v_doc, v_tf, v_dl = (
+        v_code[order], v_shard[order], v_doc[order], v_tf[order], v_dl[order]
+    )
+    n = len(v_doc)
+
+    group_change = np.empty(n, dtype=bool)
+    group_change[0] = True
+    group_change[1:] = (v_code[1:] != v_code[:-1]) | (v_shard[1:] != v_shard[:-1])
+    same_group = ~group_change[1:]
+    if n > 1 and (np.diff(v_doc)[same_group] <= 0).any():
+        raise ValueError("duplicate docid within a (term, shard) posting group")
+
+    group_starts = np.flatnonzero(group_change)
+    # position within group -> block starts every block_size postings
+    last_group_start = group_starts[np.searchsorted(group_starts, np.arange(n), side="right") - 1]
+    pos_in_group = np.arange(n) - last_group_start
+    block_start_mask = (pos_in_group % block_size) == 0
+    block_starts = np.flatnonzero(block_start_mask)
+    block_ends = np.append(block_starts[1:], n)
+    counts = (block_ends - block_starts).astype(np.int64)
+    first_docid = v_doc[block_starts]
+    last_docid = v_doc[block_ends - 1]
+    nblocks = len(block_starts)
+
+    # --- varint streams -----------------------------------------------------
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = np.diff(v_doc)
+    delta_vals = deltas[~block_start_mask]  # block-first docids live in metadata
+    enc_d, ends_d = varint_encode_offsets(delta_vals.astype(np.uint64))
+    enc_t, ends_t = varint_encode_offsets(v_tf.astype(np.uint64))
+    enc_l, ends_l = varint_encode_offsets(v_dl.astype(np.uint64))
+
+    def _binary_blocks(buf: bytes, val_end_offsets: np.ndarray, vals_per_block: np.ndarray) -> pa.Array:
+        """BinaryArray of per-block byte slices, zero-copy over ``buf``."""
+        B = np.concatenate([[0], val_end_offsets]).astype(np.int64)
+        cum_vals = np.concatenate([[0], np.cumsum(vals_per_block)])
+        byte_offs = B[cum_vals].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), len(vals_per_block),
+            [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(buf)],
+        )
+
+    docid_bytes = _binary_blocks(enc_d, ends_d, counts - 1)
+    tf_bytes = _binary_blocks(enc_t, ends_t, counts)
+    dl_bytes = _binary_blocks(enc_l, ends_l, counts)
+
+    tn = tfnorm(v_tf, v_dl, avgdl, k1, b)
+    block_max = np.maximum.reduceat(tn, block_starts)
+    block_max32 = np.nextafter(block_max.astype(np.float32), np.float32(np.inf))
+
+    # --- group-level rows ---------------------------------------------------
+    g_code = v_code[group_starts]
+    g_shard = v_shard[group_starts].astype(np.int32)
+    g_sizes = np.diff(np.append(group_starts, n))
+    g_cf = np.add.reduceat(v_tf, group_starts)
+    group_of_block = np.searchsorted(group_starts, block_starts, side="right") - 1
+    blocks_per_group = np.bincount(group_of_block, minlength=len(group_starts))
+    g_block_off = np.concatenate([[0], np.cumsum(blocks_per_group)]).astype(np.int32)
+    lo = pa.array(g_block_off)
+
+    out = pa.table(
+        {
+            "term": vocab.take(pa.array(g_code)).cast(pa.string()),
+            "shard": pa.array(g_shard, type=pa.int32()),
+            "df_shard": pa.array(g_sizes, type=pa.int64()),
+            "cf_shard": pa.array(g_cf, type=pa.int64()),
+            "first_docids": pa.ListArray.from_arrays(lo, pa.array(first_docid, type=pa.int64())),
+            "last_docids": pa.ListArray.from_arrays(lo, pa.array(last_docid, type=pa.int64())),
+            "counts": pa.ListArray.from_arrays(lo, pa.array(counts.astype(np.int32), type=pa.int32())),
+            "max_tfnorm": pa.ListArray.from_arrays(lo, pa.array(block_max32, type=pa.float32())),
+            "docid_bytes": pa.ListArray.from_arrays(lo, docid_bytes),
+            "tf_bytes": pa.ListArray.from_arrays(lo, tf_bytes),
+            "dl_bytes": pa.ListArray.from_arrays(lo, dl_bytes),
+        }
+    )
+    # order rows lexicographically by (term, shard) so parquet row-group
+    # stats on `term` stay tight for query-time predicate pushdown
+    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+    rank = np.empty(len(vocab_np), dtype=np.int64)
+    rank[np.argsort(vocab_np)] = np.arange(len(vocab_np))
+    row_order = np.lexsort((g_shard, rank[g_code]))
+    return out.take(pa.array(row_order))
+
+
+def make_bucket_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
+    """Per-bucket map_groups fn: vectorized merge of the whole bucket; the
+    bucket id rides along so files record which buckets they hold (the
+    searcher prunes files by ``crc32(term) % num_buckets``)."""
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return SEGMENT_SCHEMA.empty_table().append_column(
+                "bucket", pa.array([], type=pa.int32())
+            )
+        bucket = group["bucket"][0].as_py()
+        merged = merge_partials_table(
+            group.drop_columns(["bucket"]), avgdl, k1, b, block_size
+        )
+        return merged.append_column(
+            "bucket", pa.array(np.full(merged.num_rows, bucket, dtype=np.int32))
+        )
+
+    return merge_bucket

@@ -47,7 +47,7 @@ RESULT_SCHEMA = pa.schema(
 class _TermPostings:
     """One term's merged segment rows (all shards, shard==docid order)."""
 
-    __slots__ = ("first", "last", "count", "maxtn", "docb", "tfb", "dlb", "df", "cf")
+    __slots__ = ("first", "last", "count", "maxtn", "docb", "tfb", "dlb", "df", "cf", "_decoded", "_tn")
 
     def __init__(self, rows: list[dict]):
         rows = sorted(rows, key=lambda r: r["shard"])
@@ -60,9 +60,22 @@ class _TermPostings:
         self.dlb = [b for r in rows for b in r["dl_bytes"]]
         self.df = int(sum(r["df_shard"] for r in rows))
         self.cf = int(sum(r["cf_shard"] for r in rows))
+        self._decoded = None
+        self._tn = None
 
     def decode_all(self):
-        return decode_posting_run(self.first, self.count, self.docb, self.tfb, self.dlb)
+        # memoized: hot terms (stopwords) are queried by many queries per batch
+        if self._decoded is None:
+            self._decoded = decode_posting_run(
+                self.first, self.count, self.docb, self.tfb, self.dlb, self.last
+            )
+        return self._decoded
+
+    def tfnorms(self, avgdl: float, k1: float, b: float) -> np.ndarray:
+        if self._tn is None:
+            _, tfs, dls = self.decode_all()
+            self._tn = tfnorm(tfs, dls, avgdl, k1, b)
+        return self._tn
 
     @property
     def n_blocks(self) -> int:
@@ -156,14 +169,25 @@ class BM25Searcher:
         self.cache_terms = cache_terms
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
-        self.files = man["postings_files"]  # [{path, term_min, term_max}]
+        self.files = man["postings_files"]  # [{path, term/bucket min/max}]
+        self.num_buckets = man.get("num_buckets")
         self._cache: dict[str, _TermPostings | None] = {}
 
     # -- postings lookup ------------------------------------------------------
+    def _term_bucket(self, term: str) -> int:
+        import zlib
+
+        return zlib.crc32(term.encode()) % self.num_buckets
+
     def _candidate_files(self, terms: list[str]) -> list[str]:
+        buckets = {self._term_bucket(t) for t in terms} if self.num_buckets else None
         out = []
         for f in self.files:
-            if any(f["term_min"] <= t <= f["term_max"] for t in terms):
+            if any(f["term_min"] <= t <= f["term_max"] for t in terms) and (
+                buckets is None
+                or "bucket_min" not in f
+                or any(f["bucket_min"] <= bk <= f["bucket_max"] for bk in buckets)
+            ):
                 out.append(f["path"])
         return out
 
@@ -192,9 +216,9 @@ class BM25Searcher:
             if tp is None:
                 continue
             w = _idf(self.N, tp.df)
-            docids, tfs, dls = tp.decode_all()
+            docids, _, _ = tp.decode_all()
             doc_parts.append(docids)
-            contrib_parts.append(w * tfnorm(tfs, dls, self.avgdl, self.k1, self.b))
+            contrib_parts.append(w * tp.tfnorms(self.avgdl, self.k1, self.b))
         if not doc_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         all_doc = np.concatenate(doc_parts)
@@ -206,6 +230,66 @@ class BM25Searcher:
         return uniq[sel], scores[sel]
 
     def _score_bmw(self, terms: list[str], k: int):
+        """Vectorized block-max pruning ("bmw", the default).
+
+        The doc space is walked in docid-range chunks; a chunk whose summed
+        per-term block-max bound cannot beat the running k-th score is skipped
+        whole, otherwise its docs are scored exactly (same term-ascending
+        float64 accumulation as the oracle, so results stay bit-identical).
+        Block-max WAND at chunk granularity with numpy inner loops — the
+        Python cost is O(chunks x terms), not O(docs).
+        """
+        tinfo = []
+        for t in terms:  # ascending term order
+            tp = self._cache.get(t)
+            if tp is None:
+                continue
+            w = _idf(self.N, tp.df)
+            docids, _, _ = tp.decode_all()
+            contrib = w * tp.tfnorms(self.avgdl, self.k1, self.b)
+            tinfo.append((docids, contrib, tp.first, tp.last, w * tp.maxtn))
+        if not tinfo:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        max_doc = max(int(x[0][-1]) for x in tinfo)
+        C = max(16384, (max_doc + 4095) // 4096)  # <= ~4096 chunks
+        nchunks = max_doc // C + 1
+        top_docs = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float64)
+        threshold = -np.inf
+        for c in range(nchunks):
+            lo, hi = c * C, (c + 1) * C
+            if len(top_docs) == k:
+                ub = 0.0
+                for docids, _, bfirst, blast, bub in tinfo:
+                    bs = int(np.searchsorted(blast, lo))
+                    be = int(np.searchsorted(bfirst, hi, side="left"))
+                    if bs < be:
+                        ub += float(bub[bs:be].max())
+                if ub <= threshold:
+                    continue
+            parts_d, parts_c = [], []
+            for docids, contrib, _, _, _ in tinfo:
+                s = int(np.searchsorted(docids, lo))
+                e = int(np.searchsorted(docids, hi))
+                if s < e:
+                    parts_d.append(docids[s:e])
+                    parts_c.append(contrib[s:e])
+            if not parts_d:
+                continue
+            alld = np.concatenate(parts_d)
+            allc = np.concatenate(parts_c)
+            uniq, inv = np.unique(alld, return_inverse=True)
+            sc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sc, inv, allc)  # term-major order == oracle order
+            top_docs = np.concatenate([top_docs, uniq])
+            top_scores = np.concatenate([top_scores, sc])
+            sel = topk_order(top_scores, top_docs, k)
+            top_docs, top_scores = top_docs[sel], top_scores[sel]
+            if len(top_docs) == k:
+                threshold = float(top_scores[-1])
+        return top_docs, top_scores
+
+    def _score_wand(self, terms: list[str], k: int):
         cursors = []
         for t in terms:
             tp = self._cache.get(t)
@@ -293,6 +377,8 @@ class BM25Searcher:
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
                 docids, scores = self._score_bmw(terms, k)
+            elif self.mode == "wand":
+                docids, scores = self._score_wand(terms, k)
             else:
                 docids, scores = self._score_exhaustive(terms, k)
             n = len(docids)

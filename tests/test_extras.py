@@ -1,0 +1,226 @@
+"""Extras: dedup family, ANN, text analysis, multimodal plumbing, windows —
+each checked against a small brute-force / pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from remote_vector_index_builder_ray.extras import ann, dedup, events, multimodal, text
+
+
+def _docs_ds():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall green hills and the river flows quietly"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("jumps", "leaps")),  # near dup of 0 (1-token edit)
+        (3, "completely different content about ray data pipelines"),
+        (4, "Paris is the capital of France and the largest city"),
+        (5, ""),
+        (6, "zzz"),
+    ]
+    return ray.data.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# text features
+# ---------------------------------------------------------------------------
+
+
+def test_text_features_basic():
+    batch = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(["the the cat", ""], type=pa.string())})
+    out = text.text_features(batch).to_pandas()
+    assert out["n_tokens"].tolist() == [3, 0]
+    assert out["n_unique"].tolist() == [2, 0]
+    assert out["stopword_ratio"][0] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["lang_id"].tolist() == ["en", "unk"]
+    import hashlib
+
+    assert out["fingerprint"][0] == hashlib.md5(b"the the cat").hexdigest()
+    assert out["fingerprint"][1] == hashlib.md5(b"").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id():
+    out = dedup.exact_dedup(_docs_ds()).to_pandas()
+    dup_groups = out[out["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups["keep_id"].tolist() == [0]
+    assert out["n_copies"].sum() == 7
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = dedup.minhash_lsh_candidates(_docs_ds()).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got  # exact dups always collide in every band
+    assert (0, 2) in got  # 1-token edit: high jaccard
+    verified = dedup.jaccard_verify(_docs_ds(), pairs[["doc_a", "doc_b"]], threshold=0.5)
+    vg = set(zip(verified["doc_a"], verified["doc_b"]))
+    assert (0, 1) in vg and (0, 2) in vg
+    assert all(j >= 0.5 for j in verified["jaccard"])
+    # exact copy has jaccard exactly 1
+    assert verified.set_index(["doc_a", "doc_b"]).loc[(0, 1), "jaccard"] == 1.0
+
+
+def test_simhash_pairs():
+    pairs = dedup.simhash_pairs(_docs_ds(), radius=3)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got
+    ham = pairs.set_index(["doc_a", "doc_b"]).loc[(0, 1), "hamming"]
+    assert int(ham) == 0
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+
+def _clustered_embeddings(n=300, dim=16, n_clusters=5, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    assign = rng.integers(0, n_clusters, n)
+    m = centers[assign] + rng.standard_normal((n, dim)) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [row.astype(np.float32).tolist() for row in m]})
+    return df, m
+
+
+def _cosine_oracle(m, qm, k):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = np.round(qn @ mn.T, 6)
+    out = []
+    for qi in range(len(qm)):
+        order = np.lexsort((np.arange(sims.shape[1]), -sims[qi]))[:k]
+        out.append(order)
+    return out
+
+
+def test_brute_force_topk_matches_oracle():
+    df, m = _clustered_embeddings()
+    ds = ray.data.from_pandas(df)
+    qids = np.arange(4)
+    qm = m[:4].astype(np.float64)
+    got = ann.brute_force_topk(ds, qids, qm, k=5)
+    oracle = _cosine_oracle(m.astype(np.float64), qm, 5)
+    for qi in range(4):
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == list(oracle[qi])
+
+
+def test_ivf_topk_recall():
+    df, m = _clustered_embeddings()
+    ds = ray.data.from_pandas(df)
+    qids = np.arange(8)
+    qm = m[:8].astype(np.float64)
+    exact = ann.brute_force_topk(ds, qids, qm, k=10)
+    approx = ann.ivf_topk(ds, qids, qm, k=10, n_centroids=8, nprobe=3)
+    recalls = []
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8  # clustered data, 3/8 buckets probed
+
+
+def test_embedding_near_dup_exact_and_lsh():
+    df, m = _clustered_embeddings(n=120, dim=8, n_clusters=3)
+    ds = ray.data.from_pandas(df)
+    exact = ann.embedding_near_dup_exact(ds, threshold=0.98)
+    # brute-force oracle
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    a, b = np.triu_indices(len(m), k=1)
+    expected = {(int(x), int(y)) for x, y in zip(a[sims[a, b] >= 0.98], b[sims[a, b] >= 0.98])}
+    assert set(zip(exact["vec_id_a"], exact["vec_id_b"])) == expected
+    lsh = ann.embedding_near_dup(ds, threshold=0.98, n_planes=6)
+    assert set(zip(lsh["vec_id_a"], lsh["vec_id_b"])) <= expected  # no false pairs
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_fake_decode_deterministic():
+    media = ray.data.from_arrow(multimodal.synth_media_table(50))
+    out1 = multimodal.decode_features(media, backend="fake").to_pandas().sort_values("media_id")
+    out2 = multimodal.decode_features(media, backend="fake").to_pandas().sort_values("media_id")
+    assert out1["feature"].map(tuple).tolist() == out2["feature"].map(tuple).tolist()
+    assert all(len(f) == multimodal.FEATURE_DIM for f in out1["feature"])
+    assert (out1["payload_bytes"] > 0).all()
+
+
+def test_multimodal_real_backend_is_stubbed():
+    dec = multimodal.MediaDecode(backend="real")
+    batch = multimodal.synth_media_table(2)
+    with pytest.raises(NotImplementedError):
+        dec(batch)
+
+
+def test_multimodal_resize_stub():
+    media = ray.data.from_arrow(multimodal.synth_media_table(20))
+    out = media.map_batches(
+        multimodal.MediaResize, fn_constructor_args=(224, "fake"),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert (np.maximum(out["out_width"], out["out_height"]) <= 224).all()
+
+
+# ---------------------------------------------------------------------------
+# event windows
+# ---------------------------------------------------------------------------
+
+
+def _events_df(n=2000, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(1_700_000_000, 1_700_200_000, n) * 1_000_000, unit="us"),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.random(n) * 10,
+        }
+    )
+
+
+def test_tumbling_window_matches_pandas():
+    df = _events_df()
+    out = events.tumbling_window_agg(ray.data.from_pandas(df), window_sec=3600).to_pandas()
+    ts_sec = df["ts"].astype("int64") // 1_000_000_000  # ns -> s
+    expected = (
+        df.assign(window_start=(ts_sec // 3600) * 3600)
+        .groupby(["user_id", "window_start"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    merged = out.merge(expected, on=["user_id", "window_start"], suffixes=("", "_exp"))
+    assert len(merged) == len(expected) == len(out)
+    assert (merged["n_events"] == merged["n_events_exp"]).all()
+    np.testing.assert_allclose(merged["sum_value"], merged["sum_value_exp"], rtol=1e-9)
+
+
+def test_sessionize():
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([0, 60, 10_000, 10_060], unit="s"),
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["a"] * 4,
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = events.sessionize(ray.data.from_pandas(df), gap_sec=1800).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["n_events"].tolist()) == [2, 2]
