@@ -88,12 +88,16 @@ class BuildConfig:
     # (conv_id, turn_idx) sort + per-block offsets (general fallback).
     docid_mode: str = "dense"
     # Tokenize/build batch size (docs per batch = docs per SPIMI partial).
-    batch_size: int = 8192
+    # Bigger batches -> fewer partial rows into the merge shuffle (the
+    # per-batch vocabulary grows sublinearly); per-batch token memory at 32k
+    # docs x ~40 tokens stays well under a worker heap.
+    batch_size: int = 32768
 
     def job_id(self) -> str:
         payload = json.dumps(
             {
                 "inputs": sorted(self.input_paths),
+                "index_dir": self.index_dir,
                 "bm25": self.bm25.job_fingerprint(),
                 "dedup": self.dedup,
                 "docid_mode": self.docid_mode,

@@ -45,7 +45,11 @@ from remote_vector_index_builder_ray.stages.merge import (
     term_bucket_fn,
 )
 from remote_vector_index_builder_ray.stages.postings import PostingsPartials, add_doc_len
-from remote_vector_index_builder_ray.state.manifest import Manifest, atomic_write_dir
+from remote_vector_index_builder_ray.state.manifest import (
+    Manifest,
+    atomic_write_dir,
+    write_parquet_rowgrouped,
+)
 
 DOCMETA_COLUMNS = ["docid", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_len"]
 
@@ -278,7 +282,12 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 batch_format="pyarrow",
             )
         )
-        atomic_write_dir(lambda d: merged.write_parquet(d), postings_dir)
+        # small row groups (sorted by term within bucket) => query-time
+        # row-group pruning: a term lookup reads ~one row group, not a file
+        atomic_write_dir(
+            lambda d: write_parquet_rowgrouped(merged, d, row_group_size=256),
+            postings_dir,
+        )
         files_meta = _file_term_ranges(postings_dir)
         man.data["postings_files"] = files_meta
         man.data["num_buckets"] = num_buckets

@@ -31,13 +31,18 @@ def search(
     index_dir: str,
     queries,
     mode: str = "bmw",
-    concurrency=(1, 4),
+    concurrency=None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
     (query_id, rank, docid, score) — rank-identical to the exhaustive oracle.
     """
+    if concurrency is None:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, min(8, cpus // 4)))
     qds = _as_dataset(queries)
     return qds.map_batches(
         BM25Searcher,

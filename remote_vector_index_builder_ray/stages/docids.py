@@ -40,12 +40,21 @@ def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
     Returns ``(conv_ids_sorted: np.ndarray[str], offsets: np.ndarray[int64],
     n_docs: int, total_turn_rows: int)``.
     """
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max, Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        # pre-aggregate per batch (Arrow C++ group_by) so the shuffle moves
+        # one row per (conv, batch), not one per turn
+        g = pa.TableGroupBy(
+            batch.select(["conv_id", "turn_idx"]), "conv_id"
+        ).aggregate([("turn_idx", "count"), ("turn_idx", "max")])
+        return g.rename_columns(["conv_id", "n_turns", "max_turn"])
 
     counts = (
         ds.select_columns(["conv_id", "turn_idx"])
+        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("conv_id")
-        .aggregate(Count(alias_name="n_turns"), Max("turn_idx", alias_name="max_turn"))
+        .aggregate(Sum("n_turns", alias_name="n_turns"), Max("max_turn", alias_name="max_turn"))
     )
     pdf = counts.to_pandas()
     pdf = pdf.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
