@@ -30,6 +30,9 @@ SCALES = {
     "sf0.001": (2_000, 2),
     "sf0.01": (50_000, 4),
     "sf0.1": (500_000, 16),
+    # scaling-efficiency runs need enough compute to amortize fixed job
+    # latency; generated chunked (per-file seeds) to bound generator memory
+    "sfscale": (2_000_000, 16),
 }
 
 # ~200 very-high-frequency "stopword" tokens -> realistic heavy-hitter skew.
@@ -207,15 +210,30 @@ def ensure_fixture(sf_name: str, root: str = FIXTURE_ROOT, with_dups: bool = Fal
         tmp = base + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
-        df = generate_transcripts(n_turns, with_dups=with_dups)
-        chunks = np.array_split(np.arange(len(df)), n_files)
-        for fi, idx in enumerate(chunks):
-            tbl = pa.Table.from_pandas(df.iloc[idx], preserve_index=False)
-            tbl = tbl.set_column(1, "turn_idx", tbl["turn_idx"].cast(pa.int32()))
+
+        def _write(df: pd.DataFrame, fi: int) -> None:
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("turn_idx"), "turn_idx", tbl["turn_idx"].cast(pa.int32())
+            )
             tbl = tbl.set_column(
                 tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
             )
             pq.write_table(tbl, os.path.join(tmp, "transcripts", f"part-{fi:04d}.parquet"))
+
+        if n_turns > 600_000:
+            # chunked: each file generated independently (deterministic per-file
+            # seed); conv ids are file-prefixed so conversations never span files
+            per = n_turns // n_files
+            for fi in range(n_files):
+                df = generate_transcripts(per, seed=SEED * 1000 + fi, with_dups=with_dups)
+                df["conv_id"] = df["conv_id"].str.replace("conv-", f"conv{fi:02d}-", regex=False)
+                _write(df, fi)
+        else:
+            df = generate_transcripts(n_turns, with_dups=with_dups)
+            chunks = np.array_split(np.arange(len(df)), n_files)
+            for fi, idx in enumerate(chunks):
+                _write(df.iloc[idx], fi)
         pq.write_table(
             pa.Table.from_pandas(generate_queries(), preserve_index=False),
             os.path.join(tmp, "queries.parquet"),

@@ -12,9 +12,10 @@ the row-level analog of the reference's job-id idempotency,
      write ``docmeta/part-p`` (stored fields + doc_len) and
      ``segments/part-p`` (SPIMI posting partials). Partition = resume unit.
   B. corpus stats from per-partition lineage sums (no extra pass)
-  C. merge: ``groupby(term, shard).map_groups(MergeCompress)`` -> term-sorted
-     compressed postings + per-file term ranges in the manifest
-  D. term stats: partial df/cf per batch -> small ``groupby(term)`` sum
+  C. merge: per-bucket Ray tasks over the hive-partitioned partials (the
+     map-side file shuffle) -> compressed postings + term stats per bucket,
+     deterministic ``bucket-NNNNN.parquet`` names the searcher addresses by
+     ``crc32(term) %% num_buckets``
 
 All heavy flows stream block-by-block with backpressure; nothing materializes
 the full corpus. Writes are atomic (temp dir + rename) so Ray task retries and
@@ -40,16 +41,9 @@ from remote_vector_index_builder_ray.stages.docids import (
     compute_conv_offsets,
     dedup_exact,
 )
-from remote_vector_index_builder_ray.stages.merge import (
-    make_bucket_merge_fn,
-    term_bucket_fn,
-)
+from remote_vector_index_builder_ray.stages.merge import merge_bucket_files
 from remote_vector_index_builder_ray.stages.postings import PostingsPartials, add_doc_len
-from remote_vector_index_builder_ray.state.manifest import (
-    Manifest,
-    atomic_write_dir,
-    write_parquet_rowgrouped,
-)
+from remote_vector_index_builder_ray.state.manifest import Manifest, atomic_write_dir
 
 DOCMETA_COLUMNS = ["docid", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_len"]
 
@@ -60,39 +54,6 @@ def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[
         num_partitions = min(len(paths), 16)
     num_partitions = max(1, min(num_partitions, len(paths)))
     return [list(chunk) for chunk in np.array_split(np.array(paths, dtype=object), num_partitions)]
-
-
-def _column_min_max(path: str, md, column: str):
-    arrow_schema = md.schema.to_arrow_schema()
-    ci = arrow_schema.get_field_index(column)
-    mins, maxs = [], []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(ci).statistics
-        if st is not None and st.has_min_max:
-            mins.append(st.min)
-            maxs.append(st.max)
-    if not mins:  # fallback: read just that column
-        t = pq.read_table(path, columns=[column])[column]
-        mins, maxs = [pa.compute.min(t).as_py()], [pa.compute.max(t).as_py()]
-    dec = lambda v: v.decode() if isinstance(v, bytes) else v
-    return min(dec(m) for m in mins), max(dec(m) for m in maxs)
-
-
-def _file_term_ranges(dirpath: str) -> list[dict]:
-    """Per-file (term_min/max, bucket_min/max) for query-time file pruning."""
-    out = []
-    for fn in sorted(os.listdir(dirpath)):
-        if not fn.endswith(".parquet"):
-            continue
-        path = os.path.join(dirpath, fn)
-        md = pq.read_metadata(path)
-        tmin, tmax = _column_min_max(path, md, "term")
-        bmin, bmax = _column_min_max(path, md, "bucket")
-        out.append(
-            {"path": path, "term_min": tmin, "term_max": tmax,
-             "bucket_min": int(bmin), "bucket_max": int(bmax)}
-        )
-    return out
 
 
 def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
@@ -108,6 +69,10 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     if man is None:
         man = Manifest(cfg.index_dir)
         man.data["job_id"] = job_id
+        # bucket count fixed at job start (resume must reuse it — partials
+        # are physically partitioned by it): ~64 MB of input per merge bucket
+        total_bytes = sum(os.path.getsize(p) for p in cfg.input_paths)
+        man.data["num_buckets"] = int(np.clip(total_bytes // (64 << 20), 32, 65536))
         man.data["config"] = {
             "input_paths": cfg.input_paths,
             "bm25": cfg.bm25.__dict__,
@@ -115,6 +80,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             "docid_mode": cfg.docid_mode,
         }
         man.save()
+    num_buckets = int(man.data["num_buckets"])
 
     # schema check once against declared transcript schema (typed error)
     read_transcripts(cfg.input_paths[:1])
@@ -191,14 +157,17 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             src = ray.data.read_parquet(dm_dir, columns=["docid", "text", "doc_len"])
         partials = src.map_batches(
             PostingsPartials,
-            fn_constructor_args=(cfg.bm25.shard_range,),
+            fn_constructor_args=(cfg.bm25.shard_range, num_buckets),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
             concurrency=(1, 8),
         )
         seg_dir = os.path.join(cfg.index_dir, "segments", key)
-        atomic_write_dir(lambda d: partials.write_parquet(d), seg_dir)
+        # hive-partitioned by bucket: this write IS the merge shuffle
+        atomic_write_dir(
+            lambda d: partials.write_parquet(d, partition_cols=["bucket"]), seg_dir
+        )
 
         # lineage from the written docmeta footers (no extra data pass)
         n_docs = 0
@@ -251,67 +220,62 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     man.data["stats"] = stats
     man.save()
 
+    # ---- phase C: merge — num_buckets independent Ray tasks -----------------
+    # Phase A already hive-partitioned the partials by bucket (the map-side
+    # shuffle); each task reads exactly its bucket's files from every
+    # partition, merges all (term, shard) groups vectorized, and writes the
+    # deterministic bucket-NNNNN postings + termstats files. No sort, no
+    # groupby machinery — the one wide exchange of the build is plain
+    # partitioned-file I/O, which is how it must work at 10^12-turn scale.
     seg_root = os.path.join(cfg.index_dir, "segments")
-    # read_parquet takes a single dir or a list of FILES — expand explicitly
-    seg_files = [
-        os.path.join(seg_root, d, f)
-        for d in sorted(os.listdir(seg_root))
-        for f in sorted(os.listdir(os.path.join(seg_root, d)))
-        if f.endswith(".parquet")
-    ]
-
-    # ---- phase C: the wide shuffle — merge partials by (term, shard) --------
     postings_dir = os.path.join(cfg.index_dir, "postings")
+    termstats_dir = os.path.join(cfg.index_dir, "termstats")
     if not man.stage_done("merge"):
         t0 = time.time()
-        # bucket count: ~4M postings per merge group keeps each vectorized
-        # merge task small; grows with the corpus (total_len bounds postings)
-        num_buckets = int(np.clip(total_len // 4_000_000, 32, 65536))
-        parts = ray.data.read_parquet(seg_files)
-        merged = (
-            parts.map_batches(
-                term_bucket_fn(num_buckets), batch_format="pyarrow", zero_copy_batch=True
+        bucket_files: dict[int, list[str]] = {}
+        for part in sorted(os.listdir(seg_root)):
+            pdir = os.path.join(seg_root, part)
+            for bdir in sorted(os.listdir(pdir)):
+                if not bdir.startswith("bucket="):
+                    continue
+                bkt = int(bdir.split("=", 1)[1])
+                for f in sorted(os.listdir(os.path.join(pdir, bdir))):
+                    if f.endswith(".parquet"):
+                        bucket_files.setdefault(bkt, []).append(os.path.join(pdir, bdir, f))
+
+        merge_task = ray.remote(merge_bucket_files)
+        import shutil
+
+        tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
+        for d in (tmp_post, tmp_ts):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        futures = [
+            merge_task.remote(
+                files, avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size, bkt,
+                os.path.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
+                os.path.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
             )
-            # coalesce the many small partial blocks before the shuffle: the
-            # sort's map x reduce fan-out is (blocks x partitions) objects, so
-            # tiny blocks drown the merge in scheduling overhead
-            .repartition(num_buckets)
-            .groupby("bucket")
-            .map_groups(
-                make_bucket_merge_fn(avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size),
-                batch_format="pyarrow",
-            )
-        )
-        # small row groups (sorted by term within bucket) => query-time
-        # row-group pruning: a term lookup reads ~one row group, not a file
-        atomic_write_dir(
-            lambda d: write_parquet_rowgrouped(merged, d, row_group_size=256),
-            postings_dir,
-        )
-        files_meta = _file_term_ranges(postings_dir)
-        man.data["postings_files"] = files_meta
-        man.data["num_buckets"] = num_buckets
-        n_rows = sum(pq.read_metadata(f["path"]).num_rows for f in files_meta)
+            for bkt, files in sorted(bucket_files.items())
+        ]
+        results = ray.get(futures)
+        for final in (postings_dir, termstats_dir):
+            shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp_post, postings_dir)
+        os.replace(tmp_ts, termstats_dir)
+        man.data["postings_files"] = [
+            {"path": os.path.join(postings_dir, f"bucket-{bkt:05d}.parquet"), "bucket": bkt}
+            for bkt, _ in sorted(bucket_files.items())
+        ]
         man.commit_stage(
-            "merge", {"sec": time.time() - t0, "term_shards": n_rows, "num_buckets": num_buckets}
+            "merge",
+            {
+                "sec": time.time() - t0,
+                "term_shards": int(sum(r[0] for r in results)),
+                "terms": int(sum(r[1] for r in results)),
+                "num_buckets": num_buckets,
+            },
         )
-
-    # ---- phase D: global term stats (df/cf across shards) -------------------
-    termstats_dir = os.path.join(cfg.index_dir, "termstats")
-    if not man.stage_done("termstats"):
-        t0 = time.time()
-        from ray.data.aggregate import Sum
-
-        # df/cf were already reduced per (term, shard) by the merge — summing
-        # those tiny columns is far cheaper than re-flattening the partials
-        ts = (
-            ray.data.read_parquet(postings_dir, columns=["term", "df_shard", "cf_shard"])
-            .groupby("term")
-            .aggregate(Sum("df_shard", alias_name="df"), Sum("cf_shard", alias_name="cf"))
-            .sort("term")
-        )
-        atomic_write_dir(lambda d: ts.write_parquet(d), termstats_dir)
-        man.commit_stage("termstats", {"sec": time.time() - t0})
 
     man.finalize("COMPLETED")
     return man.data

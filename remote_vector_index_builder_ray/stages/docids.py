@@ -50,13 +50,25 @@ def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
         ).aggregate([("turn_idx", "count"), ("turn_idx", "max")])
         return g.rename_columns(["conv_id", "n_turns", "max_turn"])
 
-    counts = (
-        ds.select_columns(["conv_id", "turn_idx"])
-        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("conv_id")
-        .aggregate(Sum("n_turns", alias_name="n_turns"), Max("max_turn", alias_name="max_turn"))
+    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    pdf = counts.to_pandas()
+    # Finalize: the partials are ~one row per (conv, batch). Below a size
+    # threshold a driver-side pandas combine skips a whole Ray shuffle round
+    # (identical result); above it, the distributed groupby is the scale path
+    # (at 10^12 turns the conv table itself is cluster-sized).
+    try:
+        pdf_all = partials.to_pandas(limit=20_000_000)
+        pdf = (
+            pdf_all.groupby("conv_id", sort=False)
+            .agg(n_turns=("n_turns", "sum"), max_turn=("max_turn", "max"))
+            .reset_index()
+        )
+    except ValueError:  # over the to_pandas limit -> distributed finalize
+        counts = partials.groupby("conv_id").aggregate(
+            Sum("n_turns", alias_name="n_turns"), Max("max_turn", alias_name="max_turn")
+        )
+        pdf = counts.to_pandas()
     pdf = pdf.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
     if validate_dense:
         bad = pdf[pdf["max_turn"] + 1 != pdf["n_turns"]]

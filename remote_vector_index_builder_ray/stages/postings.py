@@ -24,6 +24,7 @@ PARTIAL_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("shard", pa.int32()),
+        ("bucket", pa.int32()),
         ("min_docid", pa.int64()),
         ("docids", pa.list_(pa.int64())),
         ("tfs", pa.list_(pa.int32())),
@@ -37,10 +38,17 @@ def _empty_partials() -> pa.Table:
 
 
 class PostingsPartials:
-    """map_batches callable building per-batch posting partials."""
+    """map_batches callable building per-batch posting partials.
 
-    def __init__(self, shard_range: int):
+    Emits a ``bucket = crc32(term) % num_buckets`` column: phase A writes the
+    partials hive-partitioned by bucket, which IS the shuffle — the merge then
+    just reads each bucket's files (map-side shuffle via the filesystem, the
+    same trick large engines use to avoid an all-to-all exchange operator).
+    """
+
+    def __init__(self, shard_range: int, num_buckets: int = 64):
         self.shard_range = shard_range
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -80,10 +88,17 @@ class PostingsPartials:
         offsets = np.concatenate([starts, [len(s_code)]]).astype(np.int32)
 
         terms = vocab.take(pa.array(s_code[starts]))
+        import zlib
+
+        vocab_buckets = np.array(
+            [zlib.crc32(t.encode()) % self.num_buckets for t in vocab.to_pylist()],
+            dtype=np.int32,
+        )
         return pa.table(
             {
                 "term": terms.cast(pa.string()),
                 "shard": pa.array(s_shard[starts], type=pa.int32()),
+                "bucket": pa.array(vocab_buckets[s_code[starts]], type=pa.int32()),
                 "min_docid": pa.array(s_docid[starts], type=pa.int64()),
                 "docids": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_docid, type=pa.int64())),
                 "tfs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_tf, type=pa.int32())),

@@ -169,8 +169,8 @@ class BM25Searcher:
         self.cache_terms = cache_terms
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
-        self.files = man["postings_files"]  # [{path, term/bucket min/max}]
-        self.num_buckets = man.get("num_buckets")
+        self.postings_dir = os.path.join(index_dir, "postings")
+        self.num_buckets = int(man["num_buckets"])
         self._cache: dict[str, _TermPostings | None] = {}
 
     # -- postings lookup ------------------------------------------------------
@@ -180,15 +180,14 @@ class BM25Searcher:
         return zlib.crc32(term.encode()) % self.num_buckets
 
     def _candidate_files(self, terms: list[str]) -> list[str]:
-        buckets = {self._term_bucket(t) for t in terms} if self.num_buckets else None
+        """Deterministic file addressing: a term lives ONLY in its hash
+        bucket's file; within the file, small term-sorted row groups give
+        parquet predicate pushdown."""
         out = []
-        for f in self.files:
-            if any(f["term_min"] <= t <= f["term_max"] for t in terms) and (
-                buckets is None
-                or "bucket_min" not in f
-                or any(f["bucket_min"] <= bk <= f["bucket_max"] for bk in buckets)
-            ):
-                out.append(f["path"])
+        for bkt in sorted({self._term_bucket(t) for t in terms}):
+            path = os.path.join(self.postings_dir, f"bucket-{bkt:05d}.parquet")
+            if os.path.exists(path):
+                out.append(path)
         return out
 
     def _load_terms(self, terms: list[str]) -> None:
