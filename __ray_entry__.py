@@ -35,6 +35,7 @@ from remote_vector_index_builder_ray import fixtures as _fx
 
 for _sf in ("sf0.001", "sf0.01"):
     _fx.ensure_fixture(_sf)
+_fx.ensure_fixture("sf0.01", with_dups=True)  # dedup_transcripts oracle reads it
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -148,6 +149,37 @@ def _read(sf_dir: str, table: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def _q_bm25_hydrated(sf_dir: str):
+    """Top-k with stored fields attached (broadcast-semi-join vs docmeta)."""
+    from remote_vector_index_builder_ray import search
+    from remote_vector_index_builder_ray.pipelines.query import hydrate
+    import pyarrow.parquet as pq
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    topk = _q_bm25_topk(sf_dir)
+    import ray.data
+
+    out = hydrate(index_dir, ray.data.from_pandas(topk))
+    out = out[["query_id", "rank", "docid", "score", "conv_id", "turn_idx", "role", "text"]]
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"turn_idx": "int32"}
+    )
+
+
+def _q_dedup_transcripts(sf_dir: str):
+    """Exact (conv_id, turn_idx) dedup over the duplicate-injected variant."""
+    import ray.data
+
+    from remote_vector_index_builder_ray.stages.docids import dedup_exact
+
+    fx = _fx.fixture_for_sf_dir(sf_dir, with_dups=True)
+    ds = ray.data.read_parquet(fx["transcripts"])
+    out = dedup_exact(ds).to_pandas()[["conv_id", "turn_idx", "text"]]
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).astype(
+        {"turn_idx": "int32"}
+    )
+
+
 def _q_text_features(sf_dir: str):
     from remote_vector_index_builder_ray.extras.text import text_features_ds
 
@@ -233,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
+        "bm25_hydrated": _q_bm25_hydrated,
+        "dedup_transcripts": _q_dedup_transcripts,
         # training-data extras (SQL-checked)
         "text_features": _q_text_features,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -332,6 +366,52 @@ SELECT d.docid, d.conv_id, d.turn_idx::INT AS turn_idx,
        coalesce(dl.dl, 0)::INT AS doc_len
 FROM docs d LEFT JOIN dl USING (docid)
 ORDER BY d.docid
+""",
+        "bm25_hydrated": f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+),
+src AS (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score,
+       src.conv_id, src.turn_idx::INT AS turn_idx, src.role, src.text
+FROM ranked r JOIN src USING (docid)
+WHERE r.rank <= r.k
+ORDER BY r.query_id, r.rank
+""",
+        "dedup_transcripts": f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, text
+FROM read_parquet('{FIXTURE_ROOT}/{sf}_dups/transcripts/*.parquet')
+QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts, role, text) = 1
+ORDER BY conv_id, turn_idx
 """,
         "text_features": f"""
 WITH t AS MATERIALIZED (

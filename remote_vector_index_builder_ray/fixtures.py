@@ -32,7 +32,7 @@ SCALES = {
     "sf0.1": (500_000, 16),
     # scaling-efficiency runs need enough compute to amortize fixed job
     # latency; generated chunked (per-file seeds) to bound generator memory
-    "sfscale": (2_000_000, 16),
+    "sfscale": (12_000_000, 24),
 }
 
 # ~200 very-high-frequency "stopword" tokens -> realistic heavy-hitter skew.
@@ -120,7 +120,17 @@ def generate_transcripts(
     words = np.where(is_stop, stop_arr[stop_rank], vocab[vocab_idx])
 
     bounds = np.concatenate([[0], np.cumsum(tok_counts)])
-    texts = [" ".join(words[bounds[i] : bounds[i + 1]]) for i in range(total)]
+    # vectorized doc assembly: one big join with NUL separators at doc
+    # boundaries, then a single split — identical output to per-doc joins
+    # (empty docs -> empty strings), ~10x faster than a Python join loop
+    if total > 1:
+        # NB: separator must not be "\x00" — numpy fixed-width unicode arrays
+        # NUL-pad and silently drop a stored NUL character
+        with_sep = np.insert(words, bounds[1:-1].astype(np.int64), "\x01")
+        joined = " ".join(with_sep)
+        texts = [t.strip(" ") for t in joined.split("\x01")]
+    else:
+        texts = [" ".join(words[bounds[0] : bounds[1]])]
 
     # ~1% of turns get punctuation / unicode edge content
     edge_idx = np.flatnonzero(rng.random(total) < 0.01)

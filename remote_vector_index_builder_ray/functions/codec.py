@@ -29,17 +29,27 @@ def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     n = len(v)
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)
+    vmax = int(v.max())
+    if vmax < 128:  # single-byte fast path (typical for tf/dl streams)
+        return v.astype(np.uint8).tobytes(), np.arange(1, n + 1, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for shift in range(7, 64, 7):
+        if vmax < (1 << shift):
+            break
         nbytes += (v >= np.uint64(1) << np.uint64(shift)).astype(np.int64)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(ends[-1], dtype=np.uint8)
     for j in range(int(nbytes.max())):
         mask = nbytes > j
-        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+        if mask.all():
+            chunk = (v >> np.uint64(7 * j)) & np.uint64(0x7F)
+            cont = (nbytes - 1 > j).astype(np.uint8) << 7
+            out[starts + j] = chunk.astype(np.uint8) | cont
+        else:
+            chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+            cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+            out[starts[mask] + j] = chunk.astype(np.uint8) | cont
     return out.tobytes(), ends
 
 
@@ -69,6 +79,10 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
+    if b.max() < 0x80:  # all single-byte values
+        if count is not None and len(b) != count:
+            raise ValueError(f"varint_decode: expected {count} values, got {len(b)}")
+        return b.astype(np.uint64)
     is_end = b < 0x80
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)

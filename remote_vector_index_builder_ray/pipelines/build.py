@@ -155,18 +155,21 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         # consistent by construction and avoids re-running docid assignment
         with read_lock:
             src = ray.data.read_parquet(dm_dir, columns=["docid", "text", "doc_len"])
+        # stateless task closure (the "state" is two ints) — avoids spinning
+        # up an actor pool per concurrent partition pipeline
         partials = src.map_batches(
-            PostingsPartials,
-            fn_constructor_args=(cfg.bm25.shard_range, num_buckets),
+            PostingsPartials(cfg.bm25.shard_range, num_buckets),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
-            concurrency=(1, 8),
         )
         seg_dir = os.path.join(cfg.index_dir, "segments", key)
-        # hive-partitioned by bucket: this write IS the merge shuffle
+        # hive-partitioned by bucket: this write IS the merge shuffle.
+        # coalesce to a few blocks first — files per bucket == write tasks,
+        # and the merge reads every (partition x bucket) file
         atomic_write_dir(
-            lambda d: partials.write_parquet(d, partition_cols=["bucket"]), seg_dir
+            lambda d: partials.repartition(4).write_parquet(d, partition_cols=["bucket"]),
+            seg_dir,
         )
 
         # lineage from the written docmeta footers (no extra data pass)

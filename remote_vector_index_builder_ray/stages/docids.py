@@ -83,38 +83,27 @@ def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
     return pdf["conv_id"].to_numpy(), offsets, int(n.sum()), int(n.sum())
 
 
-class DenseDocIdAssigner:
-    """map_batches callable: ``docid = offset[conv_id] + turn_idx``.
-
-    Stateless w.r.t. the stream; the (sorted conv_ids, offsets) pair is put in
-    the object store ONCE and read per task via ``ray.get`` (broadcast lookup,
-    never re-shipped per batch).
-    """
-
-    def __init__(self, conv_ids_ref, offsets_ref):
-        self.conv_ids = ray.get(conv_ids_ref)
-        self.offsets = ray.get(offsets_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(self.conv_ids, conv)
-        if (idx >= len(self.conv_ids)).any() or (self.conv_ids[idx] != conv).any():
-            raise SchemaValidationError("conv_id seen in data but absent from offsets pass")
-        turn = batch["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        docid = self.offsets[idx] + turn
-        return batch.append_column("docid", pa.array(docid, type=pa.int64()))
-
-
 def assign_docids_dense(ds: ray.data.Dataset, conv_ids: np.ndarray, offsets: np.ndarray) -> ray.data.Dataset:
+    """map_batches stage: ``docid = offset[conv_id] + turn_idx``.
+
+    Stateless TASKS, not an actor pool: the (sorted conv_ids, offsets) pair is
+    put in the object store ONCE and each task reads it zero-copy via
+    ``ray.get`` (broadcast lookup, never re-shipped per batch; no actor
+    processes to spin up)."""
     conv_ref = ray.put(conv_ids)
     off_ref = ray.put(offsets)
-    return ds.map_batches(
-        DenseDocIdAssigner,
-        fn_constructor_args=(conv_ref, off_ref),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        conv_ids_s, offsets_s = ray.get(conv_ref), ray.get(off_ref)
+        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(conv_ids_s, conv)
+        if (idx >= len(conv_ids_s)).any() or (conv_ids_s[idx] != conv).any():
+            raise SchemaValidationError("conv_id seen in data but absent from offsets pass")
+        turn = batch["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        docid = offsets_s[idx] + turn
+        return batch.append_column("docid", pa.array(docid, type=pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def assign_docids_sort(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -148,20 +148,23 @@ def merge_partials_table(
     term_d = tbl["term"].combine_chunks().dictionary_encode()
     if isinstance(term_d, pa.ChunkedArray):
         term_d = term_d.combine_chunks()
-    row_code = term_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_code = term_d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     vocab = term_d.dictionary
-    row_shard = tbl["shard"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    row_shard = tbl["shard"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
     docids_col = tbl["docids"].combine_chunks()
-    list_off = docids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    v_doc = docids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    v_tf = tbl["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    v_dl = tbl["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    list_off = docids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v_doc = docids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v_tf = tbl["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v_dl = tbl["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     row_of_value = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), np.diff(list_off))
+    # pack (code, shard) into one key: 2-key lexsort instead of 3
+    gkey_row = row_code * (row_shard.max() + 1) + row_shard
+    v_gkey = gkey_row[row_of_value]
     v_code = row_code[row_of_value]
     v_shard = row_shard[row_of_value]
 
-    order = np.lexsort((v_doc, v_shard, v_code))
+    order = np.lexsort((v_doc, v_gkey))
     v_code, v_shard, v_doc, v_tf, v_dl = (
         v_code[order], v_shard[order], v_doc[order], v_tf[order], v_dl[order]
     )

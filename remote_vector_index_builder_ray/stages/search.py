@@ -47,7 +47,10 @@ RESULT_SCHEMA = pa.schema(
 class _TermPostings:
     """One term's merged segment rows (all shards, shard==docid order)."""
 
-    __slots__ = ("first", "last", "count", "maxtn", "docb", "tfb", "dlb", "df", "cf", "_decoded", "_tn")
+    SUPERBLOCK = 64  # blocks per lazily-decoded cache unit (~8k postings)
+
+    __slots__ = ("first", "last", "count", "maxtn", "docb", "tfb", "dlb", "df", "cf",
+                 "_decoded", "_tn", "_sb")
 
     def __init__(self, rows: list[dict]):
         rows = sorted(rows, key=lambda r: r["shard"])
@@ -62,6 +65,36 @@ class _TermPostings:
         self.cf = int(sum(r["cf_shard"] for r in rows))
         self._decoded = None
         self._tn = None
+        self._sb: dict[int, tuple] = {}
+
+    def decode_block_range(self, bs: int, be: int):
+        """Decoded (docids, tfs, dls) covering at least blocks [bs, be).
+
+        Lazily decodes SUPERBLOCK-aligned spans (one batched varint pass per
+        span, cached) — a pruned query never touches the rest of the list."""
+        if self._decoded is not None:  # full decode already cached
+            return self._decoded
+        SB = self.SUPERBLOCK
+        lo_sb, hi_sb = bs // SB, (be - 1) // SB + 1
+        parts = []
+        for s in range(lo_sb, hi_sb):
+            got = self._sb.get(s)
+            if got is None:
+                b0, b1 = s * SB, min((s + 1) * SB, self.n_blocks)
+                got = decode_posting_run(
+                    self.first[b0:b1], self.count[b0:b1],
+                    self.docb[b0:b1], self.tfb[b0:b1], self.dlb[b0:b1],
+                    self.last[b0:b1],
+                )
+                self._sb[s] = got
+            parts.append(got)
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
 
     def decode_all(self):
         # memoized: hot terms (stopwords) are queried by many queries per batch
@@ -244,12 +277,10 @@ class BM25Searcher:
             if tp is None:
                 continue
             w = _idf(self.N, tp.df)
-            docids, _, _ = tp.decode_all()
-            contrib = w * tp.tfnorms(self.avgdl, self.k1, self.b)
-            tinfo.append((docids, contrib, tp.first, tp.last, w * tp.maxtn))
+            tinfo.append((tp, w, w * tp.maxtn))
         if not tinfo:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        max_doc = max(int(x[0][-1]) for x in tinfo)
+        max_doc = max(int(tp.last[-1]) for tp, _, _ in tinfo)
         C = max(16384, (max_doc + 4095) // 4096)  # <= ~4096 chunks
         nchunks = max_doc // C + 1
         top_docs = np.empty(0, np.int64)
@@ -259,20 +290,26 @@ class BM25Searcher:
             lo, hi = c * C, (c + 1) * C
             if len(top_docs) == k:
                 ub = 0.0
-                for docids, _, bfirst, blast, bub in tinfo:
-                    bs = int(np.searchsorted(blast, lo))
-                    be = int(np.searchsorted(bfirst, hi, side="left"))
+                for tp, _, bub in tinfo:
+                    bs = int(np.searchsorted(tp.last, lo))
+                    be = int(np.searchsorted(tp.first, hi, side="left"))
                     if bs < be:
                         ub += float(bub[bs:be].max())
                 if ub <= threshold:
                     continue
+            # surviving chunk: decode ONLY the overlapping block ranges
             parts_d, parts_c = [], []
-            for docids, contrib, _, _, _ in tinfo:
+            for tp, w, _ in tinfo:
+                bs = int(np.searchsorted(tp.last, lo))
+                be = int(np.searchsorted(tp.first, hi, side="left"))
+                if bs >= be:
+                    continue
+                docids, tfs, dls = tp.decode_block_range(bs, be)
                 s = int(np.searchsorted(docids, lo))
                 e = int(np.searchsorted(docids, hi))
                 if s < e:
                     parts_d.append(docids[s:e])
-                    parts_c.append(contrib[s:e])
+                    parts_c.append(w * tfnorm(tfs[s:e], dls[s:e], self.avgdl, self.k1, self.b))
             if not parts_d:
                 continue
             alld = np.concatenate(parts_d)
