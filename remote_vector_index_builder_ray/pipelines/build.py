@@ -51,7 +51,12 @@ DOCMETA_COLUMNS = ["docid", "conv_id", "turn_idx", "role", "text", "tool", "ts",
 def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[str]]:
     paths = sorted(paths)
     if num_partitions is None:
-        num_partitions = min(len(paths), 16)
+        # size-based partitioning (the analog of the reference's
+        # calculate_memory_requirements admission sizing, app/utils/memory.py:14-59):
+        # ~2 GB of input per checkpoint partition
+        from remote_vector_index_builder_ray.functions.metrics import estimate_partitions
+
+        num_partitions = estimate_partitions(paths)
     num_partitions = max(1, min(num_partitions, len(paths)))
     return [list(chunk) for chunk in np.array_split(np.array(paths, dtype=object), num_partitions)]
 

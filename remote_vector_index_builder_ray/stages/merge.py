@@ -99,37 +99,14 @@ def make_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
 
 
 # ---------------------------------------------------------------------------
-# Vectorized bucket merge: the production path. Terms are hashed into B
-# buckets (stable crc32); ONE groupby("bucket") shuffle co-locates each
-# bucket's partials, and merge_partials_table() merges ALL of a bucket's
-# (term, shard) groups in one numpy/Arrow pass — no per-group Python calls,
-# no per-block byte slicing (binary arrays are built zero-copy from the
-# single varint buffer + offset arrays).
+# Vectorized bucket merge: the production path. Phase A hive-partitions the
+# partials by crc32(term) %% num_buckets (the map-side file shuffle);
+# merge_partials_table() merges ALL of a bucket's (term, shard) groups in one
+# numpy/Arrow pass — no per-group Python calls, no per-block byte slicing
+# (binary arrays are built zero-copy from the single varint buffer + offset
+# arrays). make_merge_fn above is kept as the naive per-group reference the
+# tests compare against.
 # ---------------------------------------------------------------------------
-
-
-def term_bucket_fn(num_buckets: int):
-    """map_batches callable adding a stable hash bucket per term.
-
-    crc32 is computed once per DISTINCT term in the batch (dictionary-encoded)
-    — the only Python loop is over the batch vocabulary.
-    """
-    import zlib
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("bucket", pa.array([], type=pa.int32()))
-        d = batch["term"].combine_chunks().dictionary_encode()
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        vocab = d.dictionary.to_pylist()
-        buckets = np.array(
-            [zlib.crc32(t.encode()) % num_buckets for t in vocab], dtype=np.int32
-        )
-        codes = d.indices.to_numpy(zero_copy_only=False)
-        return batch.append_column("bucket", pa.array(buckets[codes], type=pa.int32()))
-
-    return add_bucket
 
 
 def merge_partials_table(
@@ -248,27 +225,6 @@ def merge_partials_table(
     rank[np.argsort(vocab_np)] = np.arange(len(vocab_np))
     row_order = np.lexsort((g_shard, rank[g_code]))
     return out.take(pa.array(row_order))
-
-
-def make_bucket_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
-    """Per-bucket map_groups fn: vectorized merge of the whole bucket; the
-    bucket id rides along so files record which buckets they hold (the
-    searcher prunes files by ``crc32(term) % num_buckets``)."""
-
-    def merge_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return SEGMENT_SCHEMA.empty_table().append_column(
-                "bucket", pa.array([], type=pa.int32())
-            )
-        bucket = group["bucket"][0].as_py()
-        merged = merge_partials_table(
-            group.drop_columns(["bucket"]), avgdl, k1, b, block_size
-        )
-        return merged.append_column(
-            "bucket", pa.array(np.full(merged.num_rows, bucket, dtype=np.int32))
-        )
-
-    return merge_bucket
 
 
 def merge_bucket_files(

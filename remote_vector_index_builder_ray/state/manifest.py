@@ -80,31 +80,6 @@ class Manifest:
         self.save()
 
 
-def write_parquet_rowgrouped(ds, out_dir: str, row_group_size: int = 256) -> None:
-    """Distributed parquet write with controlled row-group size.
-
-    Ray's parquet sink doesn't expose row_group_size (it only sets file-format
-    options); small row groups matter for the postings layout because
-    query-time term lookups prune at row-group granularity. Each block writes
-    its own file (uuid name — the enclosing atomic_write_dir rename provides
-    idempotency).
-    """
-    import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
-            pq.write_table(batch, path, row_group_size=row_group_size)
-        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
-
-    ds.map_batches(
-        write_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()
-
-
 def atomic_write_dir(write_fn, final_dir: str) -> None:
     """Run ``write_fn(tmp_dir)`` then atomically rename to ``final_dir``.
 
