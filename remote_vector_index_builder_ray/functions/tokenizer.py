@@ -69,6 +69,13 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray):
 
 
 def doc_lengths(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Per-row token counts only (cheaper when tokens aren't needed)."""
-    _, _, dl = tokenize_column(col)
-    return dl
+    """Per-row token counts WITHOUT materializing tokens: one C regex-count
+    kernel (token matches are non-overlapping, so the count equals
+    ``len(tokenize_text(t))`` — asserted by the tokenizer tests)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.int32)
+    lowered = pc.utf8_lower(pc.fill_null(col, ""))
+    counts = pc.count_substring_regex(lowered, TOKEN_REGEX)
+    return counts.to_numpy(zero_copy_only=False).astype(np.int32)

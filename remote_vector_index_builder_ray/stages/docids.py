@@ -132,16 +132,35 @@ def assign_docids_sort(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(out_refs)
 
 
-def dedup_exact(ds: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_exact(ds: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     """Exact dedup of (conv_id, turn_idx): first-wins by (ts, role, text) order.
 
-    Hash-shuffle keyed exactly like the docid grouping (one partitioning key
-    reused across stages). Analog of the reference's job-id idempotency dedup
-    (``app/services/job_service.py:60-83``) lifted to the row level.
+    Two-level, all vectorized: a per-batch combiner drops local duplicates,
+    then ONE shuffle keyed on ``hash(conv_id) % num_buckets`` (so both copies
+    of a key land together) and a per-bucket pandas ``drop_duplicates`` —
+    never a Python call per key. Analog of the reference's job-id idempotency
+    dedup (``app/services/job_service.py:60-83``) lifted to the row level.
     """
+    import zlib
+
     import pandas as pd
 
-    def first_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "role", "text"], kind="mergesort").head(1)
+    def _drop(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["conv_id", "turn_idx", "ts", "role", "text"], kind="mergesort"
+        )
+        return df.drop_duplicates(["conv_id", "turn_idx"], keep="first")
 
-    return ds.groupby(["conv_id", "turn_idx"]).map_groups(first_of_group, batch_format="pandas")
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = _drop(df)
+        df["_bucket"] = df["conv_id"].map(lambda c: zlib.crc32(c.encode()) % num_buckets)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _drop(df).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )

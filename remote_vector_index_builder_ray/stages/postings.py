@@ -108,6 +108,11 @@ class PostingsPartials:
 
 
 def add_doc_len(batch: pa.Table) -> pa.Table:
-    """doc_meta stage: append the per-turn token count (BM25 norm)."""
-    _, _, dl = tokenize_column(batch["text"])
+    """doc_meta stage: append the per-turn token count (BM25 norm).
+
+    Uses the count-only tokenizer path (single regex-count kernel) — the full
+    token stream is only materialized once, in the partials pass."""
+    from remote_vector_index_builder_ray.functions.tokenizer import doc_lengths
+
+    dl = doc_lengths(batch["text"])
     return batch.append_column("doc_len", pa.array(dl, type=pa.int32()))

@@ -50,3 +50,13 @@ def test_duckdb_parity():
     df = pd.DataFrame({"t": texts})
     got = [r[0] for r in duckdb.sql(sql).fetchall()]
     assert got == [tokenize_text(t) for t in texts]
+
+
+def test_count_only_doc_lengths_match_full_tokenize():
+    from remote_vector_index_builder_ray.functions.tokenizer import doc_lengths
+
+    texts = [t for t, _ in GOLDEN] + [None, "w1  w2\tw3", "__a__ b__"]
+    col = pa.array(texts, type=pa.string())
+    _, _, full = tokenize_column(col)
+    fast = doc_lengths(col)
+    assert full.tolist() == fast.tolist()
