@@ -47,6 +47,29 @@ from remote_vector_index_builder_ray.state.manifest import Manifest, atomic_writ
 
 DOCMETA_COLUMNS = ["docid", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_len"]
 
+# Settle fsspec's lazy http import ONCE, single-threaded: Ray's parquet
+# datasource probes `fsspec.implementations.http` per construction; with
+# aiohttp absent the module half-imports, and under concurrent first-import
+# the race surfaces as a plain ImportError that Ray doesn't catch. A sentinel
+# module makes the probe cheap and thread-safe (isinstance() is simply False).
+try:
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:
+    import sys as _sys
+    import types as _types
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _NoHTTPFileSystem:  # never instantiated: aiohttp is not installed
+        pass
+
+    _stub.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _stub
+
+import threading as _threading
+
+_READ_LOCK = _threading.Lock()  # datasource construction is cheap; serialize it
+
 
 def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[str]]:
     paths = sorted(paths)
@@ -134,10 +157,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     man_lock = threading.Lock()
-    # read_parquet's datasource constructor does lazy fsspec imports that are
-    # not thread-safe on first import (raises ImportError mid-race); it's
-    # cheap, so serialize just the construction
-    read_lock = threading.Lock()
+    read_lock = _READ_LOCK
 
     def _build_partition(pid: int, files: list[str]) -> None:
         key = f"part-{pid:05d}"

@@ -124,3 +124,46 @@ def write_vector_blobs(ds: ray.data.Dataset, vec_path: str, docid_path: str, dty
             df.write(ids.tobytes())
             n += len(ids)
     return n
+
+
+def read_bigann_vectors(
+    path: str, dtype: str = "byte", rows_per_block: int = 65536
+) -> ray.data.Dataset:
+    """BigANN-format reader: 8-byte header (int32 n_rows, int32 dim) followed
+    by row-major values — the reference's ``BigANNVectorDataSet``
+    (``benchmarking/dataset/dataset.py:96-218``, u8bin/fbin). Doc ids are
+    positional (0..n-1), as in the reference. Chunked remote reads as in
+    :func:`read_vector_blobs`."""
+    if dtype not in ("byte", "float"):
+        raise SchemaValidationError(f"bigann dtype must be byte|float, got {dtype!r}")
+    np_dtype, vsize, _ = DTYPES[dtype]
+    with open(path, "rb") as f:
+        header = np.frombuffer(f.read(8), dtype="<i4")
+    n_rows, dim = int(header[0]), int(header[1])
+    expected = 8 + n_rows * dim * vsize
+    actual = os.path.getsize(path)
+    if actual != expected:
+        raise SchemaValidationError(
+            f"bigann blob {path}: expected {expected} bytes for {n_rows}x{dim} "
+            f"{dtype}, got {actual}"
+        )
+
+    @ray.remote
+    def read_range(start_row: int, count: int) -> pa.Table:
+        with open(path, "rb") as f:
+            f.seek(8 + start_row * dim * vsize)
+            m = np.frombuffer(f.read(count * dim * vsize), dtype=np_dtype)
+        m = m.reshape(count, dim).astype(np.float32)
+        offsets = pa.array(np.arange(0, (count + 1) * dim, dim, dtype=np.int32))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(start_row, start_row + count, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(offsets, pa.array(m.ravel(), type=pa.float32())),
+            }
+        )
+
+    refs = [
+        read_range.remote(s, min(rows_per_block, n_rows - s))
+        for s in range(0, n_rows, rows_per_block)
+    ]
+    return ray.data.from_arrow_refs(refs)

@@ -145,3 +145,39 @@ def test_cli_build_search(smoke_fixture, tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(out).num_rows > 0
+
+
+def test_bigann_reader(tmp_path):
+    from remote_vector_index_builder_ray.sources.vector_blobs import read_bigann_vectors
+
+    rng = np.random.default_rng(4)
+    m = rng.integers(0, 255, (500, 16)).astype("<i1")
+    p = str(tmp_path / "base.u8bin")
+    with open(p, "wb") as f:
+        f.write(np.array([500, 16], dtype="<i4").tobytes())
+        f.write(m.tobytes())
+    ds = read_bigann_vectors(p, dtype="byte", rows_per_block=128)
+    out = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 500
+    np.testing.assert_allclose(np.stack(out["embedding"].map(np.asarray)), m.astype(np.float32))
+    # truncated file -> typed error
+    with open(p, "r+b") as f:
+        f.truncate(100)
+    with pytest.raises(SchemaValidationError):
+        read_bigann_vectors(p, dtype="byte")
+
+
+def test_build_service_concurrent_jobs(smoke_fixture, tmp_path):
+    from remote_vector_index_builder_ray import BuildConfig
+    from remote_vector_index_builder_ray.service import BuildService
+
+    svc = BuildService(max_workers=2, max_jobs=8)
+    jids = [
+        svc.submit(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                               index_dir=str(tmp_path / f"c{i}")))
+        for i in range(2)
+    ]
+    jobs = [svc.wait(j, timeout=900) for j in jids]
+    assert all(j.status == "COMPLETED" for j in jobs)
+    assert all(j.manifest["stats"]["N"] == 2000 for j in jobs)
+    svc.shutdown()
