@@ -230,6 +230,12 @@ def _q_minhash_pairs(sf_dir: str):
     return out[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from remote_vector_index_builder_ray.extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), shingle_k=3, threshold=0.2)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from remote_vector_index_builder_ray.extras.dedup import simhash_pairs
 
@@ -273,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         # approximate / non-SQL-expressible (rows-only check; pytest covers
         # their semantics vs brute-force oracles)
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -463,6 +470,29 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 ORDER BY vec_id_a, vec_id_b
+""",
+        "ngram_jaccard_pairs": """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+),
+s AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+             ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        END)) AS shingle
+    FROM t
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
+ORDER BY doc_a, doc_b
 """,
         "events_window": """
 SELECT user_id::BIGINT AS user_id,

@@ -190,6 +190,86 @@ def jaccard_verify(ds: ray.data.Dataset, pairs: pd.DataFrame, shingle_k: int = 3
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (shingle inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index.
+
+    Deterministic (SQL-oracle-checkable) counterpart of minhash_lsh_candidates:
+    |A ∩ B| is computed distributed — emit (shingle, doc_id) rows, groupby
+    shingle emits co-occurrence pairs, a second groupby counts them — so the
+    wide shuffle moves 8-byte shingle hashes, never document text. Set (not
+    multiset) semantics: shingles are deduped per doc before the shuffle.
+
+    ``max_shingle_df`` caps the per-shingle bucket size at scale (a boilerplate
+    phrase shared by m docs emits m² pairs); None = exact, which the oracle
+    comparison requires. Reference analog: the job-id idempotency dedup
+    (app/services/job_service.py:60-83) generalised to content similarity.
+    """
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        tokens, doc_index, n_tokens = tokenize_column(batch[text_col])
+        toks = np.asarray(tokens.to_pylist(), dtype=object)
+        bounds = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_sh: list[int] = []
+        for i in range(batch.num_rows):
+            sh = np.unique(_shingle_hashes(toks[bounds[i] : bounds[i + 1]], shingle_k))
+            out_id.extend([int(ids[i])] * len(sh))
+            out_sh.extend(int(v) for v in sh)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "shingle": pa.array(out_sh, type=pa.uint64()),
+            }
+        )
+
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2 or (max_shingle_df is not None and len(ids) > max_shingle_df):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    inter = (
+        sh.groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .to_pandas()
+    )
+    # per-doc distinct-shingle counts: tree-aggregated, tiny rows (id, n)
+    sizes = sh.groupby(id_col).count().to_pandas()
+    nsh = dict(zip(sizes[id_col].astype(int), sizes["count()"].astype(int)))
+    if len(inter) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}
+        )
+    na = inter["doc_a"].map(nsh).to_numpy(dtype=np.float64)
+    nb = inter["doc_b"].map(nsh).to_numpy(dtype=np.float64)
+    i = inter["count()"].to_numpy(dtype=np.float64)
+    j = i / (na + nb - i)
+    out = pd.DataFrame(
+        {"doc_a": inter["doc_a"].astype("int64"), "doc_b": inter["doc_b"].astype("int64"), "jaccard": j}
+    )
+    out = out[out["jaccard"] >= threshold].copy()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 

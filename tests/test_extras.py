@@ -72,6 +72,22 @@ def test_minhash_lsh_finds_near_dups():
     assert verified.set_index(["doc_a", "doc_b"]).loc[(0, 1), "jaccard"] == 1.0
 
 
+def test_ngram_jaccard_exact_pairs():
+    out = dedup.ngram_jaccard_pairs(_docs_ds(), shingle_k=3, threshold=0.5)
+    got = {(a, b): j for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert got[(0, 1)] == 1.0  # exact copy: identical shingle sets
+    assert (0, 2) in got and got[(0, 2)] < 1.0  # 1-token edit
+    # exact inverted-index jaccard must agree with the pairwise verifier
+    verified = dedup.jaccard_verify(
+        _docs_ds(), out[["doc_a", "doc_b"]], shingle_k=3, threshold=0.5
+    )
+    vg = {(a, b): j for a, b, j in zip(verified["doc_a"], verified["doc_b"], verified["jaccard"])}
+    assert got == vg
+    # threshold respected; unrelated docs absent
+    assert all(j >= 0.5 for j in out["jaccard"])
+    assert not any(3 in p or 4 in p for p in got)
+
+
 def test_simhash_pairs():
     pairs = dedup.simhash_pairs(_docs_ds(), radius=3)
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
