@@ -230,6 +230,26 @@ def _q_minhash_pairs(sf_dir: str):
     return out[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_token_stats(sf_dir: str):
+    from remote_vector_index_builder_ray.extras.text import token_stats_ds
+
+    out = token_stats_ds(_read(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_video_frames(sf_dir: str):
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.multimodal import sample_frames, synth_video_table
+
+    media = ray.data.from_arrow(synth_video_table(100))
+    out = sample_frames(media, target_fps=1.0, backend="fake").to_pandas()
+    out["feat0"] = out["feature"].map(lambda f: round(float(f[0]), 6))
+    return out[["media_id", "frame_idx", "frame_ts_ms", "feat0"]].sort_values(
+        ["media_id", "frame_idx"]
+    ).reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from remote_vector_index_builder_ray.extras.dedup import ngram_jaccard_pairs
 
@@ -280,12 +300,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "token_stats": _q_token_stats,
         # approximate / non-SQL-expressible (rows-only check; pytest covers
         # their semantics vs brute-force oracles)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "video_frame_sample": _q_video_frames,
     }
 
 
@@ -493,6 +515,19 @@ SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
 ORDER BY doc_a, doc_b
+""",
+        "token_stats": r"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS wtoks,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe
+    FROM documents
+)
+SELECT doc_id, len(wtoks)::BIGINT AS n_ws_tokens, n_bpe AS n_bpe_tokens,
+       list_reduce(
+           list_prepend(0::BIGINT, list_transform(wtoks, x -> (ascii(x) * 131 + len(x))::BIGINT)),
+           (acc, v) -> (acc * 1000003 + v) % 2147483647
+       )::BIGINT AS rolling_fp
+FROM t ORDER BY doc_id
 """,
         "events_window": """
 SELECT user_id::BIGINT AS user_id,

@@ -113,6 +113,85 @@ class MediaResize:
         )
 
 
+def synth_video_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic fake video fixture: opaque payload + duration/fps metadata."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+                for s in rng.integers(1024, 8192, size=n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "mime": pa.array(["video/mp4"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "duration_ms": pa.array(rng.integers(500, 30_000, n).astype(np.int64)),
+            "fps": pa.array(rng.choice([24.0, 25.0, 30.0], n)),
+        }
+    )
+
+
+class FrameSample:
+    """Actor-pool stage: sample frames at ``target_fps`` from each video row.
+
+    One input row fans out to ceil(duration * target_fps) output rows
+    (media_id, frame_idx, frame_ts_ms, feature) — the flat-map shape a real
+    ffmpeg frame extractor would produce. Decode is stubbed like MediaDecode:
+    ``backend="real"`` raises NotImplementedError at the exact plug-in point;
+    ``backend="fake"`` derives deterministic per-frame features from
+    blake2b(payload, frame_idx). Small batches: each input row multiplies.
+    """
+
+    def __init__(self, target_fps: float = 1.0, backend: str = "fake"):
+        self.target_fps = target_fps
+        self.backend = backend
+        if backend == "real":
+            # STUB: open codec contexts once per actor here (av/ffmpeg)
+            pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "real":
+            raise NotImplementedError(
+                "real frame extraction requires a video library not present "
+                "in this environment; plug av/ffmpeg in here"
+            )
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_ts, feats = [], [], [], []
+        step_ms = 1000.0 / self.target_fps
+        for i in range(batch.num_rows):
+            n_frames = max(1, int(np.ceil(dur[i] / step_ms)))
+            for f in range(n_frames):
+                out_id.append(int(ids[i]))
+                out_idx.append(f)
+                out_ts.append(int(round(f * step_ms)))
+                digest = hashlib.blake2b(
+                    payloads[i] + f.to_bytes(4, "little"), digest_size=FEATURE_DIM * 4
+                ).digest()
+                feats.append(np.frombuffer(digest, dtype=np.uint32).astype(np.float64) / 2**32)
+        fm = np.stack(feats) if feats else np.zeros((0, FEATURE_DIM))
+        offsets = pa.array(np.arange(0, (len(out_id) + 1) * FEATURE_DIM, FEATURE_DIM, dtype=np.int32))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "frame_ts_ms": pa.array(out_ts, type=pa.int64()),
+                "feature": pa.ListArray.from_arrays(offsets, pa.array(fm.ravel(), type=pa.float64())),
+            }
+        )
+
+
+def sample_frames(
+    ds: ray.data.Dataset, target_fps: float = 1.0, backend: str = "fake", batch_size: int = 16
+) -> ray.data.Dataset:
+    """Frame-sampling pipeline stage: tiny batches (row fan-out is ~duration
+    x fps), actor pool, zero-copy Arrow in/out."""
+    return ds.map_batches(
+        FrameSample, fn_constructor_args=(target_fps, backend),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=(1, 4), num_cpus=1,
+    )
+
+
 def decode_features(ds: ray.data.Dataset, backend: str = "fake", batch_size: int = 64) -> ray.data.Dataset:
     """The canonical multimodal pipeline stage: small batches (wide rows),
     actor pool, zero-copy Arrow in/out."""

@@ -97,3 +97,58 @@ def text_features(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
 
 def text_features_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(text_features, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex) + rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
+# the coarse shape of GPT-2's pre-split, frozen so RE2 (Arrow, DuckDB) and
+# Python re agree on it exactly
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_ROLL_MOD = (1 << 31) - 1
+_ROLL_BASE = 1000003
+
+
+def _rolling_fp(tokens: list[str]) -> int:
+    """Polynomial rolling hash over whitespace tokens; per-token value
+    (codepoint(first char) * 131 + char length) is chosen to be expressible
+    in SQL (``ascii(x)*131 + len(x)``) so the oracle computes bit-identical
+    fingerprints."""
+    acc = 0
+    for t in tokens:
+        acc = (acc * _ROLL_BASE + (ord(t[0]) * 131 + len(t))) % _ROLL_MOD
+    return acc
+
+
+def token_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc whitespace / BPE-ish token counts + rolling-hash fingerprint.
+
+    Counts are fully vectorized (Arrow RE2 kernels over the zero-copy batch);
+    only the fingerprint walks tokens in Python (it is inherently sequential
+    per doc, and docs are short)."""
+    import pyarrow.compute as pc
+    import re
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    n_ws = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(zero_copy_only=False)
+    n_bpe = pc.count_substring_regex(txt, pattern=BPE_PATTERN).to_numpy(zero_copy_only=False)
+    ws_re = re.compile(r"\S+")
+    fps = [_rolling_fp(ws_re.findall(t)) for t in txt.to_pylist()]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_ws_tokens": pa.array(n_ws.astype(np.int64), type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe.astype(np.int64), type=pa.int64()),
+            "rolling_fp": pa.array(fps, type=pa.int64()),
+        }
+    )
+
+
+def token_stats_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(token_stats, batch_format="pyarrow", zero_copy_batch=True)

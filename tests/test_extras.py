@@ -211,6 +211,52 @@ def _events_df(n=2000, seed=9):
     )
 
 
+def test_token_stats_counts_and_rolling_fp():
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["Hello, world! abc123", "", "one two"], type=pa.string()),
+    })
+    out = text.token_stats(batch).to_pandas()
+    # ws: ['Hello,','world!','abc123'] ; bpe: Hello , world ! abc 123
+    assert out["n_ws_tokens"].tolist() == [3, 0, 2]
+    assert out["n_bpe_tokens"].tolist() == [6, 0, 2]
+    # rolling fp: deterministic, order-sensitive, 0 for empty
+    assert out["rolling_fp"][1] == 0
+    M, B = (1 << 31) - 1, 1000003
+    exp = 0
+    for t in ["one", "two"]:
+        exp = (exp * B + (ord(t[0]) * 131 + len(t))) % M
+    assert out["rolling_fp"][2] == exp
+    # order sensitivity: 'two one' fingerprints differently
+    swapped = text.token_stats(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["two one"], type=pa.string()),
+    })).to_pandas()
+    assert swapped["rolling_fp"][0] != exp
+
+
+def test_frame_sample_fanout_deterministic():
+    media = ray.data.from_arrow(multimodal.synth_video_table(10))
+    out = multimodal.sample_frames(media, target_fps=2.0, backend="fake").to_pandas()
+    src = multimodal.synth_video_table(10).to_pandas()
+    for mid, dur in zip(src["media_id"], src["duration_ms"]):
+        frames = out[out["media_id"] == mid].sort_values("frame_idx")
+        assert len(frames) == max(1, int(np.ceil(dur / 500.0)))
+        assert frames["frame_idx"].tolist() == list(range(len(frames)))
+        assert frames["frame_ts_ms"].tolist() == [i * 500 for i in range(len(frames))]
+    # deterministic features across runs
+    again = multimodal.sample_frames(media, target_fps=2.0, backend="fake").to_pandas()
+    a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+
+def test_frame_sample_real_backend_is_stubbed():
+    fs = multimodal.FrameSample(backend="real")
+    with pytest.raises(NotImplementedError):
+        fs(multimodal.synth_video_table(1))
+
+
 def test_tumbling_window_matches_pandas():
     df = _events_df()
     out = events.tumbling_window_agg(ray.data.from_pandas(df), window_sec=3600).to_pandas()
