@@ -474,7 +474,8 @@ FROM t GROUP BY content_hash ORDER BY content_hash
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
 sims AS (
-    SELECT q.query_id, e.vec_id, round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
     FROM q CROSS JOIN e
 ),
 ranked AS (
@@ -488,7 +489,7 @@ ORDER BY query_id, rank
         "embedding_near_dup": """
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 ORDER BY vec_id_a, vec_id_b
@@ -511,14 +512,17 @@ inter AS (
     FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+SELECT doc_a, doc_b,
+       floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
 ORDER BY doc_a, doc_b
 """,
         "token_stats": r"""
 WITH t AS MATERIALIZED (
-    SELECT doc_id, regexp_extract_all(text, '\S+') AS wtoks,
+    -- explicit whitespace class: identical to the engine's WS_TOKEN_PATTERN
+    -- (Python \S is Unicode-aware, RE2 \S is not — never use \S here)
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS wtoks,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe
     FROM documents
 )

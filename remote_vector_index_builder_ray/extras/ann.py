@@ -3,11 +3,18 @@
 - brute-force cosine top-k: the baseline — numpy matmul per batch against a
   query matrix broadcast ONCE via ray.put (never re-shipped per batch); a
   global top-k reduce on the tiny per-batch partials.
-- IVF-bucketed variant: the scale path — k-means-lite centroids (sampled,
-  deterministic), assign every vector to its nearest centroid in a vectorized
-  map_batches, and probe only the nprobe nearest buckets at query time.
-- embedding near-dup: all pairs with cosine >= threshold, LSH-bucketed by
-  random hyperplane signs so the shuffle key is a signature, not a cross join.
+- IVF-bucketed variant: the scale path — k-means-lite centroids (trained on a
+  deterministic modulo sample), assign every vector to its nearest centroid in
+  a vectorized map_batches, and score only the nprobe nearest buckets per
+  query INSIDE the same distributed per-batch partial top-k used by the
+  brute-force path (no driver-side materialization).
+- embedding near-dup: all pairs with cosine >= threshold via BANDED random-
+  hyperplane LSH candidates + exact verification — the sub-quadratic scale
+  path; the exact all-pairs scan below it is the pytest/SQL oracle baseline.
+
+Rounding policy (shared with the DuckDB oracles): round-half-up via
+``floor(x*1e6 + 0.5)/1e6`` — numpy/pandas ``round`` is half-to-even and can
+flake against SQL ``round`` at exact half-way values.
 """
 
 from __future__ import annotations
@@ -17,6 +24,10 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+
+def _round6(x: np.ndarray | float) -> np.ndarray | float:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -33,26 +44,44 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class CosineTopK:
-    """map_batches callable: per-batch exact cosine top-k partials."""
+    """map_batches callable: per-batch exact cosine top-k partials.
 
-    def __init__(self, queries_ref, k: int):
+    With ``probe`` set (IVF mode) each query only scores candidates whose
+    ``bucket`` is in its probe list — same partial/reduce shape, restricted
+    candidate set."""
+
+    def __init__(self, queries_ref, k: int, probe_ref=None):
         q = ray.get(queries_ref)  # (query_ids, matrix) broadcast once
         self.qids, qm = q
         self.qn = _normalize(qm)
         self.k = k
+        self.probe = ray.get(probe_ref) if probe_ref is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, "embedding"))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = (
+            batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if self.probe is not None
+            else None
+        )
         sims = self.qn @ m.T  # (nq, nbatch)
         nq, nb = sims.shape
-        k = min(self.k, nb)
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):
             s = sims[qi]
-            idx = np.argpartition(-s, k - 1)[:k] if nb > k else np.arange(nb)
+            if buckets is not None:
+                cand = np.flatnonzero(np.isin(buckets, self.probe[qi]))
+                if not len(cand):
+                    continue
+                s = s[cand]
+                cid = ids[cand]
+            else:
+                cid = ids
+            k = min(self.k, len(s))
+            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
             out_q.extend([int(self.qids[qi])] * len(idx))
-            out_id.extend(ids[idx].tolist())
+            out_id.extend(cid[idx].tolist())
             out_s.extend(s[idx].tolist())
         return pa.table(
             {
@@ -63,19 +92,10 @@ class CosineTopK:
         )
 
 
-def brute_force_topk(
-    ds: ray.data.Dataset, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10
-) -> pd.DataFrame:
-    """Exact cosine top-k: batch partials -> tiny driver-side final reduce.
-
-    Rank by (round(cosine, 6) DESC, vec_id ASC) — the same deterministic
-    ordering the DuckDB oracle uses."""
-    ref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix, dtype=np.float64)))
-    partials = ds.map_batches(
-        CosineTopK, fn_constructor_args=(ref, k),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
-    ).to_pandas()
-    partials["cosine"] = partials["cosine"].round(6)
+def _finalize_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-small final reduce: rank by (round6(cosine) DESC, vec_id ASC)."""
+    partials = partials.copy()
+    partials["cosine"] = _round6(partials["cosine"].to_numpy())
     partials = partials.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
@@ -84,15 +104,37 @@ def brute_force_topk(
     return out[["query_id", "rank", "vec_id", "cosine"]]
 
 
+def brute_force_topk(
+    ds: ray.data.Dataset, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Exact cosine top-k: batch partials -> tiny driver-side final reduce."""
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix, dtype=np.float64)))
+    partials = ds.map_batches(
+        CosineTopK, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    return _finalize_topk(partials, k)
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 
 
-def train_centroids(ds: ray.data.Dataset, n_centroids: int, sample_frac: float = 0.2, iters: int = 5, seed: int = 7):
-    """k-means-lite on a sample (deterministic): the analog of the reference's
-    kmeans_trainset_fraction IVF training (``ivf_pq_build_cagra_config.py:25-26``)."""
-    sample = ds.random_sample(sample_frac, seed=seed).to_pandas()
+def train_centroids(ds: ray.data.Dataset, n_centroids: int, sample_mod: int = 5, iters: int = 5, seed: int = 7):
+    """k-means-lite on a deterministic sample: vectors with
+    ``vec_id % sample_mod == 0`` (content-determined, stable across runs and
+    block layouts — ``random_sample`` depends on block structure). The analog
+    of the reference's kmeans_trainset_fraction IVF training
+    (``ivf_pq_build_cagra_config.py:25-26``)."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    sample = sample.sort_values("vec_id")  # deterministic row order
     m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]]))
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
@@ -124,7 +166,12 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
 ) -> pd.DataFrame:
-    """Approximate top-k probing only the nprobe nearest IVF buckets."""
+    """Approximate top-k probing only the nprobe nearest IVF buckets.
+
+    Fully distributed: bucket assignment and probed scoring are both
+    ``map_batches`` partials (the same CosineTopK stage as the brute-force
+    path, restricted per query to its probe buckets); only the tiny
+    (queries x k)-bounded partials reach the driver."""
     cent = train_centroids(ds, n_centroids)
     cent_ref = ray.put(cent)
     assigned = ds.map_batches(
@@ -133,27 +180,13 @@ def ivf_topk(
     )
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # buckets per query
-    wanted = np.unique(probe)
-    ref = ray.put(set(int(b) for b in wanted))
-
-    def keep_buckets(batch: pa.Table) -> pa.Table:
-        keep = ray.get(ref)
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array([int(x) in keep for x in b]))
-
-    sub = assigned.map_batches(keep_buckets, batch_format="pyarrow").to_pandas()
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in sub["embedding"]]))
-    ids = sub["vec_id"].to_numpy()
-    buckets = sub["bucket"].to_numpy()
-    rows = []
-    for qi in range(len(query_ids)):
-        mask = np.isin(buckets, probe[qi])
-        sims = m[mask] @ qm[qi]
-        cand_ids = ids[mask]
-        order = np.lexsort((cand_ids, -np.round(sims, 6)))[:k]
-        for rank, j in enumerate(order, 1):
-            rows.append((int(query_ids[qi]), rank, int(cand_ids[j]), round(float(sims[j]), 6)))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qm))
+    pref = ray.put(probe.astype(np.int64))
+    partials = assigned.map_batches(
+        CosineTopK, fn_constructor_args=(qref, k, pref),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    return _finalize_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -161,65 +194,109 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dup(ds: ray.data.Dataset, threshold: float = 0.95, n_planes: int = 12, seed: int = 11) -> pd.DataFrame:
-    """Pairs with cosine >= threshold via random-hyperplane LSH buckets.
+def embedding_near_dup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 48,
+    band_size: int = 4,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Pairs with cosine >= threshold: BANDED random-hyperplane LSH
+    candidates + exact verification — the sub-quadratic scale path.
 
-    NOTE (recall): bucketing by full signature equality is exact only for
-    pairs whose signs agree on all planes; near-dups straddling a hyperplane
-    can be missed — standard LSH behavior, tested against brute force on the
-    fixture with multiple plane seeds."""
+    Signature = sign bits under ``n_planes`` hyperplanes, split into
+    ``n_planes/band_size`` bands; docs sharing ANY band bucket are candidates
+    (miss probability for a pair at cosine c is
+    ``(1 - p^band_size)^nbands`` with ``p = 1 - arccos(c)/pi`` — e.g.
+    ~5e-10 at c=0.95 with the defaults). Candidates are verified exactly:
+    their embeddings are gathered via a broadcast ``np.isin`` filter (the
+    candidate set is tiny relative to the corpus) and scored on the driver.
+    The shuffle key is (band, 64-bit band key) — embeddings never enter the
+    shuffle."""
     rng = np.random.default_rng(seed)
 
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first["embedding"][0])
     planes = rng.standard_normal((dim, n_planes))
     pref = ray.put(planes)
+    nbands = max(1, n_planes // band_size)
+    band_size = min(band_size, n_planes)
 
-    class Sign:
+    class BandKeys:
         def __init__(self, pref):
             self.planes = ray.get(pref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_batch_matrix(batch, "embedding"))
-            bits = (m @ self.planes) > 0
-            key = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+            bits = ((m @ self.planes) > 0).astype(np.uint64)  # (n, n_planes)
+            n = len(m)
+            bk = bits[:, : nbands * band_size].reshape(n, nbands, band_size)
+            key = np.zeros((n, nbands), dtype=np.uint64)
+            for j in range(band_size):
+                key = (key << np.uint64(1)) | bk[:, :, j]
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
                 {
-                    "vec_id": batch["vec_id"],
-                    "embedding": batch["embedding"],
-                    "sig": pa.array(key.astype(np.int64), type=pa.int64()),
+                    "vec_id": pa.array(np.repeat(ids, nbands), type=pa.int64()),
+                    "band": pa.array(np.tile(np.arange(nbands, dtype=np.int32), n), type=pa.int32()),
+                    "band_key": pa.array(key.reshape(-1).view(np.int64), type=pa.int64()),
                 }
             )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        if len(g) < 2:
-            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
-        m = _normalize(np.stack([np.asarray(v, np.float64) for v in g["embedding"]]))
-        ids = g["vec_id"].to_numpy()
-        sims = m @ m.T
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= threshold
+        return pd.DataFrame({"vec_id_a": ids[a], "vec_id_b": ids[b]})
+
+    cand = (
+        ds.map_batches(BandKeys, fn_constructor_args=(pref,), batch_format="pyarrow",
+                       zero_copy_batch=True, concurrency=(1, 4))
+        .groupby(["band", "band_key"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["vec_id_a", "vec_id_b"])
+    )
+    if not len(cand):
         return pd.DataFrame(
-            {"vec_id_a": ids[a][keep], "vec_id_b": ids[b][keep], "cosine": np.round(sims[a, b][keep], 6)}
+            {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
         )
 
-    pairs = (
-        ds.map_batches(Sign, fn_constructor_args=(pref,), batch_format="pyarrow",
-                       zero_copy_batch=True, concurrency=(1, 4))
-        .groupby("sig")
-        .map_groups(emit, batch_format="pandas")
-        .to_pandas()
+    # exact verification: gather candidate embeddings (broadcast isin filter)
+    wanted = np.unique(np.concatenate([cand["vec_id_a"].to_numpy(), cand["vec_id_b"].to_numpy()]))
+    wref = ray.put(np.sort(wanted.astype(np.int64)))
+
+    def collect(batch: pa.Table) -> pa.Table:
+        keep = ray.get(wref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(ids, keep)))
+
+    sub = ds.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    sub = sub.sort_values("vec_id")
+    ids = sub["vec_id"].to_numpy().astype(np.int64)
+    m = _normalize(np.stack([np.asarray(v, np.float64) for v in sub["embedding"]]))
+    ia = np.searchsorted(ids, cand["vec_id_a"].to_numpy())
+    ib = np.searchsorted(ids, cand["vec_id_b"].to_numpy())
+    sims = np.einsum("ij,ij->i", m[ia], m[ib])
+    keep = sims >= threshold
+    out = pd.DataFrame(
+        {
+            "vec_id_a": cand["vec_id_a"].to_numpy()[keep],
+            "vec_id_b": cand["vec_id_b"].to_numpy()[keep],
+            "cosine": _round6(sims[keep]),
+        }
     )
-    return pairs.drop_duplicates(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
 def embedding_near_dup_exact(ds: ray.data.Dataset, threshold: float = 0.9) -> pd.DataFrame:
     """EXACT near-dup pairs (cosine >= threshold): each batch is compared
     against the full corpus matrix broadcast once via ray.put.
 
-    Quadratic in corpus size — the oracle-checkable baseline; the LSH variant
-    (``embedding_near_dup``) is the sub-quadratic scale path."""
+    Quadratic in corpus size — the pytest-oracle baseline; the banded-LSH
+    variant (``embedding_near_dup``) is the sub-quadratic scale path and the
+    driver-checked entry."""
     full = ds.select_columns(["vec_id", "embedding"]).to_pandas()
     ids_all = full["vec_id"].to_numpy().astype(np.int64)
     m_all = _normalize(np.stack([np.asarray(v, np.float64) for v in full["embedding"]]))
@@ -239,7 +316,7 @@ def embedding_near_dup_exact(ds: ray.data.Dataset, threshold: float = 0.9) -> pd
                 js = np.flatnonzero(mask)
                 out_a.extend([int(ids[i])] * len(js))
                 out_b.extend(self.ids_all[js].tolist())
-                out_s.extend(np.round(sims[i][js], 6).tolist())
+                out_s.extend(_round6(sims[i][js]).tolist())
             return pa.table(
                 {
                     "vec_id_a": pa.array(out_a, type=pa.int64()),

@@ -11,11 +11,17 @@ much smaller signature rows — never a pairwise all-to-all over raw documents.
                     (banded by 16-bit quarters so the shuffle key is a band,
                     not a full cross join)
 - embedding near-dup lives in extras/ann.py (cosine >= threshold)
+
+Hashing is vectorized: blake2b runs once per UNIQUE token (dictionary-encode
+the token stream, hash the tiny vocab, gather by code); shingle hashes are a
+numpy polynomial combine of per-token hashes over sliding windows — no Python
+loop over tokens or shingles in any hot stage.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -23,6 +29,92 @@ import pyarrow as pa
 import ray.data
 
 from remote_vector_index_builder_ray.functions.tokenizer import tokenize_column
+
+logger = logging.getLogger(__name__)
+
+# ---------------------------------------------------------------------------
+# vectorized token / shingle hashing
+# ---------------------------------------------------------------------------
+
+# wraparound-mod-2^64 polynomial multiplier (odd => bijective step)
+_POLY = np.uint64(1099511628211)
+
+
+def _token_hashes(tokens: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Stable 64-bit blake2b hash per token — computed once per UNIQUE token
+    (the vocab is tiny relative to the token stream), then gathered by
+    dictionary code. Replaces the per-token Python loop flagged in round 1."""
+    if len(tokens) == 0:
+        return np.empty(0, np.uint64)
+    d = tokens.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary.to_pylist()
+    vh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    return vh[codes]
+
+
+def _shingle_hashes_batch(
+    tok_h: np.ndarray, doc_len: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes for a whole batch at once.
+
+    ``tok_h`` is the flat per-token hash stream, ``doc_len`` the per-doc token
+    counts. Returns ``(sh_vals: uint64, sh_doc: int64)`` where a doc with
+    0 < len < k contributes ONE whole-doc shingle. Windows are a vectorized
+    polynomial combine (k-1 shifted multiply-adds over the flat stream);
+    windows straddling a doc boundary are masked out.
+    """
+    doc_len = np.asarray(doc_len, dtype=np.int64)
+    n = int(len(tok_h))
+    bounds = np.concatenate([[0], np.cumsum(doc_len)]).astype(np.int64)
+    doc_index = np.repeat(np.arange(len(doc_len), dtype=np.int64), doc_len)
+    parts_v: list[np.ndarray] = []
+    parts_d: list[np.ndarray] = []
+    if n >= k:
+        m = n - k + 1
+        h = tok_h[:m].copy()
+        for j in range(1, k):
+            h = h * _POLY + tok_h[j : m + j]
+        pos = np.arange(n, dtype=np.int64) - bounds[doc_index]
+        valid = pos[:m] + k <= doc_len[doc_index[:m]]
+        parts_v.append(h[valid])
+        parts_d.append(doc_index[:m][valid])
+    short = np.flatnonzero((doc_len > 0) & (doc_len < k))
+    if len(short):
+        sv = np.empty(len(short), np.uint64)
+        for i, d in enumerate(short):
+            seg = tok_h[bounds[d] : bounds[d + 1]]
+            acc = np.uint64(0)
+            for t in seg:  # rare: only docs shorter than k tokens
+                acc = acc * _POLY + t
+            sv[i] = acc
+        parts_v.append(sv)
+        parts_d.append(short.astype(np.int64))
+    if not parts_v:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    vals = np.concatenate(parts_v)
+    docs = np.concatenate(parts_d)
+    order = np.argsort(docs, kind="stable")  # keep per-doc grouping contiguous
+    return vals[order], docs[order]
+
+
+def _shingle_hashes(tokens: np.ndarray, k: int) -> np.ndarray:
+    """Scalar-path shingle hashes for ONE doc (oracle/verify use); identical
+    values to ``_shingle_hashes_batch``."""
+    toks = pa.array([str(t) for t in tokens], type=pa.string())
+    th = _token_hashes(toks)
+    vals, _ = _shingle_hashes_batch(th, np.array([len(th)], dtype=np.int64), k)
+    return vals
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -72,21 +164,13 @@ def _minhash_params(num_hashes: int, seed: int = 12345):
     return a, b
 
 
-def _shingle_hashes(tokens: np.ndarray, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of k-token shingles."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if len(tokens) else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in joined],
-        dtype=np.uint64,
-    )
-
-
 class MinHashSignatures:
     """Actor-pool stage: per-doc minhash signature + band keys (stateful:
-    hash parameters built once per actor)."""
+    hash parameters built once per actor). Fully vectorized: one
+    (num_hashes x n_shingles) multiply-add per slab, per-doc mins via
+    ``np.minimum.reduceat`` — no per-doc Python loop."""
+
+    SLAB = 1 << 18  # shingles per vectorized slab (bounds the (H, S) temp)
 
     def __init__(self, num_hashes: int = 64, band_size: int = 4, shingle_k: int = 3):
         self.a, self.b = _minhash_params(num_hashes)
@@ -94,35 +178,47 @@ class MinHashSignatures:
         self.band_size = band_size
         self.shingle_k = shingle_k
 
-    def signature(self, tokens: np.ndarray) -> np.ndarray:
-        sh = _shingle_hashes(tokens, self.shingle_k)
-        if len(sh) == 0:
-            return np.full(self.num_hashes, np.uint64(_MERSENNE), dtype=np.uint64)
-        # (a*x + b) mod p for all hash fns x all shingles, take min per fn
-        prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return prod.min(axis=1)
+    def _signatures(self, sh: np.ndarray, sh_doc: np.ndarray, n_docs: int) -> np.ndarray:
+        sigs = np.full((n_docs, self.num_hashes), np.uint64(_MERSENNE), dtype=np.uint64)
+        if not len(sh):
+            return sigs
+        # per-doc contiguous runs (sh_doc is sorted by construction)
+        change = np.empty(len(sh_doc), dtype=bool)
+        change[0] = True
+        change[1:] = sh_doc[1:] != sh_doc[:-1]
+        starts = np.flatnonzero(change)
+        docs_with = sh_doc[starts]
+        mins = np.full((len(starts), self.num_hashes), np.uint64(_MERSENNE), dtype=np.uint64)
+        for lo in range(0, len(sh), self.SLAB):
+            hi = min(lo + self.SLAB, len(sh))
+            prod = (sh[lo:hi][None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+            # run boundaries restricted to this slab
+            s_in = starts[(starts >= lo) & (starts < hi)]
+            cut = np.unique(np.concatenate([[lo], s_in])) - lo
+            part = np.minimum.reduceat(prod, cut, axis=1).T  # (runs_in_slab, H)
+            run_idx = np.searchsorted(starts, cut + lo, side="right") - 1
+            np.minimum.at(mins, run_idx, part)
+        sigs[docs_with] = mins
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tokens, doc_index, n_tokens = tokenize_column(batch["text"])
-        toks = np.asarray(tokens.to_pylist(), dtype=object)
-        bounds = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_band, out_key, out_sig = [], [], [], []
+        tok_h = _token_hashes(tokens)
+        sh, sh_doc = _shingle_hashes_batch(tok_h, n_tokens, self.shingle_k)
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = self._signatures(sh, sh_doc, n)
         nbands = self.num_hashes // self.band_size
-        for i in range(batch.num_rows):
-            sig = self.signature(toks[bounds[i] : bounds[i + 1]])
-            for band in range(nbands):
-                chunk = sig[band * self.band_size : (band + 1) * self.band_size]
-                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_doc.append(int(ids[i]))
-                out_band.append(band)
-                out_key.append(key)
-            out_sig.append(sig.tobytes())
+        # band key: polynomial combine of the band's signature values
+        bk = sigs.reshape(n, nbands, self.band_size)
+        key = np.zeros((n, nbands), dtype=np.uint64)
+        for j in range(self.band_size):
+            key = key * _POLY + bk[:, :, j]
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_key": pa.array(out_key, type=pa.string()),
+                "doc_id": pa.array(np.repeat(ids, nbands), type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(nbands, dtype=np.int32), n), type=pa.int32()),
+                "band_key": pa.array(key.reshape(-1).view(np.int64), type=pa.int64()),
             }
         )
 
@@ -161,22 +257,18 @@ def jaccard_verify(ds: ray.data.Dataset, pairs: pd.DataFrame, shingle_k: int = 3
     wanted = np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])) if len(pairs) else np.array([], dtype=np.int64)
     import ray as _ray
 
-    ref = _ray.put(set(wanted.tolist()))
+    ref = _ray.put(np.sort(wanted.astype(np.int64)))
 
     def collect(batch: pa.Table) -> pa.Table:
         keep = _ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.array([int(i) in keep for i in ids])
-        return batch.filter(pa.array(mask))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(ids, keep)))
 
     docs = ds.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
     sh = {}
     for r in docs.itertuples(index=False):
-        toks = np.asarray(
-            pa.table({"t": [r.text]})["t"], dtype=object
-        )
-        from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
-
         tk = np.asarray(tokenize_text(r.text or ""), dtype=object)
         sh[int(r.doc_id)] = set(_shingle_hashes(tk, shingle_k).tolist())
     rows = []
@@ -185,7 +277,8 @@ def jaccard_verify(ds: ray.data.Dataset, pairs: pd.DataFrame, shingle_k: int = 3
         union = len(s1 | s2)
         j = len(s1 & s2) / union if union else 0.0
         if j >= threshold:
-            rows.append((int(r.doc_a), int(r.doc_b), round(j, 6)))
+            # floor(x*1e6+0.5)/1e6: round-half-up, identical in numpy and SQL
+            rows.append((int(r.doc_a), int(r.doc_b), float(np.floor(j * 1e6 + 0.5) / 1e6)))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
@@ -200,7 +293,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> pd.DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -210,36 +303,48 @@ def ngram_jaccard_pairs(
     wide shuffle moves 8-byte shingle hashes, never document text. Set (not
     multiset) semantics: shingles are deduped per doc before the shuffle.
 
-    ``max_shingle_df`` caps the per-shingle bucket size at scale (a boilerplate
-    phrase shared by m docs emits m² pairs); None = exact, which the oracle
-    comparison requires. Reference analog: the job-id idempotency dedup
+    ``max_shingle_df`` (default 1000) caps the per-shingle bucket size at
+    scale — a boilerplate phrase shared by m docs would otherwise emit m²
+    pairs; dropped groups are counted and logged. Pass ``None`` for the exact
+    (oracle-comparison) path. Reference analog: the job-id idempotency dedup
     (app/services/job_service.py:60-83) generalised to content similarity.
     """
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         tokens, doc_index, n_tokens = tokenize_column(batch[text_col])
-        toks = np.asarray(tokens.to_pylist(), dtype=object)
-        bounds = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_id: list[int] = []
-        out_sh: list[int] = []
-        for i in range(batch.num_rows):
-            sh = np.unique(_shingle_hashes(toks[bounds[i] : bounds[i + 1]], shingle_k))
-            out_id.extend([int(ids[i])] * len(sh))
-            out_sh.extend(int(v) for v in sh)
+        tok_h = _token_hashes(tokens)
+        sh_v, sh_d = _shingle_hashes_batch(tok_h, n_tokens, shingle_k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-doc unique shingles: sort (doc, val), drop consecutive dups
+        order = np.lexsort((sh_v, sh_d))
+        v, d = sh_v[order], sh_d[order]
+        keep = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            keep[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
         return pa.table(
             {
-                id_col: pa.array(out_id, type=pa.int64()),
-                "shingle": pa.array(out_sh, type=pa.uint64()),
+                id_col: pa.array(ids[d[keep]], type=pa.int64()),
+                "shingle": pa.array(v[keep], type=pa.uint64()),
             }
         )
 
-    sh = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: sh feeds TWO consumers (pair groupby + size groupby);
+    # without this Ray would re-run the tokenize+shingle pass per consumer
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    n_dropped = 0
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2 or (max_shingle_df is not None and len(ids) > max_shingle_df):
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+        if len(ids) < 2:
+            return empty
+        if max_shingle_df is not None and len(ids) > max_shingle_df:
+            logger.warning(
+                "ngram_jaccard_pairs: dropping shingle group with df=%d > max_shingle_df=%d",
+                len(ids), max_shingle_df,
+            )
+            return empty
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
@@ -250,6 +355,7 @@ def ngram_jaccard_pairs(
         .count()
         .to_pandas()
     )
+    _ = n_dropped
     # per-doc distinct-shingle counts: tree-aggregated, tiny rows (id, n)
     sizes = sh.groupby(id_col).count().to_pandas()
     nsh = dict(zip(sizes[id_col].astype(int), sizes["count()"].astype(int)))
@@ -265,7 +371,9 @@ def ngram_jaccard_pairs(
         {"doc_a": inter["doc_a"].astype("int64"), "doc_b": inter["doc_b"].astype("int64"), "jaccard": j}
     )
     out = out[out["jaccard"] >= threshold].copy()
-    out["jaccard"] = out["jaccard"].round(6)
+    # floor(x*1e6+0.5)/1e6: round-half-up, bit-identical to the SQL oracle's
+    # floor formula (Python/numpy round() is half-to-even and can flake)
+    out["jaccard"] = np.floor(out["jaccard"].to_numpy() * 1e6 + 0.5) / 1e6
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -275,13 +383,10 @@ def ngram_jaccard_pairs(
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """64-bit simhash over the token multiset (vectorized bit-vote)."""
+    """64-bit simhash over the token multiset (vectorized bit-vote; per-token
+    hashes via the dictionary-encoded vocab, not a Python loop)."""
     tokens, doc_index, n_tokens = tokenize_column(batch[text_col])
-    toks = tokens.to_pylist()
-    th = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in toks],
-        dtype=np.uint64,
-    )
+    th = _token_hashes(tokens)
     n = batch.num_rows
     votes = np.zeros((n, 64), dtype=np.int64)
     if len(th):
@@ -292,7 +397,7 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     return pa.table(
         {
             id_col: batch[id_col],
-            "simhash": pa.array(vals.astype(np.int64).view(np.uint64).astype("uint64"), type=pa.uint64()),
+            "simhash": pa.array(vals, type=pa.uint64()),
         }
     )
 
@@ -309,17 +414,17 @@ def simhash_pairs(ds: ray.data.Dataset, radius: int = 3) -> pd.DataFrame:
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        qs, out_ids, out_h, out_q = [], [], [], []
+        out_ids, out_h, out_q = [], [], []
         for q in range(4):
             quarter = ((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
             out_ids.append(ids)
             out_h.append(h)
-            out_q.extend([(q << 16) | int(v) for v in quarter])
+            out_q.append((q << 16) | quarter)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
                 "simhash": pa.array(np.concatenate(out_h), type=pa.uint64()),
-                "qkey": pa.array(out_q, type=pa.int64()),
+                "qkey": pa.array(np.concatenate(out_q), type=pa.int64()),
             }
         )
 
@@ -330,7 +435,9 @@ def simhash_pairs(ds: ray.data.Dataset, radius: int = 3) -> pd.DataFrame:
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
-        ham = np.array([bin(int(x)).count("1") for x in (hs[a] ^ hs[b])])
+        x = hs[a] ^ hs[b]
+        # vectorized popcount: view the u64 xor as 8 bytes, table-lookup bits
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= radius
         return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]})
 

@@ -108,6 +108,12 @@ def text_features_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
 # Python re agree on it exactly
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# whitespace-token pattern as an EXPLICIT class: Python's \S is Unicode-aware
+# while RE2's (Arrow, DuckDB) is ASCII-only, so \S+ counts/tokenizes
+# differently on \x0b/\x85/\xa0/U+2000-range text. The explicit class below is
+# RE2's exact \s complement and means the same thing to every engine involved.
+WS_TOKEN_PATTERN = "[^ \t\n\r\f\v]+"
+
 _ROLL_MOD = (1 << 31) - 1
 _ROLL_BASE = 1000003
 
@@ -136,9 +142,9 @@ def token_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
     txt = pc.fill_null(txt, "")
-    n_ws = pc.count_substring_regex(txt, pattern=r"\S+").to_numpy(zero_copy_only=False)
+    n_ws = pc.count_substring_regex(txt, pattern=WS_TOKEN_PATTERN).to_numpy(zero_copy_only=False)
     n_bpe = pc.count_substring_regex(txt, pattern=BPE_PATTERN).to_numpy(zero_copy_only=False)
-    ws_re = re.compile(r"\S+")
+    ws_re = re.compile(WS_TOKEN_PATTERN)
     fps = [_rolling_fp(ws_re.findall(t)) for t in txt.to_pylist()]
     return pa.table(
         {

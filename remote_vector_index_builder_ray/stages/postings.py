@@ -49,6 +49,9 @@ class PostingsPartials:
     def __init__(self, shard_range: int, num_buckets: int = 64):
         self.shard_range = shard_range
         self.num_buckets = num_buckets
+        # term -> bucket memo: crc32 runs once per unique term per worker
+        # lifetime, not once per (term, batch)
+        self._bucket_memo: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -90,10 +93,18 @@ class PostingsPartials:
         terms = vocab.take(pa.array(s_code[starts]))
         import zlib
 
-        vocab_buckets = np.array(
-            [zlib.crc32(t.encode()) % self.num_buckets for t in vocab.to_pylist()],
+        memo = self._bucket_memo
+        nb = self.num_buckets
+        vocab_buckets = np.fromiter(
+            (
+                memo[t] if t in memo else memo.setdefault(t, zlib.crc32(t.encode()) % nb)
+                for t in vocab.to_pylist()
+            ),
             dtype=np.int32,
+            count=len(vocab),
         )
+        if len(memo) > 4_000_000:  # bound worker memory on huge vocabularies
+            memo.clear()
         return pa.table(
             {
                 "term": terms.cast(pa.string()),
