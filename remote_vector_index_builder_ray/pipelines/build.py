@@ -190,10 +190,14 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         )
         seg_dir = os.path.join(cfg.index_dir, "segments", key)
         # hive-partitioned by bucket: this write IS the merge shuffle.
-        # coalesce to a few blocks first — files per bucket == write tasks,
-        # and the merge reads every (partition x bucket) file
+        # Coalesce before the write — files per bucket == write tasks and the
+        # merge reads every (partition x bucket) file — but size the block
+        # count from the cluster so the write isn't serialized onto a handful
+        # of tasks (round 1 hard-coded 4 and the write was the phase-A
+        # bottleneck at 32 CPUs).
+        n_write = max(4, min(cluster_cpus // workers, 32))
         atomic_write_dir(
-            lambda d: partials.repartition(4).write_parquet(d, partition_cols=["bucket"]),
+            lambda d: partials.repartition(n_write).write_parquet(d, partition_cols=["bucket"]),
             seg_dir,
         )
 
@@ -224,7 +228,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     # concurrent sub-pipelines only pay off when each can get ~8 CPUs; on a
     # small cluster they starve each other (each needs read tasks + an actor)
     cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
-    workers = max(1, min(4, len(partitions), cluster_cpus // 8))
+    workers = int(os.environ.get("GRAFT_PHASEA_WORKERS", max(1, min(4, len(partitions), cluster_cpus // 8))))
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = [pool.submit(_build_partition, pid, files) for pid, files in enumerate(partitions)]
         for f in futures:

@@ -45,24 +45,27 @@ RESULT_SCHEMA = pa.schema(
 
 
 class _TermPostings:
-    """One term's merged segment rows (all shards, shard==docid order)."""
+    """One term's merged segment rows (all shards, shard==docid order).
+
+    Holds numpy views over the Arrow block metadata and memoryview slices of
+    the binary payload buffers — constructed zero-copy by
+    ``BM25Searcher._load_terms`` (no ``to_pylist`` row conversion)."""
 
     SUPERBLOCK = 64  # blocks per lazily-decoded cache unit (~8k postings)
 
     __slots__ = ("first", "last", "count", "maxtn", "docb", "tfb", "dlb", "df", "cf",
                  "_decoded", "_tn", "_sb")
 
-    def __init__(self, rows: list[dict]):
-        rows = sorted(rows, key=lambda r: r["shard"])
-        self.first = np.concatenate([np.asarray(r["first_docids"], np.int64) for r in rows])
-        self.last = np.concatenate([np.asarray(r["last_docids"], np.int64) for r in rows])
-        self.count = np.concatenate([np.asarray(r["counts"], np.int64) for r in rows])
-        self.maxtn = np.concatenate([np.asarray(r["max_tfnorm"], np.float64) for r in rows])
-        self.docb = [b for r in rows for b in r["docid_bytes"]]
-        self.tfb = [b for r in rows for b in r["tf_bytes"]]
-        self.dlb = [b for r in rows for b in r["dl_bytes"]]
-        self.df = int(sum(r["df_shard"] for r in rows))
-        self.cf = int(sum(r["cf_shard"] for r in rows))
+    def __init__(self, first, last, count, maxtn, docb, tfb, dlb, df, cf):
+        self.first = first
+        self.last = last
+        self.count = count
+        self.maxtn = maxtn
+        self.docb = docb
+        self.tfb = tfb
+        self.dlb = dlb
+        self.df = int(df)
+        self.cf = int(cf)
         self._decoded = None
         self._tn = None
         self._sb: dict[int, tuple] = {}
@@ -223,22 +226,74 @@ class BM25Searcher:
                 out.append(path)
         return out
 
+    @staticmethod
+    def _binary_views(col: pa.ChunkedArray | pa.ListArray) -> tuple[np.ndarray, memoryview, np.ndarray]:
+        """(flat element offsets, payload buffer, per-row list offsets) of a
+        list<binary> column — zero-copy views over the Arrow buffers."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        row_off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        bufs = flat.buffers()
+        o = flat.offset  # offsets buffer holds absolute positions from index o
+        elem_off = np.frombuffer(
+            bufs[1], dtype=np.int32, count=o + len(flat) + 1
+        )[o:].astype(np.int64)
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        return elem_off, data, row_off
+
     def _load_terms(self, terms: list[str]) -> None:
+        """Read the missing terms' segment rows and build ``_TermPostings``
+        directly from the Arrow buffers (block metadata as numpy views, block
+        payloads as memoryview slices) — no per-row Python dict conversion."""
         missing = [t for t in terms if t not in self._cache]
         if not missing:
             return
-        rows_by_term: dict[str, list[dict]] = {t: [] for t in missing}
         paths = self._candidate_files(missing)
-        for path in paths:
-            t = pq.read_table(
-                path, filters=[("term", "in", missing)]
-            )
-            for row in t.to_pylist():
-                rows_by_term[row["term"]].append(row)
+        tabs = [pq.read_table(p, filters=[("term", "in", missing)]) for p in paths]
         if len(self._cache) + len(missing) > self.cache_terms:
             self._cache.clear()
         for t in missing:
-            self._cache[t] = _TermPostings(rows_by_term[t]) if rows_by_term[t] else None
+            self._cache[t] = None
+        if not tabs:
+            return
+        tt = pa.concat_tables(tabs, promote_options="default")
+        if tt.num_rows == 0:
+            return
+        # rows sorted by (term, shard): shard order == docid order per term
+        tt = tt.sort_by([("term", "ascending"), ("shard", "ascending")]).combine_chunks()
+        row_terms = tt["term"].to_pylist()
+        df_s = tt["df_shard"].to_numpy(zero_copy_only=False)
+        cf_s = tt["cf_shard"].to_numpy(zero_copy_only=False)
+
+        def _list_views(name: str, dtype):
+            col = tt[name].combine_chunks()
+            ro = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+            return ro, vals
+
+        fo, fv = _list_views("first_docids", np.int64)
+        lo_, lv = _list_views("last_docids", np.int64)
+        co, cv = _list_views("counts", np.int64)
+        mo, mv = _list_views("max_tfnorm", np.float64)
+        d_eo, d_buf, d_ro = self._binary_views(tt["docid_bytes"])
+        t_eo, t_buf, t_ro = self._binary_views(tt["tf_bytes"])
+        l_eo, l_buf, l_ro = self._binary_views(tt["dl_bytes"])
+
+        i = 0
+        n = tt.num_rows
+        while i < n:
+            j = i
+            while j < n and row_terms[j] == row_terms[i]:
+                j += 1
+            docb = [d_buf[d_eo[e]:d_eo[e + 1]] for e in range(d_ro[i], d_ro[j])]
+            tfb = [t_buf[t_eo[e]:t_eo[e + 1]] for e in range(t_ro[i], t_ro[j])]
+            dlb = [l_buf[l_eo[e]:l_eo[e + 1]] for e in range(l_ro[i], l_ro[j])]
+            self._cache[row_terms[i]] = _TermPostings(
+                fv[fo[i]:fo[j]], lv[lo_[i]:lo_[j]], cv[co[i]:co[j]], mv[mo[i]:mo[j]],
+                docb, tfb, dlb, df_s[i:j].sum(), cf_s[i:j].sum(),
+            )
+            i = j
 
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int):
