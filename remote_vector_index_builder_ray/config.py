@@ -89,9 +89,11 @@ class BuildConfig:
     docid_mode: str = "dense"
     # Tokenize/build batch size (docs per batch = docs per SPIMI partial).
     # Bigger batches -> fewer partial rows into the merge shuffle (the
-    # per-batch vocabulary grows sublinearly); per-batch token memory at 32k
-    # docs x ~40 tokens stays well under a worker heap.
-    batch_size: int = 32768
+    # per-batch vocabulary grows sublinearly) but fewer, longer map tasks.
+    # Measured at sf0.1/32cpu: 4096 -> 4.2M partial rows, map 2.5s;
+    # 32768 -> 1.0M rows, map 5.1s (starved CPUs). 16384 balances both and
+    # keeps per-batch token memory well under a worker heap.
+    batch_size: int = 16384
 
     def job_id(self) -> str:
         payload = json.dumps(

@@ -43,6 +43,8 @@ def rank_identity(results: pd.DataFrame, golden: pd.DataFrame, score_rtol: float
 def estimate_partitions(paths: list[str], target_bytes_per_partition: int = 2 << 30,
                         max_partitions: int = 512) -> int:
     """Checkpoint-partition count from input size: ~target bytes each."""
-    total = sum(os.path.getsize(p) for p in paths)
+    from remote_vector_index_builder_ray.state import fs
+
+    total = sum(fs.file_size(p) for p in paths)
     return int(np.clip((total + target_bytes_per_partition - 1) // target_bytes_per_partition,
                        1, min(max_partitions, len(paths))))

@@ -24,13 +24,11 @@ job re-runs are idempotent.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data
 
 from remote_vector_index_builder_ray.config import BuildConfig, HashCollisionError
@@ -43,6 +41,7 @@ from remote_vector_index_builder_ray.stages.docids import (
 )
 from remote_vector_index_builder_ray.stages.merge import merge_bucket_files
 from remote_vector_index_builder_ray.stages.postings import PostingsPartials, add_doc_len
+from remote_vector_index_builder_ray.state import fs
 from remote_vector_index_builder_ray.state.manifest import Manifest, atomic_write_dir
 
 DOCMETA_COLUMNS = ["docid", "conv_id", "turn_idx", "role", "text", "tool", "ts", "doc_len"]
@@ -85,8 +84,18 @@ def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[
 
 
 def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
-    """Build (or resume) the index; returns the manifest dict."""
-    os.makedirs(cfg.index_dir, exist_ok=True)
+    """Build (or resume) the index; returns the manifest dict.
+
+    ``cfg.index_dir`` and ``cfg.input_paths`` are URIs resolved through the
+    ``state.fs`` object-store layer (plain path = local fs; ``s3://`` etc. via
+    pyarrow.fs; ``mock://`` = the conformance stand-in store) — every byte of
+    index state moves through that layer, so build/merge/search tasks on any
+    node of a multi-node cluster address the same store. Analog of the
+    reference's ObjectStore factory + S3 multipart read/write
+    (``core/object_store/object_store_factory.py:27-56``,
+    ``core/object_store/s3/s3_object_store.py:216-359``).
+    """
+    fs.makedirs(cfg.index_dir)
     job_id = cfg.job_id()
     man = Manifest.load(cfg.index_dir) if resume else None
     if man is not None and man.data.get("job_id") not in (None, job_id):
@@ -99,7 +108,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         man.data["job_id"] = job_id
         # bucket count fixed at job start (resume must reuse it — partials
         # are physically partitioned by it): ~64 MB of input per merge bucket
-        total_bytes = sum(os.path.getsize(p) for p in cfg.input_paths)
+        total_bytes = sum(fs.file_size(p) for p in cfg.input_paths)
         man.data["num_buckets"] = int(np.clip(total_bytes // (64 << 20), 32, 65536))
         man.data["config"] = {
             "input_paths": cfg.input_paths,
@@ -114,9 +123,9 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     read_transcripts(cfg.input_paths[:1])
 
     # ---- phase 0: conv offsets / docid basis --------------------------------
-    offsets_path = os.path.join(cfg.index_dir, "conv_offsets.parquet")
+    offsets_path = fs.join(cfg.index_dir, "conv_offsets.parquet")
     if cfg.docid_mode == "dense":
-        if not (man.stage_done("conv_offsets") and os.path.exists(offsets_path)):
+        if not (man.stage_done("conv_offsets") and fs.exists(offsets_path)):
             t0 = time.time()
             two = read_transcripts(cfg.input_paths, columns=["conv_id", "turn_idx"])
             if cfg.dedup:
@@ -124,10 +133,11 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 two = two.groupby(["conv_id", "turn_idx"]).count()
             conv_ids, offsets, n_docs, _ = compute_conv_offsets(two, validate_dense=True)
             tbl = pa.table({"conv_id": pa.array(conv_ids), "offset": pa.array(offsets, type=pa.int64())})
-            pq.write_table(tbl, offsets_path + ".tmp")
-            os.replace(offsets_path + ".tmp", offsets_path)
+            # safe without a temp file: the stage commit (below) happens only
+            # after the write completes, and resume re-writes on a dirty file
+            fs.write_table(tbl, offsets_path)
             man.commit_stage("conv_offsets", {"n_convs": len(conv_ids), "n_docs": n_docs, "sec": time.time() - t0})
-        tbl = pq.read_table(offsets_path)
+        tbl = fs.read_table(offsets_path)
         conv_ids = tbl["conv_id"].to_numpy(zero_copy_only=False)
         offsets = tbl["offset"].to_numpy(zero_copy_only=False)
 
@@ -137,14 +147,14 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     # phase A then consumes the deduped staging files.
     input_paths = cfg.input_paths
     if cfg.dedup:
-        dedup_dir = os.path.join(cfg.index_dir, "deduped")
+        dedup_dir = fs.join(cfg.index_dir, "deduped")
         if not man.stage_done("dedup"):
             t0 = time.time()
-            ds = ray.data.read_parquet(cfg.input_paths)
-            atomic_write_dir(lambda d: dedup_exact(ds).write_parquet(d), dedup_dir)
+            ds = ray.data.read_parquet(**fs.for_ray_paths(cfg.input_paths))
+            atomic_write_dir(lambda d: dedup_exact(ds).write_parquet(**fs.for_ray(d)), dedup_dir)
             man.commit_stage("dedup", {"sec": time.time() - t0})
         input_paths = [
-            os.path.join(dedup_dir, f) for f in sorted(os.listdir(dedup_dir)) if f.endswith(".parquet")
+            fs.join(dedup_dir, f) for f in fs.listdir(dedup_dir) if f.endswith(".parquet")
         ]
 
     # ---- phase A: per-partition docmeta + posting partials ------------------
@@ -165,21 +175,21 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             return
         t0 = time.time()
         with read_lock:
-            ds = ray.data.read_parquet(files)
+            ds = ray.data.read_parquet(**fs.for_ray_paths(files))
         if cfg.docid_mode == "dense":
             ds = assign_docids_dense(ds, conv_ids, offsets)
         else:
             ds = assign_docids_sort(ds)
         dm = ds.map_batches(add_doc_len, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=cfg.batch_size).select_columns(DOCMETA_COLUMNS)
-        dm_dir = os.path.join(cfg.index_dir, "docmeta", key)
-        atomic_write_dir(lambda d: dm.write_parquet(d), dm_dir)
+        dm_dir = fs.join(cfg.index_dir, "docmeta", key)
+        atomic_write_dir(lambda d: dm.write_parquet(**fs.for_ray(d)), dm_dir)
         t_meta = time.time()
 
         # partials read back from the committed docmeta (pruned to 2 columns) —
         # consistent by construction and avoids re-running docid assignment
         with read_lock:
-            src = ray.data.read_parquet(dm_dir, columns=["docid", "text", "doc_len"])
+            src = ray.data.read_parquet(**fs.for_ray_paths([dm_dir]), columns=["docid", "text", "doc_len"])
         # stateless task closure (the "state" is two ints) — avoids spinning
         # up an actor pool per concurrent partition pipeline
         partials = src.map_batches(
@@ -188,7 +198,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
         )
-        seg_dir = os.path.join(cfg.index_dir, "segments", key)
+        seg_dir = fs.join(cfg.index_dir, "segments", key)
         # hive-partitioned by bucket: this write IS the merge shuffle.
         # Coalesce before the write — files per bucket == write tasks and the
         # merge reads every (partition x bucket) file — but size the block
@@ -197,18 +207,20 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         # bottleneck at 32 CPUs).
         n_write = max(4, min(cluster_cpus // workers, 32))
         atomic_write_dir(
-            lambda d: partials.repartition(n_write).write_parquet(d, partition_cols=["bucket"]),
+            lambda d: partials.repartition(n_write).write_parquet(
+                **fs.for_ray(d), partition_cols=["bucket"]
+            ),
             seg_dir,
         )
 
-        # lineage from the written docmeta footers (no extra data pass)
+        # lineage from the written docmeta (one pruned column read)
         n_docs = 0
         total_len = 0
-        for fn in os.listdir(dm_dir):
+        for fn in fs.listdir(dm_dir):
             if fn.endswith(".parquet"):
-                p = os.path.join(dm_dir, fn)
-                n_docs += pq.read_metadata(p).num_rows
-                total_len += int(pa.compute.sum(pq.read_table(p, columns=["doc_len"])["doc_len"]).as_py() or 0)
+                t = fs.read_table(fs.join(dm_dir, fn), columns=["doc_len"])
+                n_docs += t.num_rows
+                total_len += int(pa.compute.sum(t["doc_len"]).as_py() or 0)
         with man_lock:
             man.commit_partition(
                 key,
@@ -247,8 +259,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         "block_size": cfg.bm25.block_size,
         "shard_range": cfg.bm25.shard_range,
     }
-    with open(os.path.join(cfg.index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    fs.write_json_atomic(fs.join(cfg.index_dir, "stats.json"), stats)
     man.data["stats"] = stats
     man.save()
 
@@ -259,44 +270,44 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     # deterministic bucket-NNNNN postings + termstats files. No sort, no
     # groupby machinery — the one wide exchange of the build is plain
     # partitioned-file I/O, which is how it must work at 10^12-turn scale.
-    seg_root = os.path.join(cfg.index_dir, "segments")
-    postings_dir = os.path.join(cfg.index_dir, "postings")
-    termstats_dir = os.path.join(cfg.index_dir, "termstats")
+    seg_root = fs.join(cfg.index_dir, "segments")
+    postings_dir = fs.join(cfg.index_dir, "postings")
+    termstats_dir = fs.join(cfg.index_dir, "termstats")
     if not man.stage_done("merge"):
         t0 = time.time()
+        # one recursive listing of the segment tree (a single object-store
+        # LIST call per level, not a per-dir walk)
         bucket_files: dict[int, list[str]] = {}
-        for part in sorted(os.listdir(seg_root)):
-            pdir = os.path.join(seg_root, part)
-            for bdir in sorted(os.listdir(pdir)):
-                if not bdir.startswith("bucket="):
-                    continue
-                bkt = int(bdir.split("=", 1)[1])
-                for f in sorted(os.listdir(os.path.join(pdir, bdir))):
-                    if f.endswith(".parquet"):
-                        bucket_files.setdefault(bkt, []).append(os.path.join(pdir, bdir, f))
+        for rel in fs.listdir(seg_root, recursive=True):
+            if not rel.endswith(".parquet"):
+                continue
+            parts = rel.split("/")
+            bdir = next((p for p in parts if p.startswith("bucket=")), None)
+            if bdir is None:
+                continue
+            bkt = int(bdir.split("=", 1)[1])
+            bucket_files.setdefault(bkt, []).append(fs.join(seg_root, rel))
 
         merge_task = ray.remote(merge_bucket_files)
-        import shutil
-
         tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
         for d in (tmp_post, tmp_ts):
-            shutil.rmtree(d, ignore_errors=True)
-            os.makedirs(d, exist_ok=True)
+            fs.rm_tree(d)
+            fs.makedirs(d)
         futures = [
             merge_task.remote(
                 files, avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size, bkt,
-                os.path.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
-                os.path.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
+                fs.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
+                fs.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
             )
             for bkt, files in sorted(bucket_files.items())
         ]
         results = ray.get(futures)
         for final in (postings_dir, termstats_dir):
-            shutil.rmtree(final, ignore_errors=True)
-        os.replace(tmp_post, postings_dir)
-        os.replace(tmp_ts, termstats_dir)
+            fs.rm_tree(final)
+        fs.move_dir(tmp_post, postings_dir)
+        fs.move_dir(tmp_ts, termstats_dir)
         man.data["postings_files"] = [
-            {"path": os.path.join(postings_dir, f"bucket-{bkt:05d}.parquet"), "bucket": bkt}
+            {"path": fs.join(postings_dir, f"bucket-{bkt:05d}.parquet"), "bucket": bkt}
             for bkt, _ in sorted(bucket_files.items())
         ]
         man.commit_stage(

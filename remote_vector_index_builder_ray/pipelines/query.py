@@ -67,11 +67,10 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     small-side lookup at 100 TB scale. Returns a pandas DataFrame (results are
     queries x k rows — driver-small by construction).
     """
-    import os
-
     import numpy as np
-    import pyarrow.compute as pc
     import ray
+
+    from remote_vector_index_builder_ray.state import fs
 
     res = results.to_pandas()
     wanted = np.unique(res["docid"].to_numpy())
@@ -88,7 +87,7 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
             mask = self.wanted[idx] == ids
             return batch.filter(pa.array(mask))
 
-    dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta")).map_batches(
+    dm = ray.data.read_parquet(**fs.for_ray_paths([fs.join(index_dir, "docmeta")])).map_batches(
         FilterDocs, fn_constructor_args=(ref,), batch_format="pyarrow",
         zero_copy_batch=True, concurrency=(1, 4),
     )

@@ -45,8 +45,11 @@ def validate_schema(schema: pa.Schema) -> None:
 
 
 def read_transcripts(paths: list[str], columns: list[str] | None = None) -> ray.data.Dataset:
-    """Read + validate transcript parquet. ``columns`` prunes at the read."""
-    ds = ray.data.read_parquet(paths, columns=columns)
+    """Read + validate transcript parquet. ``columns`` prunes at the read.
+    Paths may be URIs (s3://, mock://) — resolved via the state.fs layer."""
+    from remote_vector_index_builder_ray.state import fs
+
+    ds = ray.data.read_parquet(**fs.for_ray_paths(paths), columns=columns)
     schema = ds.schema()
     if columns is None:
         validate_schema(pa.schema([(n, t) for n, t in zip(schema.names, schema.types)]))

@@ -243,23 +243,25 @@ def merge_bucket_files(
     (term, shard) groups vectorized, write the postings file (deterministic
     ``bucket-NNNNN.parquet`` name the searcher addresses by hash) and the
     bucket's term stats. Runs as a plain Ray task; the whole merge phase is
-    just num_buckets independent tasks — no sort/groupby machinery.
+    just num_buckets independent tasks — no sort/groupby machinery. All paths
+    are URIs resolved via the ``state.fs`` object-store layer, so the task
+    runs unchanged on any node of a multi-node cluster.
     """
-    import pyarrow.parquet as pq
+    from remote_vector_index_builder_ray.state import fs
 
-    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    tbl = pa.concat_tables([fs.read_table(f) for f in files], promote_options="default")
     if "bucket" in tbl.column_names:
         tbl = tbl.drop_columns(["bucket"])
     merged = merge_partials_table(tbl, avgdl, k1, b, block_size)
     merged = merged.append_column(
         "bucket", pa.array(np.full(merged.num_rows, bucket, dtype=np.int32))
     )
-    pq.write_table(merged, postings_path, row_group_size=row_group_size)
+    fs.write_table(merged, postings_path, row_group_size=row_group_size)
     ts = (
         pa.TableGroupBy(merged.select(["term", "df_shard", "cf_shard"]), "term")
         .aggregate([("df_shard", "sum"), ("cf_shard", "sum")])
         .rename_columns(["term", "df", "cf"])
     )
     ts = ts.sort_by("term")
-    pq.write_table(ts, termstats_path)
+    fs.write_table(ts, termstats_path)
     return merged.num_rows, ts.num_rows

@@ -22,13 +22,10 @@ predicate pushdown via parquet row-group stats does the rest. No shuffle.
 from __future__ import annotations
 
 import heapq
-import json
-import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 from remote_vector_index_builder_ray.functions.bm25 import idf as _idf, tfnorm, topk_order
 from remote_vector_index_builder_ray.functions.codec import decode_block, decode_posting_run
@@ -195,18 +192,26 @@ class BM25Searcher:
     """Callable class for ``queries.map_batches(BM25Searcher, concurrency=N)``."""
 
     def __init__(self, index_dir: str, mode: str = "bmw", cache_terms: int = 8192):
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            st = json.load(f)
+        # all index state resolves through the state.fs object-store layer:
+        # the actor may run on any node; index_dir may be s3:// / mock://
+        from remote_vector_index_builder_ray.state import fs as _fs
+
+        self._fs = _fs
+        st = _fs.read_json(_fs.join(index_dir, "stats.json"))
         self.N = int(st["N"])
         self.avgdl = float(st["avgdl"])
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
         self.mode = mode
         self.cache_terms = cache_terms
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            man = json.load(f)
-        self.postings_dir = os.path.join(index_dir, "postings")
+        man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
+        self.postings_dir = _fs.join(index_dir, "postings")
         self.num_buckets = int(man["num_buckets"])
+        # one LIST of the postings dir (loaded once per actor) replaces a
+        # per-term existence stat against the object store
+        self._present = {
+            name for name in _fs.listdir(self.postings_dir) if name.endswith(".parquet")
+        }
         self._cache: dict[str, _TermPostings | None] = {}
 
     # -- postings lookup ------------------------------------------------------
@@ -221,9 +226,9 @@ class BM25Searcher:
         parquet predicate pushdown."""
         out = []
         for bkt in sorted({self._term_bucket(t) for t in terms}):
-            path = os.path.join(self.postings_dir, f"bucket-{bkt:05d}.parquet")
-            if os.path.exists(path):
-                out.append(path)
+            name = f"bucket-{bkt:05d}.parquet"
+            if name in self._present:
+                out.append(self._fs.join(self.postings_dir, name))
         return out
 
     @staticmethod
@@ -250,7 +255,7 @@ class BM25Searcher:
         if not missing:
             return
         paths = self._candidate_files(missing)
-        tabs = [pq.read_table(p, filters=[("term", "in", missing)]) for p in paths]
+        tabs = [self._fs.read_table(p, filters=[("term", "in", missing)]) for p in paths]
         if len(self._cache) + len(missing) > self.cache_terms:
             self._cache.clear()
         for t in missing:

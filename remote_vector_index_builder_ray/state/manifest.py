@@ -2,17 +2,18 @@
 
 The analog of the reference's job store + ``TaskResult``
 (``app/storage/memory.py:22-57``, ``core/tasks.py:59-77``) — but durable on the
-filesystem next to the index, because our resume unit is the per-partition
+index's object store / filesystem, because our resume unit is the per-partition
 segment (SURVEY.md section 4.2). A partition is "committed" when its output
-dirs exist AND the manifest records it; writes are temp+rename so retries are
-idempotent (Ray may re-run tasks).
+dirs exist AND the manifest records it; all I/O goes through the
+``state.fs`` URI layer so the manifest lives wherever the index lives
+(local dir, ``mock://`` conformance store, ``s3://`` bucket).
 """
 
 from __future__ import annotations
 
-import json
-import os
 import time
+
+from remote_vector_index_builder_ray.state import fs
 
 
 class Manifest:
@@ -20,7 +21,7 @@ class Manifest:
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        self.path = os.path.join(index_dir, self.FILENAME)
+        self.path = fs.join(index_dir, self.FILENAME)
         self.data: dict = {
             "job_id": None,
             "config": {},
@@ -36,18 +37,14 @@ class Manifest:
     @classmethod
     def load(cls, index_dir: str) -> "Manifest | None":
         m = cls(index_dir)
-        if os.path.exists(m.path):
-            with open(m.path) as f:
-                m.data = json.load(f)
+        if fs.exists(m.path):
+            m.data = fs.read_json(m.path)
             return m
         return None
 
     def save(self) -> None:
-        os.makedirs(self.index_dir, exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f, indent=1, default=str)
-        os.replace(tmp, self.path)
+        fs.makedirs(self.index_dir)
+        fs.write_json_atomic(self.path, self.data)
 
     # -- partition checkpoints ------------------------------------------------
     def partition_committed(self, pid: str) -> bool:
@@ -80,17 +77,5 @@ class Manifest:
         self.save()
 
 
-def atomic_write_dir(write_fn, final_dir: str) -> None:
-    """Run ``write_fn(tmp_dir)`` then atomically rename to ``final_dir``.
-
-    Idempotent checkpoint write: a crashed/retried attempt leaves only a tmp
-    dir, never a partial final dir.
-    """
-    import shutil
-
-    tmp = final_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    write_fn(tmp)
-    shutil.rmtree(final_dir, ignore_errors=True)
-    os.replace(tmp, final_dir)
+# Back-compat alias: the build pipeline imports atomic_write_dir from here.
+atomic_write_dir = fs.atomic_write_dir
