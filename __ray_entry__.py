@@ -37,6 +37,93 @@ for _sf in ("sf0.001", "sf0.01"):
     _fx.ensure_fixture(_sf)
 _fx.ensure_fixture("sf0.01", with_dups=True)  # dedup_transcripts oracle reads it
 
+# ---------------------------------------------------------------------------
+# Persisted oracle artifacts. The approximate operators (simhash banding,
+# IVF probing) and the synthesized media tables are deterministic with fixed
+# seeds; persisting them as parquet lets a DuckDB twin recompute the
+# SQL-expressible part (hamming pairs, brute-force recall join, md5 features)
+# on exactly the same inputs — upgrading these entries from rows-only checks
+# to full row/schema/hash matches.
+# ---------------------------------------------------------------------------
+
+ARTIFACT_ROOT = "/tmp/graft_fixtures/artifacts"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _write_atomic(tbl, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
+def _ensure_media_artifacts() -> dict[str, str]:
+    """Persist the deterministic media/video fixture tables (no Ray needed)."""
+    from remote_vector_index_builder_ray.extras.multimodal import (
+        synth_media_table,
+        synth_video_table,
+    )
+
+    paths = {
+        "media": os.path.join(ARTIFACT_ROOT, "media200.parquet"),
+        "video": os.path.join(ARTIFACT_ROOT, "video100.parquet"),
+    }
+    if not os.path.exists(paths["media"]):
+        _write_atomic(synth_media_table(200), paths["media"])
+    if not os.path.exists(paths["video"]):
+        _write_atomic(synth_video_table(100), paths["video"])
+    return paths
+
+
+def _ensure_simhash_artifact() -> str:
+    """Engine-computed simhash signatures over the oracle-scale documents
+    table (pure per-batch function — no Ray needed); SQL recomputes the
+    hamming-radius pairs from these signatures by brute force."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.dedup import simhash_batch
+
+    path = os.path.join(ARTIFACT_ROOT, "sf0.01_simhash.parquet")
+    if not os.path.exists(path):
+        docs = pq.read_table(os.path.join(ORACLE_SF_DIR, "documents.parquet"))
+        _write_atomic(simhash_batch(docs), path)
+    return path
+
+
+def _ivf_artifact_path(sf_name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{sf_name}_ivf_topk.parquet")
+
+
+def _ensure_ivf_artifact(sf_dir: str) -> str:
+    """Run the (deterministic: modulo sample + fixed seeds) distributed IVF
+    top-k over ``sf_dir`` embeddings and persist the result; the SQL twin
+    joins it against a brute-force top-k computed in SQL to produce the same
+    per-query recall the Ray side reports."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import ivf_topk
+
+    path = _ivf_artifact_path(_sf_name(sf_dir))
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    ivf = ivf_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10,
+    )
+    _write_atomic(pa.Table.from_pandas(ivf, preserve_index=False), path)
+    return path
+
+
+# (artifact generation calls live at the bottom of this module, after all
+# helpers they depend on are defined)
+
 
 def _sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
@@ -208,9 +295,11 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
-    from remote_vector_index_builder_ray.extras.ann import embedding_near_dup_exact
+    """Banded-LSH candidates + exact verify — the sub-quadratic scale path is
+    the driver-checked entry; the O(N^2) exact scan stays a pytest oracle."""
+    from remote_vector_index_builder_ray.extras.ann import embedding_near_dup
 
-    return embedding_near_dup_exact(_read(sf_dir, "embeddings"), threshold=0.5)
+    return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.5)
 
 
 def _q_events_window(sf_dir: str):
@@ -224,10 +313,22 @@ def _q_events_window(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    from remote_vector_index_builder_ray.extras.dedup import minhash_lsh_candidates
+    """MinHash+LSH candidates, exact-Jaccard verified at threshold 0.2 —
+    SQL-checkable against the same inverted-index oracle as
+    ngram_jaccard_pairs (the verified subset IS the exact pair set when LSH
+    recall is 1, which the banding parameters guarantee for the fixture's
+    bimodal jaccard distribution; pytest checks candidates vs brute force)."""
+    from remote_vector_index_builder_ray.extras.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
 
-    out = minhash_lsh_candidates(_read(sf_dir, "documents")).to_pandas()
-    return out[["doc_a", "doc_b"]].sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    ds = _read(sf_dir, "documents")
+    cand = minhash_lsh_candidates(ds).to_pandas()
+    out = jaccard_verify(ds, cand[["doc_a", "doc_b"]], shingle_k=3, threshold=0.2)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(
+        {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+    )
 
 
 def _q_token_stats(sf_dir: str):
@@ -238,16 +339,24 @@ def _q_token_stats(sf_dir: str):
 
 
 def _q_video_frames(sf_dir: str):
+    """Frame-sample fan-out over the PERSISTED video table (the SQL twin
+    reads the same parquet and recomputes the md5-derived frame features)."""
     import ray.data
 
-    from remote_vector_index_builder_ray.extras.multimodal import sample_frames, synth_video_table
+    paths = _ensure_media_artifacts()
+    media = ray.data.read_parquet(paths["video"])
+    out = sample_frames_feat0(media)
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
-    media = ray.data.from_arrow(synth_video_table(100))
+
+def sample_frames_feat0(media):
+    from remote_vector_index_builder_ray.extras.multimodal import sample_frames
+
     out = sample_frames(media, target_fps=1.0, backend="fake").to_pandas()
-    out["feat0"] = out["feature"].map(lambda f: round(float(f[0]), 6))
-    return out[["media_id", "frame_idx", "frame_ts_ms", "feat0"]].sort_values(
-        ["media_id", "frame_idx"]
-    ).reset_index(drop=True)
+    out["feat0"] = out["feature"].map(lambda f: float(np.floor(float(f[0]) * 1e6 + 0.5) / 1e6))
+    return out[["media_id", "frame_idx", "frame_ts_ms", "feat0"]].astype(
+        {"media_id": "int64", "frame_idx": "int32", "frame_ts_ms": "int64", "feat0": "float64"}
+    )
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -257,31 +366,61 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """Banded simhash near-dup pairs. Banding is EXACT for radius<=3 with 4
+    quarters (pigeonhole), so the SQL twin — a brute-force hamming self-join
+    over the persisted engine-computed signatures — finds identical pairs."""
     from remote_vector_index_builder_ray.extras.dedup import simhash_pairs
 
-    return simhash_pairs(_read(sf_dir, "documents"), radius=3)
+    out = simhash_pairs(_read(sf_dir, "documents"), radius=3)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+    )
 
 
 def _q_ann_ivf_topk(sf_dir: str):
+    """Per-query recall@10 of the distributed IVF path vs the engine's
+    brute-force top-k. The IVF result is persisted (deterministic seeds) and
+    the SQL twin recomputes the SAME recall by joining that parquet against a
+    brute-force top-10 computed in SQL — checking both the exact scorer and
+    the recall arithmetic."""
     import pyarrow.parquet as pq
 
-    from remote_vector_index_builder_ray.extras.ann import ivf_topk
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
 
+    path = _ensure_ivf_artifact(sf_dir)
+    ivf = pd.read_parquet(path)
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
     qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
     qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
-    return ivf_topk(_read(sf_dir, "embeddings"), qdf["vec_id"].to_numpy(), qm, k=10)
+    bf = brute_force_topk(_read(sf_dir, "embeddings"), qdf["vec_id"].to_numpy(), qm, k=10)
+    hit = ivf.merge(bf[["query_id", "vec_id"]], on=["query_id", "vec_id"], how="inner")
+    n_hit = hit.groupby("query_id").size()
+    out = pd.DataFrame(
+        {
+            "query_id": sorted(ivf["query_id"].unique()),
+        }
+    )
+    out["recall"] = out["query_id"].map(n_hit).fillna(0).astype(float) / 10.0
+    out["recall"] = np.floor(out["recall"].to_numpy() * 1e6 + 0.5) / 1e6
+    return out.astype({"query_id": "int64", "recall": "float64"}).reset_index(drop=True)
 
 
 def _q_multimodal_features(sf_dir: str):
+    """Media decode over the PERSISTED media table; the fake features are
+    md5-derived so the SQL twin recomputes feat0 from the same parquet."""
     import ray.data
 
-    from remote_vector_index_builder_ray.extras.multimodal import decode_features, synth_media_table
+    from remote_vector_index_builder_ray.extras.multimodal import decode_features
 
-    media = ray.data.from_arrow(synth_media_table(200))
+    paths = _ensure_media_artifacts()
+    media = ray.data.read_parquet(paths["media"])
     out = decode_features(media, backend="fake").to_pandas()
-    out["feat0"] = out["feature"].map(lambda f: round(float(f[0]), 6))
-    return out[["media_id", "mime", "payload_bytes", "feat0"]].sort_values("media_id").reset_index(drop=True)
+    out["feat0"] = out["feature"].map(lambda f: float(np.floor(float(f[0]) * 1e6 + 0.5) / 1e6))
+    return out[["media_id", "mime", "payload_bytes", "feat0"]].sort_values(
+        "media_id"
+    ).reset_index(drop=True).astype(
+        {"media_id": "int64", "payload_bytes": "int64", "feat0": "float64"}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -341,6 +480,37 @@ def _docs_cte(sf: str) -> str:
 def oracle_sql() -> dict[str, str]:
     sf = "sf0.01"  # the driver's correctness scale
     docs = _docs_cte(sf)
+    media_pq = os.path.join(ARTIFACT_ROOT, "media200.parquet")
+    video_pq = os.path.join(ARTIFACT_ROOT, "video100.parquet")
+    simhash_pq = os.path.join(ARTIFACT_ROOT, "sf0.01_simhash.parquet")
+    ivf_pq = _ivf_artifact_path(sf)
+    # exact n-gram Jaccard over the shingle inverted index — shared by the
+    # ngram_jaccard_pairs entry AND the minhash entry (whose LSH candidates,
+    # exact-verified at the same threshold, equal the exact pair set)
+    ngram_sql = """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+),
+s AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+             ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        END)) AS shingle
+    FROM t
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
+ORDER BY doc_a, doc_b
+"""
     return {
         "bm25_topk": f"""
 WITH {docs}, {_TOKS},
@@ -494,30 +664,8 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 ORDER BY vec_id_a, vec_id_b
 """,
-        "ngram_jaccard_pairs": """
-WITH t AS MATERIALIZED (
-    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
-),
-s AS MATERIALIZED (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
-             WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-             ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
-        END)) AS shingle
-    FROM t
-),
-sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
-    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       floor(i::DOUBLE / (sa.n + sb.n - i) * 1000000 + 0.5) / 1000000 AS jaccard
-FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
-ORDER BY doc_a, doc_b
-""",
+        "ngram_jaccard_pairs": ngram_sql,
+        "minhash_lsh_pairs": ngram_sql,
         "token_stats": r"""
 WITH t AS MATERIALIZED (
     -- explicit whitespace class: identical to the engine's WS_TOKEN_PATTERN
@@ -540,4 +688,68 @@ SELECT user_id::BIGINT AS user_id,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        "simhash_pairs": f"""
+WITH s AS (SELECT doc_id, simhash FROM read_parquet('{simhash_pq}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+""",
+        "multimodal_features": f"""
+SELECT media_id, mime, octet_length(payload)::BIGINT AS payload_bytes,
+       floor((('0x' || substr(md5(hex(payload) || ':0'), 1, 8))::UBIGINT
+              / 4294967296.0) * 1000000 + 0.5) / 1000000 AS feat0
+FROM read_parquet('{media_pq}') ORDER BY media_id
+""",
+        "video_frame_sample": f"""
+WITH v AS (SELECT media_id, payload, duration_ms FROM read_parquet('{video_pq}')),
+f AS (
+    SELECT media_id, payload,
+           unnest(range(0, greatest(1, ceil(duration_ms / 1000.0)::BIGINT))) AS frame_idx
+    FROM v
+)
+SELECT media_id, frame_idx::INT AS frame_idx,
+       (frame_idx * 1000)::BIGINT AS frame_ts_ms,
+       floor((('0x' || substr(md5(hex(payload) || ':' || frame_idx::VARCHAR || ':0'), 1, 8))::UBIGINT
+              / 4294967296.0) * 1000000 + 0.5) / 1000000 AS feat0
+FROM f ORDER BY media_id, frame_idx
+""",
+        "ann_ivf_topk": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+ivf AS (SELECT query_id, vec_id FROM read_parquet('{ivf_pq}'))
+SELECT i.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM ivf i LEFT JOIN bf b ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY i.query_id ORDER BY i.query_id
+""",
     }
+
+
+# ---------------------------------------------------------------------------
+# artifact generation (module bottom: all helpers defined above). Ray is
+# initialised by the driver before import; in a bare process Ray Data
+# auto-inits local for the IVF artifact.
+# ---------------------------------------------------------------------------
+
+_ensure_media_artifacts()
+try:
+    _ensure_simhash_artifact()
+except Exception:  # noqa: BLE001 — oracle-scale testdata may be absent
+    pass
+try:
+    _ensure_ivf_artifact(ORACLE_SF_DIR)
+except Exception:  # noqa: BLE001
+    pass

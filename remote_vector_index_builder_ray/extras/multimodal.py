@@ -8,8 +8,10 @@ exist in this environment:
 
 * ``MediaDecode(backend="real")`` raises NotImplementedError at the decode
   call site (clearly marked), exactly where PIL/ffmpeg would plug in.
-* ``backend="fake"`` is a deterministic stand-in (blake2b-seeded pixel
-  statistics) so pipelines and tests exercise the full dataflow.
+* ``backend="fake"`` is a deterministic stand-in (md5-derived "pixel
+  statistics", reproducible by a DuckDB oracle over the persisted media
+  table) so pipelines, tests AND the driver's SQL correctness gate exercise
+  the full dataflow.
 
 Batch sizing note (memory-aware): payload rows are wide, so stages here use
 small ``batch_size`` (default 64) — batch x concurrency must fit the worker
@@ -69,10 +71,16 @@ class MediaDecode:
             pass
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
-        # deterministic pseudo-decode: blake2b-seeded "pixel statistics"
-        # (blake2b digest_size caps at 64 bytes -> 16 x uint32 features)
-        digest = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 4).digest()
-        return np.frombuffer(digest, dtype=np.uint32).astype(np.float64) / 2**32
+        # deterministic pseudo-decode, SQL-oracle-checkable: feature block j
+        # (4 values) = big-endian uint32s of md5(HEX(payload) || ':' || j),
+        # scaled to [0,1). DuckDB computes the identical value via
+        # ('0x' || substr(md5(hex(payload) || ':j'), 1+8k, 8))::UBIGINT.
+        hx = payload.hex().upper()
+        out = np.empty(FEATURE_DIM, np.float64)
+        for j in range(FEATURE_DIM // 4):
+            d = hashlib.md5(f"{hx}:{j}".encode()).digest()
+            out[4 * j : 4 * j + 4] = np.frombuffer(d, dtype=">u4").astype(np.float64) / 2**32
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.backend == "real":
@@ -137,7 +145,7 @@ class FrameSample:
     ffmpeg frame extractor would produce. Decode is stubbed like MediaDecode:
     ``backend="real"`` raises NotImplementedError at the exact plug-in point;
     ``backend="fake"`` derives deterministic per-frame features from
-    blake2b(payload, frame_idx). Small batches: each input row multiplies.
+    md5(hex(payload), frame_idx). Small batches: each input row multiplies.
     """
 
     def __init__(self, target_fps: float = 1.0, backend: str = "fake"):
@@ -160,14 +168,18 @@ class FrameSample:
         step_ms = 1000.0 / self.target_fps
         for i in range(batch.num_rows):
             n_frames = max(1, int(np.ceil(dur[i] / step_ms)))
+            hx = payloads[i].hex().upper()
             for f in range(n_frames):
                 out_id.append(int(ids[i]))
                 out_idx.append(f)
                 out_ts.append(int(round(f * step_ms)))
-                digest = hashlib.blake2b(
-                    payloads[i] + f.to_bytes(4, "little"), digest_size=FEATURE_DIM * 4
-                ).digest()
-                feats.append(np.frombuffer(digest, dtype=np.uint32).astype(np.float64) / 2**32)
+                # per-frame fake feature, SQL-oracle-checkable like MediaDecode:
+                # block j = big-endian uint32s of md5(HEX(payload) || ':f:j')
+                fv = np.empty(FEATURE_DIM, np.float64)
+                for j in range(FEATURE_DIM // 4):
+                    d = hashlib.md5(f"{hx}:{f}:{j}".encode()).digest()
+                    fv[4 * j : 4 * j + 4] = np.frombuffer(d, dtype=">u4").astype(np.float64) / 2**32
+                feats.append(fv)
         fm = np.stack(feats) if feats else np.zeros((0, FEATURE_DIM))
         offsets = pa.array(np.arange(0, (len(out_id) + 1) * FEATURE_DIM, FEATURE_DIM, dtype=np.int32))
         return pa.table(
