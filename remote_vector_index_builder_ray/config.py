@@ -94,6 +94,11 @@ class BuildConfig:
     # 32768 -> 1.0M rows, map 5.1s (starved CPUs). 16384 balances both and
     # keeps per-batch token memory well under a worker heap.
     batch_size: int = 16384
+    # Merge-task memory budget (bytes of in-memory working set). A bucket
+    # whose partials would exceed this is merged in term-hash sub-splits
+    # (bounded memory, S passes over its files) — the skew guard for
+    # stopword-heavy corpora. Execution detail: not part of job_id.
+    merge_byte_budget: int = 1 << 30
 
     def job_id(self) -> str:
         payload = json.dumps(

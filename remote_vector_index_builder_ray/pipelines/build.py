@@ -298,6 +298,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 files, avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size, bkt,
                 fs.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
                 fs.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
+                byte_budget=cfg.merge_byte_budget,
             )
             for bkt, files in sorted(bucket_files.items())
         ]

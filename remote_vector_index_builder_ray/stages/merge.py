@@ -227,6 +227,27 @@ def merge_partials_table(
     return out.take(pa.array(row_order))
 
 
+def _term_split_mask(term_col: pa.ChunkedArray, nsplits: int, split: int) -> pa.Array:
+    """Boolean mask of rows whose term hashes into ``split`` (stable FNV-ish
+    hash over the dictionary-encoded vocab — one Python hash per UNIQUE term)."""
+    import zlib
+
+    d = term_col.combine_chunks().dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_split = np.fromiter(
+        (zlib.crc32(b"skew:" + t.encode()) % nsplits for t in d.dictionary.to_pylist()),
+        dtype=np.int64, count=len(d.dictionary),
+    )
+    return pa.array(vocab_split[codes] == split)
+
+
+# parquet bytes inflate roughly this much when decoded to in-memory Arrow +
+# merge working set (measured ~2.5x at sf0.1; rounded up for safety)
+_MERGE_INFLATION = 4
+
+
 def merge_bucket_files(
     files: list[str],
     avgdl: float,
@@ -237,6 +258,7 @@ def merge_bucket_files(
     postings_path: str,
     termstats_path: str,
     row_group_size: int = 256,
+    byte_budget: int = 1 << 30,
 ):
     """One bucket's whole merge: read its partial files (written hive-
     partitioned by phase A — the map-side shuffle), merge+compress all
@@ -246,22 +268,54 @@ def merge_bucket_files(
     just num_buckets independent tasks — no sort/groupby machinery. All paths
     are URIs resolved via the ``state.fs`` object-store layer, so the task
     runs unchanged on any node of a multi-node cluster.
+
+    Skew guard: bucket count scales with input bytes, but a stopword-heavy
+    corpus can still concentrate one bucket far beyond a worker's heap. When
+    the bucket's compressed partials exceed ``byte_budget / _MERGE_INFLATION``
+    the merge runs in term-hash sub-splits — S passes over the bucket's
+    files, each holding only ~1/S of the postings in memory, appended as row
+    groups to the SAME output file (a term never spans splits, so term stats
+    and the searcher's per-term reads are unaffected; only the file-global
+    term sort order is relaxed to per-split order).
     """
+    import pyarrow.parquet as pq
+
     from remote_vector_index_builder_ray.state import fs
 
-    tbl = pa.concat_tables([fs.read_table(f) for f in files], promote_options="default")
-    if "bucket" in tbl.column_names:
-        tbl = tbl.drop_columns(["bucket"])
-    merged = merge_partials_table(tbl, avgdl, k1, b, block_size)
-    merged = merged.append_column(
-        "bucket", pa.array(np.full(merged.num_rows, bucket, dtype=np.int32))
-    )
-    fs.write_table(merged, postings_path, row_group_size=row_group_size)
-    ts = (
-        pa.TableGroupBy(merged.select(["term", "df_shard", "cf_shard"]), "term")
-        .aggregate([("df_shard", "sum"), ("cf_shard", "sum")])
-        .rename_columns(["term", "df", "cf"])
-    )
-    ts = ts.sort_by("term")
+    total_bytes = sum(fs.file_size(f) for f in files)
+    nsplits = max(1, int(np.ceil(total_bytes * _MERGE_INFLATION / byte_budget)))
+
+    posting_writer: pq.ParquetWriter | None = None
+    ts_parts: list[pa.Table] = []
+    n_rows = 0
+    try:
+        for split in range(nsplits):
+            parts = []
+            for f in files:
+                t = fs.read_table(f)
+                if "bucket" in t.column_names:
+                    t = t.drop_columns(["bucket"])
+                if nsplits > 1:
+                    t = t.filter(_term_split_mask(t["term"], nsplits, split))
+                parts.append(t)
+            tbl = pa.concat_tables(parts, promote_options="default")
+            merged = merge_partials_table(tbl, avgdl, k1, b, block_size)
+            merged = merged.append_column(
+                "bucket", pa.array(np.full(merged.num_rows, bucket, dtype=np.int32))
+            )
+            if posting_writer is None:
+                pfs, ppath = fs.resolve(postings_path)
+                posting_writer = pq.ParquetWriter(ppath, merged.schema, filesystem=pfs)
+            posting_writer.write_table(merged, row_group_size=row_group_size)
+            n_rows += merged.num_rows
+            ts_parts.append(
+                pa.TableGroupBy(merged.select(["term", "df_shard", "cf_shard"]), "term")
+                .aggregate([("df_shard", "sum"), ("cf_shard", "sum")])
+                .rename_columns(["term", "df", "cf"])
+            )
+    finally:
+        if posting_writer is not None:
+            posting_writer.close()
+    ts = pa.concat_tables(ts_parts).sort_by("term")
     fs.write_table(ts, termstats_path)
-    return merged.num_rows, ts.num_rows
+    return n_rows, ts.num_rows

@@ -81,3 +81,42 @@ def test_merge_blocks_decode_roundtrip():
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         for bi, (s, c) in enumerate(zip(starts, counts)):
             assert tn[s : s + c].max() <= bounds[bi]
+
+
+def test_skew_guard_split_merge_equals_single_pass(tmp_path):
+    """A stopword-only corpus concentrates postings in few (term, shard)
+    groups; with a tiny byte budget the bucket merge must run in term-hash
+    sub-splits and still produce the same logical index (same term stats,
+    same decoded postings) as the single-pass merge."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.stages.merge import merge_bucket_files
+
+    tbl = _random_partials(seed=11, n_terms=6, shard_range=4096)
+    f = str(tmp_path / "partials.parquet")
+    pq.write_table(tbl, f)
+
+    def run(budget, name):
+        pp = str(tmp_path / f"post_{name}.parquet")
+        tp = str(tmp_path / f"ts_{name}.parquet")
+        nrows, nterms = merge_bucket_files([f], 30.0, 1.2, 0.75, 64, 0, pp, tp, byte_budget=budget)
+        return pq.read_table(pp), pq.read_table(tp), nrows, nterms
+
+    single_p, single_t, r1, t1 = run(1 << 30, "single")
+    split_p, split_t, r2, t2 = run(1024, "split")  # force many sub-splits
+    assert r1 == r2 and t1 == t2
+    # term stats identical
+    assert single_t.sort_by("term").equals(split_t.sort_by("term"))
+    # decoded postings identical per (term, shard) regardless of row order
+    def decoded(ptbl):
+        out = {}
+        df = ptbl.to_pandas()
+        for r in df.itertuples(index=False):
+            d, tf, dl = decode_posting_run(
+                r.first_docids, r.counts, r.docid_bytes, r.tf_bytes, r.dl_bytes, r.last_docids
+            )
+            out[(r.term, r.shard)] = (list(d), list(tf), list(dl))
+        return out
+
+    assert decoded(single_p) == decoded(split_p)
