@@ -94,6 +94,10 @@ class BuildConfig:
     # 32768 -> 1.0M rows, map 5.1s (starved CPUs). 16384 balances both and
     # keeps per-batch token memory well under a worker heap.
     batch_size: int = 16384
+    # Merge bucket count override (None = sized from input bytes at job
+    # start, ~64 MB of input per bucket). Physical-layout knob for the sweep
+    # harness; the logical index is identical at any value.
+    num_buckets: int | None = None
     # Merge-task memory budget (bytes of in-memory working set). A bucket
     # whose partials would exceed this is merged in term-hash sub-splits
     # (bounded memory, S passes over its files) — the skew guard for

@@ -108,8 +108,11 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         man.data["job_id"] = job_id
         # bucket count fixed at job start (resume must reuse it — partials
         # are physically partitioned by it): ~64 MB of input per merge bucket
-        total_bytes = sum(fs.file_size(p) for p in cfg.input_paths)
-        man.data["num_buckets"] = int(np.clip(total_bytes // (64 << 20), 32, 65536))
+        if cfg.num_buckets is not None:
+            man.data["num_buckets"] = int(cfg.num_buckets)
+        else:
+            total_bytes = sum(fs.file_size(p) for p in cfg.input_paths)
+            man.data["num_buckets"] = int(np.clip(total_bytes // (64 << 20), 32, 65536))
         man.data["config"] = {
             "input_paths": cfg.input_paths,
             "bm25": cfg.bm25.__dict__,
