@@ -1,0 +1,123 @@
+"""Thin HTTP wire façade over :class:`BuildService` — parity with the
+reference's FastAPI surface (``app/routes/build.py:41-72``,
+``app/routes/status.py:13-44``, ``app/routes/get_jobs.py:16-35``,
+``app/routes/heart_beat.py:17-28``) on the Python stdlib (no FastAPI in this
+environment; per ``USER_GUIDE.md:34-37`` any API server over the core
+libraries is a supported deployment shape).
+
+Routes and status codes mirror the reference:
+
+  POST /_build          {"input_paths": [...], "index_dir": "...", ...}
+                        -> 200 {"job_id": ...}
+                        -> 400 validation error (their 422)
+                        -> 429 HashCollisionError
+                        -> 507 CapacityError
+  GET  /_status/{id}    -> 200 job record | 404
+  GET  /_jobs           -> 200 [job records]
+  GET  /_heart_beat     -> 200 {"alive": true, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from remote_vector_index_builder_ray.config import BM25Config, BuildConfig, HashCollisionError
+from remote_vector_index_builder_ray.service import BuildService, CapacityError, Job
+
+
+def _job_payload(job: Job) -> dict:
+    return {
+        "job_id": job.job_id,
+        "status": job.status,
+        "index_dir": job.index_dir,
+        "error_message": job.error_message,
+        "created_at": job.created_at,
+        "finished_at": job.finished_at,
+    }
+
+
+def parse_build_request(body: dict) -> BuildConfig:
+    """Validate a build request (typed errors -> HTTP 400, the analog of the
+    reference's 422 handler, ``app/main.py:103-115``)."""
+    if not isinstance(body, dict):
+        raise ValueError("request body must be a JSON object")
+    missing = [k for k in ("input_paths", "index_dir") if k not in body]
+    if missing:
+        raise ValueError(f"missing required fields: {missing}")
+    if not isinstance(body["input_paths"], list) or not body["input_paths"]:
+        raise ValueError("input_paths must be a non-empty list")
+    bm25_kwargs = {k: body[k] for k in ("k1", "b", "block_size", "shard_range") if k in body}
+    allowed = {"input_paths", "index_dir", "dedup", "docid_mode", "num_partitions",
+               "k1", "b", "block_size", "shard_range"}
+    extra = set(body) - allowed
+    if extra:  # extra="forbid", like the reference's pydantic models
+        raise ValueError(f"unknown fields: {sorted(extra)}")
+    return BuildConfig(
+        input_paths=list(body["input_paths"]),
+        index_dir=str(body["index_dir"]),
+        bm25=BM25Config(**bm25_kwargs),
+        dedup=bool(body.get("dedup", False)),
+        docid_mode=str(body.get("docid_mode", "dense")),
+        num_partitions=body.get("num_partitions"),
+    )
+
+
+def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload) -> None:
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args) -> None:  # quiet server
+            pass
+
+        def do_GET(self) -> None:
+            if self.path == "/_heart_beat":
+                self._send(200, service.heart_beat())
+            elif self.path == "/_jobs":
+                self._send(200, [_job_payload(j) for j in service.jobs()])
+            elif self.path.startswith("/_status/"):
+                job = service.status(self.path[len("/_status/"):])
+                if job is None:
+                    self._send(404, {"error": "job not found"})
+                else:
+                    self._send(200, _job_payload(job))
+            else:
+                self._send(404, {"error": "unknown route"})
+
+        def do_POST(self) -> None:
+            if self.path != "/_build":
+                self._send(404, {"error": "unknown route"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                cfg = parse_build_request(body)
+            except (ValueError, json.JSONDecodeError) as ex:
+                self._send(400, {"error": str(ex)})
+                return
+            try:
+                job_id = service.submit(cfg)
+            except HashCollisionError as ex:
+                self._send(429, {"error": str(ex)})
+                return
+            except CapacityError as ex:
+                self._send(507, {"error": str(ex)})
+                return
+            self._send(200, {"job_id": job_id})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(service: BuildService, host: str = "127.0.0.1", port: int = 0):
+    """Start the façade on a daemon thread; returns (server, base_url)."""
+    server = make_server(service, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://{server.server_address[0]}:{server.server_address[1]}"

@@ -46,6 +46,7 @@ class BuildService:
     def __init__(self, max_workers: int = 2, max_jobs: int = 64, ttl_seconds: float | None = None):
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._jobs: dict[str, Job] = {}
+        self._by_dir: dict[str, str] = {}  # index_dir -> job_id (collision check)
         self._futures: dict[str, Future] = {}
         self._lock = threading.Lock()
         self.max_jobs = max_jobs
@@ -58,13 +59,21 @@ class BuildService:
             self._evict_expired()
             existing = self._jobs.get(job_id)
             if existing is not None:
-                if existing.config is not None and existing.config.bm25 != cfg.bm25:
-                    raise HashCollisionError(f"job {job_id[:12]} exists with different parameters")
-                return job_id  # idempotent resubmit
+                return job_id  # idempotent resubmit (same params -> same id)
+            # our job id hashes ALL parameters, so the reference's "same key,
+            # different params" collision (app/services/job_service.py:60-83)
+            # surfaces as: same target index_dir, different job_id
+            dir_owner = self._by_dir.get(cfg.index_dir)
+            if dir_owner is not None and dir_owner != job_id:
+                raise HashCollisionError(
+                    f"index_dir {cfg.index_dir} already owned by job "
+                    f"{dir_owner[:12]} with different parameters"
+                )
             if len(self._jobs) >= self.max_jobs:
                 raise CapacityError(f"job store at capacity ({self.max_jobs})")
             job = Job(job_id=job_id, config=cfg, index_dir=cfg.index_dir)
             self._jobs[job_id] = job
+            self._by_dir[cfg.index_dir] = job_id
         self._futures[job_id] = self._pool.submit(self._run, job)
         return job_id
 
@@ -120,3 +129,5 @@ class BuildService:
             if j.status != "RUNNING" and j.finished_at and now - j.finished_at > self.ttl_seconds:
                 del self._jobs[jid]
                 self._futures.pop(jid, None)
+                if self._by_dir.get(j.index_dir) == jid:
+                    del self._by_dir[j.index_dir]

@@ -1,0 +1,91 @@
+"""HTTP façade over BuildService: route/status-code parity with the
+reference's FastAPI surface (build 200/400/429/507, status 200/404, jobs,
+heart_beat), driven over a real socket with urllib."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from remote_vector_index_builder_ray.http_api import serve_background
+from remote_vector_index_builder_ray.service import BuildService
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def api(smoke_fixture, tmp_path_factory):
+    service = BuildService(max_workers=2, max_jobs=4)
+    server, base = serve_background(service)
+    yield base, smoke_fixture, tmp_path_factory.mktemp("httpidx")
+    server.shutdown()
+    service.shutdown()
+
+
+def test_build_status_jobs_heartbeat(api):
+    base, fx, idx_root = api
+    code, hb = _get(base + "/_heart_beat")
+    assert code == 200 and hb["alive"] is True
+
+    code, out = _post(base + "/_build", {
+        "input_paths": fx["transcripts"], "index_dir": str(idx_root / "i1"),
+    })
+    assert code == 200
+    job_id = out["job_id"]
+
+    # poll to completion (tiny fixture builds in seconds)
+    import time
+
+    for _ in range(120):
+        code, st = _get(base + f"/_status/{job_id}")
+        assert code == 200
+        if st["status"] != "RUNNING":
+            break
+        time.sleep(1)
+    assert st["status"] == "COMPLETED", st
+
+    code, jobs = _get(base + "/_jobs")
+    assert code == 200 and any(j["job_id"] == job_id for j in jobs)
+
+    # idempotent resubmit returns the same job id
+    code, again = _post(base + "/_build", {
+        "input_paths": fx["transcripts"], "index_dir": str(idx_root / "i1"),
+    })
+    assert code == 200 and again["job_id"] == job_id
+
+
+def test_error_codes(api):
+    base, fx, idx_root = api
+    # 400: validation (missing fields / unknown fields)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_build", {"index_dir": "x"})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_build", {
+            "input_paths": fx["transcripts"], "index_dir": "x", "bogus": 1,
+        })
+    assert ei.value.code == 400
+    # 429: same index dir & inputs, different scoring params -> collision
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_build", {
+            "input_paths": fx["transcripts"], "index_dir": str(idx_root / "i1"),
+            "k1": 2.0,
+        })
+    assert ei.value.code == 429
+    # 404: unknown job / unknown route
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/_status/nope")
+    assert ei.value.code == 404

@@ -120,15 +120,19 @@ def test_build_service(smoke_fixture, tmp_path):
     job = svc.wait(jid, timeout=600)
     assert job.status == "COMPLETED"
     assert job.manifest["stats"]["N"] == 2000
-    # collision: same job id needs same params -> simulate via same index_dir
+    # collision: same target index_dir with different params is rejected at
+    # ADMISSION (the reference's HTTP 429 shape, job_service.py:60-83) —
+    # round 1 let it start and fail later; now it never runs
     bad = BuildConfig(input_paths=smoke_fixture["transcripts"], index_dir=str(tmp_path / "i1"),
                       bm25=BM25Config(k1=7.7))
-    jid2 = svc.submit(bad)  # different job id -> accepted as a new job...
-    job2 = svc.wait(jid2, timeout=600)
-    assert job2.status == "FAILED"  # ...but fails on the index-dir collision
-    assert "HashCollision" in job2.error_message
+    with pytest.raises(HashCollisionError):
+        svc.submit(bad)
+    # rejected submits don't occupy a job slot; fill the store (max_jobs=2)
+    # with a second legit job, then the next must hit capacity (their 507)
+    jid3 = svc.submit(BuildConfig(input_paths=smoke_fixture["transcripts"], index_dir=str(tmp_path / "i2")))
     with pytest.raises(CapacityError):
         svc.submit(BuildConfig(input_paths=smoke_fixture["transcripts"], index_dir=str(tmp_path / "i3")))
+    svc.wait(jid3, timeout=600)
     svc.shutdown()
 
 
