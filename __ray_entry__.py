@@ -302,11 +302,46 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.5)
 
 
+def _q_events_sessionize(sf_dir: str):
+    """Per-user session windows (gap > 1800 s cuts a session); the SQL twin
+    is the classic gaps-and-islands window-function rewrite."""
+    from remote_vector_index_builder_ray.extras.events import sessionize
+
+    out = sessionize(_read(sf_dir, "events"), gap_sec=1800).to_pandas()
+    for c in ("session_start", "session_end"):
+        out[c] = (pd.to_datetime(out[c]).astype("datetime64[ns]").astype("int64") // 10**9)
+    out["sum_value"] = np.floor(out["sum_value"].to_numpy() * 1e4 + 0.5) / 1e4
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True).astype(
+        {"user_id": "int64", "session_start": "int64", "session_end": "int64",
+         "n_events": "int64", "sum_value": "float64"}
+    )
+
+
+def _q_multimodal_resize(sf_dir: str):
+    """Resize-stage metadata arithmetic over the persisted media table."""
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.multimodal import MediaResize
+
+    paths = _ensure_media_artifacts()
+    out = ray.data.read_parquet(paths["media"]).map_batches(
+        MediaResize, fn_constructor_args=(224, "fake"),
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    return out[["media_id", "width", "height", "out_width", "out_height"]].sort_values(
+        "media_id"
+    ).reset_index(drop=True).astype(
+        {"media_id": "int64", "width": "int32", "height": "int32",
+         "out_width": "int32", "out_height": "int32"}
+    )
+
+
 def _q_events_window(sf_dir: str):
     from remote_vector_index_builder_ray.extras.events import tumbling_window_agg
 
     out = tumbling_window_agg(_read(sf_dir, "events"), window_sec=3600).to_pandas()
-    out["sum_value"] = out["sum_value"].round(4)
+    # floor(x*1e4+0.5)/1e4: round-half-up, identical arithmetic to the SQL twin
+    out["sum_value"] = np.floor(out["sum_value"].to_numpy() * 1e4 + 0.5) / 1e4
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True).astype(
         {"user_id": "int64", "window_start": "int64", "n_events": "int64"}
     )
@@ -438,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_stats": _q_token_stats,
         # approximate / non-SQL-expressible (rows-only check; pytest covers
@@ -685,8 +722,36 @@ FROM t ORDER BY doc_id
 SELECT user_id::BIGINT AS user_id,
        ((epoch_us(ts) // 3600000000) * 3600)::BIGINT AS window_start,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS sum_value
+       floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "events_sessionize": """
+WITH e AS (
+    SELECT user_id::BIGINT AS user_id, (epoch_us(ts) // 1000000)::BIGINT AS tss,
+           event_id, value
+    FROM events
+),
+flag AS (
+    SELECT *, CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+),
+sess AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flag
+)
+SELECT user_id, min(tss)::BIGINT AS session_start, max(tss)::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+        "multimodal_resize": f"""
+SELECT media_id, width, height,
+       floor(width * (224.0 / greatest(width, height)))::INT AS out_width,
+       floor(height * (224.0 / greatest(width, height)))::INT AS out_height
+FROM read_parquet('{media_pq}') ORDER BY media_id
 """,
         "simhash_pairs": f"""
 WITH s AS (SELECT doc_id, simhash FROM read_parquet('{simhash_pq}'))

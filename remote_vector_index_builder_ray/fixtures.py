@@ -218,7 +218,6 @@ def ensure_fixture(sf_name: str, root: str = FIXTURE_ROOT, with_dups: bool = Fal
     qpath = os.path.join(base, "queries.parquet")
     if not os.path.exists(done):
         tmp = base + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
 
         def _write(df: pd.DataFrame, fi: int) -> None:
@@ -229,13 +228,19 @@ def ensure_fixture(sf_name: str, root: str = FIXTURE_ROOT, with_dups: bool = Fal
             tbl = tbl.set_column(
                 tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
             )
-            pq.write_table(tbl, os.path.join(tmp, "transcripts", f"part-{fi:04d}.parquet"))
+            path = os.path.join(tmp, "transcripts", f"part-{fi:04d}.parquet")
+            pq.write_table(tbl, path + ".part")
+            os.replace(path + ".part", path)
 
         if n_turns > 600_000:
             # chunked: each file generated independently (deterministic per-file
-            # seed); conv ids are file-prefixed so conversations never span files
+            # seed, so an interrupted generation resumes by skipping files that
+            # already exist); conv ids are file-prefixed so conversations never
+            # span files
             per = n_turns // n_files
             for fi in range(n_files):
+                if os.path.exists(os.path.join(tmp, "transcripts", f"part-{fi:04d}.parquet")):
+                    continue
                 df = generate_transcripts(per, seed=SEED * 1000 + fi, with_dups=with_dups)
                 df["conv_id"] = df["conv_id"].str.replace("conv-", f"conv{fi:02d}-", regex=False)
                 _write(df, fi)

@@ -291,7 +291,13 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             bkt = int(bdir.split("=", 1)[1])
             bucket_files.setdefault(bkt, []).append(fs.join(seg_root, rel))
 
-        merge_task = ray.remote(merge_bucket_files)
+        # num_cpus=2: one merge task decodes + lexsorts a whole bucket
+        # (~10-20x its parquet bytes as working set) and is DRAM-bandwidth
+        # bound, not core bound. Running cpus/2 of them per node is measured
+        # fastest (32-CPU box, 36 x 14M-posting buckets: 8 conc -> 221 s,
+        # 16 -> 144 s, 32 -> 173 s); declaring the cost to the scheduler caps
+        # per-node concurrency the same way on a real multi-node cluster.
+        merge_task = ray.remote(num_cpus=2)(merge_bucket_files)
         tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
         for d in (tmp_post, tmp_ts):
             fs.rm_tree(d)
