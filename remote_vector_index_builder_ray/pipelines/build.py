@@ -291,13 +291,19 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             bkt = int(bdir.split("=", 1)[1])
             bucket_files.setdefault(bkt, []).append(fs.join(seg_root, rel))
 
-        # num_cpus=2: one merge task decodes + lexsorts a whole bucket
-        # (~10-20x its parquet bytes as working set) and is DRAM-bandwidth
-        # bound, not core bound. Running cpus/2 of them per node is measured
-        # fastest (32-CPU box, 36 x 14M-posting buckets: 8 conc -> 221 s,
-        # 16 -> 144 s, 32 -> 173 s); declaring the cost to the scheduler caps
-        # per-node concurrency the same way on a real multi-node cluster.
-        merge_task = ray.remote(num_cpus=2)(merge_bucket_files)
+        # One merge task decodes + lexsorts a whole bucket (~10-20x its
+        # parquet bytes as working set) and is DRAM-bandwidth bound, not core
+        # bound: ~16 concurrent per node is the measured sweet spot (32-CPU
+        # box, 36 x 14M-posting buckets: 8 concurrent 221 s, 16 -> 144 s,
+        # 32 -> 173 s). Declare num_cpus = node_cpus/16 so the scheduler caps
+        # per-node merge concurrency at that point on any cluster shape while
+        # still using every core below the ceiling.
+        node_cpus = max(
+            (int(n.get("Resources", {}).get("CPU", 0)) for n in ray.nodes() if n.get("Alive")),
+            default=cluster_cpus,
+        )
+        merge_cpus = max(1, int(node_cpus) // 16)
+        merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
         tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
         for d in (tmp_post, tmp_ts):
             fs.rm_tree(d)
