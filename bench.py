@@ -19,6 +19,16 @@ import sys
 import time
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — quantifies hypervisor
+    noise on shared boxes so scaling numbers carry their measurement context."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +70,7 @@ def run_bench() -> dict:
     from remote_vector_index_builder_ray.state.memory_monitor import MemoryMonitor
 
     timings: dict[str, float] = {}
+    st0 = _cpu_ticks()
     t0 = time.time()
     with MemoryMonitor() as mem:
         man = build_index(
@@ -69,6 +80,10 @@ def run_bench() -> dict:
             )
         )
     timings["build"] = time.time() - t0
+    st1 = _cpu_ticks()
+    timings["steal_pct_build"] = round(
+        100.0 * (st1[0] - st0[0]) / max(1, st1[1] - st0[1]), 2
+    )
     timings["driver_peak_mb"] = mem.report()["peak_mb"]
     n_turns = man["stats"]["N"]
 
@@ -134,6 +149,8 @@ def run_scaling() -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus": [lo, hi],
+        f"steal_pct_{lo}": r_lo["queries"].get("steal_pct_build"),
+        f"steal_pct_{hi}": r_hi["queries"].get("steal_pct_build"),
         f"build_sec_{lo}": b_lo,
         f"build_sec_{hi}": b_hi,
         f"turns_per_sec_{lo}": round(r_lo["n_turns"] / b_lo, 1),

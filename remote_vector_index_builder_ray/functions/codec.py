@@ -23,31 +23,46 @@ _MAX_VARINT_BYTES = 10
 
 
 def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """LEB128-encode a uint64 array; also return per-value END byte offsets
-    (cumulative), so callers can slice the buffer per value range zero-copy."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    """LEB128-encode an unsigned array; also return per-value END byte offsets
+    (cumulative), so callers can slice the buffer per value range zero-copy.
+
+    Works at the input's native width: int32/uint32 inputs are processed as
+    uint32 (signed views are zero-copy) — the bucket merge is DRAM-bound, so
+    halving the stream width measurably matters. Byte output is identical to
+    the uint64 path (LEB128 is width-agnostic for equal values)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.int32:
+        v = v.view(np.uint32)
+    elif v.dtype == np.int64:
+        v = v.view(np.uint64)
+    elif v.dtype not in (np.dtype(np.uint32), np.dtype(np.uint64)):
+        v = v.astype(np.uint64)
     n = len(v)
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)
+    one = v.dtype.type(1)
     vmax = int(v.max())
     if vmax < 128:  # single-byte fast path (typical for tf/dl streams)
         return v.astype(np.uint8).tobytes(), np.arange(1, n + 1, dtype=np.int64)
+    nbits = 8 * v.dtype.itemsize
     nbytes = np.ones(n, dtype=np.int64)
-    for shift in range(7, 64, 7):
+    for shift in range(7, nbits, 7):
         if vmax < (1 << shift):
             break
-        nbytes += (v >= np.uint64(1) << np.uint64(shift)).astype(np.int64)
+        nbytes += (v >= one << v.dtype.type(shift)).astype(np.int64)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(ends[-1], dtype=np.uint8)
     for j in range(int(nbytes.max())):
         mask = nbytes > j
+        sh = v.dtype.type(7 * j)
+        low7 = v.dtype.type(0x7F)
         if mask.all():
-            chunk = (v >> np.uint64(7 * j)) & np.uint64(0x7F)
+            chunk = (v >> sh) & low7
             cont = (nbytes - 1 > j).astype(np.uint8) << 7
             out[starts + j] = chunk.astype(np.uint8) | cont
         else:
-            chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+            chunk = (v[mask] >> sh) & low7
             cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
             out[starts[mask] + j] = chunk.astype(np.uint8) | cont
     return out.tobytes(), ends

@@ -111,8 +111,13 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         if cfg.num_buckets is not None:
             man.data["num_buckets"] = int(cfg.num_buckets)
         else:
+            # ~32 MB of input per merge bucket: a bucket's decoded working set
+            # is ~10-20x its parquet bytes, and smaller per-task sets measure
+            # faster on DRAM-bound merges (more tasks also rebalance against
+            # stragglers). Beyond the 65536-file cap the per-bucket skew guard
+            # (merge_byte_budget sub-splits) bounds memory instead.
             total_bytes = sum(fs.file_size(p) for p in cfg.input_paths)
-            man.data["num_buckets"] = int(np.clip(total_bytes // (64 << 20), 32, 65536))
+            man.data["num_buckets"] = int(np.clip(total_bytes // (32 << 20), 32, 65536))
         man.data["config"] = {
             "input_paths": cfg.input_paths,
             "bm25": cfg.bm25.__dict__,

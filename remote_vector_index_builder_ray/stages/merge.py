@@ -132,8 +132,11 @@ def merge_partials_table(
     docids_col = tbl["docids"].combine_chunks()
     list_off = docids_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     v_doc = docids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    v_tf = tbl["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    v_dl = tbl["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # tf/dl stay at their stored int32 width end-to-end (zero-copy from Arrow;
+    # half the gather/sort memory traffic of an int64 upcast — the merge is
+    # DRAM-bound, not compute-bound)
+    v_tf = tbl["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    v_dl = tbl["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     row_of_value = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), np.diff(list_off))
     # pack (code, shard) into ONE sort key; per-posting code/shard columns are
     # never materialized — group-level values are recovered from the key at
@@ -173,9 +176,11 @@ def merge_partials_table(
     deltas[0] = 0
     deltas[1:] = np.diff(v_doc)
     delta_vals = deltas[~block_start_mask]  # block-first docids live in metadata
-    enc_d, ends_d = varint_encode_offsets(delta_vals.astype(np.uint64))
-    enc_t, ends_t = varint_encode_offsets(v_tf.astype(np.uint64))
-    enc_l, ends_l = varint_encode_offsets(v_dl.astype(np.uint64))
+    if len(delta_vals) and int(delta_vals.max()) < (1 << 32):
+        delta_vals = delta_vals.astype(np.uint32)  # narrow encode stream
+    enc_d, ends_d = varint_encode_offsets(delta_vals)
+    enc_t, ends_t = varint_encode_offsets(v_tf)
+    enc_l, ends_l = varint_encode_offsets(v_dl)
 
     def _binary_blocks(buf: bytes, val_end_offsets: np.ndarray, vals_per_block: np.ndarray) -> pa.Array:
         """BinaryArray of per-block byte slices, zero-copy over ``buf``."""
@@ -200,7 +205,7 @@ def merge_partials_table(
     g_code = g_key // shard_mult
     g_shard = (g_key % shard_mult).astype(np.int32)
     g_sizes = np.diff(np.append(group_starts, n))
-    g_cf = np.add.reduceat(v_tf, group_starts)
+    g_cf = np.add.reduceat(v_tf, group_starts, dtype=np.int64)
     group_of_block = np.searchsorted(group_starts, block_starts, side="right") - 1
     blocks_per_group = np.bincount(group_of_block, minlength=len(group_starts))
     g_block_off = np.concatenate([[0], np.cumsum(blocks_per_group)]).astype(np.int32)
