@@ -111,13 +111,15 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         if cfg.num_buckets is not None:
             man.data["num_buckets"] = int(cfg.num_buckets)
         else:
-            # ~32 MB of input per merge bucket: a bucket's decoded working set
-            # is ~10-20x its parquet bytes, and smaller per-task sets measure
-            # faster on DRAM-bound merges (more tasks also rebalance against
-            # stragglers). Beyond the 65536-file cap the per-bucket skew guard
-            # (merge_byte_budget sub-splits) bounds memory instead.
+            # ~8 MB of input per merge bucket: a bucket's decoded working set
+            # is ~10-20x its parquet bytes, and lexsort working sets that
+            # overflow the shared LLC make concurrent merges serialize on the
+            # memory subsystem (measured on 12M turns / 32 CPUs: 56 x 32 MB
+            # buckets -> merge wall 121 s at 16 concurrent; 224 x 8 MB ->
+            # 61 s at 32 concurrent). Beyond the 65536-file cap the per-bucket
+            # skew guard (merge_byte_budget sub-splits) bounds memory instead.
             total_bytes = sum(fs.file_size(p) for p in cfg.input_paths)
-            man.data["num_buckets"] = int(np.clip(total_bytes // (32 << 20), 32, 65536))
+            man.data["num_buckets"] = int(np.clip(total_bytes // (8 << 20), 32, 65536))
         man.data["config"] = {
             "input_paths": cfg.input_paths,
             "bm25": cfg.bm25.__dict__,
@@ -296,18 +298,21 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             bkt = int(bdir.split("=", 1)[1])
             bucket_files.setdefault(bkt, []).append(fs.join(seg_root, rel))
 
-        # One merge task decodes + lexsorts a whole bucket (~10-20x its
-        # parquet bytes as working set) and is DRAM-bandwidth bound, not core
-        # bound: ~16 concurrent per node is the measured sweet spot (32-CPU
-        # box, 36 x 14M-posting buckets: 8 concurrent 221 s, 16 -> 144 s,
-        # 32 -> 173 s). Declare num_cpus = node_cpus/16 so the scheduler caps
-        # per-node merge concurrency at that point on any cluster shape while
-        # still using every core below the ceiling.
+        # Merge-task CPU cost from bucket size: small buckets (the default
+        # sizing) keep lexsort working sets near the LLC and run fine at full
+        # core concurrency; oversized buckets (65536-bucket cap reached at
+        # extreme inputs) thrash the shared memory subsystem when too many
+        # run per node — measured sweet spot ~16 concurrent per 32-CPU node —
+        # so declare num_cpus = node_cpus/16 for them.
         node_cpus = max(
             (int(n.get("Resources", {}).get("CPU", 0)) for n in ray.nodes() if n.get("Alive")),
             default=cluster_cpus,
         )
-        merge_cpus = max(1, int(node_cpus) // 16)
+        total_partial_bytes = sum(
+            fs.file_size(f) for files in bucket_files.values() for f in files
+        )
+        per_bucket = total_partial_bytes / max(1, len(bucket_files))
+        merge_cpus = 1 if per_bucket <= (64 << 20) else max(1, int(node_cpus) // 16)
         merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
         tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
         for d in (tmp_post, tmp_ts):
