@@ -197,9 +197,18 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         t_meta = time.time()
 
         # partials read back from the committed docmeta (pruned to 2 columns) —
-        # consistent by construction and avoids re-running docid assignment
+        # consistent by construction and avoids re-running docid assignment.
+        # Block count is fixed AT THE READ so the hive-partitioned write fans
+        # out over exactly n_write tasks with no repartition barrier: a global
+        # repartition() moves every partial through the object store twice and
+        # measured 2.4x slower than sizing the read (52 s vs 21 s at sfscale/
+        # 32 CPUs). Files per bucket == n_write either way.
+        n_write = max(4, min(cluster_cpus // workers, 32))
         with read_lock:
-            src = ray.data.read_parquet(**fs.for_ray_paths([dm_dir]), columns=["docid", "text", "doc_len"])
+            src = ray.data.read_parquet(
+                **fs.for_ray_paths([dm_dir]), columns=["docid", "text", "doc_len"],
+                override_num_blocks=n_write,
+            )
         # stateless task closure (the "state" is two ints) — avoids spinning
         # up an actor pool per concurrent partition pipeline
         partials = src.map_batches(
@@ -209,17 +218,10 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             batch_size=cfg.batch_size,
         )
         seg_dir = fs.join(cfg.index_dir, "segments", key)
-        # hive-partitioned by bucket: this write IS the merge shuffle.
-        # Coalesce before the write — files per bucket == write tasks and the
-        # merge reads every (partition x bucket) file — but size the block
-        # count from the cluster so the write isn't serialized onto a handful
-        # of tasks (round 1 hard-coded 4 and the write was the phase-A
-        # bottleneck at 32 CPUs).
-        n_write = max(4, min(cluster_cpus // workers, 32))
+        # hive-partitioned by bucket: this write IS the merge shuffle (map-side
+        # via the filesystem; no all-to-all exchange operator)
         atomic_write_dir(
-            lambda d: partials.repartition(n_write).write_parquet(
-                **fs.for_ray(d), partition_cols=["bucket"]
-            ),
+            lambda d: partials.write_parquet(**fs.for_ray(d), partition_cols=["bucket"]),
             seg_dir,
         )
 
