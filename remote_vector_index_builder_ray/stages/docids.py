@@ -54,33 +54,43 @@ def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
         partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
     # Finalize: the partials are ~one row per (conv, batch). Below a size
-    # threshold a driver-side pandas combine skips a whole Ray shuffle round
-    # (identical result); above it, the distributed groupby is the scale path
-    # (at 10^12 turns the conv table itself is cluster-sized).
-    try:
-        pdf_all = partials.to_pandas(limit=20_000_000)
-        pdf = (
-            pdf_all.groupby("conv_id", sort=False)
-            .agg(n_turns=("n_turns", "sum"), max_turn=("max_turn", "max"))
-            .reset_index()
-        )
-    except ValueError:  # over the to_pandas limit -> distributed finalize
+    # threshold the combine runs driver-side in Arrow C++ (group_by + sort
+    # kernels — the pandas version of this finalize was a flat ~8-10 s serial
+    # stage at 12M turns and capped whole-build scaling); above it, the
+    # distributed groupby is the scale path (at 10^12 turns the conv table
+    # itself is cluster-sized).
+    refs = partials.to_arrow_refs()
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    total_rows = sum(t.num_rows for t in tabs)
+    if total_rows <= 50_000_000:
+        t = pa.concat_tables(tabs, promote_options="default")
+        g = pa.TableGroupBy(t, "conv_id").aggregate([("n_turns", "sum"), ("max_turn", "max")])
+        g = g.rename_columns(["conv_id", "n_turns", "max_turn"]).sort_by("conv_id")
+        n_col = g["n_turns"]
+        max_col = g["max_turn"]
+        conv_col = g["conv_id"]
+    else:  # distributed finalize
         counts = partials.groupby("conv_id").aggregate(
             Sum("n_turns", alias_name="n_turns"), Max("max_turn", alias_name="max_turn")
         )
-        pdf = counts.to_pandas()
-    pdf = pdf.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+        t = pa.concat_tables(
+            [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows],
+            promote_options="default",
+        ).sort_by("conv_id")
+        n_col, max_col, conv_col = t["n_turns"], t["max_turn"], t["conv_id"]
     if validate_dense:
-        bad = pdf[pdf["max_turn"] + 1 != pdf["n_turns"]]
-        if len(bad):
+        bad = pc.not_equal(pc.add(max_col, 1), n_col)
+        n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+        if n_bad:
+            examples = pa.table({"conv_id": conv_col, "n_turns": n_col, "max_turn": max_col}) \
+                .filter(bad).slice(0, 3).to_pylist()
             raise SchemaValidationError(
-                f"turn_idx not dense 0..len-1 for {len(bad)} conversations "
-                f"(e.g. {bad.head(3).to_dict('records')}); use docid_mode='sort' "
-                "or dedup=True"
+                f"turn_idx not dense 0..len-1 for {n_bad} conversations "
+                f"(e.g. {examples}); use docid_mode='sort' or dedup=True"
             )
-    n = pdf["n_turns"].to_numpy(np.int64)
+    n = n_col.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
-    return pdf["conv_id"].to_numpy(), offsets, int(n.sum()), int(n.sum())
+    return conv_col.to_numpy(zero_copy_only=False), offsets, int(n.sum()), int(n.sum())
 
 
 def assign_docids_dense(ds: ray.data.Dataset, conv_ids: np.ndarray, offsets: np.ndarray) -> ray.data.Dataset:
