@@ -137,7 +137,9 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    pair = os.environ.get("GRAFT_SCALING_CPUS", "4,16")
+    # default pair 2,8: the only N vs 4N pair whose both legs stay under this
+    # single box's DRAM-bandwidth ceiling (see BASELINE.md scaling notes)
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
     r_lo, r_hi = run(lo), run(hi)
     # the BASELINE.json scaling criterion is about BUILD throughput

@@ -103,6 +103,12 @@ class BuildConfig:
     # (bounded memory, S passes over its files) — the skew guard for
     # stopword-heavy corpora. Execution detail: not part of job_id.
     merge_byte_budget: int = 1 << 30
+    # First docid of this build. 0 for a base index; an incremental
+    # generation (pipelines/incremental.append_index) sets it to the number
+    # of docs already in the index so generations occupy disjoint, ascending
+    # docid ranges — the positional-id analog of appending rows to the
+    # reference's doc-id blob (``core/common/models/vectors_dataset.py:126-129``).
+    docid_base: int = 0
 
     def job_id(self) -> str:
         payload = json.dumps(
@@ -112,6 +118,7 @@ class BuildConfig:
                 "bm25": self.bm25.job_fingerprint(),
                 "dedup": self.dedup,
                 "docid_mode": self.docid_mode,
+                "docid_base": self.docid_base,
             },
             sort_keys=True,
         )

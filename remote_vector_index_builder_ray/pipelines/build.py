@@ -83,6 +83,80 @@ def _partition_files(paths: list[str], num_partitions: int | None) -> list[list[
     return [list(chunk) for chunk in np.array_split(np.array(paths, dtype=object), num_partitions)]
 
 
+def run_merge(
+    seg_roots: list[str],
+    postings_dir: str,
+    termstats_dir: str,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    byte_budget: int,
+) -> dict:
+    """The merge exchange as a standalone phase: read every bucket's partial
+    files under ``seg_roots`` (hive-partitioned by phase A — the map-side
+    shuffle), merge each bucket in one vectorized Ray task, and atomically
+    replace ``postings_dir`` / ``termstats_dir``. Shared by the base build
+    (one seg root) and generation compaction (base + all generations' roots,
+    ``pipelines/incremental.compact_index``). Returns metrics + the
+    ``postings_files`` manifest entries."""
+    bucket_files: dict[int, list[str]] = {}
+    for root in seg_roots:
+        for rel in fs.listdir(root, recursive=True):
+            if not rel.endswith(".parquet"):
+                continue
+            parts = rel.split("/")
+            bdir = next((p for p in parts if p.startswith("bucket=")), None)
+            if bdir is None:
+                continue
+            bkt = int(bdir.split("=", 1)[1])
+            bucket_files.setdefault(bkt, []).append(fs.join(root, rel))
+
+    # Merge-task CPU cost from bucket size: small buckets (the default
+    # sizing) keep lexsort working sets near the LLC and run fine at full
+    # core concurrency; oversized buckets (65536-bucket cap reached at
+    # extreme inputs) thrash the shared memory subsystem when too many
+    # run per node — measured sweet spot ~16 concurrent per 32-CPU node —
+    # so declare num_cpus = node_cpus/16 for them.
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+    node_cpus = max(
+        (int(n.get("Resources", {}).get("CPU", 0)) for n in ray.nodes() if n.get("Alive")),
+        default=cluster_cpus,
+    )
+    total_partial_bytes = sum(
+        fs.file_size(f) for files in bucket_files.values() for f in files
+    )
+    per_bucket = total_partial_bytes / max(1, len(bucket_files))
+    merge_cpus = 1 if per_bucket <= (64 << 20) else max(1, int(node_cpus) // 16)
+    merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
+    tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
+    for d in (tmp_post, tmp_ts):
+        fs.rm_tree(d)
+        fs.makedirs(d)
+    futures = [
+        merge_task.remote(
+            files, avgdl, k1, b, block_size, bkt,
+            fs.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
+            fs.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
+            byte_budget=byte_budget,
+        )
+        for bkt, files in sorted(bucket_files.items())
+    ]
+    results = ray.get(futures)
+    for final in (postings_dir, termstats_dir):
+        fs.rm_tree(final)
+    fs.move_dir(tmp_post, postings_dir)
+    fs.move_dir(tmp_ts, termstats_dir)
+    return {
+        "term_shards": int(sum(r[0] for r in results)),
+        "terms": int(sum(r[1] for r in results)),
+        "postings_files": [
+            {"path": fs.join(postings_dir, f"bucket-{bkt:05d}.parquet"), "bucket": bkt}
+            for bkt, _ in sorted(bucket_files.items())
+        ],
+    }
+
+
 def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     """Build (or resume) the index; returns the manifest dict.
 
@@ -142,6 +216,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 # count DISTINCT (conv_id, turn_idx): dedup pairs first
                 two = two.groupby(["conv_id", "turn_idx"]).count()
             conv_ids, offsets, n_docs, _ = compute_conv_offsets(two, validate_dense=True)
+            offsets = offsets + int(cfg.docid_base)  # generation base (0 for a base index)
             tbl = pa.table({"conv_id": pa.array(conv_ids), "offset": pa.array(offsets, type=pa.int64())})
             # safe without a temp file: the stage commit (below) happens only
             # after the write completes, and resume re-writes on a dirty file
@@ -189,7 +264,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         if cfg.docid_mode == "dense":
             ds = assign_docids_dense(ds, conv_ids, offsets)
         else:
-            ds = assign_docids_sort(ds)
+            ds = assign_docids_sort(ds, base=int(cfg.docid_base))
         dm = ds.map_batches(add_doc_len, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=cfg.batch_size).select_columns(DOCMETA_COLUMNS)
         dm_dir = fs.join(cfg.index_dir, "docmeta", key)
@@ -287,63 +362,18 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
     termstats_dir = fs.join(cfg.index_dir, "termstats")
     if not man.stage_done("merge"):
         t0 = time.time()
-        # one recursive listing of the segment tree (a single object-store
-        # LIST call per level, not a per-dir walk)
-        bucket_files: dict[int, list[str]] = {}
-        for rel in fs.listdir(seg_root, recursive=True):
-            if not rel.endswith(".parquet"):
-                continue
-            parts = rel.split("/")
-            bdir = next((p for p in parts if p.startswith("bucket=")), None)
-            if bdir is None:
-                continue
-            bkt = int(bdir.split("=", 1)[1])
-            bucket_files.setdefault(bkt, []).append(fs.join(seg_root, rel))
-
-        # Merge-task CPU cost from bucket size: small buckets (the default
-        # sizing) keep lexsort working sets near the LLC and run fine at full
-        # core concurrency; oversized buckets (65536-bucket cap reached at
-        # extreme inputs) thrash the shared memory subsystem when too many
-        # run per node — measured sweet spot ~16 concurrent per 32-CPU node —
-        # so declare num_cpus = node_cpus/16 for them.
-        node_cpus = max(
-            (int(n.get("Resources", {}).get("CPU", 0)) for n in ray.nodes() if n.get("Alive")),
-            default=cluster_cpus,
+        m = run_merge(
+            [seg_root], postings_dir, termstats_dir,
+            avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size,
+            cfg.merge_byte_budget,
         )
-        total_partial_bytes = sum(
-            fs.file_size(f) for files in bucket_files.values() for f in files
-        )
-        per_bucket = total_partial_bytes / max(1, len(bucket_files))
-        merge_cpus = 1 if per_bucket <= (64 << 20) else max(1, int(node_cpus) // 16)
-        merge_task = ray.remote(num_cpus=merge_cpus)(merge_bucket_files)
-        tmp_post, tmp_ts = postings_dir + ".tmp", termstats_dir + ".tmp"
-        for d in (tmp_post, tmp_ts):
-            fs.rm_tree(d)
-            fs.makedirs(d)
-        futures = [
-            merge_task.remote(
-                files, avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size, bkt,
-                fs.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
-                fs.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
-                byte_budget=cfg.merge_byte_budget,
-            )
-            for bkt, files in sorted(bucket_files.items())
-        ]
-        results = ray.get(futures)
-        for final in (postings_dir, termstats_dir):
-            fs.rm_tree(final)
-        fs.move_dir(tmp_post, postings_dir)
-        fs.move_dir(tmp_ts, termstats_dir)
-        man.data["postings_files"] = [
-            {"path": fs.join(postings_dir, f"bucket-{bkt:05d}.parquet"), "bucket": bkt}
-            for bkt, _ in sorted(bucket_files.items())
-        ]
+        man.data["postings_files"] = m["postings_files"]
         man.commit_stage(
             "merge",
             {
                 "sec": time.time() - t0,
-                "term_shards": int(sum(r[0] for r in results)),
-                "terms": int(sum(r[1] for r in results)),
+                "term_shards": m["term_shards"],
+                "terms": m["terms"],
                 "num_buckets": num_buckets,
             },
         )

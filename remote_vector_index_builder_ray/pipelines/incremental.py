@@ -1,0 +1,216 @@
+"""Incremental index generations: append new transcripts to a built index
+without rebuilding it, then (optionally) compact.
+
+The reference's workflow is build-once-per-job — incremental growth is handled
+one level up by the serving side, which accumulates the immutable segment
+artifacts remote builds produce and merges them on its own schedule (the
+Lucene/OpenSearch segment model; each remote build job = one segment,
+``core/tasks.py:80-211``). This module reproduces that model inside the
+engine:
+
+* ``append_index(index_dir, new_paths)`` builds a **generation** — a complete
+  self-contained sub-index under ``{index_dir}/generations/gen-NNNN/`` built
+  by the ordinary ``build_index`` pipeline with ``docid_base`` set to the
+  number of docs already indexed, so generations occupy disjoint ascending
+  docid ranges (the positional-id analog of appending rows to the reference's
+  doc-id blob, ``core/common/models/vectors_dataset.py:126-129``). The base
+  index is never touched; append cost is proportional to the NEW data only.
+
+* The searcher (``stages/search.py``) unions the base and all live
+  generations per term at query time: per-generation block lists concatenate
+  in generation order (docid order by construction), ``df`` sums across
+  generations, and scoring uses **global** corpus stats (N, avgdl) so scores
+  equal a from-scratch build over the full corpus. Stored block-max bounds
+  were computed with each generation's local avgdl; they are corrected with
+  the provably safe factor ``max(1, avgdl_global / avgdl_gen)`` — BM25's
+  ``tfnorm`` is increasing in avgdl and the ratio
+  ``tfnorm(a2)/tfnorm(a1) = (tf+k1(1-b)+k1·b·dl/a1)/(tf+k1(1-b)+k1·b·dl/a2)``
+  is bounded above by ``a2/a1`` (the ``tf+k1(1-b) → 0`` limit) — so pruning
+  stays exact-safe and results stay rank-identical to the exhaustive oracle.
+
+* ``compact_index(index_dir)`` re-runs the ONE wide exchange of the build
+  (``pipelines/build.run_merge``) over the union of the base's and every
+  generation's hive-partitioned posting partials with the global avgdl,
+  atomically replacing the top-level postings — producing postings
+  value-identical to a one-shot build over the same docid assignment. A
+  query never sees a half-compacted index: the swap is the same
+  tmp-dir + rename commit the base build uses. Compacted generations keep
+  their docmeta (stored fields) and segments (future re-compaction input);
+  their per-generation postings are deleted.
+
+Scale notes (100 TB design point): append touches only the new data plus one
+LIST of the base manifest; compaction is the same bounded per-bucket merge as
+the base build (bucket count scales with total bytes, the skew guard
+sub-splits oversized buckets). All paths go through the ``state.fs``
+object-store layer, so generations work unchanged on a multi-node cluster.
+"""
+
+from __future__ import annotations
+
+import time
+
+from remote_vector_index_builder_ray.config import BM25Config, BuildConfig, EngineError
+from remote_vector_index_builder_ray.pipelines.build import build_index, run_merge
+from remote_vector_index_builder_ray.state import fs
+from remote_vector_index_builder_ray.state.manifest import Manifest
+
+
+class IndexStateError(EngineError):
+    """The index is not in a state that allows the requested operation."""
+
+
+def _load_completed_manifest(index_dir: str) -> Manifest:
+    man = Manifest.load(index_dir)
+    if man is None:
+        raise IndexStateError(f"no index manifest at {index_dir}")
+    if not man.stage_done("merge"):
+        raise IndexStateError(
+            f"index at {index_dir} has no committed merge stage; "
+            "finish (or resume) the base build before appending"
+        )
+    return man
+
+
+def _total_docs(man: Manifest) -> tuple[int, int]:
+    """(N, total_len) across the whole index: the base ``stats`` plus every
+    LIVE (non-compacted) generation. Compaction folds generation counts into
+    the base stats, so compacted generations must not be added again."""
+    n = int(man.data["stats"]["N"])
+    tl = int(man.data["stats"]["total_len"])
+    for g in man.data.get("generations", []):
+        if not g.get("compacted"):
+            n += int(g["n_docs"])
+            tl += int(g["total_len"])
+    return n, tl
+
+
+def global_stats(index_dir: str) -> dict:
+    """Corpus stats over base + all generations (what the searcher scores
+    with). Equal to the base ``stats.json`` when there are no generations."""
+    man = _load_completed_manifest(index_dir)
+    n, tl = _total_docs(man)
+    st = dict(man.data["stats"])
+    st.update({"N": n, "total_len": tl, "avgdl": tl / n if n else 0.0})
+    return st
+
+
+def docmeta_dirs(index_dir: str) -> list[str]:
+    """Every docmeta root holding stored fields for this index's docids —
+    the base plus each generation (compacted or not; compaction keeps
+    docmeta in place)."""
+    out = [fs.join(index_dir, "docmeta")]
+    man = Manifest.load(index_dir)
+    if man is not None:
+        for g in man.data.get("generations", []):
+            out.append(fs.join(index_dir, g["dir"], "docmeta"))
+    return [d for d in out if fs.exists(d)]
+
+
+def append_index(
+    index_dir: str,
+    input_paths: list[str],
+    num_partitions: int | None = None,
+    batch_size: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Append ``input_paths`` to a built index as a new generation.
+
+    Returns the updated base manifest dict. Idempotent: appending the same
+    inputs to the same index state a second time is a no-op (the generation's
+    deterministic job id — which includes its docid base — already appears in
+    the manifest; the analog of the reference's job-id idempotency,
+    ``app/services/job_service.py:60-83``). A crashed append re-runs through
+    the generation's own per-partition checkpoints.
+    """
+    man = _load_completed_manifest(index_dir)
+    cfg_rec = man.data.get("config", {})
+    bm25 = BM25Config(**cfg_rec.get("bm25", {}))
+    gens = man.data.setdefault("generations", [])
+    docid_base, _ = _total_docs(man)
+
+    gen_id = len(gens) + 1
+    gen_rel = f"generations/gen-{gen_id:04d}"
+    gcfg = BuildConfig(
+        input_paths=list(input_paths),
+        index_dir=fs.join(index_dir, gen_rel),
+        bm25=bm25,
+        num_partitions=num_partitions,
+        dedup=bool(cfg_rec.get("dedup", False)),
+        docid_mode=str(cfg_rec.get("docid_mode", "dense")),
+        # generations MUST share the base's bucket count: bucket-file layout
+        # is the shuffle key space, and compaction unions partials per bucket
+        num_buckets=int(man.data["num_buckets"]),
+        docid_base=docid_base,
+    )
+    if batch_size is not None:
+        gcfg.batch_size = int(batch_size)
+    job_id = gcfg.job_id()
+    for g in gens:
+        if g.get("job_id") == job_id:
+            return man.data  # this exact append already happened
+
+    gman = build_index(gcfg, resume=resume)
+    gens.append(
+        {
+            "dir": gen_rel,
+            "job_id": job_id,
+            "n_docs": int(gman["stats"]["N"]),
+            "total_len": int(gman["stats"]["total_len"]),
+            "num_buckets": int(gman["num_buckets"]),
+            "compacted": False,
+            "appended_at": time.time(),
+        }
+    )
+    man.save()
+    return man.data
+
+
+def compact_index(index_dir: str) -> dict:
+    """Merge the base and every generation into one top-level postings set.
+
+    Re-runs the bucket merge over the UNION of all hive-partitioned posting
+    partials with the global avgdl — value-identical postings to a one-shot
+    build with the same docid assignment. No-op if there are no live
+    generations. Returns the updated manifest dict.
+    """
+    man = _load_completed_manifest(index_dir)
+    gens = man.data.get("generations", [])
+    live = [g for g in gens if not g.get("compacted")]
+    if not live:
+        return man.data
+    bad = [g["dir"] for g in gens if int(g["num_buckets"]) != int(man.data["num_buckets"])]
+    if bad:
+        raise IndexStateError(f"generation bucket count mismatch: {bad}")
+
+    n, tl = _total_docs(man)
+    avgdl = tl / n if n else 0.0
+    bm25 = BM25Config(**man.data.get("config", {}).get("bm25", {}))
+    seg_roots = [fs.join(index_dir, "segments")] + [
+        fs.join(index_dir, g["dir"], "segments") for g in gens
+    ]
+    t0 = time.time()
+    m = run_merge(
+        seg_roots,
+        fs.join(index_dir, "postings"),
+        fs.join(index_dir, "termstats"),
+        avgdl, bm25.k1, bm25.b, bm25.block_size,
+        byte_budget=1 << 30,
+    )
+    # commit order: postings are already swapped atomically above; now make
+    # stats global and retire the generations' own postings
+    st = dict(man.data["stats"])
+    st.update({"N": n, "total_len": tl, "avgdl": avgdl})
+    fs.write_json_atomic(fs.join(index_dir, "stats.json"), st)
+    man.data["stats"] = st
+    man.data["postings_files"] = m["postings_files"]
+    for g in gens:
+        g["compacted"] = True
+    man.commit_stage(
+        f"compact-{len(gens):04d}",
+        {"sec": time.time() - t0, "term_shards": m["term_shards"], "terms": m["terms"],
+         "generations": len(gens)},
+    )
+    for g in gens:
+        fs.rm_tree(fs.join(index_dir, g["dir"], "postings"))
+        fs.rm_tree(fs.join(index_dir, g["dir"], "termstats"))
+    return man.data

@@ -116,7 +116,7 @@ def assign_docids_dense(ds: ray.data.Dataset, conv_ids: np.ndarray, offsets: np.
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def assign_docids_sort(ds: ray.data.Dataset) -> ray.data.Dataset:
+def assign_docids_sort(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
     """General fallback: full sort + per-block zip-with-index.
 
     The per-block offset attach is raw Ray tasks over the sorted dataset's
@@ -137,7 +137,7 @@ def assign_docids_sort(ds: ray.data.Dataset) -> ray.data.Dataset:
         return t.append_column("docid", ids)
 
     lengths = ray.get([_nrows.remote(r) for r in refs])
-    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64) + int(base)
     out_refs = [_attach.remote(r, int(s)) for r, s in zip(refs, starts)]
     return ray.data.from_arrow_refs(out_refs)
 

@@ -198,20 +198,46 @@ class BM25Searcher:
 
         self._fs = _fs
         st = _fs.read_json(_fs.join(index_dir, "stats.json"))
-        self.N = int(st["N"])
-        self.avgdl = float(st["avgdl"])
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
         self.mode = mode
         self.cache_terms = cache_terms
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
+        # Global corpus stats: the base stats plus every LIVE generation
+        # (pipelines/incremental.append_index); scoring with global (N, avgdl)
+        # makes multi-generation results equal a from-scratch build.
+        gens = [g for g in man.get("generations", []) if not g.get("compacted")]
+        N, total_len = int(st["N"]), int(st["total_len"])
+        for g in gens:
+            N += int(g["n_docs"])
+            total_len += int(g["total_len"])
+        self.N = N
+        self.avgdl = total_len / N if N else 0.0
+        # Postings sources in docid (generation) order. Per source:
+        # (postings_dir, num_buckets, present-file set, maxtn scale). The
+        # scale corrects stored block maxes (computed with the generation's
+        # LOCAL avgdl) up to a safe bound at the global avgdl: tfnorm is
+        # increasing in avgdl and tfnorm(a2)/tfnorm(a1) <= a2/a1, so
+        # max(1, avgdl_global/avgdl_local) keeps pruning exact-safe
+        # (pipelines/incremental.py module docstring has the derivation).
         self.postings_dir = _fs.join(index_dir, "postings")
         self.num_buckets = int(man["num_buckets"])
-        # one LIST of the postings dir (loaded once per actor) replaces a
-        # per-term existence stat against the object store
-        self._present = {
-            name for name in _fs.listdir(self.postings_dir) if name.endswith(".parquet")
-        }
+        self._sources: list[tuple[str, int, set, float]] = []
+
+        def _add_source(pdir: str, nb: int, local_avgdl: float) -> None:
+            # one LIST of the postings dir (loaded once per actor) replaces a
+            # per-term existence stat against the object store
+            present = {n for n in _fs.listdir(pdir) if n.endswith(".parquet")}
+            scale = max(1.0, self.avgdl / local_avgdl) if local_avgdl > 0 else 1.0
+            self._sources.append((pdir, int(nb), present, scale))
+
+        _add_source(self.postings_dir, self.num_buckets, float(st["avgdl"]))
+        for g in gens:
+            gdir = _fs.join(index_dir, g["dir"])
+            gst = _fs.read_json(_fs.join(gdir, "stats.json"))
+            _add_source(_fs.join(gdir, "postings"), int(g["num_buckets"]), float(gst["avgdl"]))
+        self._present = self._sources[0][2]  # back-compat (single-source view)
+        self._scales = np.array([s[3] for s in self._sources], dtype=np.float64)
         self._cache: dict[str, _TermPostings | None] = {}
 
     # -- postings lookup ------------------------------------------------------
@@ -222,13 +248,16 @@ class BM25Searcher:
 
     def _candidate_files(self, terms: list[str]) -> list[str]:
         """Deterministic file addressing: a term lives ONLY in its hash
-        bucket's file; within the file, small term-sorted row groups give
-        parquet predicate pushdown."""
+        bucket's file (per source); within the file, small term-sorted row
+        groups give parquet predicate pushdown."""
+        import zlib
+
         out = []
-        for bkt in sorted({self._term_bucket(t) for t in terms}):
-            name = f"bucket-{bkt:05d}.parquet"
-            if name in self._present:
-                out.append(self._fs.join(self.postings_dir, name))
+        for pdir, nb, present, _ in self._sources:
+            for bkt in sorted({zlib.crc32(t.encode()) % nb for t in terms}):
+                name = f"bucket-{bkt:05d}.parquet"
+                if name in present:
+                    out.append(self._fs.join(pdir, name))
         return out
 
     @staticmethod
@@ -254,8 +283,25 @@ class BM25Searcher:
         missing = [t for t in terms if t not in self._cache]
         if not missing:
             return
-        paths = self._candidate_files(missing)
-        tabs = [self._fs.read_table(p, filters=[("term", "in", missing)]) for p in paths]
+        import zlib
+
+        multi = len(self._sources) > 1
+        tabs = []
+        for gi, (pdir, nb, present, _) in enumerate(self._sources):
+            for bkt in sorted({zlib.crc32(t.encode()) % nb for t in missing}):
+                name = f"bucket-{bkt:05d}.parquet"
+                if name not in present:
+                    continue
+                t = self._fs.read_table(
+                    self._fs.join(pdir, name), filters=[("term", "in", missing)]
+                )
+                if t.num_rows == 0:
+                    continue
+                if multi:
+                    t = t.append_column(
+                        "gen", pa.array(np.full(t.num_rows, gi, dtype=np.int32))
+                    )
+                tabs.append(t)
         if len(self._cache) + len(missing) > self.cache_terms:
             self._cache.clear()
         for t in missing:
@@ -265,8 +311,13 @@ class BM25Searcher:
         tt = pa.concat_tables(tabs, promote_options="default")
         if tt.num_rows == 0:
             return
-        # rows sorted by (term, shard): shard order == docid order per term
-        tt = tt.sort_by([("term", "ascending"), ("shard", "ascending")]).combine_chunks()
+        # rows sorted by (term[, gen], shard): generations hold disjoint
+        # ascending docid ranges, so this IS docid order per term
+        sort_keys = [("term", "ascending")]
+        if multi:
+            sort_keys.append(("gen", "ascending"))
+        sort_keys.append(("shard", "ascending"))
+        tt = tt.sort_by(sort_keys).combine_chunks()
         row_terms = tt["term"].to_pylist()
         df_s = tt["df_shard"].to_numpy(zero_copy_only=False)
         cf_s = tt["cf_shard"].to_numpy(zero_copy_only=False)
