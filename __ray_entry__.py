@@ -129,9 +129,27 @@ def _sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
+def _build_fresh_on_collision(cfg):
+    """Build, treating a HashCollisionError as a stale /tmp cache from an
+    older code version (the job fingerprint covers every build parameter):
+    wipe the cached dir and rebuild.  A real collision — same dir, same
+    session, different params — never happens here because the dir name is
+    derived from the input fixture."""
+    import shutil
+
+    from remote_vector_index_builder_ray import build_index
+    from remote_vector_index_builder_ray.config import HashCollisionError
+
+    try:
+        return build_index(cfg)
+    except HashCollisionError:
+        shutil.rmtree(cfg.index_dir, ignore_errors=True)
+        return build_index(cfg)
+
+
 def _ensure_index(sf_dir: str):
     """Build (resume-aware: completed index is reused) and return paths."""
-    from remote_vector_index_builder_ray import BuildConfig, build_index
+    from remote_vector_index_builder_ray import BuildConfig
 
     name = _sf_name(sf_dir)
     fx = _fx.ensure_fixture(name)
@@ -141,7 +159,7 @@ def _ensure_index(sf_dir: str):
         index_dir=index_dir,
         num_partitions=min(4, len(fx["transcripts"])),
     )
-    manifest = build_index(cfg)
+    manifest = _build_fresh_on_collision(cfg)
     return fx, index_dir, manifest
 
 
@@ -179,6 +197,62 @@ def _q_bm25_topk(sf_dir: str):
     q = pq.read_table(fx["queries"]).to_pandas()
     k_by_query = dict(zip(q["query_id"], q["k"]))
     # oversample 2k so the rounded re-rank can't lose a boundary doc
+    q2 = q.assign(k=(q["k"] * 2).astype("int32"))
+    res = search(index_dir, q2, mode="bmw").to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res["k"] = res["query_id"].map(k_by_query)
+    res = res[res["rank"] <= res["k"]]
+    return res[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    ).reset_index(drop=True)
+
+
+def _ensure_inc_index(sf_dir: str):
+    """Incremental twin of ``_ensure_index``: base build over the first half
+    of the corpus (split at the median conv_id), second half appended as a
+    generation (``pipelines/incremental.append_index``). Because the split is
+    conv-sorted, the appended generation's docid base continues the dense
+    (conv_id, turn_idx) order — the multi-generation index answers queries
+    over exactly the same docid space as the one-shot build, so it shares the
+    ``bm25_topk`` oracle SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import BuildConfig, append_index
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    split_dir = os.path.join(ARTIFACT_ROOT, f"{name}_split")
+    a_path = os.path.join(split_dir, "part_a.parquet")
+    b_path = os.path.join(split_dir, "part_b.parquet")
+    if not (os.path.exists(a_path) and os.path.exists(b_path)):
+        os.makedirs(split_dir, exist_ok=True)
+        full = pa.concat_tables([pq.read_table(p) for p in fx["transcripts"]])
+        convs = sorted(set(full["conv_id"].to_pylist()))
+        cut = convs[len(convs) // 2]
+        mask = pc.less(full["conv_id"], pa.scalar(cut))
+        _write_atomic(full.filter(mask), a_path)
+        _write_atomic(full.filter(pc.invert(mask)), b_path)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_inc")
+    _build_fresh_on_collision(BuildConfig(input_paths=[a_path], index_dir=index_dir))
+    append_index(index_dir, [b_path])
+    return fx, index_dir
+
+
+def _q_bm25_incremental(sf_dir: str):
+    """Top-k over the base+appended-generation index — must match the
+    one-shot ``bm25_topk`` oracle exactly (global stats across generations,
+    safe-scaled block maxes; see pipelines/incremental.py)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search
+
+    fx, index_dir = _ensure_inc_index(sf_dir)
+    q = pq.read_table(fx["queries"]).to_pandas()
+    k_by_query = dict(zip(q["query_id"], q["k"]))
     q2 = q.assign(k=(q["k"] * 2).astype("int32"))
     res = search(index_dir, q2, mode="bmw").to_pandas()
     res["score"] = res["score"].round(6)
@@ -462,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
         "bm25_topk": _q_bm25_topk,
+        "bm25_incremental": _q_bm25_incremental,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -548,7 +623,7 @@ FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
 ORDER BY doc_a, doc_b
 """
-    return {
+    out = {
         "bm25_topk": f"""
 WITH {docs}, {_TOKS},
 tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
@@ -801,6 +876,11 @@ FROM ivf i LEFT JOIN bf b ON i.query_id = b.query_id AND i.vec_id = b.vec_id
 GROUP BY i.query_id ORDER BY i.query_id
 """,
     }
+    # the incremental (base + appended generation) index answers over the
+    # SAME docid space as the one-shot build (conv-sorted split; see
+    # _ensure_inc_index) — its oracle IS the bm25_topk oracle
+    out["bm25_incremental"] = out["bm25_topk"]
+    return out
 
 
 # ---------------------------------------------------------------------------

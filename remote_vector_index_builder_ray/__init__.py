@@ -23,6 +23,19 @@ Public surface (the analog of the reference's ``core.tasks`` library path,
 
 from remote_vector_index_builder_ray.config import BM25Config, BuildConfig
 from remote_vector_index_builder_ray.pipelines.build import build_index
+from remote_vector_index_builder_ray.pipelines.incremental import (
+    append_index,
+    compact_index,
+    global_stats,
+)
 from remote_vector_index_builder_ray.pipelines.query import search
 
-__all__ = ["BM25Config", "BuildConfig", "build_index", "search"]
+__all__ = [
+    "BM25Config",
+    "BuildConfig",
+    "append_index",
+    "build_index",
+    "compact_index",
+    "global_stats",
+    "search",
+]

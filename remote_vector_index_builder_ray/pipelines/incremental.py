@@ -47,6 +47,8 @@ object-store layer, so generations work unchanged on a multi-node cluster.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import time
 
 from remote_vector_index_builder_ray.config import BM25Config, BuildConfig, EngineError
@@ -145,8 +147,23 @@ def append_index(
     if batch_size is not None:
         gcfg.batch_size = int(batch_size)
     job_id = gcfg.job_id()
+    # Idempotency key: the inputs + parameters WITHOUT the docid base — a
+    # re-issued append of the same files is a retry, not a request to index
+    # them twice (the reference's request-level job-id dedup,
+    # ``app/utils/hash.py:12-28`` + ``app/services/job_service.py:60-83``).
+    append_fp = hashlib.sha256(
+        json.dumps(
+            {
+                "inputs": sorted(gcfg.input_paths),
+                "bm25": gcfg.bm25.job_fingerprint(),
+                "dedup": gcfg.dedup,
+                "docid_mode": gcfg.docid_mode,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
     for g in gens:
-        if g.get("job_id") == job_id:
+        if g.get("append_fp") == append_fp or g.get("job_id") == job_id:
             return man.data  # this exact append already happened
 
     gman = build_index(gcfg, resume=resume)
@@ -154,6 +171,7 @@ def append_index(
         {
             "dir": gen_rel,
             "job_id": job_id,
+            "append_fp": append_fp,
             "n_docs": int(gman["stats"]["N"]),
             "total_len": int(gman["stats"]["total_len"]),
             "num_buckets": int(gman["num_buckets"]),

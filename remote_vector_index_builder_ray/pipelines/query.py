@@ -87,7 +87,17 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
             mask = self.wanted[idx] == ids
             return batch.filter(pa.array(mask))
 
-    dm = ray.data.read_parquet(**fs.for_ray_paths([fs.join(index_dir, "docmeta")])).map_batches(
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+
+    # expand generation docmeta dirs to files: a multi-dir list is not a
+    # supported read_parquet input, a flat file list is
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    dm = ray.data.read_parquet(**fs.for_ray_paths(meta_files)).map_batches(
         FilterDocs, fn_constructor_args=(ref,), batch_format="pyarrow",
         zero_copy_batch=True, concurrency=(1, 4),
     )

@@ -332,6 +332,11 @@ class BM25Searcher:
         lo_, lv = _list_views("last_docids", np.int64)
         co, cv = _list_views("counts", np.int64)
         mo, mv = _list_views("max_tfnorm", np.float64)
+        if multi and (self._scales != 1.0).any():
+            # correct each generation's stored block maxes up to the safe
+            # bound at the GLOBAL avgdl (see __init__ / incremental.py)
+            gen_rows = tt["gen"].to_numpy(zero_copy_only=False)
+            mv = mv * np.repeat(self._scales[gen_rows], np.diff(mo))
         d_eo, d_buf, d_ro = self._binary_views(tt["docid_bytes"])
         t_eo, t_buf, t_ro = self._binary_views(tt["tf_bytes"])
         l_eo, l_buf, l_ro = self._binary_views(tt["dl_bytes"])
