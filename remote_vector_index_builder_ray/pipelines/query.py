@@ -15,15 +15,30 @@ import ray.data
 from remote_vector_index_builder_ray.stages.search import BM25Searcher
 
 
-def _as_dataset(queries) -> ray.data.Dataset:
-    if isinstance(queries, ray.data.Dataset):
-        return queries
+def _as_dataset(queries, batch_size: int) -> ray.data.Dataset:
+    """Convert to a Dataset with one block per ``batch_size`` queries.
+
+    An in-memory query set arrives as ONE Arrow/pandas block; left alone,
+    ``map_batches`` dispatches it as a single task and only one searcher
+    actor in the whole pool ever gets work (measured: 200 queries on 32
+    CPUs ran 2.3x SLOWER through the pool than through one inline searcher).
+    Pre-slicing into batch-sized blocks gives the streaming executor one
+    task per batch, so the pool actually fans out.
+    """
     if isinstance(queries, pd.DataFrame):
-        return ray.data.from_pandas(queries)
+        queries = pa.Table.from_pandas(queries, preserve_index=False)
     if isinstance(queries, pa.Table):
-        return ray.data.from_arrow(queries)
+        n = queries.num_rows
+        slices = [queries.slice(i, batch_size) for i in range(0, n, batch_size)]
+        return ray.data.from_arrow(slices or [queries])
     if isinstance(queries, str):
-        return ray.data.read_parquet(queries)
+        # query sets are driver-small by contract; a tiny repartition buys
+        # one task per batch exactly as the in-memory path does
+        return ray.data.read_parquet(queries).repartition(
+            target_num_rows_per_block=batch_size
+        )
+    if isinstance(queries, ray.data.Dataset):
+        return queries  # caller controls blocking
     raise TypeError(f"unsupported queries type {type(queries)}")
 
 
@@ -48,7 +63,7 @@ def search(
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
-    qds = _as_dataset(queries)
+    qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
         BM25Searcher,
         fn_constructor_args=(index_dir, mode),
