@@ -265,6 +265,85 @@ def _q_bm25_incremental(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _victim_convs(fx) -> list[str]:
+    """Deterministic delete set: every conversation whose id ends in '0'
+    (~10% of the corpus; the SQL twin filters with ``conv_id NOT LIKE '%0'``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    convs = pa.concat_tables(
+        [pq.read_table(p, columns=["conv_id"]) for p in fx["transcripts"]]
+    )["conv_id"]
+    return sorted({c for c in convs.to_pylist() if c.endswith("0")})
+
+
+def _ensure_del_index(sf_dir: str, compact: bool):
+    """A dedicated index (never shared with the other entries — deletes
+    mutate it) with the victim conversations tombstoned; ``compact=True``
+    additionally expunges them physically. Both paths are idempotent across
+    driver runs (re-delete is a no-op batch, re-compact is a no-op when no
+    live tombstones remain)."""
+    from remote_vector_index_builder_ray import (
+        BuildConfig,
+        compact_index,
+        delete_docs,
+    )
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    suffix = "_delx" if compact else "_del"
+    index_dir = os.path.join(INDEX_ROOT, f"{name}{suffix}")
+    _build_fresh_on_collision(
+        BuildConfig(
+            input_paths=fx["transcripts"],
+            index_dir=index_dir,
+            num_partitions=min(4, len(fx["transcripts"])),
+        )
+    )
+    delete_docs(index_dir, conv_ids=_victim_convs(fx))
+    if compact:
+        compact_index(index_dir)
+    return fx, index_dir
+
+
+def _topk_rounded(index_dir: str, queries_path: str):
+    """Shared driver-facing re-rank: search with 2k oversample, round scores
+    to 6 decimals, re-rank (score desc, docid asc) — see module docstring."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search
+
+    q = pq.read_table(queries_path).to_pandas()
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    q2 = q.assign(k=(q["k"] * 2).astype("int32"))
+    res = search(index_dir, q2, mode="bmw").to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res["k"] = res["query_id"].map(k_by_query)
+    res = res[res["rank"] <= res["k"]]
+    return res[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    ).reset_index(drop=True)
+
+
+def _q_bm25_delete_search(sf_dir: str):
+    """Top-k after a LOGICAL delete (tombstones only): deleted docs vanish
+    from results while live docs keep full-corpus stats — scores unchanged
+    (Lucene numDocs-vs-maxDoc; pipelines/delete.py). The oracle scores the
+    full corpus and drops deleted docids before ranking."""
+    fx, index_dir = _ensure_del_index(sf_dir, compact=False)
+    return _topk_rounded(index_dir, fx["queries"])
+
+
+def _q_bm25_compacted(sf_dir: str):
+    """Top-k after delete + expunging compaction: postings physically purged,
+    stats shrink to the live corpus (docids keep their holes). The oracle is
+    a from-scratch BM25 over the live docs under the ORIGINAL docid space."""
+    fx, index_dir = _ensure_del_index(sf_dir, compact=True)
+    return _topk_rounded(index_dir, fx["queries"])
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -537,6 +616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core BM25 engine (SQL-checked)
         "bm25_topk": _q_bm25_topk,
         "bm25_incremental": _q_bm25_incremental,
+        "bm25_delete_search": _q_bm25_delete_search,
+        "bm25_compacted": _q_bm25_compacted,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -880,6 +961,84 @@ GROUP BY i.query_id ORDER BY i.query_id
     # SAME docid space as the one-shot build (conv-sorted split; see
     # _ensure_inc_index) — its oracle IS the bm25_topk oracle
     out["bm25_incremental"] = out["bm25_topk"]
+    # logical delete (tombstones, no expunge): score the FULL corpus (stats,
+    # df, tf all unchanged — Lucene numDocs-vs-maxDoc), drop the deleted
+    # docids before ranking. Victim set: conv_id ending in '0'.
+    out["bm25_delete_search"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+live AS (SELECT docid FROM docs WHERE conv_id NOT LIKE '%0'),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc JOIN live USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # delete + expunging compaction: a from-scratch BM25 over the LIVE docs
+    # only (stats/df shrink) under the ORIGINAL docid space (holes preserved)
+    out["bm25_compacted"] = f"""
+WITH all_docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+docs AS MATERIALIZED (SELECT * FROM all_docs WHERE conv_id NOT LIKE '%0'),
+{_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     return out
 
 

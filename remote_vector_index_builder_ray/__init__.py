@@ -23,6 +23,7 @@ Public surface (the analog of the reference's ``core.tasks`` library path,
 
 from remote_vector_index_builder_ray.config import BM25Config, BuildConfig
 from remote_vector_index_builder_ray.pipelines.build import build_index
+from remote_vector_index_builder_ray.pipelines.delete import delete_docs, load_tombstones
 from remote_vector_index_builder_ray.pipelines.incremental import (
     append_index,
     compact_index,
@@ -36,6 +37,8 @@ __all__ = [
     "append_index",
     "build_index",
     "compact_index",
+    "delete_docs",
     "global_stats",
+    "load_tombstones",
     "search",
 ]

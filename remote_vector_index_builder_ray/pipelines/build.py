@@ -92,6 +92,7 @@ def run_merge(
     b: float,
     block_size: int,
     byte_budget: int,
+    tombstones=None,
 ) -> dict:
     """The merge exchange as a standalone phase: read every bucket's partial
     files under ``seg_roots`` (hive-partitioned by phase A — the map-side
@@ -133,12 +134,18 @@ def run_merge(
     for d in (tmp_post, tmp_ts):
         fs.rm_tree(d)
         fs.makedirs(d)
+    # broadcast the tombstone set ONCE (ray.put + auto-deref in each task),
+    # not a copy shipped inside every task's arguments
+    tomb_ref = None
+    if tombstones is not None and len(tombstones):
+        tomb_ref = ray.put(np.asarray(tombstones, dtype=np.int64))
     futures = [
         merge_task.remote(
             files, avgdl, k1, b, block_size, bkt,
             fs.join(tmp_post, f"bucket-{bkt:05d}.parquet"),
             fs.join(tmp_ts, f"bucket-{bkt:05d}.parquet"),
             byte_budget=byte_budget,
+            tombstones=tomb_ref,
         )
         for bkt, files in sorted(bucket_files.items())
     ]

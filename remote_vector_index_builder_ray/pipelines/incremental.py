@@ -86,6 +86,19 @@ def _total_docs(man: Manifest) -> tuple[int, int]:
     return n, tl
 
 
+def _maxdoc(man: Manifest) -> int:
+    """The docid high-water mark (Lucene's maxDoc): the next generation's
+    docid base. Distinct from the live-doc count ``_total_docs`` returns —
+    an expunging compaction shrinks N but docids are never reassigned, so
+    appending after an expunge must continue from maxdoc, not N (else the
+    new generation's range overlaps the base's)."""
+    if "maxdoc" in man.data:
+        return int(man.data["maxdoc"])
+    # no expunge has ever run (compact_index records maxdoc before its first
+    # shrink), so the live count IS the high-water mark
+    return _total_docs(man)[0]
+
+
 def global_stats(index_dir: str) -> dict:
     """Corpus stats over base + all generations (what the searcher scores
     with). Equal to the base ``stats.json`` when there are no generations."""
@@ -128,7 +141,7 @@ def append_index(
     cfg_rec = man.data.get("config", {})
     bm25 = BM25Config(**cfg_rec.get("bm25", {}))
     gens = man.data.setdefault("generations", [])
-    docid_base, _ = _total_docs(man)
+    docid_base = _maxdoc(man)
 
     gen_id = len(gens) + 1
     gen_rel = f"generations/gen-{gen_id:04d}"
@@ -167,6 +180,7 @@ def append_index(
             return man.data  # this exact append already happened
 
     gman = build_index(gcfg, resume=resume)
+    man.data["maxdoc"] = docid_base + int(gman["stats"]["N"])
     gens.append(
         {
             "dir": gen_rel,
@@ -184,23 +198,39 @@ def append_index(
 
 
 def compact_index(index_dir: str) -> dict:
-    """Merge the base and every generation into one top-level postings set.
+    """Merge the base and every generation into one top-level postings set,
+    expunging any tombstoned docs (``pipelines.delete``) physically.
 
     Re-runs the bucket merge over the UNION of all hive-partitioned posting
-    partials with the global avgdl — value-identical postings to a one-shot
-    build with the same docid assignment. No-op if there are no live
-    generations. Returns the updated manifest dict.
+    partials with the post-expunge global avgdl — value-identical postings to
+    a one-shot build over the live docs with the same docid assignment.
+    No-op when there are neither live generations nor tombstones. Returns the
+    updated manifest dict.
     """
+    from remote_vector_index_builder_ray.pipelines.delete import load_tombstones
+
     man = _load_completed_manifest(index_dir)
     gens = man.data.get("generations", [])
     live = [g for g in gens if not g.get("compacted")]
-    if not live:
+    live_tombs = [t for t in man.data.get("tombstones", []) if not t.get("expunged")]
+    if not live and not live_tombs:
         return man.data
     bad = [g["dir"] for g in gens if int(g["num_buckets"]) != int(man.data["num_buckets"])]
     if bad:
         raise IndexStateError(f"generation bucket count mismatch: {bad}")
 
+    # the CUMULATIVE tombstone set: the retained segment partials still hold
+    # postings expunged by earlier compactions — merging without them would
+    # resurrect deleted docs
+    tombs = load_tombstones(index_dir, man, include_expunged=True)
+    man.data["maxdoc"] = _maxdoc(man)  # record the high-water mark before N shrinks
     n, tl = _total_docs(man)
+    # expunge: stats shrink by the LIVE tombstones only (earlier compactions
+    # already subtracted theirs); the searcher's logical-delete semantics keep
+    # deleted docs in N/avgdl until this point — Lucene's numDocs-vs-maxDoc
+    # (pipelines/delete module docstring)
+    n -= sum(int(t["n"]) for t in live_tombs)
+    tl -= sum(int(t["deleted_len"]) for t in live_tombs)
     avgdl = tl / n if n else 0.0
     bm25 = BM25Config(**man.data.get("config", {}).get("bm25", {}))
     seg_roots = [fs.join(index_dir, "segments")] + [
@@ -213,6 +243,7 @@ def compact_index(index_dir: str) -> dict:
         fs.join(index_dir, "termstats"),
         avgdl, bm25.k1, bm25.b, bm25.block_size,
         byte_budget=1 << 30,
+        tombstones=tombs if len(tombs) else None,
     )
     # commit order: postings are already swapped atomically above; now make
     # stats global and retire the generations' own postings
@@ -221,12 +252,15 @@ def compact_index(index_dir: str) -> dict:
     fs.write_json_atomic(fs.join(index_dir, "stats.json"), st)
     man.data["stats"] = st
     man.data["postings_files"] = m["postings_files"]
+    n_expunged = sum(int(t["n"]) for t in live_tombs)
+    for t in man.data.get("tombstones", []):
+        t["expunged"] = True  # files retained: future re-merges need the set
     for g in gens:
         g["compacted"] = True
     man.commit_stage(
         f"compact-{len(gens):04d}",
         {"sec": time.time() - t0, "term_shards": m["term_shards"], "terms": m["terms"],
-         "generations": len(gens)},
+         "generations": len(gens), "expunged_docs": n_expunged},
     )
     for g in gens:
         fs.rm_tree(fs.join(index_dir, g["dir"], "postings"))

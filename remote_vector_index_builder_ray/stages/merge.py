@@ -109,8 +109,18 @@ def make_merge_fn(avgdl: float, k1: float, b: float, block_size: int):
 # ---------------------------------------------------------------------------
 
 
+def isin_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a SORTED int64 array."""
+    if len(sorted_set) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_set, values)
+    idx[idx == len(sorted_set)] = 0
+    return sorted_set[idx] == values
+
+
 def merge_partials_table(
-    tbl: pa.Table, avgdl: float, k1: float, b: float, block_size: int
+    tbl: pa.Table, avgdl: float, k1: float, b: float, block_size: int,
+    tombstones: np.ndarray | None = None,
 ) -> pa.Table:
     """Merge every (term, shard) group in ``tbl`` (posting partials) into
     compressed segment rows — fully vectorized.
@@ -118,6 +128,10 @@ def merge_partials_table(
     Steps: flatten list columns -> lexsort postings by (term, shard, docid) ->
     cut group/block boundaries with masks -> single varint pass per stream ->
     build list<binary> block payloads zero-copy from (offsets, buffer).
+
+    ``tombstones`` (sorted int64 docids) physically drops those postings —
+    the expunge-deletes path of ``pipelines.delete`` / ``compact_index``
+    (Lucene's forceMergeDeletes analog). Groups left empty disappear.
     """
     if tbl.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
@@ -145,6 +159,13 @@ def merge_partials_table(
     shard_mult = np.int64(row_shard.max() + 1)
     gkey_row = row_code * shard_mult + row_shard
     v_gkey = gkey_row[row_of_value]
+
+    if tombstones is not None and len(tombstones):
+        keep = ~isin_sorted(v_doc, tombstones)
+        if not keep.all():
+            v_doc, v_tf, v_dl, v_gkey = v_doc[keep], v_tf[keep], v_dl[keep], v_gkey[keep]
+            if len(v_doc) == 0:
+                return SEGMENT_SCHEMA.empty_table()
 
     order = np.lexsort((v_doc, v_gkey))
     v_gkey, v_doc, v_tf, v_dl = (
@@ -267,6 +288,7 @@ def merge_bucket_files(
     termstats_path: str,
     row_group_size: int = 256,
     byte_budget: int = 1 << 30,
+    tombstones: np.ndarray | None = None,
 ):
     """One bucket's whole merge: read its partial files (written hive-
     partitioned by phase A — the map-side shuffle), merge+compress all
@@ -307,7 +329,7 @@ def merge_bucket_files(
                     t = t.filter(_term_split_mask(t["term"], nsplits, split))
                 parts.append(t)
             tbl = pa.concat_tables(parts, promote_options="default")
-            merged = merge_partials_table(tbl, avgdl, k1, b, block_size)
+            merged = merge_partials_table(tbl, avgdl, k1, b, block_size, tombstones=tombstones)
             merged = merged.append_column(
                 "bucket", pa.array(np.full(merged.num_rows, bucket, dtype=np.int32))
             )

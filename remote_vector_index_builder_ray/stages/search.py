@@ -239,6 +239,21 @@ class BM25Searcher:
         self._present = self._sources[0][2]  # back-compat (single-source view)
         self._scales = np.array([s[3] for s in self._sources], dtype=np.float64)
         self._cache: dict[str, _TermPostings | None] = {}
+        # Live tombstones (pipelines/delete): loaded once per actor as a
+        # sorted int64 array; every scorer filters its candidates so deleted
+        # docs never surface. N/avgdl deliberately still count them (Lucene
+        # numDocs-vs-maxDoc semantics) until compact_index expunges.
+        from remote_vector_index_builder_ray.pipelines.delete import load_tombstones
+
+        self._tomb = load_tombstones(index_dir, man)
+
+    def _drop_tombstoned(self, docids: np.ndarray, scores: np.ndarray):
+        if len(self._tomb) == 0 or len(docids) == 0:
+            return docids, scores
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        keep = ~isin_sorted(docids, self._tomb)
+        return docids[keep], scores[keep]
 
     # -- postings lookup ------------------------------------------------------
     def _term_bucket(self, term: str) -> int:
@@ -374,6 +389,7 @@ class BM25Searcher:
         uniq, inv = np.unique(all_doc, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, all_con)  # sequential, term-major == oracle order
+        uniq, scores = self._drop_tombstoned(uniq, scores)
         sel = topk_order(scores, uniq, k)
         return uniq[sel], scores[sel]
 
@@ -433,6 +449,7 @@ class BM25Searcher:
             uniq, inv = np.unique(alld, return_inverse=True)
             sc = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(sc, inv, allc)  # term-major order == oracle order
+            uniq, sc = self._drop_tombstoned(uniq, sc)
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sc])
             sel = topk_order(top_scores, top_docs, k)
@@ -493,6 +510,12 @@ class BM25Searcher:
                     for c in involved:
                         c.next_geq(boundary)
                     continue
+                if len(self._tomb):
+                    ti = int(np.searchsorted(self._tomb, pivot_doc))
+                    if ti < len(self._tomb) and self._tomb[ti] == pivot_doc:
+                        for c in involved:  # deleted doc: skip, don't score
+                            c.advance()
+                        continue
                 # full evaluation, contributions in ascending-term order
                 involved.sort(key=lambda c: c.term)
                 score = 0.0
