@@ -306,7 +306,7 @@ def _ensure_del_index(sf_dir: str, compact: bool):
     return fx, index_dir
 
 
-def _topk_rounded(index_dir: str, queries_path: str):
+def _topk_rounded(index_dir: str, queries_path: str, **search_kw):
     """Shared driver-facing re-rank: search with 2k oversample, round scores
     to 6 decimals, re-rank (score desc, docid asc) — see module docstring."""
     import pyarrow.parquet as pq
@@ -316,7 +316,7 @@ def _topk_rounded(index_dir: str, queries_path: str):
     q = pq.read_table(queries_path).to_pandas()
     k_by_query = dict(zip(q["query_id"], q["k"]))
     q2 = q.assign(k=(q["k"] * 2).astype("int32"))
-    res = search(index_dir, q2, mode="bmw").to_pandas()
+    res = search(index_dir, q2, mode="bmw", **search_kw).to_pandas()
     res["score"] = res["score"].round(6)
     res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
     res["rank"] = res.groupby("query_id").cumcount() + 1
@@ -334,6 +334,15 @@ def _q_bm25_delete_search(sf_dir: str):
     full corpus and drops deleted docids before ranking."""
     fx, index_dir = _ensure_del_index(sf_dir, compact=False)
     return _topk_rounded(index_dir, fx["queries"])
+
+
+def _q_bm25_filtered(sf_dir: str):
+    """Filtered search (where=role='user'): OpenSearch filter-context
+    semantics — corpus stats unchanged, non-matching docs dropped from the
+    candidate set (pipelines/query.resolve_filter_docids: predicate pushed
+    down into the docmeta scan, sorted allow-list broadcast once)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], where=[("role", "=", "user")])
 
 
 def _q_bm25_compacted(sf_dir: str):
@@ -618,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
+        "bm25_filtered": _q_bm25_filtered,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -993,6 +1003,47 @@ ranked AS (
     SELECT query_id, sc.docid, round(score, 6) AS score, k,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
     FROM scored sc JOIN live USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # filtered search (role='user'): corpus-wide stats, candidates restricted
+    # to the predicate — same SQL shape as the logical-delete oracle with the
+    # allow predicate instead of the tombstone predicate
+    out["bm25_filtered"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+allowed AS (SELECT docid FROM docs WHERE role = 'user'),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc JOIN allowed USING (docid)
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

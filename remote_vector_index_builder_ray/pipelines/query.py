@@ -42,16 +42,62 @@ def _as_dataset(queries, batch_size: int) -> ray.data.Dataset:
     raise TypeError(f"unsupported queries type {type(queries)}")
 
 
+def resolve_filter_docids(index_dir: str, where):
+    """Resolve a docmeta predicate to a broadcast-ready sorted docid set.
+
+    ``where`` is parquet-DNF (``[("role", "=", "user")]``-style tuples, the
+    ``pyarrow.parquet`` filter grammar) or a ``pyarrow.dataset`` Expression.
+    The predicate is pushed down into the docmeta parquet scan (row-group
+    pruning + only the ``docid`` column leaves storage), the matching docids
+    are collected sorted, and ``ray.put`` broadcasts them ONCE — every
+    searcher actor fetches the same object-store copy.
+
+    Scale note (100 TB): the allow-list is 8 bytes/matching doc, so this path
+    is for SELECTIVE filters (the common case — tenant, time range, role).
+    For an unselective predicate the engine-level answer is to flip polarity
+    (resolve the complement as a deny-list) or to align per-bucket bitsets
+    with the posting shards — the searcher's ``isin_sorted`` filter is
+    representation-agnostic either way.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    expr = where if not isinstance(where, list) else pq.filters_to_expression(where)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        **fs.for_ray_paths(meta_files), columns=["docid"], filter=expr
+    )
+    df = ds.to_pandas()  # zero-match: Ray returns a column-less empty frame
+    ids = df["docid"].to_numpy() if "docid" in df.columns else np.empty(0)
+    return ray.put(np.sort(ids.astype(np.int64)))
+
+
 def search(
     index_dir: str,
     queries,
     mode: str = "bmw",
     concurrency=None,
     batch_size: int = 16,
+    where=None,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
     (query_id, rank, docid, score) — rank-identical to the exhaustive oracle.
+
+    ``where`` (optional) restricts results to docs matching a docmeta
+    predicate (parquet-DNF tuples or a pyarrow Expression) with OpenSearch
+    filter-context semantics: non-matching docs are dropped from the
+    candidate set but corpus stats (N, avgdl, df) are unchanged, so matching
+    docs score exactly as in an unfiltered search.
 
     The actor pool scales with the cluster (one searcher per 2 CPUs, capped
     at 32): each actor amortizes postings loads across its batches via the
@@ -63,10 +109,11 @@ def search(
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
+    allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
         BM25Searcher,
-        fn_constructor_args=(index_dir, mode),
+        fn_constructor_args=(index_dir, mode, allow_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

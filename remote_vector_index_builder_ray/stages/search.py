@@ -191,7 +191,8 @@ class _Cursor:
 class BM25Searcher:
     """Callable class for ``queries.map_batches(BM25Searcher, concurrency=N)``."""
 
-    def __init__(self, index_dir: str, mode: str = "bmw", cache_terms: int = 8192):
+    def __init__(self, index_dir: str, mode: str = "bmw", allow_ref=None,
+                 cache_terms: int = 8192):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -246,14 +247,44 @@ class BM25Searcher:
         from remote_vector_index_builder_ray.pipelines.delete import load_tombstones
 
         self._tomb = load_tombstones(index_dir, man)
+        # Optional filtered search (pipelines/query.search(where=...)): a
+        # SORTED int64 docid allow-list, ray.put once on the driver and
+        # fetched once per actor (zero-copy from the object store). Filter
+        # context semantics (OpenSearch bool.filter): candidates outside the
+        # set are dropped, scoring stats are NOT changed.
+        self._allow = None
+        if allow_ref is not None:
+            import ray as _ray
+
+            self._allow = _ray.get(allow_ref)
 
     def _drop_tombstoned(self, docids: np.ndarray, scores: np.ndarray):
-        if len(self._tomb) == 0 or len(docids) == 0:
+        """Apply the tombstone set and (if any) the filter allow-list."""
+        if len(docids) == 0:
             return docids, scores
         from remote_vector_index_builder_ray.stages.merge import isin_sorted
 
-        keep = ~isin_sorted(docids, self._tomb)
+        keep = None
+        if len(self._tomb):
+            keep = ~isin_sorted(docids, self._tomb)
+        if self._allow is not None:
+            a = isin_sorted(docids, self._allow)
+            keep = a if keep is None else keep & a
+        if keep is None:
+            return docids, scores
         return docids[keep], scores[keep]
+
+    def _skip_doc(self, docid: int) -> bool:
+        """Single-doc form of ``_drop_tombstoned`` for the wand pivot path."""
+        if len(self._tomb):
+            ti = int(np.searchsorted(self._tomb, docid))
+            if ti < len(self._tomb) and self._tomb[ti] == docid:
+                return True
+        if self._allow is not None:
+            ai = int(np.searchsorted(self._allow, docid))
+            if ai >= len(self._allow) or self._allow[ai] != docid:
+                return True
+        return False
 
     # -- postings lookup ------------------------------------------------------
     def _term_bucket(self, term: str) -> int:
@@ -510,12 +541,10 @@ class BM25Searcher:
                     for c in involved:
                         c.next_geq(boundary)
                     continue
-                if len(self._tomb):
-                    ti = int(np.searchsorted(self._tomb, pivot_doc))
-                    if ti < len(self._tomb) and self._tomb[ti] == pivot_doc:
-                        for c in involved:  # deleted doc: skip, don't score
-                            c.advance()
-                        continue
+                if self._skip_doc(pivot_doc):
+                    for c in involved:  # deleted / filtered-out doc: skip
+                        c.advance()
+                    continue
                 # full evaluation, contributions in ascending-term order
                 involved.sort(key=lambda c: c.term)
                 score = 0.0

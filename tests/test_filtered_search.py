@@ -1,0 +1,99 @@
+"""Filtered search (pipelines/query.search(where=...)): OpenSearch
+filter-context semantics — the predicate restricts the candidate set while
+corpus stats (N, avgdl, df) stay corpus-wide, so matching docs score
+BIT-identically to an unfiltered search. Verified against a driver-side
+filtered oracle in all three modes, plus predicate types and edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from remote_vector_index_builder_ray import search
+
+
+def _corpus(smoke_fixture) -> pd.DataFrame:
+    df = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    df["docid"] = df.index.to_numpy()
+    return df
+
+
+def _filtered_gold(oracle, queries: pd.DataFrame, allowed: set[int]) -> pd.DataFrame:
+    rows = []
+    for q in queries.itertuples(index=False):
+        scores = oracle.score_query(q.text)
+        items = sorted(
+            ((d, s) for d, s in scores.items() if d in allowed),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: int(q.k)]
+        for rank, (docid, score) in enumerate(items, start=1):
+            rows.append((int(q.query_id), rank, docid, score))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64}
+    )
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw", "wand"])
+def test_role_filter_rank_identity(smoke_fixture, smoke_index, smoke_oracle, mode):
+    df = _corpus(smoke_fixture)
+    allowed = set(df.loc[df["role"] == "user", "docid"])
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas()
+    gold = _filtered_gold(smoke_oracle, qdf, allowed)
+    res = (
+        search(smoke_index["index_dir"], smoke_fixture["queries"], mode=mode,
+               where=[("role", "=", "user")])
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(res) == len(gold)
+    assert set(res["docid"]).issubset(allowed)
+    np.testing.assert_array_equal(res["docid"].to_numpy(), gold["docid"].to_numpy())
+    # filter context: scores of surviving docs BIT-equal the unfiltered run
+    np.testing.assert_array_equal(res["score"].to_numpy(), gold["score"].to_numpy())
+
+
+def test_expression_filter_and_conjunction(smoke_fixture, smoke_index, smoke_oracle):
+    """pyarrow Expression predicates and multi-clause DNF both work."""
+    df = _corpus(smoke_fixture)
+    cut = sorted(df["conv_id"].unique())[len(df["conv_id"].unique()) // 2]
+    allowed = set(df.loc[(df["role"] == "assistant") & (df["conv_id"] < cut), "docid"])
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas()
+    gold = _filtered_gold(smoke_oracle, qdf, allowed)
+    for where in (
+        [("role", "=", "assistant"), ("conv_id", "<", cut)],  # DNF conjunction
+        (pc.field("role") == "assistant") & (pc.field("conv_id") < cut),
+    ):
+        res = (
+            search(smoke_index["index_dir"], smoke_fixture["queries"],
+                   mode="bmw", where=where)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(res["docid"].to_numpy(), gold["docid"].to_numpy())
+        np.testing.assert_array_equal(res["score"].to_numpy(), gold["score"].to_numpy())
+
+
+def test_empty_filter_result(smoke_fixture, smoke_index):
+    res = search(
+        smoke_index["index_dir"], smoke_fixture["queries"], mode="bmw",
+        where=[("role", "=", "no-such-role")],
+    ).to_pandas()
+    assert len(res) == 0
+
+
+def test_unselective_filter_equals_unfiltered(smoke_fixture, smoke_index):
+    base = (
+        search(smoke_index["index_dir"], smoke_fixture["queries"], mode="exhaustive")
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    res = (
+        search(smoke_index["index_dir"], smoke_fixture["queries"], mode="exhaustive",
+               where=[("turn_idx", ">=", 0)])
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(res["docid"].to_numpy(), base["docid"].to_numpy())
+    np.testing.assert_array_equal(res["score"].to_numpy(), base["score"].to_numpy())
