@@ -306,6 +306,80 @@ def _ensure_del_index(sf_dir: str, compact: bool):
     return fx, index_dir
 
 
+def _ensure_phrase_queries(sf_dir: str) -> str:
+    """Deterministic phrase query set derived from the corpus itself: 2-gram
+    and 3-gram slices of every Nth doc's token stream plus one absent phrase.
+    Persisted so the DuckDB twin reads the exact same parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_phrase_queries.parquet")
+    if os.path.exists(path):
+        return path
+    fx = _fx.ensure_fixture(name)
+    src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    toks = src["text"].map(lambda t: tokenize_text(t or ""))
+    phrases: list[str] = []
+    step = max(1, len(src) // 24)
+    for i in range(0, len(src), step):
+        tk = toks[i]
+        if len(tk) >= 3:
+            phrases.append(" ".join(tk[1:3]))
+        if len(phrases) >= 16:
+            break
+    for i in (7, len(src) // 3, 2 * len(src) // 3):
+        tk = toks[min(i, len(src) - 1)]
+        if len(tk) >= 6:
+            phrases.append(" ".join(tk[2:5]))
+    phrases.append("zzzz_nonexistent qqqq")
+    seen, uniq = set(), []
+    for p in phrases:
+        if p not in seen:
+            seen.add(p)
+            uniq.append(p)
+    _write_atomic(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(uniq)), type=pa.int64()),
+                "text": pa.array(uniq, type=pa.string()),
+                "k": pa.array([10] * len(uniq), type=pa.int32()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _ensure_pos_index(sf_dir: str):
+    """Positional index (BuildConfig.positions) — its own dir; the plain
+    index's job fingerprint differs."""
+    from remote_vector_index_builder_ray import BuildConfig
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_pos")
+    _build_fresh_on_collision(
+        BuildConfig(
+            input_paths=fx["transcripts"],
+            index_dir=index_dir,
+            num_partitions=min(4, len(fx["transcripts"])),
+            positions=True,
+        )
+    )
+    return fx, index_dir
+
+
+def _q_bm25_phrase(sf_dir: str):
+    """Exact phrase top-k over the positional index (mode="phrase"),
+    Lucene PhraseQuery scoring: sum(idf(term_i)) * tfnorm(phrase_tf)."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_phrase_queries(sf_dir), mode="phrase")
+
+
 def _topk_rounded(index_dir: str, queries_path: str, **search_kw):
     """Shared driver-facing re-rank: search with 2k oversample, round scores
     to 6 decimals, re-rank (score desc, docid asc) — see module docstring."""
@@ -316,7 +390,8 @@ def _topk_rounded(index_dir: str, queries_path: str, **search_kw):
     q = pq.read_table(queries_path).to_pandas()
     k_by_query = dict(zip(q["query_id"], q["k"]))
     q2 = q.assign(k=(q["k"] * 2).astype("int32"))
-    res = search(index_dir, q2, mode="bmw", **search_kw).to_pandas()
+    search_kw.setdefault("mode", "bmw")
+    res = search(index_dir, q2, **search_kw).to_pandas()
     res["score"] = res["score"].round(6)
     res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
     res["rank"] = res.groupby("query_id").cumcount() + 1
@@ -628,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
         "bm25_filtered": _q_bm25_filtered,
+        "bm25_phrase": _q_bm25_phrase,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1090,6 +1166,68 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # phrase search: exact consecutive-term match counted by list-slice
+    # comparison (Lucene PhraseQuery scoring — summed term idfs, phrase tf
+    # through BM25 saturation). Candidate docs pre-filtered to those
+    # containing the phrase's first term so the slice scan is not N x Q.
+    phrase_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_phrase_queries.parquet")
+    out["bm25_phrase"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::DOUBLE / count(*) AS avgdl FROM docs),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+q AS MATERIALIZED (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{phrase_pq}')
+),
+qterm AS (SELECT query_id, unnest(p) AS term FROM q),
+qidf AS (
+    SELECT qt.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM qterm qt JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qt.query_id
+),
+qok AS (
+    SELECT q.query_id, q.k, q.p, qidf.idf_sum
+    FROM q JOIN qidf USING (query_id)
+    WHERE qidf.n_found = len(q.p) AND len(q.p) > 0
+),
+cand AS (
+    SELECT DISTINCT qok.query_id, tm.docid
+    FROM qok JOIN tm ON tm.term = qok.p[1]
+),
+ptf AS (
+    SELECT c.query_id, c.docid,
+           len([i FOR i IN range(1, len(d.ts) - len(q.p) + 2)
+                IF d.ts[i:i + len(q.p) - 1] = q.p])::BIGINT AS ptf
+    FROM cand c
+    JOIN docs d ON d.docid = c.docid
+    JOIN qok q ON q.query_id = c.query_id
+    WHERE len(d.ts) >= len(q.p)
+),
+scored AS (
+    SELECT p.query_id, p.docid, q.k,
+           q.idf_sum * (p.ptf * (1.2 + 1)
+               / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * len(d.ts) / s.avgdl))) AS score
+    FROM ptf p
+    JOIN qok q USING (query_id)
+    JOIN docs d ON d.docid = p.docid
+    CROSS JOIN stats s
+    WHERE p.ptf > 0
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     return out
 
 
@@ -1106,5 +1244,9 @@ except Exception:  # noqa: BLE001 — oracle-scale testdata may be absent
     pass
 try:
     _ensure_ivf_artifact(ORACLE_SF_DIR)
+except Exception:  # noqa: BLE001
+    pass
+try:
+    _ensure_phrase_queries(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass

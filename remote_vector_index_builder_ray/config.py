@@ -109,17 +109,24 @@ class BuildConfig:
     # docid ranges — the positional-id analog of appending rows to the
     # reference's doc-id blob (``core/common/models/vectors_dataset.py:126-129``).
     docid_base: int = 0
+    # Index token positions (Lucene's .pos analog): phase A adds a per-posting
+    # positions column to the partials (same tokenize pass; parquet column
+    # pruning keeps the BM25 merge reads unchanged) and the merge additionally
+    # writes term-bucketed positions/ files. Enables mode="phrase" search.
+    # Opt-in: a positional index is roughly corpus-sized (as in Lucene).
+    positions: bool = False
 
     def job_id(self) -> str:
-        payload = json.dumps(
-            {
-                "inputs": sorted(self.input_paths),
-                "index_dir": self.index_dir,
-                "bm25": self.bm25.job_fingerprint(),
-                "dedup": self.dedup,
-                "docid_mode": self.docid_mode,
-                "docid_base": self.docid_base,
-            },
-            sort_keys=True,
-        )
-        return hashlib.sha256(payload.encode()).hexdigest()
+        payload = {
+            "inputs": sorted(self.input_paths),
+            "index_dir": self.index_dir,
+            "bm25": self.bm25.job_fingerprint(),
+            "dedup": self.dedup,
+            "docid_mode": self.docid_mode,
+            "docid_base": self.docid_base,
+        }
+        if self.positions:  # absent for positionless jobs: ids stay stable
+            payload["positions"] = True
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()
+        ).hexdigest()

@@ -93,6 +93,7 @@ def run_merge(
     block_size: int,
     byte_budget: int,
     tombstones=None,
+    positions_dir: str | None = None,
 ) -> dict:
     """The merge exchange as a standalone phase: read every bucket's partial
     files under ``seg_roots`` (hive-partitioned by phase A — the map-side
@@ -149,7 +150,26 @@ def run_merge(
         )
         for bkt, files in sorted(bucket_files.items())
     ]
+    pos_futures = []
+    if positions_dir is not None:
+        from remote_vector_index_builder_ray.stages.merge import merge_positions_bucket
+
+        tmp_posn = positions_dir + ".tmp"
+        fs.rm_tree(tmp_posn)
+        fs.makedirs(tmp_posn)
+        pos_task = ray.remote(num_cpus=merge_cpus)(merge_positions_bucket)
+        pos_futures = [
+            pos_task.remote(
+                files, bkt, fs.join(tmp_posn, f"bucket-{bkt:05d}.parquet"),
+                byte_budget=byte_budget, tombstones=tomb_ref,
+            )
+            for bkt, files in sorted(bucket_files.items())
+        ]
     results = ray.get(futures)
+    if pos_futures:
+        ray.get(pos_futures)
+        fs.rm_tree(positions_dir)
+        fs.move_dir(tmp_posn, positions_dir)
     for final in (postings_dir, termstats_dir):
         fs.rm_tree(final)
     fs.move_dir(tmp_post, postings_dir)
@@ -206,6 +226,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             "bm25": cfg.bm25.__dict__,
             "dedup": cfg.dedup,
             "docid_mode": cfg.docid_mode,
+            "positions": bool(cfg.positions),
         }
         man.save()
     num_buckets = int(man.data["num_buckets"])
@@ -294,7 +315,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         # stateless task closure (the "state" is two ints) — avoids spinning
         # up an actor pool per concurrent partition pipeline
         partials = src.map_batches(
-            PostingsPartials(cfg.bm25.shard_range, num_buckets),
+            PostingsPartials(cfg.bm25.shard_range, num_buckets, positions=cfg.positions),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
@@ -373,6 +394,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             [seg_root], postings_dir, termstats_dir,
             avgdl, cfg.bm25.k1, cfg.bm25.b, cfg.bm25.block_size,
             cfg.merge_byte_budget,
+            positions_dir=(fs.join(cfg.index_dir, "positions") if cfg.positions else None),
         )
         man.data["postings_files"] = m["postings_files"]
         man.commit_stage(

@@ -156,6 +156,7 @@ def append_index(
         # is the shuffle key space, and compaction unions partials per bucket
         num_buckets=int(man.data["num_buckets"]),
         docid_base=docid_base,
+        positions=bool(cfg_rec.get("positions", False)),
     )
     if batch_size is not None:
         gcfg.batch_size = int(batch_size)
@@ -244,6 +245,11 @@ def compact_index(index_dir: str) -> dict:
         avgdl, bm25.k1, bm25.b, bm25.block_size,
         byte_budget=1 << 30,
         tombstones=tombs if len(tombs) else None,
+        positions_dir=(
+            fs.join(index_dir, "positions")
+            if man.data.get("config", {}).get("positions")
+            else None
+        ),
     )
     # commit order: postings are already swapped atomically above; now make
     # stats global and retire the generations' own postings
@@ -265,4 +271,5 @@ def compact_index(index_dir: str) -> dict:
     for g in gens:
         fs.rm_tree(fs.join(index_dir, g["dir"], "postings"))
         fs.rm_tree(fs.join(index_dir, g["dir"], "termstats"))
+        fs.rm_tree(fs.join(index_dir, g["dir"], "positions"))
     return man.data

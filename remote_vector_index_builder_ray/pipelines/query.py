@@ -109,6 +109,23 @@ def search(
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
+    if mode == "phrase":
+        # fail fast on the DRIVER (an actor-side raise surfaces as an opaque
+        # ActorDiedError): phrase search needs a positional index
+        from remote_vector_index_builder_ray.config import EngineError
+        from remote_vector_index_builder_ray.state import fs
+
+        man = fs.read_json(fs.join(index_dir, "manifest.json"))
+        pos_dirs = [fs.join(index_dir, "positions")] + [
+            fs.join(index_dir, g["dir"], "positions")
+            for g in man.get("generations", [])
+            if not g.get("compacted")
+        ]
+        if not any(fs.exists(d) for d in pos_dirs):
+            raise EngineError(
+                f"index at {index_dir} has no positional data; "
+                "build with BuildConfig(positions=True) to enable phrase search"
+            )
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(

@@ -322,9 +322,10 @@ def merge_bucket_files(
         for split in range(nsplits):
             parts = []
             for f in files:
-                t = fs.read_table(f)
-                if "bucket" in t.column_names:
-                    t = t.drop_columns(["bucket"])
+                # explicit column list: positional builds carry an extra
+                # ``positions`` column in the same partial files that the BM25
+                # merge must never pay to read (parquet column pruning)
+                t = fs.read_table(f, columns=["term", "shard", "docids", "tfs", "dls"])
                 if nsplits > 1:
                     t = t.filter(_term_split_mask(t["term"], nsplits, split))
                 parts.append(t)
@@ -349,3 +350,82 @@ def merge_bucket_files(
     ts = pa.concat_tables(ts_parts).sort_by("term")
     fs.write_table(ts, termstats_path)
     return n_rows, ts.num_rows
+
+
+POSITIONS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("docid", pa.int64()),
+        ("dl", pa.int32()),
+        ("positions", pa.list_(pa.int32())),
+    ]
+)
+
+
+def merge_positions_bucket(
+    files: list[str],
+    bucket: int,
+    out_path: str,
+    row_group_size: int = 2048,
+    byte_budget: int = 1 << 30,
+    tombstones: np.ndarray | None = None,
+):
+    """One bucket's positional merge (Lucene's .pos analog): flatten the
+    partials' per-posting ``positions`` lists to (term, docid, dl, positions)
+    rows, sort by (term, docid), write term-bucketed parquet with small row
+    groups so a phrase query's term-filtered read prunes at the row-group
+    level. The same term-hash sub-split skew guard as the BM25 merge bounds
+    memory on stopword-heavy buckets (a term never spans splits).
+
+    ``tombstones`` drops deleted docs' rows — the positional half of the
+    expunge-deletes path (``pipelines.incremental.compact_index``).
+    """
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.state import fs
+
+    total_bytes = sum(fs.file_size(f) for f in files)
+    nsplits = max(1, int(np.ceil(total_bytes * _MERGE_INFLATION / byte_budget)))
+
+    writer: pq.ParquetWriter | None = None
+    n_rows = 0
+    try:
+        for split in range(nsplits):
+            parts = []
+            for f in files:
+                t = fs.read_table(f, columns=["term", "docids", "dls", "positions"])
+                if nsplits > 1:
+                    t = t.filter(_term_split_mask(t["term"], nsplits, split))
+                parts.append(t)
+            tbl = pa.concat_tables(parts, promote_options="default")
+            if tbl.num_rows:
+                docs = tbl["docids"].combine_chunks()
+                counts = pa.compute.list_value_length(docs).to_numpy(zero_copy_only=False)
+                idx = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), counts)
+                out = pa.table(
+                    {
+                        "term": tbl["term"].combine_chunks().take(pa.array(idx)),
+                        "docid": docs.flatten().cast(pa.int64()),
+                        "dl": tbl["dls"].combine_chunks().flatten().cast(pa.int32()),
+                        "positions": tbl["positions"].combine_chunks().flatten(),
+                    }
+                )
+                if tombstones is not None and len(tombstones):
+                    dead = isin_sorted(
+                        out["docid"].to_numpy(zero_copy_only=False), tombstones
+                    )
+                    if dead.any():
+                        out = out.filter(pa.array(~dead))
+                out = out.sort_by([("term", "ascending"), ("docid", "ascending")])
+            else:
+                out = POSITIONS_SCHEMA.empty_table()
+            if writer is None:
+                pfs, ppath = fs.resolve(out_path)
+                writer = pq.ParquetWriter(ppath, out.schema, filesystem=pfs)
+            if out.num_rows:
+                writer.write_table(out, row_group_size=row_group_size)
+            n_rows += out.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return n_rows

@@ -32,9 +32,17 @@ PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
+# positions variant (BuildConfig.positions): one extra nested column, aligned
+# with ``docids`` — posting i's token positions within its doc. The BM25
+# merge never reads it (parquet column pruning); the positional merge reads
+# only (term, docids, dls, positions).
+PARTIAL_SCHEMA_POS = PARTIAL_SCHEMA.append(
+    pa.field("positions", pa.list_(pa.list_(pa.int32())))
+)
 
-def _empty_partials() -> pa.Table:
-    return PARTIAL_SCHEMA.empty_table()
+
+def _empty_partials(positions: bool = False) -> pa.Table:
+    return (PARTIAL_SCHEMA_POS if positions else PARTIAL_SCHEMA).empty_table()
 
 
 class PostingsPartials:
@@ -46,20 +54,21 @@ class PostingsPartials:
     same trick large engines use to avoid an all-to-all exchange operator).
     """
 
-    def __init__(self, shard_range: int, num_buckets: int = 64):
+    def __init__(self, shard_range: int, num_buckets: int = 64, positions: bool = False):
         self.shard_range = shard_range
         self.num_buckets = num_buckets
+        self.positions = positions
         # term -> bucket memo: crc32 runs once per unique term per worker
         # lifetime, not once per (term, batch)
         self._bucket_memo: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _empty_partials()
+            return _empty_partials(self.positions)
         docids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         tokens, doc_index, _dl = tokenize_column(batch["text"])
         if len(tokens) == 0:
-            return _empty_partials()
+            return _empty_partials(self.positions)
         dicted = tokens.dictionary_encode()
         if isinstance(dicted, pa.ChunkedArray):
             dicted = dicted.combine_chunks()
@@ -105,17 +114,30 @@ class PostingsPartials:
         )
         if len(memo) > 4_000_000:  # bound worker memory on huge vocabularies
             memo.clear()
-        return pa.table(
-            {
-                "term": terms.cast(pa.string()),
-                "shard": pa.array(s_shard[starts], type=pa.int32()),
-                "bucket": pa.array(vocab_buckets[s_code[starts]], type=pa.int32()),
-                "min_docid": pa.array(s_docid[starts], type=pa.int64()),
-                "docids": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_docid, type=pa.int64())),
-                "tfs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_tf, type=pa.int32())),
-                "dls": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_dl, type=pa.int32())),
-            }
-        )
+        cols = {
+            "term": terms.cast(pa.string()),
+            "shard": pa.array(s_shard[starts], type=pa.int32()),
+            "bucket": pa.array(vocab_buckets[s_code[starts]], type=pa.int32()),
+            "min_docid": pa.array(s_docid[starts], type=pa.int64()),
+            "docids": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_docid, type=pa.int64())),
+            "tfs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_tf, type=pa.int32())),
+            "dls": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_dl, type=pa.int32())),
+        }
+        if self.positions:
+            # per-token position within its doc: arange minus the doc's first
+            # token index. A stable sort by the same (term, doc) key groups
+            # positions per posting in ascending order (tokens arrive in doc
+            # order), and the group order equals np.unique's uniq order — so
+            # posting i's positions are slice [cumsum_tf[i], cumsum_tf[i+1]).
+            row_start = np.concatenate([[0], np.cumsum(_dl[:-1])]).astype(np.int64)
+            pos = np.arange(len(codes), dtype=np.int64) - row_start[doc_index]
+            pos_sorted = pos[np.argsort(key, kind="stable")].astype(np.int32)
+            tf_off = np.concatenate([[0], np.cumsum(tf)]).astype(np.int32)
+            per_posting = pa.ListArray.from_arrays(
+                pa.array(tf_off, type=pa.int32()), pa.array(pos_sorted, type=pa.int32())
+            ).take(pa.array(order))  # reorder to the final (term, docid) order
+            cols["positions"] = pa.ListArray.from_arrays(pa.array(offsets), per_posting)
+        return pa.table(cols)
 
 
 def add_doc_len(batch: pa.Table) -> pa.Table:

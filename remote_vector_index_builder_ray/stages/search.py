@@ -247,6 +247,15 @@ class BM25Searcher:
         from remote_vector_index_builder_ray.pipelines.delete import load_tombstones
 
         self._tomb = load_tombstones(index_dir, man)
+        # Positional index sources (BuildConfig.positions; mode="phrase").
+        # Resolved lazily — a positionless index pays nothing — except in
+        # phrase mode, where a missing positional index fails fast at init.
+        self._index_dir = index_dir
+        self._gen_dirs = [_fs.join(index_dir, g["dir"]) for g in gens]
+        self._pos_sources: list[tuple[str, int, set]] | None = None
+        self._pos_cache: dict[str, tuple | None] = {}
+        if mode == "phrase":
+            self._resolve_pos_sources()
         # Optional filtered search (pipelines/query.search(where=...)): a
         # SORTED int64 docid allow-list, ray.put once on the driver and
         # fetched once per actor (zero-copy from the object store). Filter
@@ -401,6 +410,120 @@ class BM25Searcher:
                 docb, tfb, dlb, df_s[i:j].sum(), cf_s[i:j].sum(),
             )
             i = j
+
+    # -- positional postings (mode="phrase") ----------------------------------
+    def _resolve_pos_sources(self) -> list[tuple[str, int, set]]:
+        if self._pos_sources is None:
+            srcs = []
+            for d in [self._index_dir] + self._gen_dirs:
+                pdir = self._fs.join(d, "positions")
+                if self._fs.exists(pdir):
+                    present = {n for n in self._fs.listdir(pdir) if n.endswith(".parquet")}
+                    srcs.append((pdir, self.num_buckets, present))
+            if not srcs:
+                from remote_vector_index_builder_ray.config import EngineError
+
+                raise EngineError(
+                    f"index at {self._index_dir} has no positional data; "
+                    "build with BuildConfig(positions=True) to enable phrase search"
+                )
+            self._pos_sources = srcs
+        return self._pos_sources
+
+    def _load_positions(self, terms: list[str]) -> None:
+        """Per term: (docid_per_position, position, cand_docids, cand_dls) —
+        flat numpy views over the term-filtered positional rows of the term's
+        hash bucket (every source, docid-ascending)."""
+        missing = [t for t in terms if t not in self._pos_cache]
+        if not missing:
+            return
+        import zlib
+
+        tabs = []
+        for pdir, nb, present in self._resolve_pos_sources():
+            for bkt in sorted({zlib.crc32(t.encode()) % nb for t in missing}):
+                name = f"bucket-{bkt:05d}.parquet"
+                if name not in present:
+                    continue
+                t = self._fs.read_table(
+                    self._fs.join(pdir, name), filters=[("term", "in", missing)]
+                )
+                if t.num_rows:
+                    tabs.append(t)
+        if len(self._pos_cache) + len(missing) > self.cache_terms:
+            self._pos_cache.clear()
+        for t in missing:
+            self._pos_cache[t] = None
+        if not tabs:
+            return
+        tt = pa.concat_tables(tabs, promote_options="default")
+        tt = tt.sort_by([("term", "ascending"), ("docid", "ascending")]).combine_chunks()
+        row_terms = tt["term"].to_pylist()
+        docid = tt["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = tt["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_col = tt["positions"].combine_chunks()
+        counts = pc.list_value_length(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        row_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        i, n = 0, tt.num_rows
+        while i < n:
+            j = i
+            while j < n and row_terms[j] == row_terms[i]:
+                j += 1
+            self._pos_cache[row_terms[i]] = (
+                np.repeat(docid[i:j], counts[i:j]),
+                pos_flat[row_off[i]:row_off[j]],
+                docid[i:j],
+                dl[i:j],
+            )
+            i = j
+
+    # docid * 2^21 + position packs both into one int64 key for the phrase
+    # intersection; doc_len must stay below 2^21 (a transcript turn is tiny)
+    _POS_PACK = np.int64(1) << np.int64(21)
+
+    def _score_phrase(self, terms: list[str], k: int):
+        """Exact phrase match (Lucene match_phrase): docs where the terms
+        occur consecutively, scored ``sum(idf(term_i)) * tfnorm(phrase_tf)``
+        — the Lucene PhraseQuery formula (summed term idfs, phrase frequency
+        through the BM25 tf saturation). Phrase occurrences are found with a
+        vectorized shifted-key intersection: term i at phrase offset i
+        contributes keys (docid, pos - i); a phrase occurrence at base
+        position p is a key present in every term's set.
+        """
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        uterms = sorted(set(terms))
+        if any(self._cache.get(t) is None for t in uterms):
+            return empty  # a phrase term absent from the corpus: no match
+        idf_sum = 0.0
+        for t in terms:  # phrase order, duplicates counted per occurrence
+            idf_sum += _idf(self.N, self._cache[t].df)
+        if any(self._pos_cache.get(t) is None for t in uterms):
+            return empty
+        K = self._POS_PACK
+        keys = None
+        for i, t in enumerate(terms):
+            d, p, _, _ = self._pos_cache[t]
+            if i:
+                m = p >= i
+                kk = d[m] * K + (p[m] - i)
+            else:
+                kk = d * K + p
+            keys = kk if keys is None else np.intersect1d(keys, kk, assume_unique=True)
+            if keys.size == 0:
+                return empty
+        docs = keys // K
+        cand, ptf = np.unique(docs, return_counts=True)
+        _, _, cdoc, cdl = self._pos_cache[terms[0]]
+        dl = cdl[np.searchsorted(cdoc, cand)]
+        scores = idf_sum * tfnorm(
+            ptf.astype(np.float64), dl.astype(np.float64), self.avgdl, self.k1, self.b
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
 
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int):
@@ -572,10 +695,16 @@ class BM25Searcher:
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
-        per_query_terms = [sorted(set(tokenize_text(t or ""))) for t in texts]
+        if self.mode == "phrase":
+            # phrase semantics: token ORDER matters, duplicates kept
+            per_query_terms = [tokenize_text(t or "") for t in texts]
+        else:
+            per_query_terms = [sorted(set(tokenize_text(t or ""))) for t in texts]
         all_terms = sorted({t for terms in per_query_terms for t in terms})
         if all_terms:
             self._load_terms(all_terms)
+            if self.mode == "phrase":
+                self._load_positions(all_terms)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
         for qid, terms, k in zip(qids, per_query_terms, ks):
             k = int(k) if k is not None else 10
@@ -583,6 +712,8 @@ class BM25Searcher:
                 docids, scores = self._score_bmw(terms, k)
             elif self.mode == "wand":
                 docids, scores = self._score_wand(terms, k)
+            elif self.mode == "phrase":
+                docids, scores = self._score_phrase(terms, k)
             else:
                 docids, scores = self._score_exhaustive(terms, k)
             n = len(docids)

@@ -1,0 +1,199 @@
+"""Phrase search (mode="phrase", BuildConfig(positions=True)): exact
+consecutive-term matching over the positional index, scored with the Lucene
+PhraseQuery formula sum(idf(term_i)) * tfnorm(phrase_tf) — verified BIT-equal
+against a brute-force Python oracle; plus positionless-index error, deletes,
+and incremental generations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from collections import Counter
+
+from remote_vector_index_builder_ray import (
+    BuildConfig,
+    append_index,
+    build_index,
+    compact_index,
+    delete_docs,
+    search,
+)
+from remote_vector_index_builder_ray.config import EngineError
+from remote_vector_index_builder_ray.functions.bm25 import idf as _idf, tfnorm
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+
+def _corpus(smoke_fixture) -> pd.DataFrame:
+    df = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    df["docid"] = df.index.to_numpy()
+    df["toks"] = df["text"].map(lambda t: tokenize_text(t or ""))
+    return df
+
+
+def _phrase_gold(df: pd.DataFrame, phrase: str, k: int, dead=()) -> list[tuple[int, float]]:
+    """Brute-force oracle: same float64 operations in the same order."""
+    p = tokenize_text(phrase)
+    if not p:
+        return []
+    N = len(df)
+    dls = df["toks"].map(len)
+    avgdl = float(dls.sum()) / N
+    df_map = {t: int(df["toks"].map(lambda tk: t in tk).sum()) for t in set(p)}
+    if any(df_map[t] == 0 for t in p):
+        return []
+    idf_sum = 0.0
+    for t in p:
+        idf_sum += _idf(N, df_map[t])
+    rows = []
+    for docid, tk in zip(df["docid"], df["toks"]):
+        if docid in dead:
+            continue
+        ptf = sum(1 for i in range(len(tk) - len(p) + 1) if tk[i:i + len(p)] == p)
+        if ptf:
+            s = idf_sum * float(
+                tfnorm(np.array([ptf], float), np.array([len(tk)], float), avgdl, 1.2, 0.75)[0]
+            )
+            rows.append((int(docid), s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def _common_bigram(df: pd.DataFrame, min_docs: int = 5) -> str:
+    c = Counter()
+    for tk in df["toks"]:
+        for b in {(a, z) for a, z in zip(tk, tk[1:])}:
+            c[b] += 1
+    big, n = c.most_common(1)[0]
+    assert n >= min_docs, f"fixture has no common bigram (best {n})"
+    return " ".join(big)
+
+
+@pytest.fixture(scope="module")
+def pos_index(smoke_fixture, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("pos") / "idx")
+    build_index(
+        BuildConfig(
+            input_paths=smoke_fixture["transcripts"], index_dir=idx,
+            num_partitions=2, positions=True, num_buckets=32,
+        )
+    )
+    return idx
+
+
+def _run(idx, phrases, k=10, mode="phrase"):
+    q = pd.DataFrame(
+        {"query_id": np.arange(len(phrases), dtype=np.int64),
+         "text": phrases, "k": np.full(len(phrases), k, dtype=np.int32)}
+    )
+    return (
+        search(idx, q, mode=mode).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def test_phrase_rank_and_score_identity(smoke_fixture, pos_index):
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    rare3 = " ".join(df.loc[7, "toks"][:3])      # a trigram from one doc
+    single = df.loc[3, "toks"][0]                 # 1-term phrase == plain BM25 term
+    phrases = [common, rare3, single]
+    res = _run(pos_index, phrases)
+    for qid, phrase in enumerate(phrases):
+        gold = _phrase_gold(df, phrase, 10)
+        got = res[res["query_id"] == qid]
+        assert len(got) == len(gold), phrase
+        np.testing.assert_array_equal(got["docid"].to_numpy(), [g[0] for g in gold])
+        np.testing.assert_array_equal(got["score"].to_numpy(), [g[1] for g in gold])
+
+
+def test_phrase_multiple_occurrences_counted(smoke_fixture, pos_index):
+    """phrase_tf counts every occurrence — verified on a doc where the
+    common bigram occurs more than once, if the fixture has one; otherwise
+    the oracle equality above already pins the arithmetic."""
+    df = _corpus(smoke_fixture)
+    common = tokenize_text(_common_bigram(df))
+    multi = None
+    for docid, tk in zip(df["docid"], df["toks"]):
+        n = sum(1 for i in range(len(tk) - 1) if tk[i:i + 2] == common)
+        if n >= 2:
+            multi = (docid, n)
+            break
+    if multi is None:
+        pytest.skip("no doc with a repeated common bigram in this fixture")
+    res = _run(pos_index, [" ".join(common)], k=len(df))
+    gold = _phrase_gold(df, " ".join(common), len(df))
+    np.testing.assert_array_equal(res["docid"].to_numpy(), [g[0] for g in gold])
+    np.testing.assert_array_equal(res["score"].to_numpy(), [g[1] for g in gold])
+
+
+def test_phrase_no_match_and_absent_term(smoke_fixture, pos_index):
+    df = _corpus(smoke_fixture)
+    reversed_bigram = " ".join(reversed(tokenize_text(_common_bigram(df))))
+    res = _run(pos_index, ["zzzz_not_a_term qqqq", "", reversed_bigram])
+    # absent term and empty phrase: no rows; reversed bigram: only docs where
+    # the reversed order actually occurs (equals the oracle)
+    assert len(res[res["query_id"] == 0]) == 0
+    assert len(res[res["query_id"] == 1]) == 0
+    gold = _phrase_gold(df, reversed_bigram, 10)
+    got = res[res["query_id"] == 2]
+    np.testing.assert_array_equal(got["docid"].to_numpy(), [g[0] for g in gold])
+
+
+def test_phrase_on_positionless_index_fails_fast(smoke_fixture, smoke_index):
+    with pytest.raises(EngineError, match="positional"):
+        _run(smoke_index["index_dir"], ["anything at all"])
+
+
+def test_phrase_after_delete(smoke_fixture, pos_index, tmp_path_factory):
+    import shutil
+
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    gold_all = _phrase_gold(df, common, 10)
+    victim = gold_all[0][0]  # tombstone the top hit
+    idx = str(tmp_path_factory.mktemp("posdel") / "idx")
+    shutil.copytree(pos_index, idx)
+    delete_docs(idx, docids=[victim])
+    res = _run(idx, [common])
+    gold = _phrase_gold(df, common, 10, dead={victim})
+    assert victim not in set(res["docid"])
+    np.testing.assert_array_equal(res["docid"].to_numpy(), [g[0] for g in gold])
+    np.testing.assert_array_equal(res["score"].to_numpy(), [g[1] for g in gold])
+
+
+def test_phrase_incremental_generations(smoke_fixture, tmp_path_factory):
+    """Phrase search spans base + appended generation, and compaction folds
+    the generation's positions into the base (results unchanged)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = tmp_path_factory.mktemp("posinc")
+    idx = str(d / "idx")
+    full = pa.concat_tables([pq.read_table(p) for p in smoke_fixture["transcripts"]])
+    convs = sorted(set(full["conv_id"].to_pylist()))
+    cut = convs[len(convs) // 2]
+    mask = pc.less(full["conv_id"], pa.scalar(cut))
+    a_path, b_path = str(d / "a.parquet"), str(d / "b.parquet")
+    pq.write_table(full.filter(mask), a_path)
+    pq.write_table(full.filter(pc.invert(mask)), b_path)
+
+    build_index(BuildConfig(input_paths=[a_path], index_dir=idx,
+                            positions=True, num_buckets=32))
+    append_index(idx, [b_path])
+
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    gold = _phrase_gold(df, common, 10)
+    # the appended half must contribute (docids beyond the base range)
+    n_a = int(pq.read_table(a_path).num_rows)
+    res = _run(idx, [common])
+    np.testing.assert_array_equal(res["docid"].to_numpy(), [g[0] for g in gold])
+    np.testing.assert_array_equal(res["score"].to_numpy(), [g[1] for g in gold])
+    all_hits = _run(idx, [common], k=len(df))
+    assert (all_hits["docid"].to_numpy() >= n_a).any()
+
+    compact_index(idx)
+    res2 = _run(idx, [common])
+    np.testing.assert_array_equal(res2["docid"].to_numpy(), res["docid"].to_numpy())
+    np.testing.assert_array_equal(res2["score"].to_numpy(), res["score"].to_numpy())
