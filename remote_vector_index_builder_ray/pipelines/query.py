@@ -88,6 +88,7 @@ def search(
     concurrency=None,
     batch_size: int = 16,
     where=None,
+    operator: str = "or",
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -98,6 +99,10 @@ def search(
     filter-context semantics: non-matching docs are dropped from the
     candidate set but corpus stats (N, avgdl, df) are unchanged, so matching
     docs score exactly as in an unfiltered search.
+
+    ``operator="and"`` (OpenSearch match operator:and) requires every query
+    term in a matching doc; qualifying docs' scores are unchanged. Supported
+    with mode="exhaustive" and mode="bmw".
 
     The actor pool scales with the cluster (one searcher per 2 CPUs, capped
     at 32): each actor amortizes postings loads across its batches via the
@@ -126,11 +131,17 @@ def search(
                 f"index at {index_dir} has no positional data; "
                 "build with BuildConfig(positions=True) to enable phrase search"
             )
+    # validate on the driver: an actor-side raise is an opaque ActorDiedError
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+    if operator == "and" and mode in ("wand", "phrase"):
+        raise ValueError(f"operator='and' is not supported in {mode} mode")
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
         BM25Searcher,
         fn_constructor_args=(index_dir, mode, allow_ref),
+        fn_constructor_kwargs={"operator": operator},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

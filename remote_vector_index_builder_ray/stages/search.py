@@ -192,7 +192,7 @@ class BM25Searcher:
     """Callable class for ``queries.map_batches(BM25Searcher, concurrency=N)``."""
 
     def __init__(self, index_dir: str, mode: str = "bmw", allow_ref=None,
-                 cache_terms: int = 8192):
+                 cache_terms: int = 8192, operator: str = "or"):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -203,6 +203,15 @@ class BM25Searcher:
         self.b = float(st["b"])
         self.mode = mode
         self.cache_terms = cache_terms
+        # operator="and" (OpenSearch match operator:and): a doc must contain
+        # EVERY query term; scores of qualifying docs are unchanged (the BM25
+        # sum over the query terms is the same sum). Supported in exhaustive
+        # and bmw modes.
+        if operator not in ("or", "and"):
+            raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
+        if operator == "and" and mode in ("wand", "phrase"):
+            raise ValueError(f"operator='and' is not supported in {mode} mode")
+        self.operator = operator
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -527,6 +536,9 @@ class BM25Searcher:
 
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int):
+        conj = self.operator == "and"
+        if conj and any(self._cache.get(t) is None for t in terms):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         doc_parts, contrib_parts = [], []
         for t in terms:  # ascending term order fixes float addition order
             tp = self._cache.get(t)
@@ -543,6 +555,13 @@ class BM25Searcher:
         uniq, inv = np.unique(all_doc, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, all_con)  # sequential, term-major == oracle order
+        if conj and len(doc_parts) > 1:
+            # a doc appears once per term list: its multiplicity IS its
+            # distinct-term count; require all terms present
+            hits = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(hits, inv, 1)
+            full = hits == len(doc_parts)
+            uniq, scores = uniq[full], scores[full]
         uniq, scores = self._drop_tombstoned(uniq, scores)
         sel = topk_order(scores, uniq, k)
         return uniq[sel], scores[sel]
@@ -557,6 +576,9 @@ class BM25Searcher:
         Block-max WAND at chunk granularity with numpy inner loops — the
         Python cost is O(chunks x terms), not O(docs).
         """
+        conj = self.operator == "and"
+        if conj and any(self._cache.get(t) is None for t in terms):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         tinfo = []
         for t in terms:  # ascending term order
             tp = self._cache.get(t)
@@ -603,6 +625,13 @@ class BM25Searcher:
             uniq, inv = np.unique(alld, return_inverse=True)
             sc = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(sc, inv, allc)  # term-major order == oracle order
+            if conj and len(tinfo) > 1:
+                # docid ranges are chunk-local, so a doc's every term
+                # contribution lands in THIS chunk: multiplicity == term count
+                hits = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(hits, inv, 1)
+                full = hits == len(tinfo)
+                uniq, sc = uniq[full], sc[full]
             uniq, sc = self._drop_tombstoned(uniq, sc)
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sc])
