@@ -101,6 +101,36 @@ def run_bench() -> dict:
         timings[f"search_{mode}"] = time.time() - t0
         assert n_rows > 0
 
+    if os.environ.get("GRAFT_SCALING") != "1":
+        # feature-mode timings (not part of the headline value): filtered +
+        # conjunctive over the same index; phrase over a positional build,
+        # whose extra cost is measured separately as build_positions
+        t0 = time.time()
+        search(index_dir, fx["queries"], mode="bmw",
+               where=[("role", "=", "user")]).count()
+        timings["search_filtered"] = time.time() - t0
+        t0 = time.time()
+        search(index_dir, fx["queries"], mode="bmw", operator="and").count()
+        timings["search_and"] = time.time() - t0
+
+        pos_dir = index_dir + "_pos"
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            BuildConfig(input_paths=fx["transcripts"], index_dir=pos_dir,
+                        positions=True)
+        )
+        timings["build_positions"] = time.time() - t0
+        # phrase workload: the first two tokens of each reference query
+        qp = qdf.assign(
+            text=qdf["text"].str.split().str[:2].str.join(" ")
+        )
+        search(pos_dir, qp.head(8), mode="phrase").count()  # warm the pool
+        t0 = time.time()
+        search(pos_dir, qp, mode="phrase").count()
+        timings["search_phrase"] = time.time() - t0
+        shutil.rmtree(pos_dir, ignore_errors=True)
+
     # stage-level breakdown from the manifest (lineage metrics)
     for stage, m in man["stages"].items():
         timings[f"stage_{stage}"] = round(m.get("sec", 0.0), 3)

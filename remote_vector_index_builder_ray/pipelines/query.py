@@ -86,7 +86,7 @@ def search(
     queries,
     mode: str = "bmw",
     concurrency=None,
-    batch_size: int = 16,
+    batch_size: int | None = None,
     where=None,
     operator: str = "or",
 ) -> ray.data.Dataset:
@@ -109,6 +109,12 @@ def search(
     term cache, so oversizing the pool duplicates I/O while undersizing it
     starves the CPUs — round 1 capped it at 8 and measured 19 QPS on 32 CPUs.
     """
+    if batch_size is None:
+        # phrase batches are 4x larger: per-actor cost is dominated by
+        # positional-postings loads, which duplicate across the pool — fewer,
+        # bigger batches amortize the same term loads over more queries
+        # (profiled at sf0.1: load 4.2 s vs score 0.26 s per batch)
+        batch_size = 64 if mode == "phrase" else 16
     if concurrency is None:
         import ray as _ray
 

@@ -467,25 +467,29 @@ class BM25Searcher:
             return
         tt = pa.concat_tables(tabs, promote_options="default")
         tt = tt.sort_by([("term", "ascending"), ("docid", "ascending")]).combine_chunks()
-        row_terms = tt["term"].to_pylist()
+        # group rows per term via dictionary codes — no Python string
+        # comparisons over (possibly millions of) rows
+        td = tt["term"].combine_chunks().dictionary_encode()
+        if isinstance(td, pa.ChunkedArray):
+            td = td.combine_chunks()
+        codes = td.indices.to_numpy(zero_copy_only=False)
+        vocab = td.dictionary.to_pylist()
         docid = tt["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
         dl = tt["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos_col = tt["positions"].combine_chunks()
         counts = pc.list_value_length(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
         pos_flat = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         row_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        i, n = 0, tt.num_rows
-        while i < n:
-            j = i
-            while j < n and row_terms[j] == row_terms[i]:
-                j += 1
-            self._pos_cache[row_terms[i]] = (
+        n = tt.num_rows
+        starts = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [n]])
+        for gi in range(len(starts) - 1):
+            i, j = int(starts[gi]), int(starts[gi + 1])
+            self._pos_cache[vocab[codes[i]]] = (
                 np.repeat(docid[i:j], counts[i:j]),
                 pos_flat[row_off[i]:row_off[j]],
                 docid[i:j],
                 dl[i:j],
             )
-            i = j
 
     # docid * 2^21 + position packs both into one int64 key for the phrase
     # intersection; doc_len must stay below 2^21 (a transcript turn is tiny)
@@ -511,16 +515,36 @@ class BM25Searcher:
             idf_sum += _idf(self.N, self._cache[t].df)
         if any(self._pos_cache.get(t) is None for t in uterms):
             return empty
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        # candidate docs = docs containing every term — intersected rarest-
+        # first (df-ascending), then each term's position array is pre-
+        # filtered to the candidates before the (much larger) key intersect
+        cand_docs = None
+        for t in sorted(uterms, key=lambda t: len(self._pos_cache[t][2])):
+            cdoc = self._pos_cache[t][2]
+            cand_docs = cdoc if cand_docs is None else np.intersect1d(
+                cand_docs, cdoc, assume_unique=True
+            )
+            if cand_docs.size == 0:
+                return empty
         K = self._POS_PACK
-        keys = None
+        sets = []
         for i, t in enumerate(terms):
-            d, p, _, _ = self._pos_cache[t]
+            d, p, cdoc, _ = self._pos_cache[t]
+            if len(cand_docs) < len(cdoc):
+                m = isin_sorted(d, cand_docs)
+                d, p = d[m], p[m]
             if i:
                 m = p >= i
                 kk = d[m] * K + (p[m] - i)
             else:
                 kk = d * K + p
-            keys = kk if keys is None else np.intersect1d(keys, kk, assume_unique=True)
+            sets.append(kk)
+        sets.sort(key=len)  # intersection is order-independent: smallest first
+        keys = sets[0]
+        for kk in sets[1:]:
+            keys = np.intersect1d(keys, kk, assume_unique=True)
             if keys.size == 0:
                 return empty
         docs = keys // K
