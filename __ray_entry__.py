@@ -411,6 +411,26 @@ def _q_bm25_delete_search(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"])
 
 
+def _q_bm25_snippets(sf_dir: str):
+    """Top-k with best-window snippets (pipelines/query.highlight): the
+    8-token span with the most query-term hits, earliest-window tie-break,
+    built from the analyzer token stream so SQL reproduces it byte-equal."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from remote_vector_index_builder_ray import highlight
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    topk = _q_bm25_topk(sf_dir)
+    qdf = pq.read_table(fx["queries"]).to_pandas()
+    out = highlight(index_dir, ray.data.from_pandas(topk), qdf, window=8)
+    return out[["query_id", "rank", "docid", "snippet"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64"}
+    )
+
+
 def _q_bm25_and(sf_dir: str):
     """Conjunctive match (operator='and'): every query term required;
     qualifying docs score identically to the OR search."""
@@ -712,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_and": _q_bm25_and,
+        "bm25_snippets": _q_bm25_snippets,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1212,6 +1233,63 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # snippets: the bm25_topk oracle extended with the 8-token best-window
+    # snippet computed from the same analyzer token stream (list ops; first
+    # max via list_position == numpy argmax's earliest-window tie-break)
+    out["bm25_snippets"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+qts AS (
+    SELECT query_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS qt
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+),
+snip AS (
+    SELECT r.query_id, r.rank, r.docid,
+           regexp_extract_all(lower(d.text), '[a-z0-9_]+') AS tk, qts.qt
+    FROM ranked r JOIN docs d USING (docid) JOIN qts USING (query_id)
+    WHERE r.rank <= r.k
+),
+cnt AS (
+    SELECT query_id, rank, docid, tk,
+           CASE WHEN len(tk) <= 8 THEN NULL
+                ELSE [len(list_filter(tk[i:i+7], x -> list_contains(qt, x)))
+                      FOR i IN range(1, len(tk) - 6)]
+           END AS cs
+    FROM snip
+)
+SELECT query_id, rank::INT AS rank, docid,
+       CASE WHEN cs IS NULL THEN array_to_string(tk, ' ')
+            ELSE array_to_string(
+                tk[list_position(cs, list_max(cs)) : list_position(cs, list_max(cs)) + 7], ' ')
+       END AS snippet
+FROM cnt ORDER BY query_id, rank
 """
     # phrase search: exact consecutive-term match counted by list-slice
     # comparison (Lucene PhraseQuery scoring — summed term idfs, phrase tf

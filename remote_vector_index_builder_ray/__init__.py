@@ -29,7 +29,7 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     compact_index,
     global_stats,
 )
-from remote_vector_index_builder_ray.pipelines.query import search
+from remote_vector_index_builder_ray.pipelines.query import highlight, hydrate, search
 
 __all__ = [
     "BM25Config",
@@ -39,6 +39,8 @@ __all__ = [
     "compact_index",
     "delete_docs",
     "global_stats",
+    "highlight",
+    "hydrate",
     "load_tombstones",
     "search",
 ]

@@ -155,6 +155,55 @@ def search(
     )
 
 
+def highlight(
+    index_dir: str,
+    results,
+    queries: pd.DataFrame,
+    window: int = 8,
+) -> pd.DataFrame:
+    """Best-window snippets for a result set (the Lucene highlighter analog,
+    deterministic): for each hit, the ``window``-token span of the doc with
+    the most query-term occurrences; ties break to the EARLIEST window; docs
+    shorter than the window snippet whole. Snippets are built from the
+    analyzer's token stream (lowercased), so the DuckDB twin reproduces them
+    byte-identically.
+
+    Text is fetched with the same broadcast-semi-join as ``hydrate`` and the
+    sliding-window count is a vectorized cumsum per doc — the snippet stage
+    is a per-batch transform, so it distributes with the result set.
+    """
+    import numpy as np
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    res = results.to_pandas() if not isinstance(results, pd.DataFrame) else results.copy()
+    meta = hydrate(index_dir, ray.data.from_pandas(res[["query_id", "docid"]]))
+    terms_by_query = {
+        int(q.query_id): frozenset(tokenize_text(q.text or ""))
+        for q in queries.itertuples(index=False)
+    }
+
+    def _snippet(qid: int, text: str) -> str:
+        toks = tokenize_text(text or "")
+        if not toks:
+            return ""
+        qt = terms_by_query.get(int(qid), frozenset())
+        n, w = len(toks), window
+        if n <= w:
+            return " ".join(toks)
+        hits = np.fromiter((t in qt for t in toks), dtype=np.int64, count=n)
+        c = np.concatenate([[0], np.cumsum(hits)])
+        counts = c[w:] - c[:-w]          # count per window start 0..n-w
+        s = int(np.argmax(counts))       # first max = earliest window
+        return " ".join(toks[s:s + w])
+
+    meta["snippet"] = [
+        _snippet(q, t) for q, t in zip(meta["query_id"], meta["text"])
+    ]
+    out = res.merge(meta[["query_id", "docid", "snippet"]], on=["query_id", "docid"])
+    return out
+
+
 def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     """Attach stored fields to a (small) result set.
 
