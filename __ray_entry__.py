@@ -438,6 +438,14 @@ def _q_bm25_and(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"], operator="and")
 
 
+def _q_bm25_msm(sf_dir: str):
+    """minimum_should_match=2: a doc must contain at least 2 of the query's
+    distinct terms; qualifying docs score identically to the OR search
+    (stages/search.BM25Searcher min_should_match)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], min_should_match=2)
+
+
 def _q_bm25_filtered(sf_dir: str):
     """Filtered search (where=role='user'): OpenSearch filter-context
     semantics — corpus stats unchanged, non-matching docs dropped from the
@@ -732,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_and": _q_bm25_and,
+        "bm25_msm": _q_bm25_msm,
         "bm25_snippets": _q_bm25_snippets,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
@@ -1147,6 +1156,45 @@ ranked AS (
            row_number() OVER (PARTITION BY sc.query_id ORDER BY round(sc.score, 6) DESC, sc.docid) AS rank
     FROM scored sc JOIN qn USING (query_id)
     WHERE sc.matched = qn.nt
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # minimum_should_match=2: same scoring as bm25_topk, candidates
+    # restricted to docs matching at least 2 distinct query terms (matched
+    # counts only PRESENT terms, so a query with < 2 present terms — absent
+    # terms still being clauses — yields nothing, as in the engine)
+    out["bm25_msm"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score,
+           count(*)::BIGINT AS matched
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT sc.query_id, sc.docid, round(sc.score, 6) AS score, sc.k,
+           row_number() OVER (PARTITION BY sc.query_id ORDER BY round(sc.score, 6) DESC, sc.docid) AS rank
+    FROM scored sc
+    WHERE sc.matched >= 2
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

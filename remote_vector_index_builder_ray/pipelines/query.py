@@ -89,6 +89,7 @@ def search(
     batch_size: int | None = None,
     where=None,
     operator: str = "or",
+    min_should_match: int | None = None,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -103,6 +104,12 @@ def search(
     ``operator="and"`` (OpenSearch match operator:and) requires every query
     term in a matching doc; qualifying docs' scores are unchanged. Supported
     with mode="exhaustive" and mode="bmw".
+
+    ``min_should_match=n`` (OpenSearch match minimum_should_match) requires at
+    least ``n`` of the query's distinct terms in a matching doc — the
+    generalization between OR (n=1) and AND (n=n_terms). ``n`` above the
+    query's term count matches nothing (Lucene BooleanQuery semantics; an
+    absent term still counts as a clause). Same mode support as operator.
 
     The actor pool scales with the cluster (one searcher per 2 CPUs, capped
     at 32): each actor amortizes postings loads across its batches via the
@@ -142,12 +149,24 @@ def search(
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
     if operator == "and" and mode in ("wand", "phrase"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
+    if min_should_match is not None:
+        if operator == "and":
+            raise ValueError(
+                "min_should_match is redundant with operator='and' (pick one)"
+            )
+        if mode in ("wand", "phrase"):
+            raise ValueError(f"min_should_match is not supported in {mode} mode")
+        if int(min_should_match) < 1:
+            raise ValueError("min_should_match must be >= 1")
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
         BM25Searcher,
         fn_constructor_args=(index_dir, mode, allow_ref),
-        fn_constructor_kwargs={"operator": operator},
+        fn_constructor_kwargs={
+            "operator": operator,
+            "min_should_match": min_should_match,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

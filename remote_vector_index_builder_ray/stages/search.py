@@ -192,7 +192,8 @@ class BM25Searcher:
     """Callable class for ``queries.map_batches(BM25Searcher, concurrency=N)``."""
 
     def __init__(self, index_dir: str, mode: str = "bmw", allow_ref=None,
-                 cache_terms: int = 8192, operator: str = "or"):
+                 cache_terms: int = 8192, operator: str = "or",
+                 min_should_match: int | None = None):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -212,6 +213,24 @@ class BM25Searcher:
         if operator == "and" and mode in ("wand", "phrase"):
             raise ValueError(f"operator='and' is not supported in {mode} mode")
         self.operator = operator
+        # minimum_should_match (OpenSearch match minimum_should_match): a doc
+        # must contain at least n of the query's DISTINCT terms; qualifying
+        # docs' scores are unchanged. operator="and" is the n == n_terms
+        # special case (Lucene: msm above the clause count matches nothing,
+        # and an absent term is still a clause — it just never matches).
+        if min_should_match is not None:
+            if operator == "and":
+                raise ValueError(
+                    "min_should_match is redundant with operator='and' "
+                    "(OpenSearch ignores msm under operator:and; pick one)"
+                )
+            if mode in ("wand", "phrase"):
+                raise ValueError(
+                    f"min_should_match is not supported in {mode} mode"
+                )
+            if int(min_should_match) < 1:
+                raise ValueError("min_should_match must be >= 1")
+        self.msm = None if min_should_match is None else int(min_should_match)
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -558,11 +577,20 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    def _need(self, terms: list[str]) -> int:
+        """Required distinct-matched-term count for a doc to qualify:
+        len(terms) under operator='and', min_should_match if set, else 1."""
+        if self.operator == "and":
+            return len(terms)
+        return self.msm or 1
+
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int):
-        conj = self.operator == "and"
-        if conj and any(self._cache.get(t) is None for t in terms):
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+        need = self._need(terms)
+        if need > 1:
+            n_present = sum(1 for t in terms if self._cache.get(t) is not None)
+            if need > n_present:  # covers msm > n_terms and absent AND terms
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         doc_parts, contrib_parts = [], []
         for t in terms:  # ascending term order fixes float addition order
             tp = self._cache.get(t)
@@ -579,12 +607,12 @@ class BM25Searcher:
         uniq, inv = np.unique(all_doc, return_inverse=True)
         scores = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(scores, inv, all_con)  # sequential, term-major == oracle order
-        if conj and len(doc_parts) > 1:
+        if need > 1 and len(doc_parts) > 1:
             # a doc appears once per term list: its multiplicity IS its
-            # distinct-term count; require all terms present
+            # distinct-term count; require at least `need` terms present
             hits = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(hits, inv, 1)
-            full = hits == len(doc_parts)
+            full = hits >= need
             uniq, scores = uniq[full], scores[full]
         uniq, scores = self._drop_tombstoned(uniq, scores)
         sel = topk_order(scores, uniq, k)
@@ -600,9 +628,11 @@ class BM25Searcher:
         Block-max WAND at chunk granularity with numpy inner loops — the
         Python cost is O(chunks x terms), not O(docs).
         """
-        conj = self.operator == "and"
-        if conj and any(self._cache.get(t) is None for t in terms):
-            return np.empty(0, np.int64), np.empty(0, np.float64)
+        need = self._need(terms)
+        if need > 1:
+            n_present = sum(1 for t in terms if self._cache.get(t) is not None)
+            if need > n_present:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         tinfo = []
         for t in terms:  # ascending term order
             tp = self._cache.get(t)
@@ -649,12 +679,12 @@ class BM25Searcher:
             uniq, inv = np.unique(alld, return_inverse=True)
             sc = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(sc, inv, allc)  # term-major order == oracle order
-            if conj and len(tinfo) > 1:
+            if need > 1 and len(tinfo) > 1:
                 # docid ranges are chunk-local, so a doc's every term
                 # contribution lands in THIS chunk: multiplicity == term count
                 hits = np.zeros(len(uniq), dtype=np.int64)
                 np.add.at(hits, inv, 1)
-                full = hits == len(tinfo)
+                full = hits >= need
                 uniq, sc = uniq[full], sc[full]
             uniq, sc = self._drop_tombstoned(uniq, sc)
             top_docs = np.concatenate([top_docs, uniq])
