@@ -380,18 +380,20 @@ def _q_bm25_phrase(sf_dir: str):
     return _topk_rounded(index_dir, _ensure_phrase_queries(sf_dir), mode="phrase")
 
 
-def _topk_rounded(index_dir: str, queries_path: str, **search_kw):
+def _topk_rounded(index_dir: str, queries_path: str, search_fn=None, **search_kw):
     """Shared driver-facing re-rank: search with 2k oversample, round scores
     to 6 decimals, re-rank (score desc, docid asc) — see module docstring."""
     import pyarrow.parquet as pq
 
     from remote_vector_index_builder_ray import search
 
+    if search_fn is None:
+        search_fn = search
+        search_kw.setdefault("mode", "bmw")
     q = pq.read_table(queries_path).to_pandas()
     k_by_query = dict(zip(q["query_id"], q["k"]))
     q2 = q.assign(k=(q["k"] * 2).astype("int32"))
-    search_kw.setdefault("mode", "bmw")
-    res = search(index_dir, q2, **search_kw).to_pandas()
+    res = search_fn(index_dir, q2, **search_kw).to_pandas()
     res["score"] = res["score"].round(6)
     res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
     res["rank"] = res.groupby("query_id").cumcount() + 1
@@ -444,6 +446,81 @@ def _q_bm25_msm(sf_dir: str):
     (stages/search.BM25Searcher min_should_match)."""
     fx, index_dir, _ = _ensure_index(sf_dir)
     return _topk_rounded(index_dir, fx["queries"], min_should_match=2)
+
+
+def _ensure_expand_queries(sf_dir: str) -> dict[str, str]:
+    """Deterministic prefix / wildcard / fuzzy query sets for the
+    multi-term-query entries (pipelines/expand). Driver-small, persisted so
+    the DuckDB twins read exactly the same inputs."""
+    import pyarrow as pa
+
+    name = _sf_name(sf_dir)
+    paths = {
+        kind: os.path.join(ARTIFACT_ROOT, f"{name}_{kind}_queries.parquet")
+        for kind in ("prefix", "wildcard", "fuzzy")
+    }
+    sets = {
+        "prefix": ["w0001", "w00002", "w0012", "th", "wh", "w049", "zzznomatch"],
+        "wildcard": ["w00?2*", "w0003*", "w*9", "th*", "wor?", "zz*q"],
+        "fuzzy": ["w000100", "w00010", "w000x42", "tre", "watfr", "qqqqqq"],
+    }
+    for kind, vals in sets.items():
+        if os.path.exists(paths[kind]):
+            continue
+        col = {"prefix": "prefix", "wildcard": "pattern", "fuzzy": "text"}[kind]
+        _write_atomic(
+            pa.table(
+                {
+                    "query_id": pa.array(range(len(vals)), type=pa.int64()),
+                    col: pa.array(vals, type=pa.string()),
+                    "k": pa.array([10] * len(vals), type=pa.int32()),
+                }
+            ),
+            paths[kind],
+        )
+    return paths
+
+
+def _q_bm25_prefix(sf_dir: str):
+    """OpenSearch prefix query (constant-score rewrite): dictionary terms
+    with the prefix expand on the driver (termstats range pushdown), any
+    matching doc scores 1.0, docid-ascending order."""
+    from remote_vector_index_builder_ray import search_prefix
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(_ensure_expand_queries(sf_dir)["prefix"])
+    res = search_prefix(index_dir, q).to_pandas()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
+def _q_bm25_wildcard(sf_dir: str):
+    """OpenSearch wildcard query (constant-score rewrite): ``*``/``?``
+    patterns over the term dictionary."""
+    from remote_vector_index_builder_ray import search_wildcard
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(_ensure_expand_queries(sf_dir)["wildcard"])
+    res = search_wildcard(index_dir, q).to_pandas()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
+def _q_bm25_fuzzy(sf_dir: str):
+    """Fuzzy query, scoring-boolean rewrite: each query term expands to its
+    Levenshtein<=1 dictionary neighborhood; the union scores as a BM25
+    disjunction (each expanded term keeps its own idf)."""
+    from remote_vector_index_builder_ray import search_fuzzy
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(
+        index_dir,
+        _ensure_expand_queries(sf_dir)["fuzzy"],
+        search_fn=search_fuzzy,
+        max_edits=1,
+    )
 
 
 def _q_bm25_filtered(sf_dir: str):
@@ -741,6 +818,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_and": _q_bm25_and,
         "bm25_msm": _q_bm25_msm,
+        "bm25_prefix": _q_bm25_prefix,
+        "bm25_wildcard": _q_bm25_wildcard,
+        "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_snippets": _q_bm25_snippets,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
@@ -1195,6 +1275,83 @@ ranked AS (
            row_number() OVER (PARTITION BY sc.query_id ORDER BY round(sc.score, 6) DESC, sc.docid) AS rank
     FROM scored sc
     WHERE sc.matched >= 2
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # prefix / wildcard queries (constant-score rewrite): any doc containing
+    # a dictionary term matching the pattern scores 1.0; docid-ascending
+    # order is the engine's (score desc, docid asc) total order
+    expand_q = _ensure_expand_queries(ORACLE_SF_DIR)
+    out["bm25_prefix"] = f"""
+WITH {docs}, {_TOKS},
+p AS (SELECT query_id, prefix, k FROM read_parquet('{expand_q["prefix"]}')),
+m AS (
+    SELECT DISTINCT p.query_id, t.docid
+    FROM p JOIN toks t ON t.term LIKE p.prefix || '%'
+),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM m
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN p USING (query_id)
+WHERE r.rank <= p.k
+ORDER BY query_id, rank
+"""
+    out["bm25_wildcard"] = f"""
+WITH {docs}, {_TOKS},
+p AS (SELECT query_id, pattern, k FROM read_parquet('{expand_q["wildcard"]}')),
+m AS (
+    SELECT DISTINCT p.query_id, t.docid
+    FROM p JOIN toks t
+      ON t.term LIKE replace(replace(p.pattern, '*', '%'), '?', '_')
+),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM m
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN p USING (query_id)
+WHERE r.rank <= p.k
+ORDER BY query_id, rank
+"""
+    # fuzzy query, scoring-boolean rewrite: expand each query term to its
+    # Levenshtein<=1 dictionary neighborhood, score the union as a plain
+    # BM25 disjunction (bm25_topk scoring over the expanded term set)
+    out["bm25_fuzzy"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+fq AS (SELECT query_id, k, lower(text) AS qterm FROM read_parquet('{expand_q["fuzzy"]}')),
+exp AS (
+    SELECT fq.query_id, fq.k, df.term
+    FROM fq JOIN df
+      ON abs(length(df.term) - length(fq.qterm)) <= 1
+     AND levenshtein(df.term, fq.qterm) <= 1
+),
+scored AS (
+    SELECT e.query_id, any_value(e.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM exp e
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY e.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

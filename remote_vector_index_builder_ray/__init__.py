@@ -29,6 +29,15 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     compact_index,
     global_stats,
 )
+from remote_vector_index_builder_ray.pipelines.expand import (
+    expand_fuzzy,
+    expand_prefix,
+    expand_wildcard,
+    search_fuzzy,
+    search_prefix,
+    search_terms,
+    search_wildcard,
+)
 from remote_vector_index_builder_ray.pipelines.query import highlight, hydrate, search
 
 __all__ = [
@@ -38,9 +47,16 @@ __all__ = [
     "build_index",
     "compact_index",
     "delete_docs",
+    "expand_fuzzy",
+    "expand_prefix",
+    "expand_wildcard",
     "global_stats",
     "highlight",
     "hydrate",
     "load_tombstones",
     "search",
+    "search_fuzzy",
+    "search_prefix",
+    "search_terms",
+    "search_wildcard",
 ]

@@ -147,14 +147,14 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase"):
+    if operator == "and" and mode in ("wand", "phrase", "constant"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
     if min_should_match is not None:
         if operator == "and":
             raise ValueError(
                 "min_should_match is redundant with operator='and' (pick one)"
             )
-        if mode in ("wand", "phrase"):
+        if mode in ("wand", "phrase", "constant"):
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")

@@ -210,7 +210,7 @@ class BM25Searcher:
         # and bmw modes.
         if operator not in ("or", "and"):
             raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-        if operator == "and" and mode in ("wand", "phrase"):
+        if operator == "and" and mode in ("wand", "phrase", "constant"):
             raise ValueError(f"operator='and' is not supported in {mode} mode")
         self.operator = operator
         # minimum_should_match (OpenSearch match minimum_should_match): a doc
@@ -224,7 +224,7 @@ class BM25Searcher:
                     "min_should_match is redundant with operator='and' "
                     "(OpenSearch ignores msm under operator:and; pick one)"
                 )
-            if mode in ("wand", "phrase"):
+            if mode in ("wand", "phrase", "constant"):
                 raise ValueError(
                     f"min_should_match is not supported in {mode} mode"
                 )
@@ -584,6 +584,25 @@ class BM25Searcher:
             return len(terms)
         return self.msm or 1
 
+    def _score_constant(self, terms: list[str], k: int):
+        """Constant-score union (Lucene MultiTermQuery CONSTANT_SCORE
+        rewrite; OpenSearch terms/prefix/wildcard queries): every doc
+        containing ANY of the terms scores 1.0; the engine's (score desc,
+        docid asc) total order makes the top-k the k smallest matching
+        docids. Only the docid streams are decoded."""
+        doc_parts = []
+        for t in terms:
+            tp = self._cache.get(t)
+            if tp is not None:
+                docids, _, _ = tp.decode_all()
+                doc_parts.append(docids)
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        uniq = np.unique(np.concatenate(doc_parts))
+        uniq, _ = self._drop_tombstoned(uniq, np.zeros(len(uniq)))
+        uniq = uniq[:k]
+        return uniq, np.ones(len(uniq), dtype=np.float64)
+
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int):
         need = self._need(terms)
@@ -776,12 +795,21 @@ class BM25Searcher:
     # -- batch entry ----------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
-        texts = batch["text"].to_pylist()
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
-        if self.mode == "phrase":
+        if "terms" in batch.column_names:
+            # pre-analyzed term lists (pipelines/expand: terms / prefix /
+            # wildcard / fuzzy queries) — exact terms, no tokenization
+            lists = batch["terms"].to_pylist()
+            if self.mode == "phrase":
+                per_query_terms = [list(lst or []) for lst in lists]
+            else:
+                per_query_terms = [sorted(set(lst or [])) for lst in lists]
+        elif self.mode == "phrase":
             # phrase semantics: token ORDER matters, duplicates kept
+            texts = batch["text"].to_pylist()
             per_query_terms = [tokenize_text(t or "") for t in texts]
         else:
+            texts = batch["text"].to_pylist()
             per_query_terms = [sorted(set(tokenize_text(t or ""))) for t in texts]
         all_terms = sorted({t for terms in per_query_terms for t in terms})
         if all_terms:
@@ -797,6 +825,8 @@ class BM25Searcher:
                 docids, scores = self._score_wand(terms, k)
             elif self.mode == "phrase":
                 docids, scores = self._score_phrase(terms, k)
+            elif self.mode == "constant":
+                docids, scores = self._score_constant(terms, k)
             else:
                 docids, scores = self._score_exhaustive(terms, k)
             n = len(docids)

@@ -1,0 +1,135 @@
+"""Multi-term query expansion (pipelines/expand): prefix / wildcard / fuzzy
+dictionary expansion and the constant-score terms query, each verified
+against brute-force oracles over the smoke fixture."""
+
+import fnmatch
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from remote_vector_index_builder_ray import (
+    expand_fuzzy,
+    expand_prefix,
+    expand_wildcard,
+    search_fuzzy,
+    search_prefix,
+    search_terms,
+)
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+from remote_vector_index_builder_ray.pipelines.expand import _levenshtein_leq
+
+
+def _lev_ref(a: str, b: str, osa: bool = False) -> int:
+    """Obviously-correct quadratic DP (OSA when ``osa``)."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if osa and i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+@pytest.mark.parametrize("osa", [False, True])
+def test_levenshtein_vectorized_matches_reference(osa):
+    rng = np.random.default_rng(7)
+    alpha = "abc"
+    cands = [
+        "".join(rng.choice(list(alpha), size=rng.integers(0, 8)))
+        for _ in range(300)
+    ] + ["", "abc", "acb", "ba", "abab"]
+    for q in ["", "a", "ab", "abc", "acb", "bcab"]:
+        for d in (0, 1, 2):
+            got = _levenshtein_leq(cands, q, d, osa)
+            exp = np.array([_lev_ref(c, q, osa) <= d for c in cands])
+            np.testing.assert_array_equal(got, exp, err_msg=f"q={q} d={d}")
+
+
+def _vocab(oracle) -> list[str]:
+    return sorted(oracle.postings.keys())
+
+
+def test_expand_prefix_matches_dictionary(smoke_index, smoke_oracle):
+    got = expand_prefix(smoke_index["index_dir"], "w0001")
+    exp = [t for t in _vocab(smoke_oracle) if t.startswith("w0001")]
+    assert got == exp and len(got) > 0
+
+
+def test_expand_wildcard_matches_fnmatch(smoke_index, smoke_oracle):
+    pat = "w00?3*"
+    got = expand_wildcard(smoke_index["index_dir"], pat)
+    exp = [t for t in _vocab(smoke_oracle) if fnmatch.fnmatchcase(t, pat)]
+    assert got == exp and len(got) > 0
+    # literal (no wildcard) pattern: exact dictionary membership
+    assert expand_wildcard(smoke_index["index_dir"], "the") == ["the"]
+    assert expand_wildcard(smoke_index["index_dir"], "zz_absent") == []
+
+
+@pytest.mark.parametrize("osa", [False, True])
+def test_expand_fuzzy_matches_reference(smoke_index, smoke_oracle, osa):
+    for q, pl in [("w000100", 0), ("w000100", 3), ("the", 0)]:
+        got = expand_fuzzy(smoke_index["index_dir"], q, 1, pl, transpositions=osa)
+        exp = [
+            t for t in _vocab(smoke_oracle)
+            if t[:pl] == q[:pl] and _lev_ref(t, q, osa) <= 1
+        ]
+        assert got == exp and len(got) > 0
+
+
+def test_search_prefix_constant_score(smoke_fixture, smoke_index, smoke_oracle):
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    prefix = "w0002"
+    match = {
+        d for d, t in enumerate(src["text"])
+        for tok in tokenize_text(t or "") if tok.startswith(prefix)
+    }
+    exp = sorted(match)[:15]
+    q = pd.DataFrame({"query_id": [7], "prefix": [prefix],
+                      "k": np.array([15], dtype=np.int32)})
+    res = search_prefix(smoke_index["index_dir"], q).to_pandas()
+    assert res["docid"].tolist() == exp
+    assert (res["score"] == 1.0).all()
+    assert res["rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_search_terms_exact(smoke_fixture, smoke_index):
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    terms = ["w000000", "w000017"]
+    match = sorted(
+        d for d, t in enumerate(src["text"])
+        if set(tokenize_text(t or "")) & set(terms)
+    )
+    q = pd.DataFrame({"query_id": [1], "k": np.array([10**6], dtype=np.int32)})
+    q["terms"] = [terms]
+    res = search_terms(smoke_index["index_dir"], q).to_pandas()
+    assert res["docid"].tolist() == match and len(match) > 0
+
+
+def test_search_fuzzy_scores_expanded_disjunction(
+    smoke_fixture, smoke_index, smoke_oracle
+):
+    qtext = "w000101"
+    expanded = expand_fuzzy(smoke_index["index_dir"], qtext, 1)
+    scores = smoke_oracle.score_query(" ".join(expanded))
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    q = pd.DataFrame({"query_id": [3], "text": [qtext],
+                      "k": np.array([10], dtype=np.int32)})
+    res = search_fuzzy(smoke_index["index_dir"], q, max_edits=1).to_pandas()
+    np.testing.assert_array_equal(
+        res["docid"].to_numpy(), np.array([d for d, _ in exp])
+    )
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(), np.array([s for _, s in exp])
+    )
