@@ -540,6 +540,29 @@ def _q_bm25_compacted(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"])
 
 
+def _q_bm25_facets(sf_dir: str):
+    """OpenSearch terms aggregation over each query's FULL match set
+    (pipelines/aggs.terms_agg): per-role doc counts + avg doc_len. The match
+    sets broadcast once; docmeta streams through a per-batch combiner."""
+    from remote_vector_index_builder_ray import terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = terms_agg(index_dir, pd.read_parquet(fx["queries"]),
+                    field="role", metric_field="doc_len")
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "avg_doc_len": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_date_histogram(sf_dir: str):
+    """OpenSearch date_histogram (calendar day) over each query's full match
+    set (pipelines/aggs.date_histogram); empty buckets omitted."""
+    from remote_vector_index_builder_ray import date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = date_histogram(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -822,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wildcard": _q_bm25_wildcard,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_snippets": _q_bm25_snippets,
+        "bm25_facets": _q_bm25_facets,
+        "bm25_date_histogram": _q_bm25_date_histogram,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1356,6 +1381,45 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # aggregations over each query's FULL match set (OR over query terms):
+    # terms facet by role with avg doc_len (integer sum / one float64
+    # division, matching the engine's combiner) and a per-day histogram
+    out["bm25_facets"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, d.role AS key, count(*)::BIGINT AS n_docs,
+       floor((sum(dl.dl)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS avg_doc_len
+FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+GROUP BY m.query_id, d.role
+ORDER BY m.query_id, key
+"""
+    out["bm25_date_histogram"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+FROM m JOIN docs d USING (docid)
+GROUP BY m.query_id, date_trunc('day', d.ts)
+ORDER BY m.query_id, key
 """
     # filtered search (role='user'): corpus-wide stats, candidates restricted
     # to the predicate — same SQL shape as the logical-delete oracle with the

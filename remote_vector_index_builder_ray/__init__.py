@@ -29,6 +29,7 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     compact_index,
     global_stats,
 )
+from remote_vector_index_builder_ray.pipelines.aggs import date_histogram, terms_agg
 from remote_vector_index_builder_ray.pipelines.expand import (
     expand_fuzzy,
     expand_prefix,
@@ -46,6 +47,7 @@ __all__ = [
     "append_index",
     "build_index",
     "compact_index",
+    "date_histogram",
     "delete_docs",
     "expand_fuzzy",
     "expand_prefix",
@@ -59,4 +61,5 @@ __all__ = [
     "search_prefix",
     "search_terms",
     "search_wildcard",
+    "terms_agg",
 ]

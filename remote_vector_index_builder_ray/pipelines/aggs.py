@@ -1,0 +1,177 @@
+"""Search aggregations: bucket counts over ALL matching docs (the OpenSearch
+aggregations analog — `terms` and `date_histogram` aggs run on the full match
+set of a query, not its top-k page).
+
+Reference analog: the reference exposes only search hits
+(``benchmarking/search/search_indices.py:23-40``); OpenSearch itself computes
+aggs per shard and reduces — this engine does the same with Ray Data:
+
+1. The match set per query (OR over query terms; tombstones and ``where``
+   filters respected) is produced by the constant-score scorer — docids only,
+   no scoring work.
+2. The match sets — the SMALL side (a query's matches, not the corpus) — are
+   ``ray.put`` once and every probe actor fetches the same object-store copy.
+3. The docmeta table — the BIG side — streams through ``map_batches`` exactly
+   once, each batch probed per query with a sorted-array membership test and
+   pre-aggregated (combiner) into tiny per-batch partial counts.
+4. The partials (queries x buckets rows) reduce driver-side.
+
+Scale note (100 TB): this is the broadcast-semi-join pattern — right while
+Σ|matches| fits a worker heap (8 bytes/match). For pathologically unselective
+queries (a stopword matching half the corpus) the engine-level answer is the
+same as filtered search's: flip polarity or ride a docid-range-partitioned
+shuffle join; the probe is representation-agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _match_sets(index_dir: str, queries, where=None) -> dict[int, np.ndarray]:
+    """All matching docids per query (sorted int64), via the constant-score
+    scorer at k=INT32_MAX — docid streams only, no tf/score work."""
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    q["k"] = np.int32(2**31 - 1)
+    res = search(index_dir, q, mode="constant", where=where).to_pandas()
+    return {
+        int(qid): np.sort(g["docid"].to_numpy(np.int64))
+        for qid, g in res.groupby("query_id")
+    }
+
+
+class _ProbeAgg:
+    """Per-batch combiner: probe each query's sorted match set against the
+    batch's docids, pre-aggregate (bucket key -> count, metric sum) so only
+    queries x buckets rows leave the task."""
+
+    def __init__(self, ref, field: str, interval: str | None, metric_field: str | None):
+        self.matches = ray.get(ref)
+        self.field = field
+        self.interval = interval
+        self.metric_field = metric_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        if self.interval == "day":
+            keys = keys.astype("datetime64[D]").astype("datetime64[us]")
+        elif self.interval is not None:
+            raise ValueError(f"unsupported interval {self.interval!r}")
+        metric = (
+            batch[self.metric_field].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            if self.metric_field
+            else None
+        )
+        qids, out_keys, ns, sums = [], [], [], []
+        for qid, arr in self.matches.items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            df = pd.DataFrame({"key": keys[mask]})
+            if metric is not None:
+                df["m"] = metric[mask]
+                g = df.groupby("key", sort=False).agg(n=("m", "size"), s=("m", "sum"))
+            else:
+                g = df.groupby("key", sort=False).agg(n=("key", "size"))
+                g["s"] = 0
+            qids.extend([qid] * len(g))
+            out_keys.extend(g.index.tolist())
+            ns.extend(g["n"].tolist())
+            sums.extend(g["s"].tolist())
+        key_type = pa.timestamp("us") if self.interval else pa.string()
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "key": pa.array(out_keys, type=key_type),
+                "n": pa.array(ns, type=pa.int64()),
+                "s": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+def _run_agg(
+    index_dir: str,
+    queries,
+    field: str,
+    interval: str | None,
+    metric_field: str | None,
+    where,
+) -> pd.DataFrame:
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    ref = ray.put(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    cols = ["docid", field] + ([metric_field] if metric_field else [])
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=cols)
+        .map_batches(
+            _ProbeAgg,
+            fn_constructor_args=(ref, field, interval, metric_field),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()  # queries x buckets x read-tasks rows: driver-small
+    )
+    if partials.empty:
+        out = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                            "key": pd.Series(dtype=object),
+                            "n_docs": pd.Series(dtype=np.int64)})
+        if metric_field:
+            out[f"avg_{metric_field}"] = pd.Series(dtype=np.float64)
+        return out
+    g = (
+        partials.groupby(["query_id", "key"], sort=True)
+        .agg(n_docs=("n", "sum"), s=("s", "sum"))
+        .reset_index()
+    )
+    if metric_field:
+        # integer sum, one float64 division: bit-reproducible by SQL; round
+        # half-UP explicitly (numpy .round is half-even, DuckDB half-away —
+        # floor(x*1e6+0.5)/1e6 agrees on both engines)
+        avg = g["s"].astype(np.float64) / g["n_docs"]
+        g[f"avg_{metric_field}"] = np.floor(avg * 1e6 + 0.5) / 1e6
+    return g.drop(columns=["s"])
+
+
+def terms_agg(
+    index_dir: str,
+    queries,
+    field: str = "role",
+    metric_field: str | None = None,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `terms` aggregation over each query's full match set:
+    (query_id, key, n_docs[, avg_<metric_field>]) per distinct value of the
+    docmeta ``field``, sorted by (query_id, key)."""
+    return _run_agg(index_dir, queries, field, None, metric_field, where)
+
+
+def date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    interval: str = "day",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `date_histogram` aggregation (calendar_interval=day) over
+    each query's full match set: (query_id, key:timestamp[us] day floor,
+    n_docs), sorted by (query_id, key). Empty buckets are omitted
+    (min_doc_count=1 semantics)."""
+    return _run_agg(index_dir, queries, field, interval, None, where)

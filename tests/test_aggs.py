@@ -1,0 +1,74 @@
+"""Search aggregations (pipelines/aggs): terms + date_histogram bucket counts
+over each query's FULL match set, verified against a pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from remote_vector_index_builder_ray import date_histogram, terms_agg
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+
+def _src(smoke_fixture) -> pd.DataFrame:
+    df = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["docid"] = np.arange(len(df), dtype=np.int64)
+    df["toks"] = [set(tokenize_text(t or "")) for t in df["text"]]
+    df["doc_len"] = [len(tokenize_text(t or "")) for t in df["text"]]
+    return df
+
+
+def _match(df: pd.DataFrame, text: str) -> pd.DataFrame:
+    terms = set(tokenize_text(text or ""))
+    return df[[bool(t & terms) for t in df["toks"]]]
+
+
+QUERIES = pd.DataFrame({
+    "query_id": np.arange(4, dtype=np.int64),
+    "text": ["w000123", "the w000200", "zz_absent", ""],
+    "k": np.full(4, 10, dtype=np.int32),
+})
+
+
+def test_terms_agg_matches_brute_force(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    got = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
+                    metric_field="doc_len")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        for key, g in m.groupby("role"):
+            rows.append((int(q.query_id), key, len(g),
+                         round(int(g["doc_len"].sum()) / len(g), 6)))
+    exp = pd.DataFrame(rows, columns=["query_id", "key", "n_docs", "avg_doc_len"])
+    exp = exp.sort_values(["query_id", "key"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n_docs": np.int64}), exp,
+        check_dtype=False,
+    )
+
+
+def test_date_histogram_matches_brute_force(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    got = date_histogram(smoke_index["index_dir"], QUERIES)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        days = m["ts"].dt.floor("D")
+        for key, g in m.groupby(days):
+            rows.append((int(q.query_id), key, len(g)))
+    exp = pd.DataFrame(rows, columns=["query_id", "key", "n_docs"])
+    exp = exp.sort_values(["query_id", "key"]).reset_index(drop=True)
+    assert len(exp) > 0
+    got = got.reset_index(drop=True)
+    got["key"] = pd.to_datetime(got["key"])
+    pd.testing.assert_frame_equal(got.astype({"n_docs": np.int64}), exp,
+                                  check_dtype=False)
+
+
+def test_agg_respects_filter(smoke_fixture, smoke_index):
+    got = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
+                    where=[("role", "=", "user")])
+    assert set(got["key"]) <= {"user"} and len(got) > 0
