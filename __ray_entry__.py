@@ -540,6 +540,39 @@ def _q_bm25_compacted(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"])
 
 
+def _q_bm25_page2(sf_dir: str):
+    """Second result page via the real search_after cursor machinery: page 1
+    (k=20 raw) yields the cursor, page 2 fetches strictly-after docs, the
+    union re-ranks rounded and rows 11..20 are emitted — the same 2x
+    oversample-then-round robustness as bm25_topk, applied to a page cut."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pq.read_table(fx["queries"]).to_pandas()
+    q1 = q.assign(k=np.int32(20))
+    p1 = search(index_dir, q1, mode="bmw").to_pandas()
+    last = p1.sort_values(["query_id", "rank"]).groupby("query_id").tail(1)
+    q2 = q1.merge(
+        last[["query_id", "score", "docid"]].rename(
+            columns={"score": "after_score", "docid": "after_docid"}
+        ),
+        on="query_id",
+        how="inner",
+    )
+    p2 = search(index_dir, q2, mode="bmw").to_pandas()
+    both = pd.concat([p1, p2], ignore_index=True)
+    both["score"] = both["score"].round(6)
+    both = both.sort_values(["query_id", "score", "docid"],
+                            ascending=[True, False, True])
+    both["rank"] = both.groupby("query_id").cumcount() + 1
+    out = both[(both["rank"] > 10) & (both["rank"] <= 20)]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_facets(sf_dir: str):
     """OpenSearch terms aggregation over each query's FULL match set
     (pipelines/aggs.terms_agg): per-role doc counts + avg doc_len. The match
@@ -847,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": _q_bm25_snippets,
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
+        "bm25_page2": _q_bm25_page2,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1380,6 +1414,41 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # second result page (search_after): ranks 11..20 of the bm25_topk
+    # ranking, page size 10 regardless of the query's stored k
+    out["bm25_page2"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank > 10 AND rank <= 20
 ORDER BY query_id, rank
 """
     # aggregations over each query's FULL match set (OR over query terms):

@@ -105,6 +105,12 @@ def search(
     term in a matching doc; qualifying docs' scores are unchanged. Supported
     with mode="exhaustive" and mode="bmw".
 
+    Pagination (Lucene searchAfter): optional per-query columns
+    ``after_score``/``after_docid`` restrict results to docs STRICTLY after
+    that (score, docid) cursor in the engine's (score desc, docid asc) total
+    order — deep pages never re-ship earlier pages' hits. Null cursor = first
+    page. Supported in exhaustive, bmw and constant modes.
+
     ``min_should_match=n`` (OpenSearch match minimum_should_match) requires at
     least ``n`` of the query's distinct terms in a matching doc — the
     generalization between OR (n=1) and AND (n=n_terms). ``n`` above the
@@ -158,6 +164,12 @@ def search(
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
+    if (
+        mode in ("wand", "phrase")
+        and hasattr(queries, "columns")
+        and "after_score" in queries.columns
+    ):
+        raise ValueError(f"search_after is not supported in {mode} mode")
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(

@@ -577,6 +577,14 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    @staticmethod
+    def _after_mask(docids: np.ndarray, scores: np.ndarray, after) -> np.ndarray:
+        """search_after cursor (Lucene searchAfter under the engine's
+        (score desc, docid asc) sort): keep docs STRICTLY after the cursor —
+        lower score, or equal score with a higher docid."""
+        cs, cd = after
+        return (scores < cs) | ((scores == cs) & (docids > cd))
+
     def _need(self, terms: list[str]) -> int:
         """Required distinct-matched-term count for a doc to qualify:
         len(terms) under operator='and', min_should_match if set, else 1."""
@@ -584,7 +592,7 @@ class BM25Searcher:
             return len(terms)
         return self.msm or 1
 
-    def _score_constant(self, terms: list[str], k: int):
+    def _score_constant(self, terms: list[str], k: int, after=None):
         """Constant-score union (Lucene MultiTermQuery CONSTANT_SCORE
         rewrite; OpenSearch terms/prefix/wildcard queries): every doc
         containing ANY of the terms scores 1.0; the engine's (score desc,
@@ -600,11 +608,13 @@ class BM25Searcher:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         uniq = np.unique(np.concatenate(doc_parts))
         uniq, _ = self._drop_tombstoned(uniq, np.zeros(len(uniq)))
+        if after is not None:
+            uniq = uniq[self._after_mask(uniq, np.ones(len(uniq)), after)]
         uniq = uniq[:k]
         return uniq, np.ones(len(uniq), dtype=np.float64)
 
     # -- scoring --------------------------------------------------------------
-    def _score_exhaustive(self, terms: list[str], k: int):
+    def _score_exhaustive(self, terms: list[str], k: int, after=None):
         need = self._need(terms)
         if need > 1:
             n_present = sum(1 for t in terms if self._cache.get(t) is not None)
@@ -634,10 +644,13 @@ class BM25Searcher:
             full = hits >= need
             uniq, scores = uniq[full], scores[full]
         uniq, scores = self._drop_tombstoned(uniq, scores)
+        if after is not None:
+            keep = self._after_mask(uniq, scores, after)
+            uniq, scores = uniq[keep], scores[keep]
         sel = topk_order(scores, uniq, k)
         return uniq[sel], scores[sel]
 
-    def _score_bmw(self, terms: list[str], k: int):
+    def _score_bmw(self, terms: list[str], k: int, after=None):
         """Vectorized block-max pruning ("bmw", the default).
 
         The doc space is walked in docid-range chunks; a chunk whose summed
@@ -706,6 +719,9 @@ class BM25Searcher:
                 full = hits >= need
                 uniq, sc = uniq[full], sc[full]
             uniq, sc = self._drop_tombstoned(uniq, sc)
+            if after is not None:
+                keep = self._after_mask(uniq, sc, after)
+                uniq, sc = uniq[keep], sc[keep]
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sc])
             sel = topk_order(top_scores, top_docs, k)
@@ -816,19 +832,37 @@ class BM25Searcher:
             self._load_terms(all_terms)
             if self.mode == "phrase":
                 self._load_positions(all_terms)
+        # search_after cursors (optional per-query columns): a row with
+        # non-null after_score/after_docid returns only docs STRICTLY after
+        # that (score, docid) in the engine's (score desc, docid asc) order
+        cols = batch.column_names
+        if "after_score" in cols and "after_docid" in cols:
+            if self.mode in ("wand", "phrase"):
+                raise ValueError(
+                    f"search_after is not supported in {self.mode} mode"
+                )
+            afters = [
+                None if s is None else (float(s), int(d))
+                for s, d in zip(
+                    batch["after_score"].to_pylist(),
+                    batch["after_docid"].to_pylist(),
+                )
+            ]
+        else:
+            afters = [None] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k in zip(qids, per_query_terms, ks):
+        for qid, terms, k, after in zip(qids, per_query_terms, ks, afters):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
-                docids, scores = self._score_bmw(terms, k)
+                docids, scores = self._score_bmw(terms, k, after)
             elif self.mode == "wand":
                 docids, scores = self._score_wand(terms, k)
             elif self.mode == "phrase":
                 docids, scores = self._score_phrase(terms, k)
             elif self.mode == "constant":
-                docids, scores = self._score_constant(terms, k)
+                docids, scores = self._score_constant(terms, k, after)
             else:
-                docids, scores = self._score_exhaustive(terms, k)
+                docids, scores = self._score_exhaustive(terms, k, after)
             n = len(docids)
             out_qid.extend([int(qid)] * n)
             out_rank.extend(range(1, n + 1))

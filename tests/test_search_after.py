@@ -1,0 +1,70 @@
+"""search_after pagination: per-query (after_score, after_docid) cursors
+return docs strictly after the cursor in the engine's (score desc, docid asc)
+order. Pages concatenated must BIT-equal the one-shot top-k."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from remote_vector_index_builder_ray import search
+
+
+def _paginate(index_dir: str, q: pd.DataFrame, mode: str, size: int, pages: int):
+    out = []
+    cur = q.assign(k=np.int32(size))
+    for _ in range(pages):
+        res = search(index_dir, cur, mode=mode).to_pandas()
+        if res.empty:
+            break
+        out.append(res)
+        last = (
+            res.sort_values(["query_id", "rank"]).groupby("query_id").tail(1)
+        )
+        cur = q.assign(k=np.int32(size)).merge(
+            last[["query_id", "score", "docid"]].rename(
+                columns={"score": "after_score", "docid": "after_docid"}
+            ),
+            on="query_id",
+            how="inner",
+        )
+        if cur.empty:
+            break
+    return pd.concat(out) if out else pd.DataFrame(
+        columns=["query_id", "rank", "docid", "score"]
+    )
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw"])
+def test_pages_concatenate_to_one_shot_topk(smoke_fixture, smoke_index, mode):
+    q = pq.read_table(smoke_fixture["queries"]).to_pandas()
+    size, pages = 5, 3
+    paged = _paginate(smoke_index["index_dir"], q, mode, size, pages)
+    oneshot = search(
+        smoke_index["index_dir"], q.assign(k=np.int32(size * pages)), mode=mode
+    ).to_pandas()
+    paged = paged.sort_values(["query_id", "score", "docid"],
+                              ascending=[True, False, True]).reset_index(drop=True)
+    oneshot = oneshot.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(paged) == len(oneshot) > 0
+    np.testing.assert_array_equal(paged["docid"].to_numpy(), oneshot["docid"].to_numpy())
+    np.testing.assert_array_equal(paged["score"].to_numpy(), oneshot["score"].to_numpy())
+
+
+def test_constant_mode_pagination(smoke_index):
+    q = pd.DataFrame({"query_id": [0], "k": np.array([7], dtype=np.int32)})
+    q["terms"] = [["w000000", "w000017"]]
+    paged = _paginate(smoke_index["index_dir"], q, "constant", 7, 3)
+    oneshot = search(
+        smoke_index["index_dir"], q.assign(k=np.int32(21)), mode="constant"
+    ).to_pandas()
+    assert paged["docid"].tolist() == oneshot["docid"].tolist()
+    assert len(paged) == 21
+
+
+def test_search_after_rejected_in_wand(smoke_fixture, smoke_index):
+    q = pq.read_table(smoke_fixture["queries"]).to_pandas()
+    q["after_score"] = 1.0
+    q["after_docid"] = 0
+    with pytest.raises(ValueError, match="not supported"):
+        search(smoke_index["index_dir"], q, mode="wand")
