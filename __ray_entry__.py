@@ -540,6 +540,27 @@ def _q_bm25_compacted(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"])
 
 
+_MLT_DOCS = [0, 100, 1000, 5000, 12345, 25000, 49999]
+
+
+def _q_bm25_mlt(sf_dir: str):
+    """more_like_this (pipelines/mlt): Lucene MLT term selection (tf>=2,
+    df>=5, top-25 by rounded tf*idf) + BM25 disjunction, like-doc excluded;
+    2x oversample then rounded re-rank to page size 10."""
+    from remote_vector_index_builder_ray import more_like_this
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    res = more_like_this(index_dir, _MLT_DOCS, k=20, mode="bmw")
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res = res[res["rank"] <= 10]
+    return res[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_page2(sf_dir: str):
     """Second result page via the real search_after cursor machinery: page 1
     (k=20 raw) yields the cursor, page 2 fetches strictly-after docs, the
@@ -881,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_page2": _q_bm25_page2,
+        "bm25_mlt": _q_bm25_mlt,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1414,6 +1436,55 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # more_like_this: Lucene MLT term selection (tf>=2, df>=5, top-25 by
+    # half-up-rounded tf*idf, term-asc tie-break) + BM25 disjunction, the
+    # like-doc excluded from its own results
+    mlt_docs = ", ".join(str(d) for d in _MLT_DOCS)
+    out["bm25_mlt"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+likes AS (SELECT unnest([{mlt_docs}])::BIGINT AS src),
+cand AS (
+    SELECT tf.docid AS src, tf.term,
+           floor(tf.tf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 1000000 + 0.5) / 1000000 AS ms
+    FROM tf JOIN likes ON tf.docid = likes.src
+    JOIN df USING (term)
+    CROSS JOIN stats s
+    WHERE tf.tf >= 2 AND df.df >= 5
+),
+sel AS (
+    SELECT src, term FROM (
+        SELECT src, term,
+               row_number() OVER (PARTITION BY src ORDER BY ms DESC, term) AS rn
+        FROM cand
+    ) WHERE rn <= 25
+),
+scored AS (
+    SELECT sel.src AS query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM sel
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY sel.src, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+    WHERE docid != query_id
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
     # second result page (search_after): ranks 11..20 of the bm25_topk

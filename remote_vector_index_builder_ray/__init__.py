@@ -39,6 +39,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     search_terms,
     search_wildcard,
 )
+from remote_vector_index_builder_ray.pipelines.mlt import more_like_this
 from remote_vector_index_builder_ray.pipelines.query import highlight, hydrate, search
 
 __all__ = [
@@ -56,6 +57,7 @@ __all__ = [
     "highlight",
     "hydrate",
     "load_tombstones",
+    "more_like_this",
     "search",
     "search_fuzzy",
     "search_prefix",

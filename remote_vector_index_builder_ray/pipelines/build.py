@@ -204,6 +204,15 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             f"index dir {cfg.index_dir} was built with different parameters "
             f"(job {man.data.get('job_id')[:12]} != {job_id[:12]})"
         )
+    if man is not None and man.data.get("status") == "COMPLETED":
+        # same job id + COMPLETED -> reuse, byte-untouched (the reference's
+        # job idempotency, ``app/services/job_service.py:60-83``). Critically
+        # this must NOT fall through to the phase runner: phase B would
+        # recompute stats.json from the partition lineage (the FULL corpus)
+        # and clobber the live-corpus stats a later compact_index wrote —
+        # re-running build_index on a compacted index silently un-shrunk its
+        # stats (caught by the driver's bm25_compacted entry going stale).
+        return man.data
     if man is None:
         man = Manifest(cfg.index_dir)
         man.data["job_id"] = job_id

@@ -168,3 +168,31 @@ def test_no_resurrection_after_recompact(smoke_fixture, tmp_path_factory):
     # and the appended generation's docs are searchable
     n_a = int(pq.read_table(a_path).num_rows)
     assert (res["docid"] >= n_a).any()
+
+
+def test_rebuild_resume_preserves_compacted_stats(smoke_fixture, tmp_path_factory):
+    """Regression: re-running build_index (resume) on a COMPLETED index must
+    return the manifest untouched — it used to re-run phase B, recomputing
+    stats.json from the full-corpus partition lineage and silently undoing
+    the live-corpus stats a compact_index had written."""
+    import json
+
+    idx = str(tmp_path_factory.mktemp("rebuild") / "idx")
+    cfg = BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=idx, num_buckets=32
+    )
+    build_index(cfg)
+    delete_docs(idx, docids=[0, 1, 2, 3])
+    compact_index(idx)
+    stats_before = json.load(open(f"{idx}/stats.json"))
+    res_before = search(idx, smoke_fixture["queries"], mode="bmw").to_pandas()
+    man = build_index(cfg)  # same params on the completed dir: pure reuse
+    assert man["status"] == "COMPLETED"
+    stats_after = json.load(open(f"{idx}/stats.json"))
+    assert stats_after == stats_before
+    assert stats_after["N"] == stats_before["N"] < 2000 + 1  # shrunk stats kept
+    res_after = search(idx, smoke_fixture["queries"], mode="bmw").to_pandas()
+    pd.testing.assert_frame_equal(
+        res_before.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        res_after.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )

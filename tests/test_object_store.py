@@ -71,10 +71,13 @@ def test_resume_on_mock_store(mock_index):
     man2 = build_index(cfg)
     assert man2["stats"] == man["stats"]
     assert man2["status"] == "COMPLETED"
-    # delete the merge output -> resume redoes ONLY the merge
+    # simulate a merge interrupted mid-flight: output gone, stage uncommitted,
+    # status NOT yet COMPLETED (a completed manifest is reused byte-untouched
+    # per the job-idempotency contract) -> resume redoes ONLY the merge
     fs.rm_tree(fs.join(uri, "postings"))
     man3_manifest = fs.read_json(fs.join(uri, "manifest.json"))
     man3_manifest["stages"].pop("merge")
+    man3_manifest["status"] = "RUNNING"
     fs.write_json_atomic(fs.join(uri, "manifest.json"), man3_manifest)
     man3 = build_index(cfg)
     assert man3["status"] == "COMPLETED"
