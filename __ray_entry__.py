@@ -594,6 +594,25 @@ def _q_bm25_page2(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_bm25_explain(sf_dir: str):
+    """Lucene-explain analog (pipelines/query.explain): per-term breakdown
+    of every bm25_topk hit — one row per (query, doc, matching term) with
+    tf, df and the term's half-up-rounded BM25 contribution."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import explain
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    pairs = _q_bm25_topk(sf_dir)
+    q = pq.read_table(fx["queries"]).to_pandas()
+    ex = explain(index_dir, q, pairs[["query_id", "docid"]])
+    ex["contrib"] = np.floor(ex["contrib"] * 1e6 + 0.5) / 1e6
+    return ex.astype(
+        {"query_id": "int64", "docid": "int64", "tf": "int64",
+         "df": "int64", "contrib": "float64"}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_facets(sf_dir: str):
     """OpenSearch terms aggregation over each query's FULL match set
     (pipelines/aggs.terms_agg): per-role doc counts + avg doc_len. The match
@@ -903,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_page2": _q_bm25_page2,
         "bm25_mlt": _q_bm25_mlt,
+        "bm25_explain": _q_bm25_explain,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1437,6 +1457,51 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # explain: per-term breakdown of every bm25_topk hit — the ranked CTE's
+    # top-k pairs joined back to tf/df/dl, one row per matching query term
+    out["bm25_explain"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+sel AS (
+    SELECT query_id, docid FROM (
+        SELECT query_id, docid, k,
+               row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+        FROM scored
+    ) WHERE rank <= k
+)
+SELECT s.query_id, s.docid, tf.term, tf.tf, df.df,
+       floor(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+             * 1000000 + 0.5) / 1000000 AS contrib
+FROM sel s
+JOIN q ON q.query_id = s.query_id
+JOIN tf ON tf.term = q.term AND tf.docid = s.docid
+JOIN df ON df.term = q.term
+JOIN dl ON dl.docid = s.docid
+CROSS JOIN stats st
+ORDER BY s.query_id, s.docid, tf.term
 """
     # more_like_this: Lucene MLT term selection (tf>=2, df>=5, top-25 by
     # half-up-rounded tf*idf, term-asc tie-break) + BM25 disjunction, the

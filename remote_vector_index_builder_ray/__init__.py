@@ -40,7 +40,12 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     search_wildcard,
 )
 from remote_vector_index_builder_ray.pipelines.mlt import more_like_this
-from remote_vector_index_builder_ray.pipelines.query import highlight, hydrate, search
+from remote_vector_index_builder_ray.pipelines.query import (
+    explain,
+    highlight,
+    hydrate,
+    search,
+)
 
 __all__ = [
     "BM25Config",
@@ -53,6 +58,7 @@ __all__ = [
     "expand_fuzzy",
     "expand_prefix",
     "expand_wildcard",
+    "explain",
     "global_stats",
     "highlight",
     "hydrate",

@@ -186,6 +186,44 @@ def search(
     )
 
 
+def explain(
+    index_dir: str,
+    queries: pd.DataFrame,
+    pairs: pd.DataFrame,
+    batch_size: int = 16,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Per-term score breakdown (the Lucene explain API analog): for each
+    (query_id, docid) row of ``pairs``, one row per matching query term with
+    (tf, df, contrib); contributions sum — in the engine's term-ascending
+    accumulation order — exactly to the search score. ``queries`` supplies
+    (query_id, text). Runs on the searcher actor pool (postings loads are
+    shared with the term cache); output is pairs x terms rows, driver-small
+    by construction."""
+    sel = (
+        pairs.groupby("query_id")["docid"]
+        .apply(lambda s: sorted({int(d) for d in s}))
+        .to_dict()
+    )
+    q = queries[["query_id", "text"]].copy()
+    q["explain_docids"] = [sel.get(int(i), []) for i in q["query_id"]]
+    q = q[[len(x) > 0 for x in q["explain_docids"]]]
+    if concurrency is None:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
+    out = _as_dataset(q.reset_index(drop=True), batch_size).map_batches(
+        BM25Searcher,
+        fn_constructor_args=(index_dir, "explain"),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).to_pandas()
+    return out.sort_values(["query_id", "docid", "term"]).reset_index(drop=True)
+
+
 def highlight(
     index_dir: str,
     results,

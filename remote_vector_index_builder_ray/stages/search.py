@@ -613,6 +613,35 @@ class BM25Searcher:
         uniq = uniq[:k]
         return uniq, np.ones(len(uniq), dtype=np.float64)
 
+    def _explain(self, terms: list[str], docids_sel: np.ndarray):
+        """Per-term score breakdown for the given docs (the Lucene explain
+        analog): one row per (doc, matching term) with tf, df and the term's
+        BM25 contribution — contributions sum (term-ascending, the engine's
+        accumulation order) to the search score exactly."""
+        out_doc, out_term, out_tf, out_df, out_contrib = [], [], [], [], []
+        sel = np.sort(np.asarray(docids_sel, dtype=np.int64))
+        for t in terms:  # ascending term order == accumulation order
+            tp = self._cache.get(t)
+            if tp is None or len(sel) == 0:
+                continue
+            w = _idf(self.N, tp.df)
+            d, tf, dl = tp.decode_all()
+            idx = np.clip(np.searchsorted(d, sel), 0, len(d) - 1)
+            mask = d[idx] == sel
+            if not mask.any():
+                continue
+            ii = idx[mask]
+            contrib = w * tfnorm(
+                tf[ii].astype(np.float64), dl[ii].astype(np.float64),
+                self.avgdl, self.k1, self.b,
+            )
+            out_doc.extend(sel[mask].tolist())
+            out_term.extend([t] * int(mask.sum()))
+            out_tf.extend(tf[ii].tolist())
+            out_df.extend([int(tp.df)] * int(mask.sum()))
+            out_contrib.extend(contrib.tolist())
+        return out_doc, out_term, out_tf, out_df, out_contrib
+
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int, after=None):
         need = self._need(terms)
@@ -811,6 +840,38 @@ class BM25Searcher:
     # -- batch entry ----------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_pylist()
+        if self.mode == "explain":
+            # per-term breakdown of the given (query, doc) pairs; the docs
+            # arrive as an explain_docids list column per query row
+            texts = batch["text"].to_pylist()
+            sels = batch["explain_docids"].to_pylist()
+            e_qid, e_doc, e_term, e_tf, e_df, e_c = [], [], [], [], [], []
+            all_terms = sorted(
+                {t for x in texts for t in tokenize_text(x or "")}
+            )
+            if all_terms:
+                self._load_terms(all_terms)
+            for qid, text, sel in zip(qids, texts, sels):
+                terms = sorted(set(tokenize_text(text or "")))
+                d, tm, tf, dfv, c = self._explain(
+                    terms, np.asarray(sel or [], dtype=np.int64)
+                )
+                e_qid.extend([int(qid)] * len(d))
+                e_doc.extend(d)
+                e_term.extend(tm)
+                e_tf.extend(tf)
+                e_df.extend(dfv)
+                e_c.extend(c)
+            return pa.table(
+                {
+                    "query_id": pa.array(e_qid, type=pa.int64()),
+                    "docid": pa.array(e_doc, type=pa.int64()),
+                    "term": pa.array(e_term, type=pa.string()),
+                    "tf": pa.array(e_tf, type=pa.int64()),
+                    "df": pa.array(e_df, type=pa.int64()),
+                    "contrib": pa.array(e_c, type=pa.float64()),
+                }
+            )
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
         if "terms" in batch.column_names:
             # pre-analyzed term lists (pipelines/expand: terms / prefix /
