@@ -594,6 +594,30 @@ def _q_bm25_page2(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _ensure_mustnot_queries(sf_dir: str) -> str:
+    """Standard query set + a cycling exclude_text column (stopword, common
+    vocab word, absent term, none)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_mustnot_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        q = pq.read_table(fx["queries"]).to_pandas()
+        ex = ["the", "w000100", "zz_absent", ""]
+        q["exclude_text"] = [ex[int(i) % len(ex)] for i in q["query_id"]]
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_must_not(sf_dir: str):
+    """bool.must_not: docs containing any excluded term drop; survivors
+    score unchanged (non-scoring exclusion, stages/search._deny_set)."""
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_mustnot_queries(sf_dir))
+
+
 def _q_bm25_explain(sf_dir: str):
     """Lucene-explain analog (pipelines/query.explain): per-term breakdown
     of every bm25_topk hit — one row per (query, doc, matching term) with
@@ -923,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_page2": _q_bm25_page2,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
+        "bm25_must_not": _q_bm25_must_not,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1453,6 +1478,50 @@ ranked AS (
     SELECT query_id, docid, round(score, 6) AS score, k,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
     FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # bool.must_not: bm25_topk scoring, candidates minus the docs containing
+    # any excluded term (anti-join against the excluded terms' postings)
+    mustnot_q = _ensure_mustnot_queries(ORACLE_SF_DIR)
+    out["bm25_must_not"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mustnot_q}')
+),
+ex AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(exclude_text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mustnot_q}')
+),
+dead AS (SELECT DISTINCT e.query_id, t.docid FROM ex e JOIN toks t USING (term)),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT sc.query_id, sc.docid, round(sc.score, 6) AS score, sc.k,
+           row_number() OVER (PARTITION BY sc.query_id ORDER BY round(sc.score, 6) DESC, sc.docid) AS rank
+    FROM scored sc
+    LEFT JOIN dead d ON d.query_id = sc.query_id AND d.docid = sc.docid
+    WHERE d.docid IS NULL
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

@@ -105,6 +105,11 @@ def search(
     term in a matching doc; qualifying docs' scores are unchanged. Supported
     with mode="exhaustive" and mode="bmw".
 
+    bool.must_not: an optional per-query ``exclude_text`` column is analyzed
+    with the index tokenizer and docs containing ANY excluded term drop from
+    the candidate set; surviving docs score unchanged (exclusion is
+    non-scoring in Lucene). Supported in exhaustive, bmw and constant modes.
+
     Pagination (Lucene searchAfter): optional per-query columns
     ``after_score``/``after_docid`` restrict results to docs STRICTLY after
     that (score, docid) cursor in the engine's (score desc, docid asc) total
@@ -164,12 +169,11 @@ def search(
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if (
-        mode in ("wand", "phrase")
-        and hasattr(queries, "columns")
-        and "after_score" in queries.columns
-    ):
-        raise ValueError(f"search_after is not supported in {mode} mode")
+    if mode in ("wand", "phrase") and hasattr(queries, "columns"):
+        if "after_score" in queries.columns:
+            raise ValueError(f"search_after is not supported in {mode} mode")
+        if "exclude_text" in queries.columns:
+            raise ValueError(f"exclude_text is not supported in {mode} mode")
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
