@@ -594,6 +594,25 @@ def _q_bm25_page2(sf_dir: str):
     ).reset_index(drop=True)
 
 
+_SYN_TABLE = {
+    "w000100": ["w000101", "w000102"],
+    "w000200": ["w000201"],
+    "the": ["and"],
+    "time": ["day"],
+}
+
+
+def _q_bm25_synonyms(sf_dir: str):
+    """Query-time synonyms with SynonymQuery blended scoring (df = max over
+    group, per-doc tf = sum over group; pipelines/expand.search_synonyms)."""
+    from remote_vector_index_builder_ray import search_synonyms
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(
+        index_dir, fx["queries"], search_fn=search_synonyms, synonyms=_SYN_TABLE
+    )
+
+
 def _ensure_mustnot_queries(sf_dir: str) -> str:
     """Standard query set + a cycling exclude_text column (stopword, common
     vocab word, absent term, none)."""
@@ -948,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
+        "bm25_synonyms": _q_bm25_synonyms,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1473,6 +1493,66 @@ scored AS (
     JOIN dl ON tf.docid = dl.docid
     CROSS JOIN stats s
     GROUP BY e.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # synonym blended scoring: each (token + synonyms) group is one
+    # pseudo-term — df = max over present members, per-doc tf = summed tf
+    syn_vals = ", ".join(
+        f"('{t}', '{s}')" for t, syns in sorted(_SYN_TABLE.items()) for s in syns
+    )
+    out["bm25_synonyms"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+syn AS (SELECT * FROM (VALUES {syn_vals}) AS s(term, syn)),
+qt AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS tok
+    FROM read_parquet('{_queries_path(sf)}')
+),
+grp AS (
+    SELECT q.query_id, q.k, q.tok,
+           list_sort(list_distinct(list_append(
+               coalesce(list(s.syn) FILTER (s.syn IS NOT NULL), []), q.tok))) AS members
+    FROM qt q LEFT JOIN syn s ON s.term = q.tok
+    GROUP BY q.query_id, q.k, q.tok
+),
+grp2 AS (
+    SELECT DISTINCT query_id, k, array_to_string(members, ' ') AS gid, members
+    FROM grp
+),
+memb AS (SELECT query_id, k, gid, unnest(members) AS term FROM grp2),
+gtf AS (
+    SELECT m.query_id, m.gid, tf.docid, sum(tf.tf)::BIGINT AS tf
+    FROM memb m JOIN tf ON tf.term = m.term
+    GROUP BY m.query_id, m.gid, tf.docid
+),
+gdf AS (
+    SELECT m.query_id, m.gid, any_value(m.k) AS k, max(df.df)::BIGINT AS df
+    FROM memb m JOIN df ON df.term = m.term
+    GROUP BY m.query_id, m.gid
+),
+scored AS (
+    SELECT gtf.query_id, any_value(gdf.k) AS k, gtf.docid,
+           sum(ln(1 + (s.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+               * gtf.tf * (1.2 + 1) / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM gtf
+    JOIN gdf ON gdf.query_id = gtf.query_id AND gdf.gid = gtf.gid
+    JOIN dl ON dl.docid = gtf.docid
+    CROSS JOIN stats s
+    GROUP BY gtf.query_id, gtf.docid
 ),
 ranked AS (
     SELECT query_id, docid, round(score, 6) AS score, k,

@@ -36,6 +36,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     expand_wildcard,
     search_fuzzy,
     search_prefix,
+    search_synonyms,
     search_terms,
     search_wildcard,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "search",
     "search_fuzzy",
     "search_prefix",
+    "search_synonyms",
     "search_terms",
     "search_wildcard",
     "terms_agg",

@@ -217,6 +217,33 @@ def search_wildcard(index_dir: str, queries: pd.DataFrame, **kw):
     return search(index_dir, q, mode="constant", **kw)
 
 
+def search_synonyms(
+    index_dir: str,
+    queries: pd.DataFrame,
+    synonyms: dict[str, list[str]],
+    **kw,
+):
+    """Query-time synonym expansion with Lucene SynonymQuery blended
+    scoring: each analyzed query token and its synonyms form ONE group that
+    scores as a single pseudo-term — df = max over the group's members,
+    per-doc tf = the sum of the members' tfs — so adding a synonym never
+    double-counts a concept the way a plain OR disjunction would.
+    ``queries`` has (query_id, text, k); identical groups deduplicate.
+    The synonym table is a query-side lookup (driver-small), applied once
+    per query; groups ship with the batch as a list<list<string>> column."""
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    rows = []
+    for r in queries.itertuples(index=False):
+        toks = sorted(set(tokenize_text(r.text or "")))
+        groups = sorted({tuple(sorted({t, *synonyms.get(t, ())})) for t in toks})
+        rows.append([list(g) for g in groups])
+    q = queries[["query_id", "k"]].copy()
+    q["groups"] = rows
+    return search(index_dir, q, mode="blended", **kw)
+
+
 def search_fuzzy(
     index_dir: str,
     queries: pd.DataFrame,

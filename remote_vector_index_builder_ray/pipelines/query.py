@@ -158,18 +158,18 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase", "constant"):
+    if operator == "and" and mode in ("wand", "phrase", "constant", "blended"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
     if min_should_match is not None:
         if operator == "and":
             raise ValueError(
                 "min_should_match is redundant with operator='and' (pick one)"
             )
-        if mode in ("wand", "phrase", "constant"):
+        if mode in ("wand", "phrase", "constant", "blended"):
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if mode in ("wand", "phrase") and hasattr(queries, "columns"):
+    if mode in ("wand", "phrase", "blended") and hasattr(queries, "columns"):
         if "after_score" in queries.columns:
             raise ValueError(f"search_after is not supported in {mode} mode")
         if "exclude_text" in queries.columns:

@@ -661,6 +661,50 @@ class BM25Searcher:
             out_contrib.extend(contrib.tolist())
         return out_doc, out_term, out_tf, out_df, out_contrib
 
+    def _score_blended(self, groups: list[list[str]], k: int):
+        """Lucene SynonymQuery blended scoring: each synonym group scores as
+        ONE pseudo-term with df = max over the group's members and per-doc
+        tf = sum of the members' tfs (dl is a doc property, shared). Groups
+        accumulate in ascending (lexicographic group) order in float64, the
+        engine's determinism convention."""
+        doc_parts, contrib_parts = [], []
+        for group in sorted(tuple(sorted(set(g))) for g in groups):
+            members = [
+                self._cache[t] for t in group if self._cache.get(t) is not None
+            ]
+            if not members:
+                continue
+            w = _idf(self.N, max(tp.df for tp in members))
+            ds, tfs, dls = [], [], []
+            for tp in members:
+                d, tf, dl = tp.decode_all()
+                ds.append(d)
+                tfs.append(tf)
+                dls.append(dl)
+            alld = np.concatenate(ds)
+            uniq, inv = np.unique(alld, return_inverse=True)
+            tf_sum = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(tf_sum, inv, np.concatenate(tfs))
+            dl_u = np.zeros(len(uniq), dtype=np.int64)
+            dl_u[inv] = np.concatenate(dls)  # same doc -> same dl
+            doc_parts.append(uniq)
+            contrib_parts.append(
+                w * tfnorm(
+                    tf_sum.astype(np.float64), dl_u.astype(np.float64),
+                    self.avgdl, self.k1, self.b,
+                )
+            )
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_doc = np.concatenate(doc_parts)
+        all_con = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_doc, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, all_con)  # group-major ascending order
+        uniq, scores = self._drop_tombstoned(uniq, scores)
+        sel = topk_order(scores, uniq, k)
+        return uniq[sel], scores[sel]
+
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int, after=None, deny=None):
         need = self._need(terms)
@@ -921,7 +965,17 @@ class BM25Searcher:
                 }
             )
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
-        if "terms" in batch.column_names:
+        if self.mode == "blended":
+            # synonym groups (list<list<string>> column): each group scores
+            # as one pseudo-term (SynonymQuery; pipelines/expand.search_synonyms)
+            groups_lists = [
+                [list(g or []) for g in (gs or [])]
+                for gs in batch["groups"].to_pylist()
+            ]
+            per_query_terms = [
+                sorted({t for g in gs for t in g}) for gs in groups_lists
+            ]
+        elif "terms" in batch.column_names:
             # pre-analyzed term lists (pipelines/expand: terms / prefix /
             # wildcard / fuzzy queries) — exact terms, no tokenization
             lists = batch["terms"].to_pylist()
@@ -946,7 +1000,7 @@ class BM25Searcher:
         # that (score, docid) in the engine's (score desc, docid asc) order
         cols = batch.column_names
         if "after_score" in cols and "after_docid" in cols:
-            if self.mode in ("wand", "phrase"):
+            if self.mode in ("wand", "phrase", "blended"):
                 raise ValueError(
                     f"search_after is not supported in {self.mode} mode"
                 )
@@ -962,7 +1016,7 @@ class BM25Searcher:
         # bool.must_not (optional exclude_text column): analyzed exclusion
         # terms whose posting docids form a per-query deny set
         if "exclude_text" in cols:
-            if self.mode in ("wand", "phrase"):
+            if self.mode in ("wand", "phrase", "blended"):
                 raise ValueError(
                     f"exclude_text is not supported in {self.mode} mode"
                 )
@@ -978,9 +1032,11 @@ class BM25Searcher:
             ]
         else:
             denies = [None] * len(qids)
+        if self.mode != "blended":
+            groups_lists = [None] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny in zip(
-            qids, per_query_terms, ks, afters, denies
+        for qid, terms, k, after, deny, groups in zip(
+            qids, per_query_terms, ks, afters, denies, groups_lists
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -991,6 +1047,8 @@ class BM25Searcher:
                 docids, scores = self._score_phrase(terms, k)
             elif self.mode == "constant":
                 docids, scores = self._score_constant(terms, k, after, deny)
+            elif self.mode == "blended":
+                docids, scores = self._score_blended(groups, k)
             else:
                 docids, scores = self._score_exhaustive(terms, k, after, deny)
             n = len(docids)
