@@ -679,6 +679,27 @@ def _q_bm25_date_histogram(sf_dir: str):
     return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
 
 
+def _q_bm25_range_agg(sf_dir: str):
+    """OpenSearch range aggregation ([lo,hi) doc_len buckets) over each
+    query's full match set (pipelines/aggs.range_agg)."""
+    from remote_vector_index_builder_ray import range_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = range_agg(index_dir, pd.read_parquet(fx["queries"]), field="doc_len",
+                    ranges=[(None, 16), (16, 64), (64, None)])
+    return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_stats_agg(sf_dir: str):
+    """OpenSearch stats aggregation (count/sum/min/max/avg of doc_len) over
+    each query's full match set (pipelines/aggs.stats_agg)."""
+    from remote_vector_index_builder_ray import stats_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = stats_agg(index_dir, pd.read_parquet(fx["queries"]), field="doc_len")
+    return out.reset_index(drop=True)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -964,6 +985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_page2": _q_bm25_page2,
+        "bm25_range_agg": _q_bm25_range_agg,
+        "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -1757,6 +1780,42 @@ SELECT m.query_id, d.role AS key, count(*)::BIGINT AS n_docs,
 FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
 GROUP BY m.query_id, d.role
 ORDER BY m.query_id, key
+"""
+    out["bm25_range_agg"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id,
+       CASE WHEN dl.dl < 16 THEN '*-16'
+            WHEN dl.dl < 64 THEN '16-64'
+            ELSE '64-*' END AS key,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN dl USING (docid)
+GROUP BY m.query_id, key
+ORDER BY m.query_id, key
+"""
+    out["bm25_stats_agg"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       sum(dl.dl)::BIGINT AS sum_doc_len,
+       min(dl.dl)::BIGINT AS min_doc_len,
+       max(dl.dl)::BIGINT AS max_doc_len,
+       floor((sum(dl.dl)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS avg_doc_len
+FROM m JOIN dl USING (docid)
+GROUP BY m.query_id
+ORDER BY m.query_id
 """
     out["bm25_date_histogram"] = f"""
 WITH docs AS MATERIALIZED (

@@ -29,7 +29,12 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     compact_index,
     global_stats,
 )
-from remote_vector_index_builder_ray.pipelines.aggs import date_histogram, terms_agg
+from remote_vector_index_builder_ray.pipelines.aggs import (
+    date_histogram,
+    range_agg,
+    stats_agg,
+    terms_agg,
+)
 from remote_vector_index_builder_ray.pipelines.expand import (
     expand_fuzzy,
     expand_prefix,
@@ -65,11 +70,13 @@ __all__ = [
     "hydrate",
     "load_tombstones",
     "more_like_this",
+    "range_agg",
     "search",
     "search_fuzzy",
     "search_prefix",
     "search_synonyms",
     "search_terms",
     "search_wildcard",
+    "stats_agg",
     "terms_agg",
 ]

@@ -51,11 +51,18 @@ class _ProbeAgg:
     batch's docids, pre-aggregate (bucket key -> count, metric sum) so only
     queries x buckets rows leave the task."""
 
-    def __init__(self, ref, field: str, interval: str | None, metric_field: str | None):
+    def __init__(self, ref, field: str, interval: str | None,
+                 metric_field: str | None, ranges=None):
         self.matches = ray.get(ref)
         self.field = field
         self.interval = interval
         self.metric_field = metric_field
+        self.ranges = ranges
+
+    @staticmethod
+    def _range_key(lo, hi) -> str:
+        # OpenSearch range-agg bucket key: "lo-hi" with * for an open end
+        return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from remote_vector_index_builder_ray.stages.merge import isin_sorted
@@ -66,6 +73,19 @@ class _ProbeAgg:
             keys = keys.astype("datetime64[D]").astype("datetime64[us]")
         elif self.interval is not None:
             raise ValueError(f"unsupported interval {self.interval!r}")
+        if self.ranges is not None:
+            # numeric range buckets, [lo, hi) per OpenSearch range agg;
+            # values outside every range get a sentinel dropped below
+            vals = keys.astype(np.float64)
+            labels = np.full(len(vals), "", dtype=object)
+            for lo, hi in self.ranges:
+                m = np.ones(len(vals), dtype=bool)
+                if lo is not None:
+                    m &= vals >= lo
+                if hi is not None:
+                    m &= vals < hi
+                labels[m] = self._range_key(lo, hi)
+            keys = labels
         metric = (
             batch[self.metric_field].combine_chunks()
             .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -77,9 +97,17 @@ class _ProbeAgg:
             mask = isin_sorted(ids, arr)
             if not mask.any():
                 continue
-            df = pd.DataFrame({"key": keys[mask]})
-            if metric is not None:
-                df["m"] = metric[mask]
+            kk = keys[mask]
+            mm = metric[mask] if metric is not None else None
+            if self.ranges is not None:
+                keep = kk != ""  # outside every range bucket
+                kk = kk[keep]
+                mm = mm[keep] if mm is not None else None
+                if len(kk) == 0:
+                    continue
+            df = pd.DataFrame({"key": kk})
+            if mm is not None:
+                df["m"] = mm
                 g = df.groupby("key", sort=False).agg(n=("m", "size"), s=("m", "sum"))
             else:
                 g = df.groupby("key", sort=False).agg(n=("key", "size"))
@@ -106,6 +134,7 @@ def _run_agg(
     interval: str | None,
     metric_field: str | None,
     where,
+    ranges=None,
 ) -> pd.DataFrame:
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
@@ -122,7 +151,7 @@ def _run_agg(
         ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=cols)
         .map_batches(
             _ProbeAgg,
-            fn_constructor_args=(ref, field, interval, metric_field),
+            fn_constructor_args=(ref, field, interval, metric_field, ranges),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),
@@ -175,3 +204,118 @@ def date_histogram(
     n_docs), sorted by (query_id, key). Empty buckets are omitted
     (min_doc_count=1 semantics)."""
     return _run_agg(index_dir, queries, field, interval, None, where)
+
+
+def range_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    ranges: list[tuple] = ((None, 16), (16, 64), (64, None)),
+    metric_field: str | None = None,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `range` aggregation: [lo, hi) numeric buckets over the
+    docmeta ``field`` (keys "lo-hi", "*" for an open end; ranges must not
+    overlap — unlike OpenSearch, a doc lands in at most one bucket). Empty
+    buckets omitted."""
+    return _run_agg(
+        index_dir, queries, field, None, metric_field, where, ranges=list(ranges)
+    )
+
+
+class _ProbeStats:
+    """Per-batch stats partials: (query_id, n, sum, min, max) of a numeric
+    docmeta field over the match set — merged associatively driver-side."""
+
+    def __init__(self, ref, field: str):
+        self.matches = ray.get(ref)
+        self.field = field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = (
+            batch[self.field].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        qids, ns, ss, mns, mxs = [], [], [], [], []
+        for qid, arr in self.matches.items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            v = vals[mask]
+            qids.append(qid)
+            ns.append(len(v))
+            ss.append(int(v.sum()))
+            mns.append(int(v.min()))
+            mxs.append(int(v.max()))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+                "s": pa.array(ss, type=pa.int64()),
+                "mn": pa.array(mns, type=pa.int64()),
+                "mx": pa.array(mxs, type=pa.int64()),
+            }
+        )
+
+
+def stats_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `stats` aggregation over each query's full match set:
+    (query_id, n_docs, sum_<f>, min_<f>, max_<f>, avg_<f>). Integer
+    sum/min/max merge associatively; avg is one float64 division rounded
+    half-up to 6 decimals (bit-reproducible by SQL)."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    ref = ray.put(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeStats,
+            fn_constructor_args=(ref, field),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "n_docs": pd.Series(dtype=np.int64),
+        f"sum_{field}": pd.Series(dtype=np.int64),
+        f"min_{field}": pd.Series(dtype=np.int64),
+        f"max_{field}": pd.Series(dtype=np.int64),
+        f"avg_{field}": pd.Series(dtype=np.float64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    g = (
+        partials.groupby("query_id", sort=True)
+        .agg(n_docs=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .reset_index()
+    )
+    avg = g["s"].astype(np.float64) / g["n_docs"]
+    out = pd.DataFrame(
+        {
+            "query_id": g["query_id"].astype(np.int64),
+            "n_docs": g["n_docs"].astype(np.int64),
+            f"sum_{field}": g["s"].astype(np.int64),
+            f"min_{field}": g["mn"].astype(np.int64),
+            f"max_{field}": g["mx"].astype(np.int64),
+            f"avg_{field}": np.floor(avg * 1e6 + 0.5) / 1e6,
+        }
+    )
+    return out

@@ -72,3 +72,55 @@ def test_agg_respects_filter(smoke_fixture, smoke_index):
     got = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
                     where=[("role", "=", "user")])
     assert set(got["key"]) <= {"user"} and len(got) > 0
+
+
+def test_range_agg_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import range_agg
+
+    df = _src(smoke_fixture)
+    ranges = [(None, 16), (16, 64), (64, None)]
+    got = range_agg(smoke_index["index_dir"], QUERIES, field="doc_len",
+                    ranges=ranges)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        for lo, hi in ranges:
+            v = m["doc_len"]
+            mask = v.notna()
+            if lo is not None:
+                mask &= v >= lo
+            if hi is not None:
+                mask &= v < hi
+            n = int(mask.sum())
+            if n:
+                key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+                rows.append((int(q.query_id), key, n))
+    exp = pd.DataFrame(rows, columns=["query_id", "key", "n_docs"])
+    exp = exp.sort_values(["query_id", "key"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n_docs": np.int64}), exp,
+        check_dtype=False,
+    )
+
+
+def test_stats_agg_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import stats_agg
+
+    df = _src(smoke_fixture)
+    got = stats_agg(smoke_index["index_dir"], QUERIES, field="doc_len")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        v = m["doc_len"]
+        s = int(v.sum())
+        rows.append((int(q.query_id), len(m), s, int(v.min()), int(v.max()),
+                     float(np.floor(s / len(m) * 1e6 + 0.5) / 1e6)))
+    exp = pd.DataFrame(rows, columns=["query_id", "n_docs", "sum_doc_len",
+                                      "min_doc_len", "max_doc_len", "avg_doc_len"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
