@@ -679,6 +679,26 @@ def _q_bm25_date_histogram(sf_dir: str):
     return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
 
 
+def _q_bm25_dismax(sf_dir: str):
+    """dis_max (Lucene DisjunctionMaxQuery, tie_breaker=0.3): score =
+    max(term contribs) + 0.3 * (sum - max) (stages/search._score_dismax)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="dismax",
+                         tie_breaker=0.3)
+
+
+def _q_bm25_sorted(sf_dir: str):
+    """Field-sorted search (sort: ts desc): top-k of each query's full
+    match set by recency, not relevance (pipelines/query.search_sorted —
+    constant-score matching + streaming docmeta top-k combiner)."""
+    from remote_vector_index_builder_ray import search_sorted
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = search_sorted(index_dir, pd.read_parquet(fx["queries"]),
+                        sort_field="ts", ascending=False)
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_range_agg(sf_dir: str):
     """OpenSearch range aggregation ([lo,hi) doc_len buckets) over each
     query's full match set (pipelines/aggs.range_agg)."""
@@ -985,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_page2": _q_bm25_page2,
+        "bm25_dismax": _q_bm25_dismax,
+        "bm25_sorted": _q_bm25_sorted,
         "bm25_range_agg": _q_bm25_range_agg,
         "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_mlt": _q_bm25_mlt,
@@ -1780,6 +1802,67 @@ SELECT m.query_id, d.role AS key, count(*)::BIGINT AS n_docs,
 FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
 GROUP BY m.query_id, d.role
 ORDER BY m.query_id, key
+"""
+    # dis_max: max term contribution + 0.3 * residual sum
+    out["bm25_dismax"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+contribs AS (
+    SELECT q.query_id, q.k, tf.docid,
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT query_id, any_value(k) AS k, docid,
+           max(c) + 0.3 * (sum(c) - max(c)) AS score
+    FROM contribs GROUP BY query_id, docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # field-sorted search: top-k of the full match set by (ts desc, docid)
+    out["bm25_sorted"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT q.query_id, any_value(q.k) AS k, t.docid
+      FROM q JOIN toks t USING (term) GROUP BY q.query_id, t.docid),
+ranked AS (
+    SELECT m.query_id, m.docid, d.ts, m.k,
+           row_number() OVER (PARTITION BY m.query_id ORDER BY d.ts DESC, m.docid) AS rank
+    FROM m JOIN docs d USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, ts
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
 """
     out["bm25_range_agg"] = f"""
 WITH {docs}, {_TOKS},

@@ -51,6 +51,7 @@ from remote_vector_index_builder_ray.pipelines.query import (
     highlight,
     hydrate,
     search,
+    search_sorted,
 )
 
 __all__ = [
@@ -74,6 +75,7 @@ __all__ = [
     "search",
     "search_fuzzy",
     "search_prefix",
+    "search_sorted",
     "search_synonyms",
     "search_terms",
     "search_wildcard",

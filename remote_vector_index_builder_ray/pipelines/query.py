@@ -90,6 +90,7 @@ def search(
     where=None,
     operator: str = "or",
     min_should_match: int | None = None,
+    tie_breaker: float = 0.0,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -104,6 +105,10 @@ def search(
     ``operator="and"`` (OpenSearch match operator:and) requires every query
     term in a matching doc; qualifying docs' scores are unchanged. Supported
     with mode="exhaustive" and mode="bmw".
+
+    ``mode="dismax"`` (Lucene DisjunctionMaxQuery): a doc scores
+    max(term contributions) + ``tie_breaker`` * (sum - max) — the best
+    single term dominates instead of contributions adding up.
 
     bool.must_not: an optional per-query ``exclude_text`` column is analyzed
     with the index tokenizer and docs containing ANY excluded term drop from
@@ -182,12 +187,121 @@ def search(
         fn_constructor_kwargs={
             "operator": operator,
             "min_should_match": min_should_match,
+            "tie_breaker": tie_breaker,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class _ProbeTopField:
+    """Per-batch combiner for field-sorted search: probe each query's match
+    set, keep the batch-local top-k by (field, docid) — only queries x k
+    rows leave each task; partials reduce associatively driver-side."""
+
+    def __init__(self, ref, field: str, ascending: bool, k: int):
+        import ray as _ray
+
+        self.matches = _ray.get(ref)
+        self.field = field
+        self.ascending = ascending
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        qids, docs, out_vals = [], [], []
+        for qid, arr in self.matches.items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            v, d = vals[mask], ids[mask]
+            if self.ascending:
+                key = v
+            else:  # negate for descending; datetimes via their int64 view
+                key = -(v.astype("int64") if v.dtype.kind in "Mm" else v)
+            order = np.lexsort((d, key))[: self.k]
+            qids.extend([qid] * len(order))
+            docs.extend(d[order].tolist())
+            out_vals.extend(v[order].tolist())
+        ftype = batch[self.field].type
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "docid": pa.array(docs, type=pa.int64()),
+                self.field: pa.array(out_vals, type=ftype),
+            }
+        )
+
+
+def search_sorted(
+    index_dir: str,
+    queries,
+    sort_field: str = "ts",
+    ascending: bool = False,
+    where=None,
+) -> pd.DataFrame:
+    """Field-sorted search (OpenSearch ``sort: [{field: order}]``): the
+    top-k docs of each query's FULL match set ordered by a docmeta field
+    (tie-break docid ascending), not by relevance. Matching uses the
+    constant-score scorer (docid streams only); the field lookup streams
+    docmeta once through a per-batch top-k combiner (the broadcast-semi-join
+    pattern — only queries x k rows leave each read task). Returns
+    (query_id, rank, docid, <sort_field>)."""
+    import numpy as np
+    import ray as _ray
+    import ray.data
+
+    from remote_vector_index_builder_ray.pipelines.aggs import _match_sets
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    k_max = max(k_by_query.values(), default=10)
+    ref = _ray.put(_match_sets(index_dir, q, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(
+            **fs.for_ray_paths(meta_files), columns=["docid", sort_field]
+        )
+        .map_batches(
+            _ProbeTopField,
+            fn_constructor_args=(ref, sort_field, ascending, k_max),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64),
+             "rank": pd.Series(dtype=np.int32),
+             "docid": pd.Series(dtype=np.int64),
+             sort_field: pd.Series(dtype=object)}
+        )
+    out = partials.sort_values(
+        ["query_id", sort_field, "docid"],
+        ascending=[True, ascending, True],
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["k"] = out["query_id"].map(k_by_query)
+    out = out[out["rank"] <= out["k"]].drop(columns=["k"])
+    return out[["query_id", "rank", "docid", sort_field]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64}
+    ).reset_index(drop=True)
 
 
 def explain(

@@ -193,7 +193,8 @@ class BM25Searcher:
 
     def __init__(self, index_dir: str, mode: str = "bmw", allow_ref=None,
                  cache_terms: int = 8192, operator: str = "or",
-                 min_should_match: int | None = None):
+                 min_should_match: int | None = None,
+                 tie_breaker: float = 0.0):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -231,6 +232,7 @@ class BM25Searcher:
             if int(min_should_match) < 1:
                 raise ValueError("min_should_match must be >= 1")
         self.msm = None if min_should_match is None else int(min_should_match)
+        self.tie_breaker = float(tie_breaker)  # mode="dismax" only
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -705,6 +707,38 @@ class BM25Searcher:
         sel = topk_order(scores, uniq, k)
         return uniq[sel], scores[sel]
 
+    def _score_dismax(self, terms: list[str], k: int):
+        """Lucene DisjunctionMaxQuery over the query's term queries: a doc
+        scores max(term contributions) + tie_breaker * (sum - max) — the
+        best single term dominates instead of term contributions adding up.
+        tie_breaker=0 is the classic dis_max; tie_breaker=1 equals the OR
+        sum. max is order-independent; the residual sum accumulates
+        term-ascending as everywhere else."""
+        doc_parts, contrib_parts = [], []
+        for t in terms:
+            tp = self._cache.get(t)
+            if tp is None:
+                continue
+            w = _idf(self.N, tp.df)
+            docids, _, _ = tp.decode_all()
+            doc_parts.append(docids)
+            contrib_parts.append(w * tp.tfnorms(self.avgdl, self.k1, self.b))
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_doc = np.concatenate(doc_parts)
+        all_con = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_doc, return_inverse=True)
+        smax = np.full(len(uniq), -np.inf)
+        np.maximum.at(smax, inv, all_con)
+        scores = smax
+        if self.tie_breaker != 0.0:
+            ssum = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(ssum, inv, all_con)
+            scores = smax + self.tie_breaker * (ssum - smax)
+        uniq, scores = self._drop_tombstoned(uniq, scores)
+        sel = topk_order(scores, uniq, k)
+        return uniq[sel], scores[sel]
+
     # -- scoring --------------------------------------------------------------
     def _score_exhaustive(self, terms: list[str], k: int, after=None, deny=None):
         need = self._need(terms)
@@ -1049,6 +1083,8 @@ class BM25Searcher:
                 docids, scores = self._score_constant(terms, k, after, deny)
             elif self.mode == "blended":
                 docids, scores = self._score_blended(groups, k)
+            elif self.mode == "dismax":
+                docids, scores = self._score_dismax(terms, k)
             else:
                 docids, scores = self._score_exhaustive(terms, k, after, deny)
             n = len(docids)

@@ -1,0 +1,53 @@
+"""Field-sorted search (search_sorted): top-k of each query's full match set
+ordered by a docmeta field, verified against a pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from remote_vector_index_builder_ray import search_sorted
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+QUERIES = pd.DataFrame({
+    "query_id": np.arange(3, dtype=np.int64),
+    "text": ["w000123", "the w000200", "zz_absent"],
+    "k": np.array([7, 5, 3], dtype=np.int32),
+})
+
+
+def _src(smoke_fixture) -> pd.DataFrame:
+    df = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["docid"] = np.arange(len(df), dtype=np.int64)
+    df["toks"] = [set(tokenize_text(t or "")) for t in df["text"]]
+    return df
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_sorted_by_ts_matches_brute_force(smoke_fixture, smoke_index, ascending):
+    df = _src(smoke_fixture)
+    got = search_sorted(smoke_index["index_dir"], QUERIES, sort_field="ts",
+                        ascending=ascending)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        terms = set(tokenize_text(q.text or ""))
+        m = df[[bool(t & terms) for t in df["toks"]]]
+        m = m.sort_values(["ts", "docid"], ascending=[ascending, True])
+        for rank, r in enumerate(m.head(int(q.k)).itertuples(index=False), 1):
+            rows.append((int(q.query_id), rank, int(r.docid), r.ts))
+    exp = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "ts"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_sorted_by_doc_len(smoke_fixture, smoke_index):
+    got = search_sorted(smoke_index["index_dir"], QUERIES,
+                        sort_field="doc_len", ascending=False)
+    # descending doc_len, docid-asc tie-break within each query
+    for _, g in got.groupby("query_id"):
+        v = g["doc_len"].to_numpy()
+        assert (np.diff(v) <= 0).all()
