@@ -594,6 +594,31 @@ def _q_bm25_page2(sf_dir: str):
     ).reset_index(drop=True)
 
 
+_AN_STOPWORDS = ("the", "and", "to", "of", "a", "in", "is", "it", "you",
+                 "that", "he", "was")
+_AN_MIN_LEN = 2
+
+
+def _q_bm25_analyzed(sf_dir: str):
+    """Top-k over an index built with a configurable analyzer (stopword
+    filter + min token length, config.AnalyzerConfig): both the index terms
+    and the query terms pass the same filters; doc_len counts post-filter
+    tokens (the norms Lucene's stop-filtered fields see)."""
+    from remote_vector_index_builder_ray import BuildConfig
+    from remote_vector_index_builder_ray.config import AnalyzerConfig
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_an")
+    _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"],
+        index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])),
+        analyzer=AnalyzerConfig(stopwords=_AN_STOPWORDS, min_token_len=_AN_MIN_LEN),
+    ))
+    return _topk_rounded(index_dir, fx["queries"])
+
+
 _SYN_TABLE = {
     "w000100": ["w000101", "w000102"],
     "w000200": ["w000201"],
@@ -1013,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
         "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_analyzed": _q_bm25_analyzed,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1538,6 +1564,50 @@ scored AS (
     JOIN dl ON tf.docid = dl.docid
     CROSS JOIN stats s
     GROUP BY e.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # analyzed index: the toks CTE passes the SAME stopword/length filters
+    # as the engine's AnalyzerConfig; doc_len (dl) counts post-filter tokens
+    an_stop = ", ".join(f"'{w}'" for w in _AN_STOPWORDS)
+    out["bm25_analyzed"] = f"""
+WITH {docs},
+toks AS MATERIALIZED (
+    SELECT docid, term FROM (
+        SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+        FROM docs
+    ) WHERE length(term) >= {_AN_MIN_LEN} AND term NOT IN ({an_stop})
+),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k, term FROM (
+        SELECT query_id, k,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+        FROM read_parquet('{_queries_path(sf)}')
+    ) WHERE length(term) >= {_AN_MIN_LEN} AND term NOT IN ({an_stop})
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
 ),
 ranked AS (
     SELECT query_id, docid, round(score, 6) AS score, k,

@@ -44,6 +44,28 @@ TRANSCRIPT_SCHEMA = {
 
 
 @dataclass(frozen=True)
+class AnalyzerConfig:
+    """Index-time analyzer options (the OpenSearch analyzer analog, applied
+    on top of the frozen base tokenizer ``[a-z0-9_]+`` runs): a stopword
+    filter and token-length gates. The SAME config analyzes queries at
+    search time (read back from stats.json), so index and query agree.
+
+    The default config is a no-op — the engine's frozen round-1 tokenizer —
+    and keeps job ids byte-stable."""
+
+    stopwords: tuple = ()
+    min_token_len: int = 1
+    max_token_len: int = 1 << 30
+
+    def is_default(self) -> bool:
+        return (
+            not self.stopwords
+            and self.min_token_len <= 1
+            and self.max_token_len >= (1 << 30)
+        )
+
+
+@dataclass(frozen=True)
 class BM25Config:
     """Scoring + index-format hyperparameters.
 
@@ -115,6 +137,10 @@ class BuildConfig:
     # writes term-bucketed positions/ files. Enables mode="phrase" search.
     # Opt-in: a positional index is roughly corpus-sized (as in Lucene).
     positions: bool = False
+    # Index-time analyzer (stopword filter + token-length gates). The default
+    # is the frozen no-op tokenizer. positions=True requires the default
+    # analyzer (position increments across removed tokens are future work).
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 
     def job_id(self) -> str:
         payload = {
@@ -127,6 +153,8 @@ class BuildConfig:
         }
         if self.positions:  # absent for positionless jobs: ids stay stable
             payload["positions"] = True
+        if not self.analyzer.is_default():  # absent for default: ids stable
+            payload["analyzer"] = json.dumps(asdict(self.analyzer), sort_keys=True)
         return hashlib.sha256(
             json.dumps(payload, sort_keys=True).encode()
         ).hexdigest()

@@ -68,10 +68,14 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray):
     return tokens, doc_index, doc_len
 
 
-def doc_lengths(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Per-row token counts WITHOUT materializing tokens: one C regex-count
-    kernel (token matches are non-overlapping, so the count equals
-    ``len(tokenize_text(t))`` — asserted by the tokenizer tests)."""
+def doc_lengths(col: pa.Array | pa.ChunkedArray, analyzer=None) -> np.ndarray:
+    """Per-row token counts. Default analyzer: one C regex-count kernel, no
+    token materialization (token matches are non-overlapping, so the count
+    equals ``len(tokenize_text(t))`` — asserted by the tokenizer tests).
+    A filtering analyzer needs the tokens, so it rides ``analyze_column``."""
+    if analyzer is not None and not analyzer.is_default():
+        _, _, dl = analyze_column(col, analyzer)
+        return dl
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if len(col) == 0:
@@ -79,3 +83,67 @@ def doc_lengths(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     lowered = pc.utf8_lower(pc.fill_null(col, ""))
     counts = pc.count_substring_regex(lowered, TOKEN_REGEX)
     return counts.to_numpy(zero_copy_only=False).astype(np.int32)
+
+
+# -- configurable analyzer (config.AnalyzerConfig) ---------------------------
+
+
+def _token_filter_mask(tokens: pa.Array, analyzer) -> np.ndarray | None:
+    """Vectorized keep-mask for an AnalyzerConfig; None = keep everything."""
+    if analyzer is None or analyzer.is_default():
+        return None
+    mask = np.ones(len(tokens), dtype=bool)
+    if analyzer.min_token_len > 1 or analyzer.max_token_len < (1 << 30):
+        lens = pc.utf8_length(tokens).to_numpy(zero_copy_only=False)
+        mask &= (lens >= analyzer.min_token_len) & (lens <= analyzer.max_token_len)
+    if analyzer.stopwords:
+        stop = pc.is_in(
+            tokens, value_set=pa.array(sorted(analyzer.stopwords), type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        mask &= ~stop
+    return mask
+
+
+def analyze_column(col: pa.Array | pa.ChunkedArray, analyzer=None):
+    """``tokenize_column`` + the analyzer's stopword/length filters; same
+    ``(tokens, doc_index, doc_len)`` contract, doc_len counted post-filter
+    (the doc_len the BM25 norms see, as in Lucene)."""
+    tokens, doc_index, doc_len = tokenize_column(col)
+    mask = _token_filter_mask(tokens, analyzer)
+    if mask is None:
+        return tokens, doc_index, doc_len
+    tokens = tokens.filter(pa.array(mask))
+    doc_index = doc_index[mask]
+    n = len(col)
+    doc_len = np.bincount(doc_index, minlength=n).astype(np.int32)
+    return tokens, doc_index, doc_len
+
+
+def analyze_text(text: str, analyzer=None) -> list[str]:
+    """Scalar analyzer (query side + oracles): base tokens, then the same
+    stopword/length filters as the index."""
+    toks = tokenize_text(text)
+    if analyzer is None or analyzer.is_default():
+        return toks
+    sw = set(analyzer.stopwords)
+    lo, hi = analyzer.min_token_len, analyzer.max_token_len
+    return [t for t in toks if lo <= len(t) <= hi and t not in sw]
+
+
+def load_analyzer(index_dir: str):
+    """The analyzer an index was built with (stats.json), or None (default).
+    Query-side features (search, mlt, highlight, expansion) MUST analyze
+    with this so query terms agree with the indexed terms."""
+    from remote_vector_index_builder_ray.config import AnalyzerConfig
+    from remote_vector_index_builder_ray.state import fs
+
+    st = fs.read_json(fs.join(index_dir, "stats.json"))
+    a = st.get("analyzer")
+    if not a:
+        return None
+    cfg = AnalyzerConfig(
+        stopwords=tuple(a.get("stopwords", ())),
+        min_token_len=int(a.get("min_token_len", 1)),
+        max_token_len=int(a.get("max_token_len", 1 << 30)),
+    )
+    return None if cfg.is_default() else cfg

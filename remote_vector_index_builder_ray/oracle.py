@@ -18,18 +18,20 @@ import numpy as np
 import pandas as pd
 
 from remote_vector_index_builder_ray.functions.bm25 import idf as _idf
-from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+from remote_vector_index_builder_ray.functions.tokenizer import analyze_text
 
 
 class BM25Oracle:
-    def __init__(self, docids, texts, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, docids, texts, k1: float = 1.2, b: float = 0.75,
+                 analyzer=None):
         self.k1 = k1
         self.b = b
+        self.analyzer = analyzer  # AnalyzerConfig or None (default tokenizer)
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
         for docid, text in zip(docids, texts):
             docid = int(docid)
-            toks = tokenize_text(text if text is not None else "")
+            toks = analyze_text(text if text is not None else "", analyzer)
             self.doc_len[docid] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[docid] = tf
@@ -39,7 +41,7 @@ class BM25Oracle:
 
     def score_query(self, text: str) -> dict[int, float]:
         """Full scores for every matching doc, accumulated in ascending-term order."""
-        terms = sorted(set(tokenize_text(text if text is not None else "")))
+        terms = sorted(set(analyze_text(text if text is not None else "", self.analyzer)))
         scores: dict[int, float] = {}
         for term in terms:
             plist = self.postings.get(term)
@@ -71,8 +73,10 @@ class BM25Oracle:
         )
 
 
-def oracle_from_transcripts(df: pd.DataFrame, k1: float = 1.2, b: float = 0.75) -> BM25Oracle:
+def oracle_from_transcripts(df: pd.DataFrame, k1: float = 1.2, b: float = 0.75,
+                            analyzer=None) -> BM25Oracle:
     """Build the oracle over a transcript DataFrame with docids assigned by
     stable (conv_id, turn_idx) ordering — dense 0..N-1."""
     ordered = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
-    return BM25Oracle(ordered.index.to_numpy(), ordered["text"].tolist(), k1=k1, b=b)
+    return BM25Oracle(ordered.index.to_numpy(), ordered["text"].tolist(), k1=k1, b=b,
+                      analyzer=analyzer)

@@ -31,7 +31,11 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from remote_vector_index_builder_ray.config import BuildConfig, HashCollisionError
+from remote_vector_index_builder_ray.config import (
+    BuildConfig,
+    EngineError,
+    HashCollisionError,
+)
 from remote_vector_index_builder_ray.sources.transcripts import read_transcripts
 from remote_vector_index_builder_ray.stages.docids import (
     assign_docids_dense,
@@ -237,8 +241,20 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             "docid_mode": cfg.docid_mode,
             "positions": bool(cfg.positions),
         }
+        if not cfg.analyzer.is_default():
+            man.data["config"]["analyzer"] = {
+                "stopwords": list(cfg.analyzer.stopwords),
+                "min_token_len": cfg.analyzer.min_token_len,
+                "max_token_len": cfg.analyzer.max_token_len,
+            }
         man.save()
     num_buckets = int(man.data["num_buckets"])
+    analyzer = None if cfg.analyzer.is_default() else cfg.analyzer
+    if analyzer is not None and cfg.positions:
+        raise EngineError(
+            "positions=True requires the default analyzer: position "
+            "increments across filtered-out tokens are not implemented"
+        )
 
     # schema check once against declared transcript schema (typed error)
     read_transcripts(cfg.input_paths[:1])
@@ -302,7 +318,8 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             ds = assign_docids_dense(ds, conv_ids, offsets)
         else:
             ds = assign_docids_sort(ds, base=int(cfg.docid_base))
-        dm = ds.map_batches(add_doc_len, batch_format="pyarrow", zero_copy_batch=True,
+        dm = ds.map_batches(add_doc_len, fn_kwargs={"analyzer": analyzer},
+                            batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=cfg.batch_size).select_columns(DOCMETA_COLUMNS)
         dm_dir = fs.join(cfg.index_dir, "docmeta", key)
         atomic_write_dir(lambda d: dm.write_parquet(**fs.for_ray(d)), dm_dir)
@@ -324,7 +341,8 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         # stateless task closure (the "state" is two ints) — avoids spinning
         # up an actor pool per concurrent partition pipeline
         partials = src.map_batches(
-            PostingsPartials(cfg.bm25.shard_range, num_buckets, positions=cfg.positions),
+            PostingsPartials(cfg.bm25.shard_range, num_buckets,
+                             positions=cfg.positions, analyzer=analyzer),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
@@ -383,6 +401,14 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         "block_size": cfg.bm25.block_size,
         "shard_range": cfg.bm25.shard_range,
     }
+    if analyzer is not None:
+        # searcher actors + query-side features analyze with the INDEX's
+        # analyzer (functions.tokenizer.load_analyzer reads this back)
+        stats["analyzer"] = {
+            "stopwords": list(analyzer.stopwords),
+            "min_token_len": analyzer.min_token_len,
+            "max_token_len": analyzer.max_token_len,
+        }
     fs.write_json_atomic(fs.join(cfg.index_dir, "stats.json"), stats)
     man.data["stats"] = stats
     man.save()

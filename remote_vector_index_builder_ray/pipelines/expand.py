@@ -231,12 +231,16 @@ def search_synonyms(
     ``queries`` has (query_id, text, k); identical groups deduplicate.
     The synonym table is a query-side lookup (driver-small), applied once
     per query; groups ship with the batch as a list<list<string>> column."""
-    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
     from remote_vector_index_builder_ray.pipelines.query import search
 
+    an = load_analyzer(index_dir)
     rows = []
     for r in queries.itertuples(index=False):
-        toks = sorted(set(tokenize_text(r.text or "")))
+        toks = sorted(set(analyze_text(r.text or "", an)))
         groups = sorted({tuple(sorted({t, *synonyms.get(t, ())})) for t in toks})
         rows.append([list(g) for g in groups])
     q = queries[["query_id", "k"]].copy()
@@ -258,13 +262,17 @@ def search_fuzzy(
     neighborhood in the term dictionary; the union scores as a plain BM25
     disjunction (each expanded term keeps its own idf). ``queries`` has
     (query_id, text, k); tokens are analyzed with the index tokenizer."""
-    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
     from remote_vector_index_builder_ray.pipelines.query import search
 
+    an = load_analyzer(index_dir)
     cache: dict[str, list[str]] = {}
     terms_by_qid: dict[int, list[str]] = {}
     for r in queries.itertuples(index=False):
-        toks = sorted(set(tokenize_text(r.text or "")))
+        toks = sorted(set(analyze_text(r.text or "", an)))
         expanded: set[str] = set()
         for t in toks:
             if t not in cache:

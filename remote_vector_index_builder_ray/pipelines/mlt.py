@@ -67,10 +67,14 @@ def more_like_this(
     (query_id, rank, docid, score) — driver-small by construction."""
     import ray.data
 
-    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
     from remote_vector_index_builder_ray.pipelines.query import hydrate, search
     from remote_vector_index_builder_ray.stages.search import _idf
 
+    an = load_analyzer(index_dir)  # analyze like-doc text as the index did
     doc_ids = [int(d) for d in doc_ids]
     like = hydrate(
         index_dir,
@@ -81,7 +85,7 @@ def more_like_this(
     # per like-doc term frequencies, gated by min_term_freq
     tf_by_doc: dict[int, dict[str, int]] = {}
     for r in like.itertuples(index=False):
-        toks = tokenize_text(r.text or "")
+        toks = analyze_text(r.text or "", an)
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1

@@ -361,17 +361,21 @@ def highlight(
     """
     import numpy as np
 
-    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
 
+    an = load_analyzer(index_dir)  # snippets stream = the index's analyzer
     res = results.to_pandas() if not isinstance(results, pd.DataFrame) else results.copy()
     meta = hydrate(index_dir, ray.data.from_pandas(res[["query_id", "docid"]]))
     terms_by_query = {
-        int(q.query_id): frozenset(tokenize_text(q.text or ""))
+        int(q.query_id): frozenset(analyze_text(q.text or "", an))
         for q in queries.itertuples(index=False)
     }
 
     def _snippet(qid: int, text: str) -> str:
-        toks = tokenize_text(text or "")
+        toks = analyze_text(text or "", an)
         if not toks:
             return ""
         qt = terms_by_query.get(int(qid), frozenset())

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from remote_vector_index_builder_ray.functions.tokenizer import tokenize_column
+from remote_vector_index_builder_ray.functions.tokenizer import analyze_column
 
 PARTIAL_SCHEMA = pa.schema(
     [
@@ -54,10 +54,12 @@ class PostingsPartials:
     same trick large engines use to avoid an all-to-all exchange operator).
     """
 
-    def __init__(self, shard_range: int, num_buckets: int = 64, positions: bool = False):
+    def __init__(self, shard_range: int, num_buckets: int = 64,
+                 positions: bool = False, analyzer=None):
         self.shard_range = shard_range
         self.num_buckets = num_buckets
         self.positions = positions
+        self.analyzer = analyzer  # AnalyzerConfig or None (default tokenizer)
         # term -> bucket memo: crc32 runs once per unique term per worker
         # lifetime, not once per (term, batch)
         self._bucket_memo: dict[str, int] = {}
@@ -66,7 +68,7 @@ class PostingsPartials:
         if batch.num_rows == 0:
             return _empty_partials(self.positions)
         docids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        tokens, doc_index, _dl = tokenize_column(batch["text"])
+        tokens, doc_index, _dl = analyze_column(batch["text"], self.analyzer)
         if len(tokens) == 0:
             return _empty_partials(self.positions)
         dicted = tokens.dictionary_encode()
@@ -140,12 +142,13 @@ class PostingsPartials:
         return pa.table(cols)
 
 
-def add_doc_len(batch: pa.Table) -> pa.Table:
+def add_doc_len(batch: pa.Table, analyzer=None) -> pa.Table:
     """doc_meta stage: append the per-turn token count (BM25 norm).
 
-    Uses the count-only tokenizer path (single regex-count kernel) — the full
-    token stream is only materialized once, in the partials pass."""
+    Default analyzer: the count-only tokenizer path (single regex-count
+    kernel) — the full token stream is only materialized once, in the
+    partials pass. A filtering analyzer counts post-filter tokens."""
     from remote_vector_index_builder_ray.functions.tokenizer import doc_lengths
 
-    dl = doc_lengths(batch["text"])
+    dl = doc_lengths(batch["text"], analyzer)
     return batch.append_column("doc_len", pa.array(dl, type=pa.int32()))

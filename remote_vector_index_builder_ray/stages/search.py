@@ -29,7 +29,10 @@ import pyarrow.compute as pc
 
 from remote_vector_index_builder_ray.functions.bm25 import idf as _idf, tfnorm, topk_order
 from remote_vector_index_builder_ray.functions.codec import decode_block, decode_posting_run
-from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+from remote_vector_index_builder_ray.functions.tokenizer import (
+    analyze_text,
+    tokenize_text,
+)
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -203,6 +206,19 @@ class BM25Searcher:
         st = _fs.read_json(_fs.join(index_dir, "stats.json"))
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
+        # query analysis uses the INDEX's analyzer (stats.json) so query
+        # terms agree with the indexed terms (config.AnalyzerConfig)
+        a = st.get("analyzer")
+        if a:
+            from remote_vector_index_builder_ray.config import AnalyzerConfig
+
+            self._analyzer = AnalyzerConfig(
+                stopwords=tuple(a.get("stopwords", ())),
+                min_token_len=int(a.get("min_token_len", 1)),
+                max_token_len=int(a.get("max_token_len", 1 << 30)),
+            )
+        else:
+            self._analyzer = None
         self.mode = mode
         self.cache_terms = cache_terms
         # operator="and" (OpenSearch match operator:and): a doc must contain
@@ -973,12 +989,12 @@ class BM25Searcher:
             sels = batch["explain_docids"].to_pylist()
             e_qid, e_doc, e_term, e_tf, e_df, e_c = [], [], [], [], [], []
             all_terms = sorted(
-                {t for x in texts for t in tokenize_text(x or "")}
+                {t for x in texts for t in analyze_text(x or "", self._analyzer)}
             )
             if all_terms:
                 self._load_terms(all_terms)
             for qid, text, sel in zip(qids, texts, sels):
-                terms = sorted(set(tokenize_text(text or "")))
+                terms = sorted(set(analyze_text(text or "", self._analyzer)))
                 d, tm, tf, dfv, c = self._explain(
                     terms, np.asarray(sel or [], dtype=np.int64)
                 )
@@ -1020,10 +1036,12 @@ class BM25Searcher:
         elif self.mode == "phrase":
             # phrase semantics: token ORDER matters, duplicates kept
             texts = batch["text"].to_pylist()
-            per_query_terms = [tokenize_text(t or "") for t in texts]
+            per_query_terms = [analyze_text(t or "", self._analyzer) for t in texts]
         else:
             texts = batch["text"].to_pylist()
-            per_query_terms = [sorted(set(tokenize_text(t or ""))) for t in texts]
+            per_query_terms = [
+                sorted(set(analyze_text(t or "", self._analyzer))) for t in texts
+            ]
         all_terms = sorted({t for terms in per_query_terms for t in terms})
         if all_terms:
             self._load_terms(all_terms)
@@ -1055,7 +1073,7 @@ class BM25Searcher:
                     f"exclude_text is not supported in {self.mode} mode"
                 )
             excl_lists = [
-                sorted(set(tokenize_text(t or "")))
+                sorted(set(analyze_text(t or "", self._analyzer)))
                 for t in batch["exclude_text"].to_pylist()
             ]
             excl_load = sorted({t for lst in excl_lists for t in lst})
