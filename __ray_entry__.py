@@ -704,6 +704,24 @@ def _q_bm25_date_histogram(sf_dir: str):
     return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
 
 
+def _q_bm25_collapse(sf_dir: str):
+    """Field collapsing on the conversation (OpenSearch collapse): top-k
+    conversations per query by their best-scoring turn, one hit each;
+    ordered by the driver's 6-decimal rounded-score policy
+    (collapse_round6, stages/search._score_collapse)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    res = search(index_dir, pq.read_table(fx["queries"]).to_pandas(),
+                 mode="collapse", collapse_round6=True).to_pandas()
+    res["score"] = res["score"].round(6)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
 def _q_bm25_dismax(sf_dir: str):
     """dis_max (Lucene DisjunctionMaxQuery, tie_breaker=0.3): score =
     max(term contribs) + 0.3 * (sum - max) (stages/search._score_dismax)."""
@@ -1031,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_page2": _q_bm25_page2,
         "bm25_dismax": _q_bm25_dismax,
+        "bm25_collapse": _q_bm25_collapse,
         "bm25_sorted": _q_bm25_sorted,
         "bm25_range_agg": _q_bm25_range_agg,
         "bm25_stats_agg": _q_bm25_stats_agg,
@@ -1872,6 +1891,47 @@ SELECT m.query_id, d.role AS key, count(*)::BIGINT AS n_docs,
 FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
 GROUP BY m.query_id, d.role
 ORDER BY m.query_id, key
+"""
+    # collapse: one hit (the best rounded-score turn) per conversation,
+    # top-k conversations per query
+    out["bm25_collapse"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+best AS (
+    SELECT sc.query_id, sc.docid, round(sc.score, 6) AS score, sc.k,
+           row_number() OVER (PARTITION BY sc.query_id, d.conv_id
+                              ORDER BY round(sc.score, 6) DESC, sc.docid) AS rc
+    FROM scored sc JOIN docs d USING (docid)
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM best WHERE rc = 1
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
 """
     # dis_max: max term contribution + 0.3 * residual sum
     out["bm25_dismax"] = f"""

@@ -91,6 +91,7 @@ def search(
     operator: str = "or",
     min_should_match: int | None = None,
     tie_breaker: float = 0.0,
+    collapse_round6: bool = False,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -105,6 +106,12 @@ def search(
     ``operator="and"`` (OpenSearch match operator:and) requires every query
     term in a matching doc; qualifying docs' scores are unchanged. Supported
     with mode="exhaustive" and mode="bmw".
+
+    ``mode="collapse"`` (OpenSearch collapse on the conversation): the top-k
+    CONVERSATIONS by their best-scoring turn, one hit per conversation
+    (docid -> conversation via the dense conv_offsets artifact).
+    ``collapse_round6`` orders by 6-decimal-rounded scores (the driver's
+    cross-engine float policy).
 
     ``mode="dismax"`` (Lucene DisjunctionMaxQuery): a doc scores
     max(term contributions) + ``tie_breaker`` * (sum - max) — the best
@@ -188,6 +195,7 @@ def search(
             "operator": operator,
             "min_should_match": min_should_match,
             "tie_breaker": tie_breaker,
+            "collapse_round6": collapse_round6,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

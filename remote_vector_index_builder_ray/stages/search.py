@@ -197,7 +197,8 @@ class BM25Searcher:
     def __init__(self, index_dir: str, mode: str = "bmw", allow_ref=None,
                  cache_terms: int = 8192, operator: str = "or",
                  min_should_match: int | None = None,
-                 tie_breaker: float = 0.0):
+                 tie_breaker: float = 0.0,
+                 collapse_round6: bool = False):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -249,6 +250,7 @@ class BM25Searcher:
                 raise ValueError("min_should_match must be >= 1")
         self.msm = None if min_should_match is None else int(min_should_match)
         self.tie_breaker = float(tie_breaker)  # mode="dismax" only
+        self.collapse_round6 = bool(collapse_round6)  # mode="collapse" only
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -679,6 +681,47 @@ class BM25Searcher:
             out_contrib.extend(contrib.tolist())
         return out_doc, out_term, out_tf, out_df, out_contrib
 
+    def _conv_starts(self) -> np.ndarray:
+        """Sorted first-docids of every conversation (base + generations):
+        docid -> conversation is a searchsorted over this array, because
+        docids are dense in (conv_id, turn_idx) order (stages/docids). At
+        12M turns this is ~16 MB per actor; at 10^12 turns the conv map
+        would ride the docmeta probe pattern instead (pipelines/aggs)."""
+        if getattr(self, "_conv_off", None) is None:
+            offs = []
+            for d in [self._index_dir] + self._gen_dirs:
+                p = self._fs.join(d, "conv_offsets.parquet")
+                if self._fs.exists(p):
+                    t = self._fs.read_table(p, columns=["offset"])
+                    offs.append(
+                        t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    )
+            if not offs:
+                from remote_vector_index_builder_ray.config import EngineError
+
+                raise EngineError(
+                    "collapse requires the dense-docid conv_offsets artifact "
+                    "(BuildConfig(docid_mode='dense'))"
+                )
+            self._conv_off = np.sort(np.concatenate(offs))
+        return self._conv_off
+
+    def _score_collapse(self, terms: list[str], k: int, round6: bool = False):
+        """Field collapsing on the conversation (OpenSearch collapse): the
+        top-k CONVERSATIONS by their best-scoring turn; one hit (the best
+        turn) per conversation. Needs every match's score, so it rides the
+        exhaustive scorer. ``round6`` orders by 6-decimal-rounded scores —
+        the driver's cross-engine float policy — instead of raw float64."""
+        docids, scores = self._score_exhaustive(terms, k=1 << 62)
+        if len(docids) == 0:
+            return docids, scores
+        cmp = np.round(scores, 6) if round6 else scores
+        order = np.lexsort((docids, -cmp))
+        d, s = docids[order], scores[order]
+        conv = np.searchsorted(self._conv_starts(), d, side="right") - 1
+        first = np.sort(np.unique(conv, return_index=True)[1])[:k]
+        return d[first], s[first]
+
     def _score_blended(self, groups: list[list[str]], k: int):
         """Lucene SynonymQuery blended scoring: each synonym group scores as
         ONE pseudo-term with df = max over the group's members and per-doc
@@ -1103,6 +1146,8 @@ class BM25Searcher:
                 docids, scores = self._score_blended(groups, k)
             elif self.mode == "dismax":
                 docids, scores = self._score_dismax(terms, k)
+            elif self.mode == "collapse":
+                docids, scores = self._score_collapse(terms, k, self.collapse_round6)
             else:
                 docids, scores = self._score_exhaustive(terms, k, after, deny)
             n = len(docids)
