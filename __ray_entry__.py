@@ -594,6 +594,53 @@ def _q_bm25_page2(sf_dir: str):
     ).reset_index(drop=True)
 
 
+_SUGGEST_TERMS = ["w00010x", "thw", "peopel", "w123456", "qqqqqq"]
+
+
+def _q_bm25_suggest(sf_dir: str):
+    """Term suggester (did-you-mean): dictionary terms within 2 edits of
+    each input, ranked (distance asc, df desc, term asc), top 5
+    (pipelines/expand.suggest_terms)."""
+    from remote_vector_index_builder_ray import suggest_terms
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    out = suggest_terms(index_dir, _SUGGEST_TERMS, max_edits=2,
+                        prefix_length=0, size=5)
+    return out.astype({"distance": "int64", "df": "int64"}).reset_index(drop=True)
+
+
+def _ensure_ratings_artifact(sf_dir: str) -> str:
+    """Deterministic graded relevance judgments for rank_eval: each query's
+    bm25_topk docs at ranks 2/4/8 rated 3/2/1 (persisted so the SQL twin
+    reads exactly the same judgments)."""
+    import pyarrow as pa
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_ratings.parquet")
+    if not os.path.exists(path):
+        topk = _q_bm25_topk(sf_dir)
+        rated = topk[topk["rank"].isin([2, 4, 8])].copy()
+        rated["rating"] = rated["rank"].map({2: 3, 4: 2, 8: 1}).astype("int64")
+        _write_atomic(
+            pa.Table.from_pandas(
+                rated[["query_id", "docid", "rating"]], preserve_index=False
+            ),
+            path,
+        )
+    return path
+
+
+def _q_bm25_rank_eval(sf_dir: str):
+    """rank_eval metrics (precision@10 / recall@10 / MRR / NDCG@10) of the
+    bm25_topk ranking against the persisted graded judgments
+    (functions/metrics.rank_eval)."""
+    from remote_vector_index_builder_ray import rank_eval
+
+    ratings = pd.read_parquet(_ensure_ratings_artifact(sf_dir))
+    topk = _q_bm25_topk(sf_dir)
+    return rank_eval(topk, ratings, k=10).reset_index(drop=True)
+
+
 _AN_STOPWORDS = ("the", "and", "to", "of", "a", "in", "is", "it", "you",
                  "that", "he", "was")
 _AN_MIN_LEN = 2
@@ -1058,6 +1105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_must_not": _q_bm25_must_not,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_analyzed": _q_bm25_analyzed,
+        "bm25_suggest": _q_bm25_suggest,
+        "bm25_rank_eval": _q_bm25_rank_eval,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
         "docids": _q_docids,
@@ -1592,6 +1641,99 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # term suggester: levenshtein<=2 dictionary neighbors ranked
+    # (distance asc, df desc, term asc), exact term excluded
+    sugg_vals = ", ".join(f"('{t}')" for t in _SUGGEST_TERMS)
+    out["bm25_suggest"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+df AS MATERIALIZED (SELECT term, count(DISTINCT docid)::BIGINT AS df FROM toks GROUP BY term),
+sugg AS (SELECT * FROM (VALUES {sugg_vals}) AS s(term)),
+cand AS (
+    SELECT s.term, df.term AS suggestion,
+           levenshtein(df.term, s.term)::BIGINT AS distance, df.df
+    FROM sugg s JOIN df
+      ON abs(length(df.term) - length(s.term)) <= 2
+     AND levenshtein(df.term, s.term) BETWEEN 1 AND 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY distance, df DESC, suggestion) AS rn
+    FROM cand
+)
+SELECT term, suggestion, distance, df FROM ranked WHERE rn <= 5
+ORDER BY term, distance, df DESC, suggestion
+"""
+    # rank_eval: precision@10 / recall@10 / MRR / NDCG@10 of the bm25_topk
+    # ranking vs the persisted graded judgments (ranks 2/4/8 rated 3/2/1)
+    ratings_pq = _ensure_ratings_artifact(ORACLE_SF_DIR)
+    out["bm25_rank_eval"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+),
+topk AS (SELECT query_id, docid, rank FROM ranked WHERE rank <= least(k, 10)),
+ratings AS (SELECT * FROM read_parquet('{ratings_pq}')),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM ratings WHERE rating > 0 GROUP BY query_id),
+hits AS (
+    SELECT t.query_id, t.rank, r.rating
+    FROM topk t JOIN ratings r ON r.query_id = t.query_id AND r.docid = t.docid
+    WHERE r.rating > 0
+),
+idcg AS (
+    SELECT query_id, sum((pow(2, rating) - 1) / log2(rn + 1)) AS idcg
+    FROM (
+        SELECT query_id, rating,
+               row_number() OVER (PARTITION BY query_id ORDER BY rating DESC) + 0 AS rn
+        FROM ratings WHERE rating > 0
+    ) WHERE rn <= 10
+    GROUP BY query_id
+),
+per AS (
+    SELECT n.query_id,
+           coalesce(h.n_hit, 0)::DOUBLE / 10 AS prec,
+           coalesce(h.n_hit, 0)::DOUBLE / n.n_rel AS recall,
+           coalesce(1.0 / h.first_rank, 0.0) AS rr,
+           coalesce(h.dcg, 0.0) / i.idcg AS ndcg
+    FROM nrel n
+    LEFT JOIN (
+        SELECT query_id, count(*)::BIGINT AS n_hit, min(rank) AS first_rank,
+               sum((pow(2, rating) - 1) / log2(rank + 1)) AS dcg
+        FROM hits GROUP BY query_id
+    ) h ON h.query_id = n.query_id
+    JOIN idcg i ON i.query_id = n.query_id
+)
+SELECT query_id,
+       floor(prec * 1000000 + 0.5) / 1000000 AS precision_at_k,
+       floor(recall * 1000000 + 0.5) / 1000000 AS recall_at_k,
+       floor(rr * 1000000 + 0.5) / 1000000 AS reciprocal_rank,
+       floor(ndcg * 1000000 + 0.5) / 1000000 AS ndcg_at_k
+FROM per ORDER BY query_id
 """
     # analyzed index: the toks CTE passes the SAME stopword/length filters
     # as the engine's AnalyzerConfig; doc_len (dl) counts post-filter tokens

@@ -35,10 +35,12 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     stats_agg,
     terms_agg,
 )
+from remote_vector_index_builder_ray.functions.metrics import rank_eval
 from remote_vector_index_builder_ray.pipelines.expand import (
     expand_fuzzy,
     expand_prefix,
     expand_wildcard,
+    suggest_terms,
     search_fuzzy,
     search_prefix,
     search_synonyms,
@@ -72,6 +74,7 @@ __all__ = [
     "load_tombstones",
     "more_like_this",
     "range_agg",
+    "rank_eval",
     "search",
     "search_fuzzy",
     "search_prefix",
@@ -80,5 +83,6 @@ __all__ = [
     "search_terms",
     "search_wildcard",
     "stats_agg",
+    "suggest_terms",
     "terms_agg",
 ]

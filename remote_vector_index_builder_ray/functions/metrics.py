@@ -48,3 +48,53 @@ def estimate_partitions(paths: list[str], target_bytes_per_partition: int = 2 <<
     total = sum(fs.file_size(p) for p in paths)
     return int(np.clip((total + target_bytes_per_partition - 1) // target_bytes_per_partition,
                        1, min(max_partitions, len(paths))))
+
+
+def rank_eval(results: pd.DataFrame, ratings: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """OpenSearch rank_eval analog: ranking-quality metrics per query.
+
+    ``results``: (query_id, rank, docid) — a ranked result set.
+    ``ratings``: (query_id, docid, rating) — graded relevance judgments
+    (rating > 0 = relevant).
+
+    Returns per-query (query_id, precision_at_k, recall_at_k,
+    reciprocal_rank, ndcg_at_k), floats rounded half-up to 6 decimals so a
+    SQL twin reproduces them bit-exactly:
+
+    - precision@k  = relevant hits in the top k / k
+    - recall@k     = relevant hits in the top k / all relevant judged docs
+    - MRR          = 1 / rank of the first relevant hit (0 if none in top k)
+    - NDCG@k       = sum((2^rating - 1) / log2(rank + 1)) over the top k,
+                     normalized by the ideal DCG of the judged ratings
+    """
+    rel = ratings[ratings["rating"] > 0]
+    rel_by_q = {qid: dict(zip(g["docid"], g["rating"])) for qid, g in rel.groupby("query_id")}
+    rows = []
+    for qid in sorted(set(ratings["query_id"])):
+        judged = rel_by_q.get(qid, {})
+        res = results[(results["query_id"] == qid) & (results["rank"] <= k)]
+        res = res.sort_values("rank")
+        hits = [int(d) in judged for d in res["docid"]]
+        n_hit = sum(hits)
+        prec = n_hit / k
+        recall = n_hit / len(judged) if judged else 0.0
+        rr = 0.0
+        for rank, h in zip(res["rank"], hits):
+            if h:
+                rr = 1.0 / int(rank)
+                break
+        dcg = sum(
+            (2.0 ** judged[int(d)] - 1.0) / np.log2(int(r) + 1.0)
+            for r, d, h in zip(res["rank"], res["docid"], hits)
+            if h
+        )
+        ideal = sorted(judged.values(), reverse=True)[:k]
+        idcg = sum((2.0 ** g - 1.0) / np.log2(i + 2.0) for i, g in enumerate(ideal))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+        rows.append((int(qid), r6(prec), r6(recall), r6(rr), r6(ndcg)))
+    return pd.DataFrame(
+        rows,
+        columns=["query_id", "precision_at_k", "recall_at_k",
+                 "reciprocal_rank", "ndcg_at_k"],
+    ).astype({"query_id": np.int64})

@@ -170,6 +170,64 @@ def expand_fuzzy(
     return [c for c, keep in zip(cands, mask) if keep]
 
 
+def suggest_terms(
+    index_dir: str,
+    terms: list[str],
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    size: int = 5,
+    transpositions: bool = False,
+) -> pd.DataFrame:
+    """Term suggester (OpenSearch `suggest` term mode / did-you-mean): for
+    each input term, dictionary terms within ``max_edits``, ranked by
+    (edit distance asc, df desc, term asc) — closer corrections first,
+    popularity breaks ties — top ``size`` each. The input term itself is
+    never suggested (distance 0 rows drop, as in OpenSearch). Returns
+    (term, suggestion, distance, df).
+
+    Dictionary + df come from the termstats buckets (prefix pushdown via
+    ``prefix_length``); the whole computation is a driver-small query-side
+    lookup, like any expansion."""
+    rows = []
+    for term in terms:
+        # df per candidate: read term+df with the prefix pushdown
+        filters = None
+        prefix = term[:prefix_length]
+        if prefix:
+            filters = [("term", ">=", prefix)]
+            ub = _prefix_upper_bound(prefix)
+            if ub is not None:
+                filters.append(("term", "<", ub))
+        df: dict[str, int] = {}
+        for d in termstats_dirs(index_dir):
+            for rel in fs.listdir(d, recursive=True):
+                if not rel.endswith(".parquet"):
+                    continue
+                t = fs.read_table(fs.join(d, rel), columns=["term", "df"],
+                                  filters=filters)
+                for tm, v in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                    df[tm] = df.get(tm, 0) + int(v)
+        cands = sorted(df)
+        lens = np.fromiter((len(c) for c in cands), np.int64, len(cands))
+        band = np.abs(lens - len(term)) <= max_edits
+        cands = [c for c, keep in zip(cands, band) if keep]
+        # exact distance per candidate: run the <=d mask at each d and take
+        # the first d that accepts (d passes of the vectorized DP)
+        dist = np.full(len(cands), max_edits + 1, dtype=np.int64)
+        for d_ in range(max_edits, -1, -1):
+            mask = _levenshtein_leq(cands, term, d_, transpositions)
+            dist[mask] = d_
+        scored = [
+            (int(d_), -df[c], c)
+            for c, d_ in zip(cands, dist)
+            if 1 <= d_ <= max_edits  # drop the exact term and out-of-range
+        ]
+        scored.sort()
+        for d_, negdf, c in scored[:size]:
+            rows.append((term, c, d_, -negdf))
+    return pd.DataFrame(rows, columns=["term", "suggestion", "distance", "df"])
+
+
 # ---------------------------------------------------------------------------
 # search wrappers
 # ---------------------------------------------------------------------------
