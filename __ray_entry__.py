@@ -594,6 +594,26 @@ def _q_bm25_page2(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_bm25_percolate(sf_dir: str):
+    """Percolator (pipelines/percolate): the corpus streams through the
+    stored multi-term queries (operator=and, the alerting shape) with no
+    index; output = every (conv_id, turn_idx, query_id) match."""
+    from remote_vector_index_builder_ray import percolate
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    q = pd.read_parquet(fx["queries"])
+    stored = q[(q["query_id"] % 8).isin([2, 3, 4])][["query_id", "text"]]
+    out = (
+        percolate(fx["transcripts"], stored, operator="and")
+        .to_pandas()
+        .sort_values(["query_id", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .astype({"turn_idx": "int32", "query_id": "int64"})
+    )
+    return out[["query_id", "conv_id", "turn_idx"]]
+
+
 _SUGGEST_TERMS = ["w00010x", "thw", "peopel", "w123456", "qqqqqq"]
 
 
@@ -1106,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_analyzed": _q_bm25_analyzed,
         "bm25_suggest": _q_bm25_suggest,
+        "bm25_percolate": _q_bm25_percolate,
         "bm25_rank_eval": _q_bm25_rank_eval,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
@@ -1641,6 +1662,26 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # percolator: docs matching EVERY term of each stored multi-term query
+    out["bm25_percolate"] = f"""
+WITH {docs}, {_TOKS},
+td AS MATERIALIZED (SELECT DISTINCT docid, term FROM toks),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+    WHERE query_id % 8 IN (2, 3, 4)
+),
+qn AS (SELECT query_id, count(*)::BIGINT AS nt FROM q GROUP BY query_id),
+m AS (
+    SELECT q.query_id, td.docid, count(*)::BIGINT AS c
+    FROM q JOIN td USING (term) GROUP BY q.query_id, td.docid
+),
+hits AS (SELECT m.query_id, m.docid FROM m JOIN qn USING (query_id) WHERE m.c = qn.nt)
+SELECT h.query_id, d.conv_id, d.turn_idx::INT AS turn_idx
+FROM hits h JOIN docs d USING (docid)
+ORDER BY h.query_id, d.conv_id, d.turn_idx
 """
     # term suggester: levenshtein<=2 dictionary neighbors ranked
     # (distance asc, df desc, term asc), exact term excluded

@@ -48,6 +48,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     search_wildcard,
 )
 from remote_vector_index_builder_ray.pipelines.mlt import more_like_this
+from remote_vector_index_builder_ray.pipelines.percolate import percolate
 from remote_vector_index_builder_ray.pipelines.query import (
     explain,
     highlight,
@@ -73,6 +74,7 @@ __all__ = [
     "hydrate",
     "load_tombstones",
     "more_like_this",
+    "percolate",
     "range_agg",
     "rank_eval",
     "search",
