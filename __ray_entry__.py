@@ -686,6 +686,23 @@ def _q_bm25_analyzed(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"])
 
 
+def _q_bm25_reindex(sf_dir: str):
+    """reindex (OpenSearch _reindex): rebuild the base index from its own
+    stored fields (docmeta) under the analyzer config — no original input
+    files touched. Results must equal a direct analyzed build, so this
+    entry shares the bm25_analyzed oracle."""
+    from remote_vector_index_builder_ray import reindex
+    from remote_vector_index_builder_ray.config import AnalyzerConfig
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    _, src, _ = _ensure_index(sf_dir)
+    dst = os.path.join(INDEX_ROOT, f"{name}_reix")
+    reindex(src, dst, analyzer=AnalyzerConfig(
+        stopwords=_AN_STOPWORDS, min_token_len=_AN_MIN_LEN))
+    return _topk_rounded(dst, fx["queries"])
+
+
 _SYN_TABLE = {
     "w000100": ["w000101", "w000102"],
     "w000200": ["w000201"],
@@ -1127,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_analyzed": _q_bm25_analyzed,
         "bm25_suggest": _q_bm25_suggest,
         "bm25_percolate": _q_bm25_percolate,
+        "bm25_reindex": _q_bm25_reindex,
         "bm25_rank_eval": _q_bm25_rank_eval,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
@@ -1820,6 +1838,9 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # reindex rebuilds from stored fields under the analyzer config — the
+    # result must equal a direct analyzed build, i.e. the bm25_analyzed SQL
+    out["bm25_reindex"] = out["bm25_analyzed"]
     # synonym blended scoring: each (token + synonyms) group is one
     # pseudo-term — df = max over present members, per-doc tf = summed tf
     syn_vals = ", ".join(

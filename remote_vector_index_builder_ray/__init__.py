@@ -49,6 +49,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
 )
 from remote_vector_index_builder_ray.pipelines.mlt import more_like_this
 from remote_vector_index_builder_ray.pipelines.percolate import percolate
+from remote_vector_index_builder_ray.pipelines.reindex import reindex
 from remote_vector_index_builder_ray.pipelines.query import (
     explain,
     highlight,
@@ -77,6 +78,7 @@ __all__ = [
     "percolate",
     "range_agg",
     "rank_eval",
+    "reindex",
     "search",
     "search_fuzzy",
     "search_prefix",
