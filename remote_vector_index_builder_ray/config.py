@@ -138,8 +138,9 @@ class BuildConfig:
     # Opt-in: a positional index is roughly corpus-sized (as in Lucene).
     positions: bool = False
     # Index-time analyzer (stopword filter + token-length gates). The default
-    # is the frozen no-op tokenizer. positions=True requires the default
-    # analyzer (position increments across removed tokens are future work).
+    # is the frozen no-op tokenizer. Composes with positions=True: filtered
+    # tokens advance the position counter without being indexed (Lucene
+    # position-increment semantics), so phrase queries see the gaps.
     analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
 
     def job_id(self) -> str:

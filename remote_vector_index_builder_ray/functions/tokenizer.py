@@ -104,18 +104,30 @@ def _token_filter_mask(tokens: pa.Array, analyzer) -> np.ndarray | None:
     return mask
 
 
-def analyze_column(col: pa.Array | pa.ChunkedArray, analyzer=None):
+def analyze_column(col: pa.Array | pa.ChunkedArray, analyzer=None,
+                   with_positions: bool = False):
     """``tokenize_column`` + the analyzer's stopword/length filters; same
     ``(tokens, doc_index, doc_len)`` contract, doc_len counted post-filter
-    (the doc_len the BM25 norms see, as in Lucene)."""
+    (the doc_len the BM25 norms see, as in Lucene).
+
+    ``with_positions=True`` appends a 4th array: each kept token's PRE-filter
+    index within its doc (Lucene position-increment semantics — a removed
+    stopword advances the position counter, so phrase matching sees the gap)."""
     tokens, doc_index, doc_len = tokenize_column(col)
     mask = _token_filter_mask(tokens, analyzer)
+    if with_positions:
+        # position = rank within the doc's ORIGINAL (pre-filter) token stream
+        row_start = np.concatenate([[0], np.cumsum(doc_len[:-1], dtype=np.int64)])
+        positions = np.arange(len(tokens), dtype=np.int64) - row_start[doc_index]
     if mask is None:
-        return tokens, doc_index, doc_len
+        return (tokens, doc_index, doc_len, positions) if with_positions \
+            else (tokens, doc_index, doc_len)
     tokens = tokens.filter(pa.array(mask))
     doc_index = doc_index[mask]
     n = len(col)
     doc_len = np.bincount(doc_index, minlength=n).astype(np.int32)
+    if with_positions:
+        return tokens, doc_index, doc_len, positions[mask]
     return tokens, doc_index, doc_len
 
 
@@ -128,6 +140,23 @@ def analyze_text(text: str, analyzer=None) -> list[str]:
     sw = set(analyzer.stopwords)
     lo, hi = analyzer.min_token_len, analyzer.max_token_len
     return [t for t in toks if lo <= len(t) <= hi and t not in sw]
+
+
+def analyze_text_positions(text: str, analyzer=None) -> tuple[list[str], list[int]]:
+    """Scalar analyzer keeping Lucene position increments: ``(tokens,
+    positions)`` where position i is the token's index in the PRE-filter
+    stream. Query-side phrase analysis uses this so 'quick brown fox' under a
+    {brown} stopword analyzer becomes quick@0, fox@2 — matching docs where
+    fox sits exactly two increments after quick, as Lucene's
+    ``match_phrase`` does."""
+    toks = tokenize_text(text)
+    if analyzer is None or analyzer.is_default():
+        return toks, list(range(len(toks)))
+    sw = set(analyzer.stopwords)
+    lo, hi = analyzer.min_token_len, analyzer.max_token_len
+    kept = [(t, i) for i, t in enumerate(toks)
+            if lo <= len(t) <= hi and t not in sw]
+    return [t for t, _ in kept], [i for _, i in kept]
 
 
 def load_analyzer(index_dir: str):

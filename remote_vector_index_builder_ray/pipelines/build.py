@@ -250,11 +250,6 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         man.save()
     num_buckets = int(man.data["num_buckets"])
     analyzer = None if cfg.analyzer.is_default() else cfg.analyzer
-    if analyzer is not None and cfg.positions:
-        raise EngineError(
-            "positions=True requires the default analyzer: position "
-            "increments across filtered-out tokens are not implemented"
-        )
 
     # schema check once against declared transcript schema (typed error)
     read_transcripts(cfg.input_paths[:1])

@@ -68,7 +68,14 @@ class PostingsPartials:
         if batch.num_rows == 0:
             return _empty_partials(self.positions)
         docids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        tokens, doc_index, _dl = analyze_column(batch["text"], self.analyzer)
+        if self.positions:
+            # per-token PRE-filter positions (Lucene position increments: a
+            # token removed by the analyzer still advances the counter)
+            tokens, doc_index, _dl, tok_pos = analyze_column(
+                batch["text"], self.analyzer, with_positions=True
+            )
+        else:
+            tokens, doc_index, _dl = analyze_column(batch["text"], self.analyzer)
         if len(tokens) == 0:
             return _empty_partials(self.positions)
         dicted = tokens.dictionary_encode()
@@ -126,14 +133,12 @@ class PostingsPartials:
             "dls": pa.ListArray.from_arrays(pa.array(offsets), pa.array(s_dl, type=pa.int32())),
         }
         if self.positions:
-            # per-token position within its doc: arange minus the doc's first
-            # token index. A stable sort by the same (term, doc) key groups
-            # positions per posting in ascending order (tokens arrive in doc
-            # order), and the group order equals np.unique's uniq order — so
-            # posting i's positions are slice [cumsum_tf[i], cumsum_tf[i+1]).
-            row_start = np.concatenate([[0], np.cumsum(_dl[:-1])]).astype(np.int64)
-            pos = np.arange(len(codes), dtype=np.int64) - row_start[doc_index]
-            pos_sorted = pos[np.argsort(key, kind="stable")].astype(np.int32)
+            # tok_pos holds each kept token's pre-filter position within its
+            # doc. A stable sort by the same (term, doc) key groups positions
+            # per posting in ascending order (tokens arrive in doc order), and
+            # the group order equals np.unique's uniq order — so posting i's
+            # positions are slice [cumsum_tf[i], cumsum_tf[i+1]).
+            pos_sorted = tok_pos[np.argsort(key, kind="stable")].astype(np.int32)
             tf_off = np.concatenate([[0], np.cumsum(tf)]).astype(np.int32)
             per_posting = pa.ListArray.from_arrays(
                 pa.array(tf_off, type=pa.int32()), pa.array(pos_sorted, type=pa.int32())

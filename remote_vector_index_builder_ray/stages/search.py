@@ -534,18 +534,31 @@ class BM25Searcher:
     # intersection; doc_len must stay below 2^21 (a transcript turn is tiny)
     _POS_PACK = np.int64(1) << np.int64(21)
 
-    def _score_phrase(self, terms: list[str], k: int):
+    def _score_phrase(self, terms: list[str], k: int, offsets=None):
         """Exact phrase match (Lucene match_phrase): docs where the terms
         occur consecutively, scored ``sum(idf(term_i)) * tfnorm(phrase_tf)``
         — the Lucene PhraseQuery formula (summed term idfs, phrase frequency
         through the BM25 tf saturation). Phrase occurrences are found with a
-        vectorized shifted-key intersection: term i at phrase offset i
-        contributes keys (docid, pos - i); a phrase occurrence at base
-        position p is a key present in every term's set.
+        vectorized shifted-key intersection: term i at phrase offset
+        ``offsets[i]`` contributes keys (docid, pos - offsets[i]); a phrase
+        occurrence at base position p is a key present in every term's set.
+
+        ``offsets`` defaults to 0..n-1 (adjacent terms). Under a filtering
+        analyzer the query side passes the PRE-filter token indices
+        (``analyze_text_positions``), so a stopword inside the phrase demands
+        the same position gap the index recorded — Lucene's
+        position-increment behavior.
         """
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not terms:
             return empty
+        if offsets is None:
+            offsets = list(range(len(terms)))
+        else:
+            # anchor at the first kept term: a leading filtered-out stopword
+            # must not forbid a match at the start of a doc (Lucene matches
+            # on CONSISTENT relative offsets, not absolute query positions)
+            offsets = [o - offsets[0] for o in offsets]
         uterms = sorted(set(terms))
         if any(self._cache.get(t) is None for t in uterms):
             return empty  # a phrase term absent from the corpus: no match
@@ -569,14 +582,14 @@ class BM25Searcher:
                 return empty
         K = self._POS_PACK
         sets = []
-        for i, t in enumerate(terms):
+        for t, off in zip(terms, offsets):
             d, p, cdoc, _ = self._pos_cache[t]
             if len(cand_docs) < len(cdoc):
                 m = isin_sorted(d, cand_docs)
                 d, p = d[m], p[m]
-            if i:
-                m = p >= i
-                kk = d[m] * K + (p[m] - i)
+            if off:
+                m = p >= off
+                kk = d[m] * K + (p[m] - off)
             else:
                 kk = d * K + p
             sets.append(kk)
@@ -1058,6 +1071,7 @@ class BM25Searcher:
                 }
             )
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [10] * len(qids)
+        per_query_offsets = [None] * len(qids)  # phrase-mode position gaps
         if self.mode == "blended":
             # synonym groups (list<list<string>> column): each group scores
             # as one pseudo-term (SynonymQuery; pipelines/expand.search_synonyms)
@@ -1077,9 +1091,17 @@ class BM25Searcher:
             else:
                 per_query_terms = [sorted(set(lst or [])) for lst in lists]
         elif self.mode == "phrase":
-            # phrase semantics: token ORDER matters, duplicates kept
+            # phrase semantics: token ORDER matters, duplicates kept; under a
+            # filtering analyzer the pre-filter token indices ride along so
+            # the matcher demands the index's position gaps
+            from remote_vector_index_builder_ray.functions.tokenizer import (
+                analyze_text_positions,
+            )
+
             texts = batch["text"].to_pylist()
-            per_query_terms = [analyze_text(t or "", self._analyzer) for t in texts]
+            analyzed = [analyze_text_positions(t or "", self._analyzer) for t in texts]
+            per_query_terms = [a[0] for a in analyzed]
+            per_query_offsets = [a[1] for a in analyzed]
         else:
             texts = batch["text"].to_pylist()
             per_query_terms = [
@@ -1130,8 +1152,9 @@ class BM25Searcher:
         if self.mode != "blended":
             groups_lists = [None] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups in zip(
-            qids, per_query_terms, ks, afters, denies, groups_lists
+        for qid, terms, k, after, deny, groups, poffs in zip(
+            qids, per_query_terms, ks, afters, denies, groups_lists,
+            per_query_offsets,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -1139,7 +1162,7 @@ class BM25Searcher:
             elif self.mode == "wand":
                 docids, scores = self._score_wand(terms, k)
             elif self.mode == "phrase":
-                docids, scores = self._score_phrase(terms, k)
+                docids, scores = self._score_phrase(terms, k, poffs)
             elif self.mode == "constant":
                 docids, scores = self._score_constant(terms, k, after, deny)
             elif self.mode == "blended":

@@ -8,7 +8,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from remote_vector_index_builder_ray import BuildConfig, build_index, search
-from remote_vector_index_builder_ray.config import AnalyzerConfig, EngineError
+from remote_vector_index_builder_ray.config import AnalyzerConfig
 from remote_vector_index_builder_ray.functions.tokenizer import (
     analyze_column,
     analyze_text,
@@ -84,10 +84,158 @@ def test_analyzer_changes_job_id(smoke_fixture):
     assert a.job_id() == c.job_id()
 
 
-def test_positions_with_analyzer_rejected(smoke_fixture, tmp_path_factory):
+# -- analyzer x positions: Lucene position-increment semantics ---------------
+#
+# A token the analyzer removes still advances the position counter, so the
+# positional index records gaps; phrase queries analyzed with
+# analyze_text_positions demand those gaps. Verified bit-equal against a
+# brute-force oracle implementing exactly these semantics.
+
+
+def _an_corpus(smoke_fixture) -> pd.DataFrame:
+    df = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    df["docid"] = df.index.to_numpy()
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text_positions,
+    )
+
+    an = df["text"].map(lambda t: analyze_text_positions(t or "", AN))
+    df["toks"] = an.map(lambda a: a[0])
+    df["pos"] = an.map(lambda a: a[1])
+    return df
+
+
+def _an_phrase_gold(df: pd.DataFrame, phrase: str, k: int) -> list[tuple[int, float]]:
+    """Brute-force phrase oracle under analyzer AN: term i must sit at
+    base + (off_i - off_0) in the doc's PRE-filter position stream."""
+    from remote_vector_index_builder_ray.functions.bm25 import idf as _idf, tfnorm
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text_positions,
+    )
+
+    p, offs = analyze_text_positions(phrase, AN)
+    if not p:
+        return []
+    offs = [o - offs[0] for o in offs]
+    N = len(df)
+    dls = df["toks"].map(len)
+    avgdl = float(dls.sum()) / N
+    df_map = {t: int(df["toks"].map(lambda tk: t in tk).sum()) for t in set(p)}
+    if any(df_map[t] == 0 for t in p):
+        return []
+    idf_sum = 0.0
+    for t in p:
+        idf_sum += _idf(N, df_map[t])
+    rows = []
+    for docid, tk, tp in zip(df["docid"], df["toks"], df["pos"]):
+        pos_of = {}
+        for t, q in zip(tk, tp):
+            pos_of.setdefault(t, set()).add(q)
+        if any(t not in pos_of for t in p):
+            continue
+        ptf = sum(
+            1
+            for base in pos_of[p[0]]
+            if all(base + o in pos_of[t] for t, o in zip(p[1:], offs[1:]))
+        )
+        if ptf:
+            s = idf_sum * float(
+                tfnorm(np.array([ptf], float), np.array([len(tk)], float),
+                       avgdl, 1.2, 0.75)[0]
+            )
+            rows.append((int(docid), s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+@pytest.fixture(scope="module")
+def an_pos_index(smoke_fixture, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("anpos") / "idx")
-    with pytest.raises(EngineError, match="default analyzer"):
-        build_index(BuildConfig(
-            input_paths=smoke_fixture["transcripts"], index_dir=idx,
-            positions=True, analyzer=AN,
-        ))
+    build_index(BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=idx,
+        num_partitions=2, positions=True, num_buckets=32, analyzer=AN,
+    ))
+    return idx
+
+
+def _phrases_with_gaps(smoke_fixture) -> list[str]:
+    """Raw-token phrases from the fixture that exercise the gap semantics:
+    one spanning a stopword, one pair of adjacent kept tokens, one starting
+    at a stopword."""
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    df = _an_corpus(smoke_fixture)
+    sw = set(AN.stopwords)
+    spanning = adjacent = leading = None
+    for t in df["text"]:
+        raw = tokenize_text(t or "")
+        for i in range(len(raw) - 2):
+            a, b, c = raw[i:i + 3]
+            if spanning is None and a not in sw and len(a) >= 2 \
+                    and (b in sw or len(b) < 2) and c not in sw and len(c) >= 2:
+                spanning = f"{a} {b} {c}"
+            if leading is None and (a in sw) and b not in sw and len(b) >= 2 \
+                    and c not in sw and len(c) >= 2:
+                leading = f"{a} {b} {c}"
+        for i in range(len(raw) - 1):
+            a, b = raw[i:i + 2]
+            if adjacent is None and a not in sw and len(a) >= 2 \
+                    and b not in sw and len(b) >= 2:
+                adjacent = f"{a} {b}"
+        if spanning and adjacent and leading:
+            break
+    assert spanning and adjacent and leading, "fixture lacks phrase shapes"
+    return [spanning, adjacent, leading]
+
+
+def test_analyzed_phrase_gap_identity(smoke_fixture, an_pos_index):
+    df = _an_corpus(smoke_fixture)
+    phrases = _phrases_with_gaps(smoke_fixture)
+    q = pd.DataFrame({
+        "query_id": np.arange(len(phrases), dtype=np.int64),
+        "text": phrases,
+        "k": np.full(len(phrases), 20, dtype=np.int32),
+    })
+    res = (
+        search(an_pos_index, q, mode="phrase").to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for qid, phrase in enumerate(phrases):
+        gold = _an_phrase_gold(df, phrase, 20)
+        got = res[res["query_id"] == qid]
+        assert len(got) == len(gold) > 0, phrase
+        np.testing.assert_array_equal(got["docid"].to_numpy(), [g[0] for g in gold])
+        np.testing.assert_array_equal(got["score"].to_numpy(), [g[1] for g in gold])
+
+
+def test_gap_is_required_not_elastic(smoke_fixture, an_pos_index, tmp_path_factory):
+    """A synthetic pin of the two directions: 'cat hat' (adjacent after
+    analysis) must NOT match 'cat the hat' (gap 2 in the index), and
+    'cat the hat' must match BOTH 'cat the hat' and 'cat of hat' (the gap
+    position's content is unindexed — Lucene behavior) but NOT 'cat hat'."""
+    d = tmp_path_factory.mktemp("gapfix")
+    rows = pd.DataFrame({
+        "conv_id": ["c0", "c1", "c2"],
+        "turn_idx": np.array([0, 0, 0], dtype=np.int32),
+        "role": ["user"] * 3,
+        "text": ["cat the hat xx", "cat hat xx", "cat of hat xx"],
+        "tool": [""] * 3,
+        "ts": pd.to_datetime(["2026-01-01"] * 3).astype("datetime64[us]"),
+    })
+    src = str(d / "t.parquet")
+    rows.to_parquet(src, index=False)
+    idx = str(d / "idx")
+    build_index(BuildConfig(input_paths=[src], index_dir=idx,
+                            positions=True, num_buckets=8, analyzer=AN))
+    q = pd.DataFrame({
+        "query_id": np.array([0, 1], dtype=np.int64),
+        "text": ["cat hat", "cat the hat"],
+        "k": np.array([10, 10], dtype=np.int32),
+    })
+    res = search(idx, q, mode="phrase").to_pandas()
+    # docids follow (conv_id, turn_idx) order: c0=0, c1=1, c2=2
+    adj = set(res[res["query_id"] == 0]["docid"])
+    gap = set(res[res["query_id"] == 1]["docid"])
+    assert adj == {1}, "adjacent phrase must only match the gapless doc"
+    assert gap == {0, 2}, "gapped phrase matches any doc with the gap shape"
