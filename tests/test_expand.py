@@ -75,13 +75,16 @@ def test_expand_wildcard_matches_fnmatch(smoke_index, smoke_oracle):
 
 @pytest.mark.parametrize("osa", [False, True])
 def test_expand_fuzzy_matches_reference(smoke_index, smoke_oracle, osa):
-    for q, pl in [("w000100", 0), ("w000100", 3), ("the", 0)]:
-        got = expand_fuzzy(smoke_index["index_dir"], q, 1, pl, transpositions=osa)
+    # covers both bigram-filter regimes: bound>=1 (filter prunes; results
+    # must still equal brute force) and bound<1 (full length-band scan)
+    for q, pl, d in [("w000100", 0, 1), ("w000100", 3, 1), ("the", 0, 1),
+                     ("w000100", 0, 2), ("w0001", 0, 2)]:
+        got = expand_fuzzy(smoke_index["index_dir"], q, d, pl, transpositions=osa)
         exp = [
             t for t in _vocab(smoke_oracle)
-            if t[:pl] == q[:pl] and _lev_ref(t, q, osa) <= 1
+            if t[:pl] == q[:pl] and _lev_ref(t, q, osa) <= d
         ]
-        assert got == exp and len(got) > 0
+        assert got == exp and len(got) > 0, (q, pl, d)
 
 
 def test_search_prefix_constant_score(smoke_fixture, smoke_index, smoke_oracle):
