@@ -16,11 +16,14 @@ aggs per shard and reduces — this engine does the same with Ray Data:
    pre-aggregated (combiner) into tiny per-batch partial counts.
 4. The partials (queries x buckets rows) reduce driver-side.
 
-Scale note (100 TB): this is the broadcast-semi-join pattern — right while
-Σ|matches| fits a worker heap (8 bytes/match). For pathologically unselective
-queries (a stopword matching half the corpus) the engine-level answer is the
-same as filtered search's: flip polarity or ride a docid-range-partitioned
-shuffle join; the probe is representation-agnostic.
+Scale note (100 TB): this is the broadcast-semi-join pattern, made
+range-local — each query's sorted match set is SHARDED by docid range
+(``_MATCH_SHARD_STRIDE`` docids per shard, one ``ray.put`` per shard) and a
+probe task fetches only the shards overlapping its batch's docid range. The
+docmeta files are docid-ordered, so a task touches O(its slice) of the match
+set rather than Σ|matches| — a stopword matching half the corpus costs each
+probe task only its own range's members. The tiny shard directory
+({shard_id: ObjectRef}) is the only thing every actor holds.
 """
 
 from __future__ import annotations
@@ -30,6 +33,11 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+# docids per match-set shard: one shard's members for one query are at most
+# STRIDE * 8 bytes; with dense docids a 4M stride bounds a worst-case
+# (match-everything) query at 32 MB per shard per query
+_MATCH_SHARD_STRIDE = 1 << 22
 
 
 def _match_sets(index_dir: str, queries, where=None) -> dict[int, np.ndarray]:
@@ -46,14 +54,67 @@ def _match_sets(index_dir: str, queries, where=None) -> dict[int, np.ndarray]:
     }
 
 
+def _shard_match_sets(matches: dict[int, np.ndarray], stride: int | None = None):
+    """Split each query's sorted match array into docid-range shards and
+    ``ray.put`` each shard's {qid: sub-array} dict separately. Returns
+    (shard_refs, qids): a small {shard_id: ObjectRef} directory plus the
+    full query-id list (a query with zero matches still needs empty
+    output semantics)."""
+    if stride is None:
+        stride = _MATCH_SHARD_STRIDE  # resolved at call time (testable)
+    shards: dict[int, dict[int, np.ndarray]] = {}
+    for qid, arr in matches.items():
+        if len(arr) == 0:
+            continue
+        sid = arr // stride
+        bounds = np.flatnonzero(sid[1:] != sid[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        for chunk, s0 in zip(np.split(arr, bounds), sid[starts]):
+            shards.setdefault(int(s0), {})[qid] = chunk
+    return {sid: ray.put(d) for sid, d in shards.items()}, sorted(matches)
+
+
+class _ShardedMatches:
+    """Actor-side view over the sharded match sets: fetches (and caches) only
+    the shards overlapping the docids a batch actually contains."""
+
+    def __init__(self, shard_refs: dict, stride: int):
+        self._refs = shard_refs
+        self._stride = stride
+        self._cache: dict[int, dict[int, np.ndarray]] = {}
+
+    def for_batch(self, ids: np.ndarray) -> dict[int, np.ndarray]:
+        """{qid: sorted docids} restricted to the batch's docid-range shards,
+        concatenated in ascending-shard order (still sorted per query)."""
+        if len(ids) == 0:
+            return {}
+        lo = int(ids.min()) // self._stride
+        hi = int(ids.max()) // self._stride
+        parts: dict[int, list[np.ndarray]] = {}
+        for sid in range(lo, hi + 1):
+            ref = self._refs.get(sid)
+            if ref is None:
+                continue
+            d = self._cache.get(sid)
+            if d is None:
+                d = ray.get(ref)
+                self._cache[sid] = d
+            for qid, arr in d.items():
+                parts.setdefault(qid, []).append(arr)
+        return {
+            qid: (ps[0] if len(ps) == 1 else np.concatenate(ps))
+            for qid, ps in parts.items()
+        }
+
+
 class _ProbeAgg:
     """Per-batch combiner: probe each query's sorted match set against the
     batch's docids, pre-aggregate (bucket key -> count, metric sum) so only
     queries x buckets rows leave the task."""
 
-    def __init__(self, ref, field: str, interval: str | None,
+    def __init__(self, shard_refs, stride, field: str, interval: str | None,
                  metric_field: str | None, ranges=None):
-        self.matches = ray.get(ref)
+        self.matches = _ShardedMatches(shard_refs, stride)
         self.field = field
         self.interval = interval
         self.metric_field = metric_field
@@ -93,7 +154,7 @@ class _ProbeAgg:
             else None
         )
         qids, out_keys, ns, sums = [], [], [], []
-        for qid, arr in self.matches.items():
+        for qid, arr in self.matches.for_batch(ids).items():
             mask = isin_sorted(ids, arr)
             if not mask.any():
                 continue
@@ -139,7 +200,7 @@ def _run_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    ref = ray.put(_match_sets(index_dir, queries, where=where))
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -151,7 +212,8 @@ def _run_agg(
         ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=cols)
         .map_batches(
             _ProbeAgg,
-            fn_constructor_args=(ref, field, interval, metric_field, ranges),
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
+                                 interval, metric_field, ranges),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),
@@ -227,8 +289,8 @@ class _ProbeStats:
     """Per-batch stats partials: (query_id, n, sum, min, max) of a numeric
     docmeta field over the match set — merged associatively driver-side."""
 
-    def __init__(self, ref, field: str):
-        self.matches = ray.get(ref)
+    def __init__(self, shard_refs, stride, field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
         self.field = field
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -240,7 +302,7 @@ class _ProbeStats:
             .to_numpy(zero_copy_only=False).astype(np.int64)
         )
         qids, ns, ss, mns, mxs = [], [], [], [], []
-        for qid, arr in self.matches.items():
+        for qid, arr in self.matches.for_batch(ids).items():
             mask = isin_sorted(ids, arr)
             if not mask.any():
                 continue
@@ -274,7 +336,7 @@ def stats_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    ref = ray.put(_match_sets(index_dir, queries, where=where))
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -285,7 +347,7 @@ def stats_agg(
         ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
         .map_batches(
             _ProbeStats,
-            fn_constructor_args=(ref, field),
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),

@@ -209,10 +209,10 @@ class _ProbeTopField:
     set, keep the batch-local top-k by (field, docid) — only queries x k
     rows leave each task; partials reduce associatively driver-side."""
 
-    def __init__(self, ref, field: str, ascending: bool, k: int):
-        import ray as _ray
+    def __init__(self, shard_refs, stride, field: str, ascending: bool, k: int):
+        from remote_vector_index_builder_ray.pipelines.aggs import _ShardedMatches
 
-        self.matches = _ray.get(ref)
+        self.matches = _ShardedMatches(shard_refs, stride)
         self.field = field
         self.ascending = ascending
         self.k = k
@@ -225,7 +225,7 @@ class _ProbeTopField:
         ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
         vals = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
         qids, docs, out_vals = [], [], []
-        for qid, arr in self.matches.items():
+        for qid, arr in self.matches.for_batch(ids).items():
             mask = isin_sorted(ids, arr)
             if not mask.any():
                 continue
@@ -263,17 +263,20 @@ def search_sorted(
     pattern — only queries x k rows leave each read task). Returns
     (query_id, rank, docid, <sort_field>)."""
     import numpy as np
-    import ray as _ray
     import ray.data
 
-    from remote_vector_index_builder_ray.pipelines.aggs import _match_sets
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        _MATCH_SHARD_STRIDE,
+        _match_sets,
+        _shard_match_sets,
+    )
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
     k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
     k_max = max(k_by_query.values(), default=10)
-    ref = _ray.put(_match_sets(index_dir, q, where=where))
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, q, where=where))
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -286,7 +289,8 @@ def search_sorted(
         )
         .map_batches(
             _ProbeTopField,
-            fn_constructor_args=(ref, sort_field, ascending, k_max),
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, sort_field,
+                                 ascending, k_max),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),

@@ -124,3 +124,51 @@ def test_stats_agg_matches_brute_force(smoke_fixture, smoke_index):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_sharded_match_sets_roundtrip():
+    """_shard_match_sets + _ShardedMatches.for_batch reconstruct exactly the
+    original per-query subsets for any batch docid range, across shard
+    boundaries (small stride so multiple shards exist)."""
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        _ShardedMatches,
+        _shard_match_sets,
+    )
+
+    rng = np.random.default_rng(11)
+    matches = {
+        0: np.sort(rng.choice(1000, size=400, replace=False)).astype(np.int64),
+        1: np.sort(rng.choice(1000, size=3, replace=False)).astype(np.int64),
+        2: np.empty(0, dtype=np.int64),
+    }
+    refs, qids = _shard_match_sets(matches, stride=100)
+    assert qids == [0, 1, 2]
+    sm = _ShardedMatches(refs, 100)
+    for lo, hi in [(0, 1000), (50, 250), (199, 201), (990, 1100), (37, 37)]:
+        ids = np.arange(lo, hi + 1, dtype=np.int64)
+        got = sm.for_batch(ids)
+        for qid, arr in matches.items():
+            # every original member in [shard(lo), shard(hi)] must be present
+            want = arr[(arr >= (lo // 100) * 100) & (arr < (hi // 100 + 1) * 100)]
+            have = got.get(qid, np.empty(0, np.int64))
+            np.testing.assert_array_equal(have, want)
+            assert (np.diff(have) > 0).all()  # still sorted for isin_sorted
+
+
+def test_terms_agg_multi_shard_identity(smoke_fixture, smoke_index, monkeypatch):
+    """The agg result is stride-independent: force a tiny shard stride so
+    the fixture spans many shards and compare against the default run."""
+    import remote_vector_index_builder_ray.pipelines.aggs as aggs_mod
+
+    base = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
+                     metric_field="doc_len")
+    monkeypatch.setattr(aggs_mod, "_MATCH_SHARD_STRIDE", 64)
+    # the tiny stride must actually produce multiple shards on this fixture
+    ms = aggs_mod._match_sets(smoke_index["index_dir"], QUERIES)
+    refs, _ = aggs_mod._shard_match_sets(ms)
+    assert len(refs) > 1
+    tiny = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
+                     metric_field="doc_len")
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), tiny.reset_index(drop=True)
+    )
