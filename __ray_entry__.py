@@ -847,6 +847,54 @@ def _q_bm25_stats_agg(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_cardinality(sf_dir: str):
+    """OpenSearch cardinality aggregation (exact mode) over each query's
+    full match set: distinct conversations matched
+    (pipelines/aggs.cardinality_agg; HLL mode is the pytest-checked 100 TB
+    path)."""
+    from remote_vector_index_builder_ray import cardinality_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = cardinality_agg(index_dir, pd.read_parquet(fx["queries"]),
+                          field="conv_id", exact=True)
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_percentiles(sf_dir: str):
+    """OpenSearch percentiles aggregation (nearest-rank, discrete) of
+    doc_len over each query's full match set
+    (pipelines/aggs.percentiles_agg)."""
+    from remote_vector_index_builder_ray import percentiles_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = percentiles_agg(index_dir, pd.read_parquet(fx["queries"]),
+                          field="doc_len", percents=(25, 50, 75, 95, 99))
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_top_hits(sf_dir: str):
+    """OpenSearch top_hits sub-aggregation under a terms(role) bucket: the
+    2 best BM25 hits per (query, role) (pipelines/aggs.top_hits_agg)."""
+    from remote_vector_index_builder_ray import top_hits_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = top_hits_agg(index_dir, pd.read_parquet(fx["queries"]),
+                       field="role", size=2)
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_sig_terms(sf_dir: str):
+    """OpenSearch significant_terms aggregation (JLH score): terms over-
+    represented in each query's match set vs the corpus, top 10
+    (pipelines/aggs.significant_terms_agg)."""
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = significant_terms_agg(index_dir, pd.read_parquet(fx["queries"]),
+                                size=10)
+    return out.reset_index(drop=True)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -1137,6 +1185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sorted": _q_bm25_sorted,
         "bm25_range_agg": _q_bm25_range_agg,
         "bm25_stats_agg": _q_bm25_stats_agg,
+        "bm25_cardinality": _q_bm25_cardinality,
+        "bm25_percentiles": _q_bm25_percentiles,
+        "bm25_top_hits": _q_bm25_top_hits,
+        "bm25_sig_terms": _q_bm25_sig_terms,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -2233,6 +2285,131 @@ SELECT m.query_id, count(*)::BIGINT AS n_docs,
 FROM m JOIN dl USING (docid)
 GROUP BY m.query_id
 ORDER BY m.query_id
+"""
+    # cardinality: exact distinct conversations per query's match set
+    out["bm25_cardinality"] = f"""
+WITH {docs}, {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, count(DISTINCT d.conv_id)::BIGINT AS n_distinct
+FROM m JOIN docs d USING (docid)
+GROUP BY m.query_id
+ORDER BY m.query_id
+"""
+    # percentiles: nearest-rank (value at index ceil(p/100 * n), 1-based) of
+    # doc_len over the match set — the smallest value whose cumulative count
+    # reaches the target rank
+    out["bm25_percentiles"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+counts AS (
+    SELECT m.query_id, dl.dl AS value, count(*)::BIGINT AS c
+    FROM m JOIN dl USING (docid) GROUP BY 1, 2
+),
+tot AS (SELECT query_id, sum(c)::BIGINT AS n FROM counts GROUP BY query_id),
+cum AS (
+    SELECT query_id, value,
+           sum(c) OVER (PARTITION BY query_id ORDER BY value) AS cc
+    FROM counts
+),
+pcts AS (SELECT unnest([25, 50, 75, 95, 99]) AS percent),
+tgt AS (
+    SELECT query_id, percent, ceil(n * percent / 100.0) AS need
+    FROM tot CROSS JOIN pcts
+)
+SELECT t.query_id, t.percent::BIGINT AS percent, min(c.value)::BIGINT AS value
+FROM tgt t JOIN cum c ON c.query_id = t.query_id AND c.cc >= t.need
+GROUP BY t.query_id, t.percent
+ORDER BY t.query_id, t.percent
+"""
+    # top_hits under terms(role): 2 best BM25 hits per (query, role) by
+    # (half-up-rounded score desc, docid asc)
+    out["bm25_top_hits"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+lab AS (
+    SELECT sc.query_id, d.role AS key, sc.docid,
+           floor(sc.score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN docs d USING (docid)
+),
+ranked AS (
+    SELECT query_id, key, docid, score,
+           row_number() OVER (PARTITION BY query_id, key
+                              ORDER BY score DESC, docid) AS rank
+    FROM lab
+)
+SELECT query_id, key, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= 2
+ORDER BY query_id, key, rank
+"""
+    # significant_terms (JLH): fg doc-rate vs corpus doc-rate per term,
+    # score = (fg_rate - bg_rate) * (fg_rate / bg_rate), top 10 per query
+    out["bm25_sig_terms"] = f"""
+WITH {docs}, {_TOKS},
+tset AS MATERIALIZED (SELECT DISTINCT docid, term FROM toks),
+bg AS MATERIALIZED (SELECT term, count(*)::BIGINT AS bg FROM tset GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+fgt AS (SELECT query_id, count(*)::DOUBLE AS f FROM m GROUP BY query_id),
+fg AS (
+    SELECT m.query_id, ts.term, count(*)::BIGINT AS fg
+    FROM m JOIN tset ts USING (docid) GROUP BY 1, 2
+),
+scored AS (
+    SELECT fg.query_id, fg.term, fg.fg, bg.bg,
+           floor(((fg.fg / fgt.f) - (bg.bg / nn.n))
+                 * ((fg.fg / fgt.f) / (bg.bg / nn.n)) * 1000000 + 0.5) / 1000000 AS score
+    FROM fg JOIN bg USING (term) JOIN fgt USING (query_id) CROSS JOIN nn
+),
+ranked AS (
+    SELECT query_id, term, fg, bg, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, term) AS r
+    FROM scored
+)
+SELECT query_id, term, fg AS fg_docs, bg AS bg_docs, score
+FROM ranked WHERE r <= 10
+ORDER BY query_id, r
 """
     out["bm25_date_histogram"] = f"""
 WITH docs AS MATERIALIZED (

@@ -30,10 +30,14 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     global_stats,
 )
 from remote_vector_index_builder_ray.pipelines.aggs import (
+    cardinality_agg,
     date_histogram,
+    percentiles_agg,
     range_agg,
+    significant_terms_agg,
     stats_agg,
     terms_agg,
+    top_hits_agg,
 )
 from remote_vector_index_builder_ray.functions.metrics import rank_eval
 from remote_vector_index_builder_ray.pipelines.expand import (
@@ -89,4 +93,8 @@ __all__ = [
     "stats_agg",
     "suggest_terms",
     "terms_agg",
+    "cardinality_agg",
+    "percentiles_agg",
+    "significant_terms_agg",
+    "top_hits_agg",
 ]

@@ -132,6 +132,10 @@ class _ProbeAgg:
         keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
         if self.interval == "day":
             keys = keys.astype("datetime64[D]").astype("datetime64[us]")
+        elif self.interval == "histogram":
+            # value-count histogram partials (percentiles_agg): the raw
+            # integer value IS the bucket key
+            keys = keys.astype(np.int64)
         elif self.interval is not None:
             raise ValueError(f"unsupported interval {self.interval!r}")
         if self.ranges is not None:
@@ -177,7 +181,12 @@ class _ProbeAgg:
             out_keys.extend(g.index.tolist())
             ns.extend(g["n"].tolist())
             sums.extend(g["s"].tolist())
-        key_type = pa.timestamp("us") if self.interval else pa.string()
+        if self.interval == "histogram":
+            key_type = pa.int64()
+        elif self.interval:
+            key_type = pa.timestamp("us")
+        else:
+            key_type = pa.string()
         return pa.table(
             {
                 "query_id": pa.array(qids, type=pa.int64()),
@@ -380,4 +389,554 @@ def stats_agg(
             f"avg_{field}": np.floor(avg * 1e6 + 0.5) / 1e6,
         }
     )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cardinality aggregation
+# ---------------------------------------------------------------------------
+
+
+class _ProbeDistinct:
+    """Per-batch partial for exact cardinality: the DISTINCT matched values
+    per query leave each task (the per-batch dedup is the combiner; the
+    final dedup is driver-side). Exact distinct-count is inherently a
+    shuffle of the distinct values — the approximate path below is the one
+    whose partials stay O(registers)."""
+
+    def __init__(self, shard_refs, stride, field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = batch[self.field].combine_chunks()
+        qids, out_vals = [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            vv = vals.filter(pa.array(mask)).unique().to_pylist()
+            qids.extend([qid] * len(vv))
+            out_vals.extend(vv)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "value": pa.array(out_vals, type=vals.type),
+            }
+        )
+
+
+# HyperLogLog with 2^P registers; the standard bias-corrected estimator
+# (Flajolet et al.) with the small-range linear-counting correction.
+_HLL_P = 14
+
+
+def _hll_rho(hashes: np.ndarray, p: int):
+    """(register index, rank) per hash: index = top p bits, rank = leading
+    zeros of the remaining 64-p bits + 1 — all vectorized."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # remaining bits, MSB-aligned
+    # leading zero count via float64 exponent is unsafe at 64-bit; do it with
+    # a descending bit test accumulation (6 passes)
+    rho = np.ones(len(hashes), dtype=np.int64)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        high = cur >> np.uint64(64 - shift)
+        zero_high = high == 0
+        rho = np.where(zero_high, rho + shift, rho)
+        cur = np.where(zero_high, cur << np.uint64(shift), cur)
+    rho = np.minimum(rho, 64 - p + 1)
+    return idx, rho
+
+
+class _ProbeHLL:
+    """Per-batch HLL partial: (query_id, register, max rank) rows — at most
+    queries x 2^P tiny rows per task regardless of match-set size. Register
+    maxima merge associatively driver-side."""
+
+    def __init__(self, shard_refs, stride, field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = batch[self.field].combine_chunks()
+        # deterministic 64-bit value hash (shared across tasks/processes)
+        hashed = pd.util.hash_array(
+            vals.to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        qids, regs, rhos = [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            idx, rho = _hll_rho(hashed[mask], _HLL_P)
+            reg_max = np.zeros(1 << _HLL_P, dtype=np.int64)
+            np.maximum.at(reg_max, idx, rho)
+            nz = np.flatnonzero(reg_max)
+            qids.extend([qid] * len(nz))
+            regs.extend(nz.tolist())
+            rhos.extend(reg_max[nz].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "register": pa.array(regs, type=pa.int64()),
+                "rho": pa.array(rhos, type=pa.int64()),
+            }
+        )
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    m = float(len(reg))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def cardinality_agg(
+    index_dir: str,
+    queries,
+    field: str = "conv_id",
+    exact: bool = True,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `cardinality` aggregation over each query's full match
+    set: distinct values of the docmeta ``field``. ``exact=True`` (default,
+    the SQL-checkable mode) ships per-batch DISTINCT values and dedups
+    driver-side; ``exact=False`` runs HyperLogLog (2^14 registers, the
+    OpenSearch default precision) whose partials are O(registers) per task —
+    the 100 TB path, accuracy ~0.8%. Returns (query_id, n_distinct)."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    matches = _match_sets(index_dir, queries, where=where)
+    shard_refs, qid_list = _shard_match_sets(matches)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    cls = _ProbeDistinct if exact else _ProbeHLL
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            cls,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for qid in qid_list:
+        part = partials[partials["query_id"] == qid] if len(partials) else partials
+        if len(matches.get(qid, ())) == 0 or part.empty:
+            continue
+        if exact:
+            n = int(part["value"].nunique())
+        else:
+            reg = np.zeros(1 << _HLL_P, dtype=np.int64)
+            np.maximum.at(
+                reg,
+                part["register"].to_numpy(np.int64),
+                part["rho"].to_numpy(np.int64),
+            )
+            n = int(np.floor(_hll_estimate(reg) + 0.5))
+        rows.append((qid, n))
+    return pd.DataFrame(rows, columns=["query_id", "n_distinct"]).astype(
+        {"query_id": np.int64, "n_distinct": np.int64}
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentiles aggregation
+# ---------------------------------------------------------------------------
+
+
+def percentiles_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    percents: tuple = (25, 50, 75, 95, 99),
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `percentiles` aggregation over each query's full match
+    set, with NEAREST-RANK semantics (the value at index ceil(p/100 * n) of
+    the sorted values — discrete, no interpolation, so the result is
+    bit-stable and SQL-checkable; OpenSearch's t-digest is approximate).
+    Partials are per-batch (value -> count) histograms — tiny for bounded
+    integer fields like doc_len — merged driver-side. Returns
+    (query_id, percent, value)."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeAgg,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
+                                 "histogram", None, None),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "percent": pd.Series(dtype=np.int64),
+        "value": pd.Series(dtype=np.int64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    hist = (
+        partials.groupby(["query_id", "key"], sort=True)["n"].sum().reset_index()
+    )
+    rows = []
+    for qid, g in hist.groupby("query_id", sort=True):
+        v = g["key"].to_numpy(np.int64)      # sorted by the groupby
+        c = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        for p in percents:
+            target = -(-n * int(p) // 100)   # ceil(n*p/100), integer math
+            i = int(np.searchsorted(cum, target, side="left"))
+            rows.append((int(qid), int(p), int(v[i])))
+    return pd.DataFrame(rows, columns=["query_id", "percent", "value"]).astype(
+        {"query_id": np.int64, "percent": np.int64, "value": np.int64}
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_hits aggregation (per-bucket best hits)
+# ---------------------------------------------------------------------------
+
+
+def _match_sets_scored(index_dir: str, queries, where=None):
+    """{qid: (sorted docids, aligned BM25 scores)} — the exhaustive scorer at
+    k=INT32_MAX; the per-query arrays are docid-sorted so the probe can
+    searchsorted scores for its batch's members."""
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    q["k"] = np.int32(2**31 - 1)
+    res = search(index_dir, q, mode="exhaustive", where=where).to_pandas()
+    out = {}
+    for qid, g in res.groupby("query_id"):
+        d = g["docid"].to_numpy(np.int64)
+        s = g["score"].to_numpy(np.float64)
+        o = np.argsort(d)
+        out[int(qid)] = (d[o], s[o])
+    return out
+
+
+def _shard_scored_sets(scored: dict, stride: int | None = None):
+    """Docid-range sharding of {qid: (docids, scores)} — the scored twin of
+    ``_shard_match_sets``."""
+    if stride is None:
+        stride = _MATCH_SHARD_STRIDE
+    shards: dict[int, dict[int, tuple]] = {}
+    for qid, (arr, sc) in scored.items():
+        if len(arr) == 0:
+            continue
+        sid = arr // stride
+        bounds = np.flatnonzero(sid[1:] != sid[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        for d_chunk, s_chunk, s0 in zip(
+            np.split(arr, bounds), np.split(sc, bounds), sid[starts]
+        ):
+            shards.setdefault(int(s0), {})[qid] = (d_chunk, s_chunk)
+    return {sid: ray.put(d) for sid, d in shards.items()}, sorted(scored)
+
+
+class _ShardedScored(_ShardedMatches):
+    def for_batch(self, ids: np.ndarray) -> dict[int, tuple]:
+        if len(ids) == 0:
+            return {}
+        lo = int(ids.min()) // self._stride
+        hi = int(ids.max()) // self._stride
+        parts: dict[int, list[tuple]] = {}
+        for sid in range(lo, hi + 1):
+            ref = self._refs.get(sid)
+            if ref is None:
+                continue
+            d = self._cache.get(sid)
+            if d is None:
+                d = ray.get(ref)
+                self._cache[sid] = d
+            for qid, pair in d.items():
+                parts.setdefault(qid, []).append(pair)
+        return {
+            qid: (
+                ps[0]
+                if len(ps) == 1
+                else (
+                    np.concatenate([p[0] for p in ps]),
+                    np.concatenate([p[1] for p in ps]),
+                )
+            )
+            for qid, ps in parts.items()
+        }
+
+
+class _ProbeTopHits:
+    """Per-batch combiner for top_hits: per (query, bucket key) keep the
+    batch-local top-``size`` hits by (rounded score desc, docid asc) — only
+    queries x buckets x size rows leave each task."""
+
+    def __init__(self, shard_refs, stride, field: str, size: int):
+        self.matches = _ShardedScored(shard_refs, stride)
+        self.field = field
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        qids, out_keys, docs, scores = [], [], [], []
+        for qid, (arr, sc) in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            d = ids[mask]
+            s = sc[np.searchsorted(arr, d)]
+            kk = keys[mask]
+            sr = np.floor(s * 1e6 + 0.5) / 1e6  # same half-up as the reduce
+            df = pd.DataFrame({"key": kk, "docid": d, "score": s, "sr": sr})
+            df = df.sort_values(["key", "sr", "docid"],
+                                ascending=[True, False, True])
+            top = df.groupby("key", sort=False).head(self.size)
+            qids.extend([qid] * len(top))
+            out_keys.extend(top["key"].tolist())
+            docs.extend(top["docid"].tolist())
+            scores.extend(top["score"].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "key": pa.array(out_keys, type=pa.string()),
+                "docid": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def top_hits_agg(
+    index_dir: str,
+    queries,
+    field: str = "role",
+    size: int = 2,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `top_hits` sub-aggregation under a `terms` bucket: for each
+    query and each distinct value of the docmeta ``field``, the ``size``
+    best hits by BM25 (rounded-score desc, docid asc — the engine's
+    deterministic order). Scored match sets shard by docid range; docmeta
+    streams once through a per-batch top-``size`` combiner; partials reduce
+    driver-side. Returns (query_id, key, rank, docid, score) with score
+    rounded half-up to 6 decimals."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _ = _shard_scored_sets(_match_sets_scored(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeTopHits,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field, size),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "key": pd.Series(dtype=object),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    # half-up 6-decimal rounding on BOTH engines (numpy round is half-even)
+    partials["score"] = np.floor(partials["score"] * 1e6 + 0.5) / 1e6
+    partials = partials.sort_values(
+        ["query_id", "key", "score", "docid"],
+        ascending=[True, True, False, True],
+    )
+    partials["rank"] = partials.groupby(["query_id", "key"]).cumcount() + 1
+    out = partials[partials["rank"] <= size].reset_index(drop=True)
+    return out[["query_id", "key", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    )
+
+
+# ---------------------------------------------------------------------------
+# significant_terms aggregation
+# ---------------------------------------------------------------------------
+
+
+class _ProbeSigTerms:
+    """Per-batch partial for significant_terms: per query, the number of
+    MATCHED docs in this batch containing each term — (query_id, term,
+    fg) rows. The batch tokenizes ONCE; per-query counting is numpy over
+    dictionary codes."""
+
+    def __init__(self, shard_refs, stride, analyzer):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.analyzer = analyzer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.functions.tokenizer import analyze_column
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        by_query = self.matches.for_batch(ids)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "fg": pa.array([], type=pa.int64()),
+            }
+        )
+        if not by_query:
+            return empty
+        tokens, doc_index, _dl = analyze_column(batch["text"], self.analyzer)
+        if len(tokens) == 0:
+            return empty
+        dicted = tokens.dictionary_encode()
+        if isinstance(dicted, pa.ChunkedArray):
+            dicted = dicted.combine_chunks()
+        codes = dicted.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dicted.dictionary
+        # distinct (term, row) pairs: a term counts once per containing doc
+        pair = np.unique((codes << np.int64(32)) | doc_index)
+        p_code = (pair >> np.int64(32)).astype(np.int64)
+        p_row = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        qids, terms, fgs = [], [], []
+        for qid, arr in by_query.items():
+            mask = isin_sorted(ids, arr)
+            sel = mask[p_row]
+            if not sel.any():
+                continue
+            cnt = np.bincount(p_code[sel], minlength=len(vocab))
+            nz = np.flatnonzero(cnt)
+            qids.extend([qid] * len(nz))
+            terms.extend(vocab.take(pa.array(nz)).to_pylist())
+            fgs.extend(cnt[nz].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "fg": pa.array(fgs, type=pa.int64()),
+            }
+        )
+
+
+def significant_terms_agg(
+    index_dir: str,
+    queries,
+    size: int = 10,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `significant_terms` aggregation with the JLH score: terms
+    whose frequency in a query's match set (foreground) is anomalously high
+    vs the corpus (background). score = (fg_rate - bg_rate) * (fg_rate /
+    bg_rate) with fg_rate = fg_docs/|matches|, bg_rate = df/N. Foreground
+    counts stream from docmeta (one tokenize pass per batch, per-query
+    numpy counting); background df comes from the cached term dictionary
+    (pipelines/expand._get_dict). Top ``size`` terms per query by
+    (score desc, term asc); score rounded half-up to 6 decimals. Returns
+    (query_id, term, fg_docs, bg_docs, score).
+
+    Scale note: partial rows are (query x distinct matched term) per task —
+    for pathologically unselective queries OpenSearch bounds this with its
+    sampler agg; the analog here is a ``where`` filter or query-side
+    sampling before the probe."""
+    from remote_vector_index_builder_ray.functions.tokenizer import load_analyzer
+    from remote_vector_index_builder_ray.pipelines.expand import _get_dict
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    matches = _match_sets(index_dir, queries, where=where)
+    shard_refs, qid_list = _shard_match_sets(matches)
+    analyzer = load_analyzer(index_dir)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", "text"])
+        .map_batches(
+            _ProbeSigTerms,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, analyzer),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "term": pd.Series(dtype=object),
+        "fg_docs": pd.Series(dtype=np.int64),
+        "bg_docs": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    st = fs.read_json(fs.join(index_dir, "stats.json"))
+    N = float(st["N"])
+    td = _get_dict(index_dir)
+    fg = (
+        partials.groupby(["query_id", "term"], sort=True)["fg"].sum().reset_index()
+    )
+    # background df lookup on the sorted dictionary
+    pos = np.searchsorted(td.terms, fg["term"].to_numpy(np.str_))
+    bg = td.df[pos].astype(np.float64)
+    fg_total = fg["query_id"].map({q: float(len(matches[q])) for q in qid_list})
+    fg_rate = fg["fg"].astype(np.float64) / fg_total
+    bg_rate = bg / N
+    score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    out = pd.DataFrame(
+        {
+            "query_id": fg["query_id"].astype(np.int64),
+            "term": fg["term"],
+            "fg_docs": fg["fg"].astype(np.int64),
+            "bg_docs": bg.astype(np.int64),
+            "score": np.floor(score * 1e6 + 0.5) / 1e6,
+        }
+    )
+    out = out.sort_values(["query_id", "score", "term"],
+                          ascending=[True, False, True])
+    out = out.groupby("query_id", sort=True).head(size).reset_index(drop=True)
     return out

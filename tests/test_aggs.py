@@ -172,3 +172,120 @@ def test_terms_agg_multi_shard_identity(smoke_fixture, smoke_index, monkeypatch)
     pd.testing.assert_frame_equal(
         base.reset_index(drop=True), tiny.reset_index(drop=True)
     )
+
+
+# -- new aggregations: cardinality / percentiles / top_hits / significant ----
+
+
+def test_cardinality_exact_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import cardinality_agg
+
+    df = _src(smoke_fixture)
+    got = cardinality_agg(smoke_index["index_dir"], QUERIES, field="conv_id")
+    rows = [
+        (int(q.query_id), int(_match(df, q.text)["conv_id"].nunique()))
+        for q in QUERIES.itertuples(index=False)
+        if len(_match(df, q.text))
+    ]
+    exp = pd.DataFrame(rows, columns=["query_id", "n_distinct"]).astype(
+        {"query_id": np.int64, "n_distinct": np.int64}
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_cardinality_hll_close_to_exact(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import cardinality_agg
+
+    exact = cardinality_agg(smoke_index["index_dir"], QUERIES, field="conv_id")
+    approx = cardinality_agg(smoke_index["index_dir"], QUERIES,
+                             field="conv_id", exact=False)
+    m = exact.merge(approx, on="query_id", suffixes=("_e", "_a"))
+    assert len(m) == len(exact) > 0
+    err = (m["n_distinct_a"] - m["n_distinct_e"]).abs() / m["n_distinct_e"]
+    assert (err < 0.03).all(), m
+
+
+def test_percentiles_nearest_rank(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import percentiles_agg
+
+    df = _src(smoke_fixture)
+    pcts = (25, 50, 75, 95, 99)
+    got = percentiles_agg(smoke_index["index_dir"], QUERIES,
+                          field="doc_len", percents=pcts)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        vals = np.sort(_match(df, q.text)["doc_len"].to_numpy(np.int64))
+        n = len(vals)
+        if n == 0:
+            continue
+        for p in pcts:
+            rows.append((int(q.query_id), int(p), int(vals[-(-n * p // 100) - 1])))
+    exp = pd.DataFrame(rows, columns=["query_id", "percent", "value"]).astype(
+        {"query_id": np.int64, "percent": np.int64, "value": np.int64}
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_top_hits_matches_oracle(smoke_fixture, smoke_index, smoke_oracle):
+    from remote_vector_index_builder_ray import top_hits_agg
+
+    df = _src(smoke_fixture)
+    size = 2
+    got = top_hits_agg(smoke_index["index_dir"], QUERIES, field="role", size=size)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        scores = smoke_oracle.score_query(q.text or "")
+        if not scores:
+            continue
+        sub = pd.DataFrame({"docid": list(scores), "score": list(scores.values())})
+        sub["score"] = np.floor(sub["score"] * 1e6 + 0.5) / 1e6
+        sub = sub.merge(df[["docid", "role"]], on="docid")
+        sub = sub.sort_values(["role", "score", "docid"],
+                              ascending=[True, False, True])
+        sub["rank"] = sub.groupby("role").cumcount() + 1
+        sub = sub[sub["rank"] <= size]
+        for r in sub.itertuples(index=False):
+            rows.append((int(q.query_id), r.role, int(r.rank), int(r.docid),
+                         float(r.score)))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "key", "rank", "docid", "score"]
+    ).astype({"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+              "score": np.float64})
+    got = got.sort_values(["query_id", "key", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["query_id", "key", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_significant_terms_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    df = _src(smoke_fixture)
+    N = float(len(df))
+    size = 10
+    got = significant_terms_agg(smoke_index["index_dir"], QUERIES, size=size)
+    # background df
+    from collections import Counter
+    bg = Counter()
+    for toks in df["toks"]:
+        bg.update(toks)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        fg = Counter()
+        for toks in m["toks"]:
+            fg.update(toks)
+        fgt = float(len(m))
+        recs = []
+        for t, c in fg.items():
+            fr, br = c / fgt, bg[t] / N
+            recs.append((t, c, bg[t], float(np.floor((fr - br) * (fr / br) * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[3], r[0]))
+        for t, c, b_, s in recs[:size]:
+            rows.append((int(q.query_id), t, int(c), int(b_), s))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "term", "fg_docs", "bg_docs", "score"]
+    ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
+              "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
