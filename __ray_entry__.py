@@ -895,6 +895,56 @@ def _q_bm25_sig_terms(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _ensure_mm(sf_dir: str):
+    """multi_match prerequisites: a second index over the ``tool`` field
+    (same rows and (conv_id, turn_idx) order, so the docid space is shared)
+    and a deterministic mixed-field query artifact (original query text + a
+    cycling tool name) the DuckDB twin reads verbatim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import BuildConfig
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    name = _sf_name(sf_dir)
+    tool_src = os.path.join(ARTIFACT_ROOT, f"{name}_tool_transcripts.parquet")
+    if not os.path.exists(tool_src):
+        src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+        src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+        derived = src.copy()
+        derived["text"] = derived["tool"]
+        _write_atomic(pa.Table.from_pandas(derived, preserve_index=False), tool_src)
+    tool_idx = os.path.join(INDEX_ROOT, f"{name}_tool")
+    _build_fresh_on_collision(BuildConfig(
+        input_paths=[tool_src], index_dir=tool_idx, num_buckets=32,
+    ))
+    mm_q = os.path.join(ARTIFACT_ROOT, f"{name}_mm_queries.parquet")
+    if not os.path.exists(mm_q):
+        src = pq.read_table(tool_src, columns=["tool"]).to_pandas()
+        tools = sorted(t for t in set(src["tool"]) if t)[:4]
+        q = pd.read_parquet(fx["queries"])
+        q["text"] = [
+            f"{t} {tools[int(qid) % len(tools)]}"
+            for qid, t in zip(q["query_id"], q["text"])
+        ]
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), mm_q)
+    return index_dir, tool_idx, mm_q
+
+
+def _q_bm25_multi_match(sf_dir: str):
+    """OpenSearch multi_match best_fields over (text, tool) field indexes
+    with tie_breaker=0.3 (pipelines/query.search_multi_match): per doc,
+    max(field BM25 scores) + 0.3 * residual — Lucene DisMax over fields."""
+    from remote_vector_index_builder_ray import search_multi_match
+
+    index_dir, tool_idx, mm_q = _ensure_mm(sf_dir)
+    out = search_multi_match(
+        {"text": index_dir, "tool": tool_idx},
+        pd.read_parquet(mm_q), tie_breaker=0.3,
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -1189,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_top_hits": _q_bm25_top_hits,
         "bm25_sig_terms": _q_bm25_sig_terms,
+        "bm25_multi_match": _q_bm25_multi_match,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -2376,6 +2427,74 @@ ranked AS (
 SELECT query_id, key, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= 2
 ORDER BY query_id, key, rank
+"""
+    # multi_match best_fields over (text, tool): per-field BM25 with each
+    # field's OWN corpus stats (dl/avgdl/df per field, N shared), combined
+    # per doc as max + 0.3 * (sum - max); mixed-field queries from the
+    # persisted artifact
+    mm_q_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_mm_queries.parquet")
+    out["bm25_multi_match"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+tx AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM docs
+),
+tl AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(tool), '[a-z0-9_]+')) AS term FROM docs
+),
+tf_x AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tx GROUP BY 1, 2),
+tf_l AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tl GROUP BY 1, 2),
+dl_x AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tx GROUP BY docid),
+dl_l AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tl GROUP BY docid),
+df_x AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_x GROUP BY term),
+df_l AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_l GROUP BY term),
+st_x AS (SELECT n.n_docs, (SELECT count(*) FROM tx)::DOUBLE / n.n_docs AS avgdl FROM ndocs n),
+st_l AS (SELECT n.n_docs, (SELECT count(*) FROM tl)::DOUBLE / n.n_docs AS avgdl FROM ndocs n),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mm_q_pq}')
+),
+sc_x AS (
+    SELECT q.query_id, any_value(q.k) AS k, t.docid,
+           sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM q JOIN tf_x t USING (term) JOIN df_x d USING (term)
+    JOIN dl_x l ON t.docid = l.docid CROSS JOIN st_x s
+    GROUP BY q.query_id, t.docid
+),
+sc_l AS (
+    SELECT q.query_id, any_value(q.k) AS k, t.docid,
+           sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM q JOIN tf_l t USING (term) JOIN df_l d USING (term)
+    JOIN dl_l l ON t.docid = l.docid CROSS JOIN st_l s
+    GROUP BY q.query_id, t.docid
+),
+u AS (
+    SELECT query_id, k, docid, score FROM sc_x
+    UNION ALL
+    SELECT query_id, k, docid, score FROM sc_l
+),
+comb AS (
+    SELECT query_id, any_value(k) AS k, docid,
+           floor((max(score) + 0.3 * (sum(score) - max(score))) * 1000000 + 0.5)
+               / 1000000 AS score
+    FROM u GROUP BY query_id, docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS rank
+    FROM comb
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
 """
     # significant_terms (JLH): fg doc-rate vs corpus doc-rate per term,
     # score = (fg_rate - bg_rate) * (fg_rate / bg_rate), top 10 per query

@@ -59,6 +59,7 @@ from remote_vector_index_builder_ray.pipelines.query import (
     highlight,
     hydrate,
     search,
+    search_multi_match,
     search_sorted,
 )
 
@@ -90,6 +91,7 @@ __all__ = [
     "search_synonyms",
     "search_terms",
     "search_wildcard",
+    "search_multi_match",
     "stats_agg",
     "suggest_terms",
     "terms_agg",

@@ -451,3 +451,58 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     )
     meta = dm.to_pandas()
     return res.merge(meta, on="docid", how="left")
+
+
+def search_multi_match(
+    index_dirs: dict[str, str],
+    queries,
+    tie_breaker: float = 0.0,
+    round6: bool = True,
+) -> pd.DataFrame:
+    """OpenSearch ``multi_match`` (type=best_fields) across per-field
+    indexes: each field of a document is indexed as its own corpus (same
+    docid space — both builds read the same transcripts under the same
+    (conv_id, turn_idx) order), the query scores against every field index,
+    and per doc ``score = max(field scores) + tie_breaker * (sum - max)``
+    — Lucene's DisjunctionMaxQuery over per-field BM25, which is exactly
+    what best_fields compiles to. Returns (query_id, rank, docid, score),
+    top-k per the queries' ``k`` column.
+
+    Scale note: each field search is the engine's normal streaming search;
+    the combine is driver-side over the union of full match sets (the same
+    Σ|matches| envelope as the aggregation match-set step, documented
+    there). ``round6`` applies the engine's half-up 6-decimal policy before
+    ranking so the order is cross-engine reproducible."""
+    import numpy as np
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    qfull = q.copy()
+    qfull["k"] = np.int32(2**31 - 1)
+    parts = []
+    for field, idx in sorted(index_dirs.items()):
+        r = search(idx, qfull, mode="exhaustive").to_pandas()
+        if "docid" in r.columns:  # zero matches: Ray yields a column-less frame
+            parts.append(r[["query_id", "docid", "score"]])
+    allp = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+    if allp.empty:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype=np.int64),
+             "rank": pd.Series(dtype=np.int32),
+             "docid": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+    g = allp.groupby(["query_id", "docid"], sort=False)["score"]
+    comb = g.agg(mx="max", sm="sum").reset_index()
+    comb["score"] = comb["mx"] + tie_breaker * (comb["sm"] - comb["mx"])
+    if round6:
+        comb["score"] = np.floor(comb["score"] * 1e6 + 0.5) / 1e6
+    comb = comb.sort_values(["query_id", "score", "docid"],
+                            ascending=[True, False, True])
+    comb["rank"] = comb.groupby("query_id").cumcount() + 1
+    comb["k"] = comb["query_id"].map(k_by_query)
+    out = comb[comb["rank"] <= comb["k"]]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
