@@ -945,6 +945,62 @@ def _q_bm25_multi_match(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _ensure_pp_queries(sf_dir: str) -> str:
+    """match_phrase_prefix query artifact: head token + truncated last token
+    drawn from corpus docs (mixed prefix lengths so the max_expansions=50
+    cap is exercised), plus single-token and absent prefixes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_pp_queries.parquet")
+    if os.path.exists(path):
+        return path
+    fx = _fx.ensure_fixture(name)
+    src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    texts: list[str] = []
+    step = max(1, len(src) // 12)
+    for cut in (6, 4):  # long prefix (few completions) and short (cap hits)
+        for i in range(0, len(src), step):
+            tk = tokenize_text(src["text"].iloc[i] or "")
+            if len(tk) >= 2 and len(tk[1]) > cut:
+                texts.append(f"{tk[0]} {tk[1][:cut]}")
+            if len(texts) >= (8 if cut == 6 else 14):
+                break
+    texts += ["w0001", "zzqq_absent"]
+    seen, uniq = set(), []
+    for t in texts:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    _write_atomic(
+        pa.table({
+            "query_id": pa.array(range(len(uniq)), type=pa.int64()),
+            "text": pa.array(uniq, type=pa.string()),
+            "k": pa.array([100] * len(uniq), type=pa.int32()),
+        }),
+        path,
+    )
+    return path
+
+
+def _q_bm25_phrase_prefix(sf_dir: str):
+    """OpenSearch match_phrase_prefix (constant-score rewrite,
+    max_expansions=50): head tokens + any of the first 50 dictionary
+    completions of the trailing prefix, matched at consecutive positions
+    (pipelines/expand.search_phrase_prefix over the positional index)."""
+    from remote_vector_index_builder_ray.pipelines.expand import (
+        search_phrase_prefix,
+    )
+
+    _, index_dir = _ensure_pos_index(sf_dir)
+    q = pd.read_parquet(_ensure_pp_queries(sf_dir))
+    return search_phrase_prefix(index_dir, q, max_expansions=50)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -1240,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_hits": _q_bm25_top_hits,
         "bm25_sig_terms": _q_bm25_sig_terms,
         "bm25_multi_match": _q_bm25_multi_match,
+        "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -2495,6 +2552,55 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # match_phrase_prefix (constant score): the trailing token is a prefix;
+    # its first 50 dictionary completions (term order — Lucene's
+    # max_expansions cap) each complete the phrase; a doc matches when any
+    # completed phrase occurs consecutively
+    pp_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_pp_queries.parquet")
+    out["bm25_phrase_prefix"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+dict AS MATERIALIZED (SELECT DISTINCT term FROM tm),
+q AS MATERIALIZED (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{pp_pq}')
+    WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) > 0
+),
+exp AS (
+    SELECT q.query_id, q.k, q.p, d.term,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY d.term) AS rn
+    FROM q JOIN dict d ON starts_with(d.term, q.p[len(q.p)])
+),
+fp AS (
+    SELECT query_id, k, list_append(p[1:len(p) - 1], term) AS fp
+    FROM exp WHERE rn <= 50
+),
+cand AS (
+    SELECT DISTINCT f.query_id, f.fp, t.docid
+    FROM fp f JOIN tm t ON t.term = f.fp[1]
+),
+m AS (
+    SELECT DISTINCT c.query_id, c.docid
+    FROM cand c JOIN docs d USING (docid)
+    WHERE len(d.ts) >= len(c.fp)
+      AND len([i FOR i IN range(1, len(d.ts) - len(c.fp) + 2)
+               IF d.ts[i:i + len(c.fp) - 1] = c.fp]) > 0
+),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM m
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN (SELECT query_id, any_value(k) AS k FROM q GROUP BY query_id) qq
+  USING (query_id)
+WHERE r.rank <= qq.k
+ORDER BY r.query_id, r.rank
 """
     # significant_terms (JLH): fg doc-rate vs corpus doc-rate per term,
     # score = (fg_rate - bg_rate) * (fg_rate / bg_rate), top 10 per query

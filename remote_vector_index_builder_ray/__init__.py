@@ -46,6 +46,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     expand_wildcard,
     suggest_terms,
     search_fuzzy,
+    search_phrase_prefix,
     search_prefix,
     search_synonyms,
     search_terms,
@@ -92,6 +93,7 @@ __all__ = [
     "search_terms",
     "search_wildcard",
     "search_multi_match",
+    "search_phrase_prefix",
     "stats_agg",
     "suggest_terms",
     "terms_agg",

@@ -469,3 +469,71 @@ def search_fuzzy(
         terms_by_qid[int(r.query_id)] = sorted(expanded)
     q = _terms_queries(queries, terms_by_qid)
     return search(index_dir, q, mode=mode, **kw)
+
+
+def search_phrase_prefix(
+    index_dir: str,
+    queries: pd.DataFrame,
+    max_expansions: int = 50,
+    **kw,
+):
+    """OpenSearch ``match_phrase_prefix`` under the constant-score rewrite:
+    the final token is a prefix whose first ``max_expansions`` dictionary
+    completions (term-sorted, Lucene's cap and order) each complete the
+    phrase; a doc matches when ANY completed phrase occurs at consecutive
+    positions. Matching docs score 1.0, ties break docid-ascending.
+    ``queries`` has (query_id, text, k); needs a positional index.
+
+    Each completion rides the existing phrase scorer via the pre-analyzed
+    ``terms`` column (one phrase sub-query per completion, batched
+    together); the per-query union of completion matches is the result.
+    Expansion is a dictionary binary search (cached term dictionary) — the
+    99%-case single completion costs one phrase probe."""
+    import numpy as np
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    an = load_analyzer(index_dir)
+    td = _get_dict(index_dir)
+    sub_rows = []   # (sub_id, orig_qid, terms)
+    for r in queries.itertuples(index=False):
+        toks = analyze_text(r.text or "", an)
+        if not toks:
+            continue
+        *head, last = toks
+        lo, hi = td.prefix_range(last)
+        for t in td.terms[lo:min(hi, lo + max_expansions)]:
+            sub_rows.append((len(sub_rows), int(r.query_id), head + [str(t)]))
+    k_by_query = {int(r.query_id): int(r.k) for r in queries.itertuples(index=False)}
+    out_cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if not sub_rows:
+        return pd.DataFrame(out_cols)
+    sub = pd.DataFrame({
+        "query_id": pd.Series([s[0] for s in sub_rows], dtype=np.int64),
+        "terms": [s[2] for s in sub_rows],
+        "k": pd.Series([2**31 - 1] * len(sub_rows), dtype=np.int32),
+    })
+    res = search(index_dir, sub, mode="phrase", **kw).to_pandas()
+    if "docid" not in res.columns or res.empty:
+        return pd.DataFrame(out_cols)
+    back = {s[0]: s[1] for s in sub_rows}
+    res["query_id"] = res["query_id"].map(back)
+    hits = res[["query_id", "docid"]].drop_duplicates()
+    hits = hits.sort_values(["query_id", "docid"])
+    hits["rank"] = hits.groupby("query_id").cumcount() + 1
+    hits["k"] = hits["query_id"].map(k_by_query)
+    hits = hits[hits["rank"] <= hits["k"]]
+    hits["score"] = 1.0
+    return hits[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)

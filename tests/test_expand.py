@@ -136,3 +136,53 @@ def test_search_fuzzy_scores_expanded_disjunction(
     np.testing.assert_array_equal(
         res["score"].to_numpy(), np.array([s for _, s in exp])
     )
+
+
+def test_search_phrase_prefix_matches_brute_force(smoke_fixture, tmp_path_factory):
+    """match_phrase_prefix (constant-score, max_expansions=50): docs where
+    head-tokens + any dictionary completion of the prefix occur
+    consecutively."""
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+    from remote_vector_index_builder_ray.pipelines.expand import (
+        search_phrase_prefix,
+    )
+
+    idx = str(tmp_path_factory.mktemp("pp") / "idx")
+    build_index(BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=idx,
+        positions=True, num_buckets=16,
+    ))
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    toks = [tokenize_text(t or "") for t in src["text"]]
+    vocab = sorted({t for tk in toks for t in tk})
+
+    # queries: a bigram head+prefix from doc 7, a single-token prefix, and
+    # an absent prefix
+    base = toks[7]
+    queries = pd.DataFrame({
+        "query_id": np.arange(3, dtype=np.int64),
+        "text": [f"{base[0]} {base[1][:6]}", "w0001", "zzqq"],
+        "k": np.full(3, 2000, dtype=np.int32),
+    })
+    got = search_phrase_prefix(idx, queries, max_expansions=50)
+
+    for q in queries.itertuples(index=False):
+        p = tokenize_text(q.text)
+        head, prefix = p[:-1], p[-1]
+        exp = [t for t in vocab if t.startswith(prefix)][:50]
+        want = []
+        for docid, tk in enumerate(toks):
+            n = len(head) + 1
+            hit = any(
+                tk[i:i + len(head)] == head and tk[i + len(head)] in exp
+                for i in range(len(tk) - n + 1)
+            )
+            if hit:
+                want.append(docid)
+        have = got[got["query_id"] == q.query_id]["docid"].tolist()
+        assert have == want, q.text
+    # the first two queries must actually match something
+    assert (got["query_id"] == 0).any() and (got["query_id"] == 1).any()
+    assert (got["score"] == 1.0).all()
