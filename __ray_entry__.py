@@ -1001,6 +1001,35 @@ def _q_bm25_phrase_prefix(sf_dir: str):
     return search_phrase_prefix(index_dir, q, max_expansions=50)
 
 
+def _q_bm25_func_score(sf_dir: str):
+    """OpenSearch function_score with field_value_factor(log1p doc_len,
+    boost_mode=multiply): every match's BM25 score x ln(1 + doc_len)
+    (pipelines/query.function_score)."""
+    from remote_vector_index_builder_ray.pipelines.query import function_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return function_score(index_dir, pd.read_parquet(fx["queries"]),
+                          field="doc_len", modifier="log1p")
+
+
+def _q_bm25_decay(sf_dir: str):
+    """OpenSearch function_score linear decay on recency: BM25 x
+    max(0, 1 - |ts - origin| / scale) with origin = newest turn and scale =
+    corpus time span (epoch microseconds; both derivable by the SQL twin)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.query import function_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    ts = pd.concat(
+        [pq.read_table(p, columns=["ts"]).to_pandas() for p in fx["transcripts"]]
+    )["ts"].astype("datetime64[us]").astype(np.int64)
+    params = {"origin": float(ts.max()),
+              "scale": float(max(1, int(ts.max()) - int(ts.min())))}
+    return function_score(index_dir, pd.read_parquet(fx["queries"]),
+                          field="ts", modifier="linear_decay", params=params)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -1297,6 +1326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sig_terms": _q_bm25_sig_terms,
         "bm25_multi_match": _q_bm25_multi_match,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
+        "bm25_func_score": _q_bm25_func_score,
+        "bm25_decay": _q_bm25_decay,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -2601,6 +2632,96 @@ FROM ranked r JOIN (SELECT query_id, any_value(k) AS k FROM q GROUP BY query_id)
   USING (query_id)
 WHERE r.rank <= qq.k
 ORDER BY r.query_id, r.rank
+"""
+    # function_score field_value_factor(log1p doc_len): BM25 x ln(1 + dl)
+    out["bm25_func_score"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+boosted AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           floor(sc.score * ln(1 + dl.dl) * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN dl ON sc.docid = dl.docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM boosted
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # function_score linear decay on ts: BM25 x max(0, 1 - |ts-origin|/scale),
+    # origin = newest turn, scale = corpus span (epoch microseconds)
+    out["bm25_decay"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+tsv AS (SELECT docid, epoch_us(ts) AS v FROM docs),
+bounds AS (
+    SELECT max(v)::DOUBLE AS origin,
+           greatest(1, max(v) - min(v))::DOUBLE AS scale
+    FROM tsv
+),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+boosted AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           floor(sc.score * greatest(0, 1 - abs(t.v::DOUBLE - b.origin) / b.scale)
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN tsv t ON sc.docid = t.docid CROSS JOIN bounds b
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM boosted
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
 """
     # significant_terms (JLH): fg doc-rate vs corpus doc-rate per term,
     # score = (fg_rate - bg_rate) * (fg_rate / bg_rate), top 10 per query

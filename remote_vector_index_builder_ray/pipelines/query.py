@@ -506,3 +506,140 @@ def search_multi_match(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
          "score": np.float64}
     ).reset_index(drop=True)
+
+
+class _ProbeFuncScore:
+    """Per-batch combiner for function_score: probe the scored match sets,
+    apply the score function with the batch's field values, keep the
+    batch-local top-k — only queries x k rows leave each task."""
+
+    def __init__(self, shard_refs, stride, field: str, modifier: str,
+                 params: dict, k: int):
+        from remote_vector_index_builder_ray.pipelines.aggs import _ShardedScored
+
+        self.matches = _ShardedScored(shard_refs, stride)
+        self.field = field
+        self.modifier = modifier
+        self.params = params
+        self.k = k
+
+    def _apply(self, score, vals):
+        import numpy as np
+
+        if self.modifier == "log1p":
+            # field_value_factor(modifier=log1p, boost_mode=multiply).
+            # Computed as log(1 + v) — textually the same expression the SQL
+            # oracle runs (ln(1 + dl)); np.log1p may differ in the last ulp
+            # for v >= 1 and the cross-engine check hashes rounded values.
+            return score * np.log(1.0 + vals.astype(np.float64))
+        if self.modifier == "linear_decay":
+            # linear decay on an int64 field (e.g. ts as epoch-us):
+            # multiplier = max(0, 1 - |v - origin| / scale)
+            origin = float(self.params["origin"])
+            scale = float(self.params["scale"])
+            mult = 1.0 - np.abs(vals.astype(np.float64) - origin) / scale
+            return score * np.maximum(mult, 0.0)
+        raise ValueError(f"unknown modifier {self.modifier!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        if vals.dtype.kind == "M":  # timestamps: epoch microseconds
+            vals = vals.astype("datetime64[us]").astype(np.int64)
+        qids, docs, scores = [], [], []
+        for qid, (arr, sc) in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            d = ids[mask]
+            s = sc[np.searchsorted(arr, d)]
+            out = self._apply(s, vals[mask])
+            rounded = np.floor(out * 1e6 + 0.5) / 1e6
+            order = np.lexsort((d, -rounded))[: self.k]
+            qids.extend([qid] * len(order))
+            docs.extend(d[order].tolist())
+            scores.extend(out[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "docid": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+def function_score(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    modifier: str = "log1p",
+    params: dict | None = None,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``function_score`` (boost_mode=multiply): the BM25 score of
+    every matching doc is multiplied by a function of a docmeta field —
+    ``modifier="log1p"`` is field_value_factor(log1p) and
+    ``modifier="linear_decay"`` is the linear decay function on an int64 /
+    timestamp field (``params={"origin": .., "scale": ..}``; multiplier
+    clamps at 0, as in OpenSearch).
+
+    Scored match sets shard by docid range; docmeta streams once through a
+    per-batch top-k combiner (the function needs the field value, which
+    lives in docmeta — exactly Lucene's doc-values read at score time).
+    Returns (query_id, rank, docid, score), score rounded half-up to 6
+    decimals, ranked (score desc, docid asc), top-k per the queries' k."""
+    import numpy as np
+    import ray.data
+
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        _MATCH_SHARD_STRIDE,
+        _match_sets_scored,
+        _shard_scored_sets,
+    )
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    k_max = max(k_by_query.values(), default=10)
+    shard_refs, _ = _shard_scored_sets(_match_sets_scored(index_dir, q, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeFuncScore,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
+                                 modifier, params or {}, k_max),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    partials["score"] = np.floor(partials["score"] * 1e6 + 0.5) / 1e6
+    partials = partials.sort_values(["query_id", "score", "docid"],
+                                    ascending=[True, False, True])
+    partials["rank"] = partials.groupby("query_id").cumcount() + 1
+    partials["k"] = partials["query_id"].map(k_by_query)
+    out = partials[partials["rank"] <= partials["k"]]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
