@@ -1030,6 +1030,95 @@ def _q_bm25_decay(sf_dir: str):
                           field="ts", modifier="linear_decay", params=params)
 
 
+def _q_bm25_composite(sf_dir: str):
+    """OpenSearch composite aggregation with two sources — terms(role) x
+    date_histogram(day) — over each query's full match set
+    (pipelines/aggs.composite_agg)."""
+    from remote_vector_index_builder_ray import composite_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = composite_agg(index_dir, pd.read_parquet(fx["queries"]),
+                        term_field="role", date_field="ts")
+    return out.reset_index(drop=True)
+
+
+def _dbq_term(sf_dir: str) -> str:
+    """Deterministic delete_by_query victim term: the first token of the
+    12th doc in (conv_id, turn_idx) order — the SQL twin derives the same
+    term from the same data."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    fx = _fx.ensure_fixture(_sf_name(sf_dir))
+    src = pd.concat([pq.read_table(p, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+                     for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    return tokenize_text(src.loc[11, "text"] or "")[0]
+
+
+def _ensure_dbq_index(sf_dir: str):
+    """Dedicated index with every doc containing the victim term tombstoned
+    via delete_by_query (idempotent: the second run deletes nothing)."""
+    from remote_vector_index_builder_ray import BuildConfig, delete_by_query
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_dbq")
+    _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"], index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])),
+    ))
+    delete_by_query(index_dir, _dbq_term(sf_dir))
+    return fx, index_dir
+
+
+def _q_bm25_delete_by_query(sf_dir: str):
+    """OpenSearch _delete_by_query: every doc containing the victim term is
+    logically deleted; survivors score bit-identically to the unfiltered
+    build (pipelines/delete.delete_by_query)."""
+    fx, index_dir = _ensure_dbq_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw")
+
+
+def _ensure_upd_index(sf_dir: str):
+    """Dedicated index with ~20 turns updated via update_docs (old versions
+    tombstoned; new versions appended as a sort-mode generation). The update
+    batch persists as an artifact so the SQL twin patches the same rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import BuildConfig, update_docs
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_upd")
+    upd_pq = os.path.join(ARTIFACT_ROOT, f"{name}_upd_batch.parquet")
+    if not os.path.exists(upd_pq):
+        src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+        src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+        step = max(1, len(src) // 20)
+        batch = src.iloc[::step].head(20).copy()
+        batch["text"] = batch["text"].fillna("") + " zzupdated"
+        _write_atomic(pa.Table.from_pandas(batch, preserve_index=False), upd_pq)
+    man = _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"], index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])),
+    ))
+    if not man.get("generations"):  # idempotent across driver runs
+        update_docs(index_dir, [upd_pq])
+    return fx, index_dir, upd_pq
+
+
+def _q_bm25_update(sf_dir: str):
+    """OpenSearch bulk update: 20 turns re-written (' zzupdated' appended).
+    Old versions tombstone out of the candidate set; new versions live at
+    fresh generation docids; stats span all versions (Lucene
+    numDocs-vs-maxDoc) (pipelines/incremental.update_docs)."""
+    fx, index_dir, _ = _ensure_upd_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw")
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -1328,6 +1417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_func_score": _q_bm25_func_score,
         "bm25_decay": _q_bm25_decay,
+        "bm25_composite": _q_bm25_composite,
+        "bm25_delete_by_query": _q_bm25_delete_by_query,
+        "bm25_update": _q_bm25_update,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -1712,6 +1804,99 @@ ranked AS (
     SELECT query_id, sc.docid, round(score, 6) AS score, k,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
     FROM scored sc JOIN live USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # delete_by_query: victims = docs containing the deterministic term (the
+    # first token of doc 11); stats unchanged, survivors score identically
+    out["bm25_delete_by_query"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+victim AS (
+    SELECT regexp_extract_all(lower(text), '[a-z0-9_]+')[1] AS vterm
+    FROM docs WHERE docid = 11
+),
+dead AS (
+    SELECT DISTINCT t.docid FROM toks t CROSS JOIN victim v WHERE t.term = v.vterm
+),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc WHERE sc.docid NOT IN (SELECT docid FROM dead)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # update_docs: 20 turns patched (text || ' zzupdated'); old docids dead,
+    # new versions live at docids N + rank within the update batch (sort-mode
+    # generation); stats and df span ALL versions (logical delete)
+    upd_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_upd_batch.parquet")
+    out["bm25_update"] = f"""
+WITH base AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+nb AS (SELECT count(*)::BIGINT AS n FROM base),
+upd AS MATERIALIZED (
+    SELECT (SELECT n FROM nb) + row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{upd_pq}')
+),
+dead AS (SELECT b.docid FROM base b JOIN upd u USING (conv_id, turn_idx)),
+docs AS MATERIALIZED (
+    SELECT docid, text FROM base UNION ALL SELECT docid, text FROM upd
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc WHERE sc.docid NOT IN (SELECT docid FROM dead)
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
@@ -2722,6 +2907,25 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # composite agg: terms(role) x date_histogram(day) pairs per match set
+    out["bm25_composite"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN docs d USING (docid)
+GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
+ORDER BY m.query_id, key_term, key_day
 """
     # significant_terms (JLH): fg doc-rate vs corpus doc-rate per term,
     # score = (fg_rate - bg_rate) * (fg_rate / bg_rate), top 10 per query

@@ -23,14 +23,20 @@ Public surface (the analog of the reference's ``core.tasks`` library path,
 
 from remote_vector_index_builder_ray.config import BM25Config, BuildConfig
 from remote_vector_index_builder_ray.pipelines.build import build_index
-from remote_vector_index_builder_ray.pipelines.delete import delete_docs, load_tombstones
+from remote_vector_index_builder_ray.pipelines.delete import (
+    delete_by_query,
+    delete_docs,
+    load_tombstones,
+)
 from remote_vector_index_builder_ray.pipelines.incremental import (
     append_index,
     compact_index,
     global_stats,
+    update_docs,
 )
 from remote_vector_index_builder_ray.pipelines.aggs import (
     cardinality_agg,
+    composite_agg,
     date_histogram,
     percentiles_agg,
     range_agg,
@@ -98,6 +104,9 @@ __all__ = [
     "suggest_terms",
     "terms_agg",
     "cardinality_agg",
+    "composite_agg",
+    "delete_by_query",
+    "update_docs",
     "percentiles_agg",
     "significant_terms_agg",
     "top_hits_agg",

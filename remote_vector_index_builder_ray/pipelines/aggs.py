@@ -48,6 +48,8 @@ def _match_sets(index_dir: str, queries, where=None) -> dict[int, np.ndarray]:
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
     q["k"] = np.int32(2**31 - 1)
     res = search(index_dir, q, mode="constant", where=where).to_pandas()
+    if "query_id" not in res.columns:  # zero matches: column-less empty frame
+        return {}
     return {
         int(qid): np.sort(g["docid"].to_numpy(np.int64))
         for qid, g in res.groupby("query_id")
@@ -940,3 +942,102 @@ def significant_terms_agg(
                           ascending=[True, False, True])
     out = out.groupby("query_id", sort=True).head(size).reset_index(drop=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# composite aggregation (multi-source buckets)
+# ---------------------------------------------------------------------------
+
+
+class _ProbeComposite:
+    """Per-batch combiner for the composite agg: bucket key = (terms source,
+    date_histogram source) pair; only queries x composite-buckets rows leave
+    each task."""
+
+    def __init__(self, shard_refs, stride, term_field: str, date_field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.term_field = term_field
+        self.date_field = date_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        tkeys = batch[self.term_field].combine_chunks().to_numpy(zero_copy_only=False)
+        dkeys = (
+            batch[self.date_field].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype("datetime64[us]")
+        )
+        qids, t_out, d_out, ns = [], [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            g = (
+                pd.DataFrame({"t": tkeys[mask], "d": dkeys[mask]})
+                .groupby(["t", "d"], sort=False).size()
+            )
+            qids.extend([qid] * len(g))
+            t_out.extend(g.index.get_level_values(0).tolist())
+            d_out.extend(g.index.get_level_values(1).tolist())
+            ns.extend(g.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "key_term": pa.array(t_out, type=pa.string()),
+                "key_day": pa.array(d_out, type=pa.timestamp("us")),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+def composite_agg(
+    index_dir: str,
+    queries,
+    term_field: str = "role",
+    date_field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `composite` aggregation with two sources — terms(field) x
+    date_histogram(calendar day) — over each query's full match set:
+    (query_id, key_term, key_day, n_docs) for every non-empty composite
+    bucket, ordered by the composite key (OpenSearch's after-key paging
+    order). Same sharded-broadcast probe as the single-source aggs."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(
+            **fs.for_ray_paths(meta_files), columns=["docid", term_field, date_field]
+        )
+        .map_batches(
+            _ProbeComposite,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, term_field,
+                                 date_field),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "key_term": pd.Series(dtype=object),
+        "key_day": pd.Series(dtype="datetime64[us]"),
+        "n_docs": pd.Series(dtype=np.int64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    out = (
+        partials.groupby(["query_id", "key_term", "key_day"], sort=True)["n"]
+        .sum().reset_index().rename(columns={"n": "n_docs"})
+    )
+    return out.astype({"query_id": np.int64, "n_docs": np.int64})

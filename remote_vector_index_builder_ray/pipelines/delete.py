@@ -176,3 +176,33 @@ def delete_docs(
     )
     man.save()
     return {"deleted": int(len(v_doc)), "total_tombstoned": int(len(existing) + len(v_doc))}
+
+
+def delete_by_query(
+    index_dir: str,
+    text: str,
+    where=None,
+) -> dict:
+    """OpenSearch ``_delete_by_query`` with a match query: tombstone every
+    doc containing ANY of the analyzed query's terms (optionally restricted
+    by a docmeta ``where`` predicate). The match set comes from the
+    constant-score scorer (docid streams only); the tombstone write is the
+    same manifest-append commit point as ``delete_docs`` — scores of
+    surviving docs are bit-unchanged (Lucene numDocs-vs-maxDoc logical
+    delete semantics)."""
+    import pandas as pd
+
+    from remote_vector_index_builder_ray.pipelines.aggs import _match_sets
+
+    q = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int64),
+        "text": [text],
+        "k": np.array([2**31 - 1], dtype=np.int32),
+    })
+    matches = _match_sets(index_dir, q, where=where).get(0)
+    if matches is None or len(matches) == 0:
+        man = _load_manifest(index_dir)
+        return {"deleted": 0,
+                "total_tombstoned": int(len(load_tombstones(index_dir, man,
+                                                            include_expunged=True)))}
+    return delete_docs(index_dir, docids=matches.tolist())

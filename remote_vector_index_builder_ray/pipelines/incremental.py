@@ -51,7 +51,12 @@ import hashlib
 import json
 import time
 
-from remote_vector_index_builder_ray.config import BM25Config, BuildConfig, EngineError
+from remote_vector_index_builder_ray.config import (
+    AnalyzerConfig,
+    BM25Config,
+    BuildConfig,
+    EngineError,
+)
 from remote_vector_index_builder_ray.pipelines.build import build_index, run_merge
 from remote_vector_index_builder_ray.state import fs
 from remote_vector_index_builder_ray.state.manifest import Manifest
@@ -127,6 +132,7 @@ def append_index(
     num_partitions: int | None = None,
     batch_size: int | None = None,
     resume: bool = True,
+    docid_mode: str | None = None,
 ) -> dict:
     """Append ``input_paths`` to a built index as a new generation.
 
@@ -145,18 +151,27 @@ def append_index(
 
     gen_id = len(gens) + 1
     gen_rel = f"generations/gen-{gen_id:04d}"
+    an_rec = cfg_rec.get("analyzer")
+    analyzer = AnalyzerConfig(
+        stopwords=tuple(an_rec.get("stopwords", ())),
+        min_token_len=int(an_rec.get("min_token_len", 1)),
+        max_token_len=int(an_rec.get("max_token_len", 1 << 30)),
+    ) if an_rec else AnalyzerConfig()
     gcfg = BuildConfig(
         input_paths=list(input_paths),
         index_dir=fs.join(index_dir, gen_rel),
         bm25=bm25,
         num_partitions=num_partitions,
         dedup=bool(cfg_rec.get("dedup", False)),
-        docid_mode=str(cfg_rec.get("docid_mode", "dense")),
+        # update batches aren't dense 0..len-1 per conversation — update_docs
+        # overrides to "sort" (dense docids by (conv_id, turn_idx) order)
+        docid_mode=docid_mode or str(cfg_rec.get("docid_mode", "dense")),
         # generations MUST share the base's bucket count: bucket-file layout
         # is the shuffle key space, and compaction unions partials per bucket
         num_buckets=int(man.data["num_buckets"]),
         docid_base=docid_base,
         positions=bool(cfg_rec.get("positions", False)),
+        analyzer=analyzer,  # the generation MUST tokenize like the base
     )
     if batch_size is not None:
         gcfg.batch_size = int(batch_size)
@@ -273,3 +288,78 @@ def compact_index(index_dir: str) -> dict:
         fs.rm_tree(fs.join(index_dir, g["dir"], "termstats"))
         fs.rm_tree(fs.join(index_dir, g["dir"], "positions"))
     return man.data
+
+
+def update_docs(
+    index_dir: str,
+    input_paths: list[str],
+    num_partitions: int | None = None,
+) -> dict:
+    """OpenSearch bulk update/upsert: ``input_paths`` hold NEW versions of
+    turns keyed by (conv_id, turn_idx). Old versions (where they exist) are
+    tombstoned — a logical delete, scores of untouched docs bit-unchanged —
+    and the new rows append as a generation with fresh docids above the
+    maxdoc high-water mark; searches immediately see the new text. Rows
+    whose key is absent from the index simply insert (upsert semantics).
+
+    The old-docid lookup is a broadcast semi-join: the update batch's keys
+    (driver-small by contract — it is a write request, not a corpus) probe
+    the docmeta stream via one pruned-column ``map_batches`` pass."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from remote_vector_index_builder_ray.pipelines.delete import delete_docs
+    from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+    keys = pd.concat(
+        [pq.read_table(p, columns=["conv_id", "turn_idx"]).to_pandas()
+         for p in input_paths]
+    ).drop_duplicates()
+    # pack keys as "conv_id|turn_idx" strings for a vectorized membership test
+    key_set = np.sort(
+        (keys["conv_id"].astype(str) + "|" + keys["turn_idx"].astype(str))
+        .to_numpy(np.str_)
+    )
+    ref = ray.put(key_set)
+
+    class _FindOld:
+        def __init__(self, r):
+            self.keys = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            packed = pc.binary_join_element_wise(
+                pc.cast(batch["conv_id"], pa.string()),
+                pc.cast(batch["turn_idx"], pa.string()),
+                "|",
+            ).to_numpy(zero_copy_only=False).astype(np.str_)
+            mask = isin_sorted(packed, self.keys)
+            return batch.filter(pa.array(mask)).select(["docid"])
+
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    old = (
+        ray.data.read_parquet(
+            **fs.for_ray_paths(meta_files),
+            columns=["docid", "conv_id", "turn_idx"],
+        )
+        .map_batches(_FindOld, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 8))
+        .to_pandas()
+    )
+    if "docid" in old.columns and len(old):
+        delete_docs(index_dir, docids=old["docid"].tolist())
+    man = append_index(index_dir, input_paths, num_partitions=num_partitions,
+                       docid_mode="sort")
+    return {"updated": int(len(old)) if "docid" in old.columns else 0,
+            "inserted": int(len(keys)), "manifest": man}

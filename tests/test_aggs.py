@@ -289,3 +289,24 @@ def test_significant_terms_matches_brute_force(smoke_fixture, smoke_index):
     ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
               "score": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_composite_agg_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import composite_agg
+
+    df = _src(smoke_fixture)
+    got = composite_agg(smoke_index["index_dir"], QUERIES,
+                        term_field="role", date_field="ts")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        days = m["ts"].dt.floor("D")
+        for (role, day), g in m.groupby(["role", days]):
+            rows.append((int(q.query_id), role, day, len(g)))
+    exp = pd.DataFrame(rows, columns=["query_id", "key_term", "key_day", "n_docs"])
+    exp = exp.sort_values(["query_id", "key_term", "key_day"]).reset_index(drop=True)
+    assert len(exp) > 0
+    got = got.reset_index(drop=True)
+    got["key_day"] = pd.to_datetime(got["key_day"])
+    pd.testing.assert_frame_equal(got.astype({"n_docs": np.int64}), exp,
+                                  check_dtype=False)
