@@ -1119,6 +1119,44 @@ def _q_bm25_update(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"], mode="bmw")
 
 
+def _q_bm25_bool(sf_dir: str):
+    """Full OpenSearch bool query (pipelines/query.search_bool): per query,
+    must = the first token (required), should = the remaining tokens
+    (scoring-optional), must_not = 'w000200' for every third query; score
+    sums BM25 over must+should terms (Lucene BooleanQuery)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search_bool
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pq.read_table(fx["queries"]).to_pandas()
+    toks = q["text"].map(lambda t: tokenize_text(t or ""))
+    q = q[toks.map(len) > 0].reset_index(drop=True)
+    toks = q["text"].map(lambda t: tokenize_text(t or ""))
+    bq = pd.DataFrame({
+        "query_id": q["query_id"].astype(np.int64),
+        "must_text": toks.map(lambda p: p[0]),
+        "text": toks.map(lambda p: " ".join(p[1:])),
+        "exclude_text": [
+            "w000200" if int(qid) % 3 == 0 else "" for qid in q["query_id"]
+        ],
+        "k": (q["k"] * 2).astype(np.int32),  # oversample for the rounded re-rank
+    })
+    res = search_bool(index_dir, bq)
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res["k"] = res["query_id"].map(k_by_query)
+    res = res[res["rank"] <= res["k"]]
+    return res[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64",
+         "score": "float64"}
+    ).reset_index(drop=True)
+
+
 def _q_corpus_stats(sf_dir: str):
     import json
 
@@ -1420,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
         "bm25_update": _q_bm25_update,
+        "bm25_bool": _q_bm25_bool,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
@@ -1804,6 +1843,61 @@ ranked AS (
     SELECT query_id, sc.docid, round(score, 6) AS score, k,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
     FROM scored sc JOIN live USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # full bool query: must = first token, should = rest, must_not =
+    # 'w000200' for every third query; score over must+should union
+    out["bm25_bool"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q0 AS (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{_queries_path(sf)}')
+    WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) > 0
+),
+qq AS (
+    SELECT query_id, k, p[1] AS must_term,
+           CASE WHEN query_id % 3 = 0 THEN 'w000200' ELSE NULL END AS ex, p
+    FROM q0
+),
+qterm AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM qq),
+scored AS (
+    SELECT qt.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM qterm qt
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY qt.query_id, tf.docid
+),
+must_ok AS (
+    SELECT qq.query_id, t.docid FROM qq JOIN tf t ON t.term = qq.must_term
+),
+dead AS (
+    SELECT qq.query_id, t.docid FROM qq JOIN tf t ON t.term = qq.ex
+    WHERE qq.ex IS NOT NULL
+),
+live AS (
+    SELECT sc.query_id, sc.docid, sc.score
+    FROM scored sc
+    JOIN must_ok m ON m.query_id = sc.query_id AND m.docid = sc.docid
+    ANTI JOIN dead d ON d.query_id = sc.query_id AND d.docid = sc.docid
+),
+ranked AS (
+    SELECT l.query_id, l.docid, round(l.score, 6) AS score, qq.k,
+           row_number() OVER (PARTITION BY l.query_id
+                              ORDER BY round(l.score, 6) DESC, l.docid) AS rank
+    FROM live l JOIN (SELECT DISTINCT query_id, k FROM qq) qq USING (query_id)
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

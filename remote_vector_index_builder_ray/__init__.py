@@ -63,9 +63,11 @@ from remote_vector_index_builder_ray.pipelines.percolate import percolate
 from remote_vector_index_builder_ray.pipelines.reindex import reindex
 from remote_vector_index_builder_ray.pipelines.query import (
     explain,
+    function_score,
     highlight,
     hydrate,
     search,
+    search_bool,
     search_multi_match,
     search_sorted,
 )
@@ -100,6 +102,8 @@ __all__ = [
     "search_wildcard",
     "search_multi_match",
     "search_phrase_prefix",
+    "search_bool",
+    "function_score",
     "stats_agg",
     "suggest_terms",
     "terms_agg",

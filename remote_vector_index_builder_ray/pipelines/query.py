@@ -643,3 +643,99 @@ def function_score(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
          "score": np.float64}
     ).reset_index(drop=True)
+
+
+def search_bool(
+    index_dir: str,
+    queries,
+    where=None,
+) -> pd.DataFrame:
+    """Full OpenSearch ``bool`` query: per-query columns ``must_text``
+    (every term required), ``text`` (should — optional, scoring),
+    ``exclude_text`` (must_not), plus an optional global ``where`` filter
+    context. Lucene BooleanQuery semantics with BM25 sum scoring: a doc
+    qualifies when it contains ALL must terms, none of the excluded terms,
+    and passes the filter; its score sums the BM25 contributions of every
+    matching must-or-should term (both are scoring contexts in Lucene).
+
+    Two streaming searches compose it: the scoring pass (union of must +
+    should terms, exhaustive scorer — bit-equal float accumulation — with
+    must_not/filter applied inside the actors) and a constant-score
+    operator=and pass producing each query's must set; the driver-side
+    intersect is per-query small. Returns (query_id, rank, docid, score),
+    top-k, score desc / docid asc."""
+    import numpy as np
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    an = load_analyzer(index_dir)
+
+    # scoring pass: union of must + should terms, must_not inside the actors
+    sq = pd.DataFrame({
+        "query_id": q["query_id"].astype(np.int64),
+        "text": (q.get("must_text", "").fillna("") + " " +
+                 q.get("text", "").fillna("")),
+        "k": np.full(len(q), 2**31 - 1, dtype=np.int32),
+    })
+    if "exclude_text" in q.columns:
+        sq["exclude_text"] = q["exclude_text"].fillna("")
+    scored = search(index_dir, sq, mode="exhaustive", where=where).to_pandas()
+    out_cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if "docid" not in scored.columns or scored.empty:
+        return pd.DataFrame(out_cols)
+
+    # must pass: docs containing EVERY must term (constant-score AND);
+    # queries without must terms impose no restriction
+    musts = {
+        int(r.query_id): analyze_text(str(r.must_text or ""), an)
+        for r in q.itertuples(index=False)
+    } if "must_text" in q.columns else {}
+    restricted = [int(qid) for qid, toks in musts.items() if toks]
+    must_sets: dict[int, np.ndarray] = {}
+    if restricted:
+        # the scorer's own AND semantics produce each must set exactly
+        # (docids only needed; scores discarded)
+        mq2 = pd.DataFrame({
+            "query_id": pd.Series(restricted, dtype=np.int64),
+            "text": [" ".join(musts[qid]) for qid in restricted],
+            "k": np.full(len(restricted), 2**31 - 1, dtype=np.int32),
+        })
+        mres = search(index_dir, mq2, mode="exhaustive", operator="and",
+                      where=where).to_pandas()
+        if "docid" in mres.columns:
+            for qid, g in mres.groupby("query_id"):
+                must_sets[int(qid)] = np.sort(g["docid"].to_numpy(np.int64))
+
+    from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+    parts = []
+    for qid, g in scored.groupby("query_id"):
+        qid = int(qid)
+        if qid in set(restricted):
+            allow = must_sets.get(qid)
+            if allow is None or len(allow) == 0:
+                continue  # a must term matched nothing: no hits
+            g = g[isin_sorted(g["docid"].to_numpy(np.int64), allow)]
+        parts.append(g)
+    if not parts:
+        return pd.DataFrame(out_cols)
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["k"] = out["query_id"].map(k_by_query)
+    out = out[out["rank"] <= out["k"]]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
