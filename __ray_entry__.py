@@ -457,17 +457,22 @@ def _ensure_expand_queries(sf_dir: str) -> dict[str, str]:
     name = _sf_name(sf_dir)
     paths = {
         kind: os.path.join(ARTIFACT_ROOT, f"{name}_{kind}_queries.parquet")
-        for kind in ("prefix", "wildcard", "fuzzy")
+        for kind in ("prefix", "wildcard", "fuzzy", "regexp")
     }
     sets = {
         "prefix": ["w0001", "w00002", "w0012", "th", "wh", "w049", "zzznomatch"],
         "wildcard": ["w00?2*", "w0003*", "w*9", "th*", "wor?", "zz*q"],
         "fuzzy": ["w000100", "w00010", "w000x42", "tre", "watfr", "qqqqqq"],
+        # RE2 dialect, implicitly anchored on both engines (Lucene regexp /
+        # DuckDB regexp_full_match)
+        "regexp": ["w00[0-9]2.*", "th(e|at)", "w.*9", "wor.",
+                   "w[0-9]{4}", "zzz.*q"],
     }
     for kind, vals in sets.items():
         if os.path.exists(paths[kind]):
             continue
-        col = {"prefix": "prefix", "wildcard": "pattern", "fuzzy": "text"}[kind]
+        col = {"prefix": "prefix", "wildcard": "pattern", "fuzzy": "text",
+               "regexp": "pattern"}[kind]
         _write_atomic(
             pa.table(
                 {
@@ -503,6 +508,21 @@ def _q_bm25_wildcard(sf_dir: str):
     _, index_dir, _ = _ensure_index(sf_dir)
     q = pd.read_parquet(_ensure_expand_queries(sf_dir)["wildcard"])
     res = search_wildcard(index_dir, q).to_pandas()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
+def _q_bm25_regexp(sf_dir: str):
+    """OpenSearch regexp query (constant-score rewrite): RE2 patterns,
+    implicitly anchored, expanded against the term dictionary
+    (pipelines/expand.expand_regexp: literal-prefix range pushdown + one
+    vectorized RE2 pass)."""
+    from remote_vector_index_builder_ray import search_regexp
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(_ensure_expand_queries(sf_dir)["regexp"])
+    res = search_regexp(index_dir, q).to_pandas()
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
         {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
     )
@@ -1437,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm": _q_bm25_msm,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_wildcard": _q_bm25_wildcard,
+        "bm25_regexp": _q_bm25_regexp,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_facets": _q_bm25_facets,
@@ -2084,6 +2105,25 @@ p AS (SELECT query_id, prefix, k FROM read_parquet('{expand_q["prefix"]}')),
 m AS (
     SELECT DISTINCT p.query_id, t.docid
     FROM p JOIN toks t ON t.term LIKE p.prefix || '%'
+),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM m
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN p USING (query_id)
+WHERE r.rank <= p.k
+ORDER BY query_id, rank
+"""
+    # regexp query: constant-score rewrite, RE2 full-match over the
+    # dictionary (mirrors expand_regexp; both engines run RE2)
+    out["bm25_regexp"] = f"""
+WITH {docs}, {_TOKS},
+p AS (SELECT query_id, pattern, k FROM read_parquet('{expand_q["regexp"]}')),
+m AS (
+    SELECT DISTINCT p.query_id, t.docid
+    FROM p JOIN toks t ON regexp_full_match(t.term, p.pattern)
 ),
 ranked AS (
     SELECT query_id, docid,

@@ -49,6 +49,7 @@ from remote_vector_index_builder_ray.functions.metrics import rank_eval
 from remote_vector_index_builder_ray.pipelines.expand import (
     expand_fuzzy,
     expand_prefix,
+    expand_regexp,
     expand_wildcard,
     suggest_terms,
     search_fuzzy,
@@ -56,6 +57,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     search_prefix,
     search_synonyms,
     search_terms,
+    search_regexp,
     search_wildcard,
 )
 from remote_vector_index_builder_ray.pipelines.mlt import more_like_this
@@ -82,6 +84,7 @@ __all__ = [
     "delete_docs",
     "expand_fuzzy",
     "expand_prefix",
+    "expand_regexp",
     "expand_wildcard",
     "explain",
     "global_stats",
@@ -99,6 +102,7 @@ __all__ = [
     "search_sorted",
     "search_synonyms",
     "search_terms",
+    "search_regexp",
     "search_wildcard",
     "search_multi_match",
     "search_phrase_prefix",

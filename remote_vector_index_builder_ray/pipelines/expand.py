@@ -254,6 +254,29 @@ def expand_wildcard(index_dir: str, pattern: str) -> list[str]:
     return arr.filter(mask).to_pylist()
 
 
+def expand_regexp(index_dir: str, pattern: str) -> list[str]:
+    """Dictionary terms matching an (implicitly anchored) regular expression
+    — the OpenSearch ``regexp`` query's term expansion. Lucene compiles the
+    regex to an automaton and intersects it with the term FST; this engine
+    extracts the literal prefix (the leading run of non-metacharacters) as a
+    dictionary range pushdown, then runs ONE vectorized RE2 pass
+    (``pyarrow.compute.match_substring_regex``) over the surviving terms.
+    Patterns must be RE2-compatible (no backreferences) — the same dialect
+    DuckDB's ``regexp_full_match`` oracle uses."""
+    import re
+
+    meta = set(".^$*+?{}[]|()\\")
+    i = next((j for j, c in enumerate(pattern) if c in meta), len(pattern))
+    prefix, rest = pattern[:i], pattern[i:]
+    cands = _dictionary_terms(index_dir, prefix)
+    if not rest:  # pure literal: a term query
+        return [prefix] if prefix in cands else []
+    rx = "^" + re.escape(prefix) + rest + "$"
+    arr = pa.array(cands, type=pa.string())
+    mask = pc.match_substring_regex(arr, rx)
+    return arr.filter(mask).to_pylist()
+
+
 def _levenshtein_leq(
     cands: list[str], query: str, max_edits: int, transpositions: bool
 ) -> np.ndarray:
@@ -395,6 +418,19 @@ def search_wildcard(index_dir: str, queries: pd.DataFrame, **kw):
     """OpenSearch ``wildcard`` query (constant-score rewrite): ``queries``
     has (query_id, pattern:string, k)."""
     exp = {p: expand_wildcard(index_dir, p) for p in set(queries["pattern"])}
+    q = _terms_queries(queries, {
+        int(r.query_id): exp[r.pattern] for r in queries.itertuples(index=False)
+    })
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    return search(index_dir, q, mode="constant", **kw)
+
+
+def search_regexp(index_dir: str, queries: pd.DataFrame, **kw):
+    """OpenSearch ``regexp`` query (constant-score rewrite): ``queries``
+    has (query_id, pattern:string, k); patterns are RE2, implicitly
+    anchored (Lucene regexp semantics)."""
+    exp = {p: expand_regexp(index_dir, p) for p in set(queries["pattern"])}
     q = _terms_queries(queries, {
         int(r.query_id): exp[r.pattern] for r in queries.itertuples(index=False)
     })

@@ -73,6 +73,20 @@ def test_expand_wildcard_matches_fnmatch(smoke_index, smoke_oracle):
     assert expand_wildcard(smoke_index["index_dir"], "zz_absent") == []
 
 
+def test_expand_regexp_matches_re(smoke_index, smoke_oracle):
+    import re
+
+    from remote_vector_index_builder_ray import expand_regexp
+
+    for pat in ["w00[0-9]3.*", "th(e|at)", "w.*9", "w[0-9]{4}", "zzz.*q"]:
+        got = expand_regexp(smoke_index["index_dir"], pat)
+        exp = [t for t in _vocab(smoke_oracle) if re.fullmatch(pat, t)]
+        assert got == exp, pat
+    # pure literal: exact dictionary membership
+    assert expand_regexp(smoke_index["index_dir"], "the") == ["the"]
+    assert expand_regexp(smoke_index["index_dir"], "zz_absent") == []
+
+
 @pytest.mark.parametrize("osa", [False, True])
 def test_expand_fuzzy_matches_reference(smoke_index, smoke_oracle, osa):
     # covers both bigram-filter regimes: bound>=1 (filter prunes; results
