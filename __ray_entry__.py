@@ -867,6 +867,42 @@ def _q_bm25_stats_agg(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_extended_stats(sf_dir: str):
+    """OpenSearch extended_stats aggregation (count/sum/sum_of_squares/avg/
+    population variance/std of doc_len) over each query's full match set
+    (pipelines/aggs.extended_stats_agg): one associative (n, Σv, Σv²)
+    reduction, float derivation order frozen to match the SQL twin."""
+    from remote_vector_index_builder_ray import extended_stats_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = extended_stats_agg(index_dir, pd.read_parquet(fx["queries"]),
+                             field="doc_len")
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_histogram(sf_dir: str):
+    """OpenSearch histogram aggregation (fixed numeric interval=8 over
+    doc_len) over each query's full match set (pipelines/aggs.histogram_agg);
+    min_doc_count=1 semantics."""
+    from remote_vector_index_builder_ray import histogram_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = histogram_agg(index_dir, pd.read_parquet(fx["queries"]),
+                        field="doc_len", interval=8)
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_missing(sf_dir: str):
+    """OpenSearch missing + value_count aggregations over the tool field of
+    each query's full match set (pipelines/aggs.missing_agg): '' marks a
+    turn without a tool call — the absent-field analog."""
+    from remote_vector_index_builder_ray import missing_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = missing_agg(index_dir, pd.read_parquet(fx["queries"]), field="tool")
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_cardinality(sf_dir: str):
     """OpenSearch cardinality aggregation (exact mode) over each query's
     full match set: distinct conversations matched
@@ -1468,6 +1504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sorted": _q_bm25_sorted,
         "bm25_range_agg": _q_bm25_range_agg,
         "bm25_stats_agg": _q_bm25_stats_agg,
+        "bm25_extended_stats": _q_bm25_extended_stats,
+        "bm25_histogram": _q_bm25_histogram,
+        "bm25_missing": _q_bm25_missing,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_top_hits": _q_bm25_top_hits,
@@ -2741,6 +2780,73 @@ SELECT m.query_id, count(*)::BIGINT AS n_docs,
        max(dl.dl)::BIGINT AS max_doc_len,
        floor((sum(dl.dl)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS avg_doc_len
 FROM m JOIN dl USING (docid)
+GROUP BY m.query_id
+ORDER BY m.query_id
+"""
+    # extended_stats: same match set, plus sum-of-squares / population
+    # variance / std. Float derivation order mirrors the engine textually:
+    # m = s/n; var = greatest(s2/n - m*m, 0); std = sqrt(var); round half-up.
+    out["bm25_extended_stats"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+base AS (
+    SELECT m.query_id, count(*)::BIGINT AS n_docs,
+           sum(dl.dl)::BIGINT AS s, sum(dl.dl * dl.dl)::BIGINT AS s2
+    FROM m JOIN dl USING (docid)
+    GROUP BY m.query_id
+),
+der AS (
+    SELECT query_id, n_docs, s, s2,
+           s::DOUBLE / n_docs AS mean,
+           greatest(s2::DOUBLE / n_docs
+                    - (s::DOUBLE / n_docs) * (s::DOUBLE / n_docs), 0) AS var
+    FROM base
+)
+SELECT query_id, n_docs, s AS sum_doc_len, s2 AS sumsq_doc_len,
+       floor(mean * 1000000 + 0.5) / 1000000 AS avg_doc_len,
+       floor(var * 1000000 + 0.5) / 1000000 AS var_doc_len,
+       floor(sqrt(var) * 1000000 + 0.5) / 1000000 AS std_doc_len
+FROM der ORDER BY query_id
+"""
+    # histogram: fixed numeric interval buckets of doc_len, key =
+    # floor(v/8)*8, empty buckets omitted
+    out["bm25_histogram"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, (dl.dl // 8) * 8 AS key, count(*)::BIGINT AS n_docs
+FROM m JOIN dl USING (docid)
+GROUP BY m.query_id, key
+ORDER BY m.query_id, key
+"""
+    # missing/value_count over the tool stored field ('' = no tool call)
+    out["bm25_missing"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id,
+       sum(CASE WHEN d.tool IS NULL OR d.tool = '' THEN 0 ELSE 1 END)::BIGINT AS n_value,
+       sum(CASE WHEN d.tool IS NULL OR d.tool = '' THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id
 ORDER BY m.query_id
 """

@@ -38,6 +38,9 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     cardinality_agg,
     composite_agg,
     date_histogram,
+    extended_stats_agg,
+    histogram_agg,
+    missing_agg,
     percentiles_agg,
     range_agg,
     significant_terms_agg,
@@ -81,6 +84,9 @@ __all__ = [
     "build_index",
     "compact_index",
     "date_histogram",
+    "extended_stats_agg",
+    "histogram_agg",
+    "missing_agg",
     "delete_docs",
     "expand_fuzzy",
     "expand_prefix",

@@ -138,6 +138,11 @@ class _ProbeAgg:
             # value-count histogram partials (percentiles_agg): the raw
             # integer value IS the bucket key
             keys = keys.astype(np.int64)
+        elif isinstance(self.interval, int):
+            # OpenSearch `histogram` agg: fixed numeric interval, key =
+            # floor(v / interval) * interval (non-negative int fields here,
+            # so // IS the floor)
+            keys = (keys.astype(np.int64) // self.interval) * self.interval
         elif self.interval is not None:
             raise ValueError(f"unsupported interval {self.interval!r}")
         if self.ranges is not None:
@@ -183,7 +188,7 @@ class _ProbeAgg:
             out_keys.extend(g.index.tolist())
             ns.extend(g["n"].tolist())
             sums.extend(g["s"].tolist())
-        if self.interval == "histogram":
+        if self.interval == "histogram" or isinstance(self.interval, int):
             key_type = pa.int64()
         elif self.interval:
             key_type = pa.timestamp("us")
@@ -279,6 +284,22 @@ def date_histogram(
     return _run_agg(index_dir, queries, field, interval, None, where)
 
 
+def histogram_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    interval: int = 8,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `histogram` aggregation (fixed numeric interval) over each
+    query's full match set: (query_id, key:int64 = floor(v/interval)*interval,
+    n_docs), sorted by (query_id, key). Empty buckets omitted
+    (min_doc_count=1 semantics)."""
+    if not isinstance(interval, int) or interval <= 0:
+        raise ValueError("interval must be a positive integer")
+    return _run_agg(index_dir, queries, field, interval, None, where)
+
+
 def range_agg(
     index_dir: str,
     queries,
@@ -297,8 +318,11 @@ def range_agg(
 
 
 class _ProbeStats:
-    """Per-batch stats partials: (query_id, n, sum, min, max) of a numeric
-    docmeta field over the match set — merged associatively driver-side."""
+    """Per-batch stats partials: (query_id, n, sum, sum-of-squares, min, max)
+    of a numeric docmeta field over the match set — merged associatively
+    driver-side. The squares stay exact int64: a doc_len is < 2^21
+    (`stages/search._POS_PACK` invariant), so even 10^12 matched docs keep
+    the global ss2 below 2^62."""
 
     def __init__(self, shard_refs, stride, field: str):
         self.matches = _ShardedMatches(shard_refs, stride)
@@ -312,7 +336,7 @@ class _ProbeStats:
             batch[self.field].combine_chunks()
             .to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        qids, ns, ss, mns, mxs = [], [], [], [], []
+        qids, ns, ss, ss2, mns, mxs = [], [], [], [], [], []
         for qid, arr in self.matches.for_batch(ids).items():
             mask = isin_sorted(ids, arr)
             if not mask.any():
@@ -321,6 +345,7 @@ class _ProbeStats:
             qids.append(qid)
             ns.append(len(v))
             ss.append(int(v.sum()))
+            ss2.append(int((v * v).sum()))
             mns.append(int(v.min()))
             mxs.append(int(v.max()))
         return pa.table(
@@ -328,22 +353,16 @@ class _ProbeStats:
                 "query_id": pa.array(qids, type=pa.int64()),
                 "n": pa.array(ns, type=pa.int64()),
                 "s": pa.array(ss, type=pa.int64()),
+                "s2": pa.array(ss2, type=pa.int64()),
                 "mn": pa.array(mns, type=pa.int64()),
                 "mx": pa.array(mxs, type=pa.int64()),
             }
         )
 
 
-def stats_agg(
-    index_dir: str,
-    queries,
-    field: str = "doc_len",
-    where=None,
-) -> pd.DataFrame:
-    """OpenSearch `stats` aggregation over each query's full match set:
-    (query_id, n_docs, sum_<f>, min_<f>, max_<f>, avg_<f>). Integer
-    sum/min/max merge associatively; avg is one float64 division rounded
-    half-up to 6 decimals (bit-reproducible by SQL)."""
+def _stats_reduced(index_dir: str, queries, field: str, where) -> pd.DataFrame:
+    """Shared probe run for stats/extended_stats: per-query associative
+    reduction of the per-batch (n, sum, sum2, min, max) partials."""
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
@@ -365,23 +384,38 @@ def stats_agg(
         )
         .to_pandas()
     )
-    cols = {
-        "query_id": pd.Series(dtype=np.int64),
-        "n_docs": pd.Series(dtype=np.int64),
-        f"sum_{field}": pd.Series(dtype=np.int64),
-        f"min_{field}": pd.Series(dtype=np.int64),
-        f"max_{field}": pd.Series(dtype=np.int64),
-        f"avg_{field}": pd.Series(dtype=np.float64),
-    }
     if partials.empty:
-        return pd.DataFrame(cols)
-    g = (
+        return partials
+    return (
         partials.groupby("query_id", sort=True)
-        .agg(n_docs=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .agg(n_docs=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+             mn=("mn", "min"), mx=("mx", "max"))
         .reset_index()
     )
+
+
+def stats_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `stats` aggregation over each query's full match set:
+    (query_id, n_docs, sum_<f>, min_<f>, max_<f>, avg_<f>). Integer
+    sum/min/max merge associatively; avg is one float64 division rounded
+    half-up to 6 decimals (bit-reproducible by SQL)."""
+    g = _stats_reduced(index_dir, queries, field, where)
+    if g.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "n_docs": pd.Series(dtype=np.int64),
+            f"sum_{field}": pd.Series(dtype=np.int64),
+            f"min_{field}": pd.Series(dtype=np.int64),
+            f"max_{field}": pd.Series(dtype=np.int64),
+            f"avg_{field}": pd.Series(dtype=np.float64),
+        })
     avg = g["s"].astype(np.float64) / g["n_docs"]
-    out = pd.DataFrame(
+    return pd.DataFrame(
         {
             "query_id": g["query_id"].astype(np.int64),
             "n_docs": g["n_docs"].astype(np.int64),
@@ -391,7 +425,138 @@ def stats_agg(
             f"avg_{field}": np.floor(avg * 1e6 + 0.5) / 1e6,
         }
     )
-    return out
+
+
+def extended_stats_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `extended_stats` aggregation: stats plus sum_of_squares,
+    population variance and std deviation (OpenSearch's default variance is
+    the population variance computed from the streamed (n, Σv, Σv²) triple —
+    exactly this engine's associative reduction). Float derivation order is
+    frozen (m = s/n; var = s2/n - m*m; std = sqrt(var)) so a SQL oracle
+    writing the same expressions reproduces the values bit-for-bit before
+    the half-up 6-decimal rounding."""
+    g = _stats_reduced(index_dir, queries, field, where)
+    if g.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "n_docs": pd.Series(dtype=np.int64),
+            f"sum_{field}": pd.Series(dtype=np.int64),
+            f"sumsq_{field}": pd.Series(dtype=np.int64),
+            f"avg_{field}": pd.Series(dtype=np.float64),
+            f"var_{field}": pd.Series(dtype=np.float64),
+            f"std_{field}": pd.Series(dtype=np.float64),
+        })
+    n = g["n_docs"].astype(np.float64)
+    m = g["s"].astype(np.float64) / n
+    var = g["s2"].astype(np.float64) / n - m * m
+    var = np.maximum(var, 0.0)  # FP cancellation guard on constant fields
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pd.DataFrame(
+        {
+            "query_id": g["query_id"].astype(np.int64),
+            "n_docs": g["n_docs"].astype(np.int64),
+            f"sum_{field}": g["s"].astype(np.int64),
+            f"sumsq_{field}": g["s2"].astype(np.int64),
+            f"avg_{field}": r6(m),
+            f"var_{field}": r6(var),
+            f"std_{field}": r6(np.sqrt(var)),
+        }
+    )
+
+
+class _ProbeMissing:
+    """Per-batch partials for value_count/missing: (query_id, n_value,
+    n_missing) of a keyword docmeta field over the match set. A field is
+    "missing" when it is null or the sentinel empty string (transcript
+    docmeta stores '' for a turn with no tool call — the OpenSearch analog
+    of an absent field)."""
+
+    def __init__(self, shard_refs, stride, field: str, missing: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+        self.missing = missing
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        col = batch[self.field].combine_chunks()
+        import pyarrow.compute as pc
+
+        absent = pc.or_kleene(
+            pc.is_null(col), pc.equal(col, self.missing)
+        ).to_numpy(zero_copy_only=False)
+        absent = np.asarray(absent, dtype=bool)
+        qids, nv, nm = [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            k = int(mask.sum())
+            if not k:
+                continue
+            miss = int(absent[mask].sum())
+            qids.append(qid)
+            nv.append(k - miss)
+            nm.append(miss)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "nv": pa.array(nv, type=pa.int64()),
+                "nm": pa.array(nm, type=pa.int64()),
+            }
+        )
+
+
+def missing_agg(
+    index_dir: str,
+    queries,
+    field: str = "tool",
+    missing: str = "",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `missing` + `value_count` aggregations in one probe pass
+    over each query's full match set: (query_id, n_value, n_missing) where
+    n_missing counts docs whose ``field`` is null/sentinel-empty and
+    n_value counts the rest (single-valued fields: value_count == doc
+    count with a value)."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeMissing,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field, missing),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "n_value": pd.Series(dtype=np.int64),
+            "n_missing": pd.Series(dtype=np.int64),
+        })
+    g = (
+        partials.groupby("query_id", sort=True)
+        .agg(n_value=("nv", "sum"), n_missing=("nm", "sum"))
+        .reset_index()
+    )
+    return g.astype({"query_id": np.int64, "n_value": np.int64,
+                     "n_missing": np.int64})
 
 
 # ---------------------------------------------------------------------------

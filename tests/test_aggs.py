@@ -126,6 +126,67 @@ def test_stats_agg_matches_brute_force(smoke_fixture, smoke_index):
     )
 
 
+def test_extended_stats_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import extended_stats_agg
+
+    df = _src(smoke_fixture)
+    got = extended_stats_agg(smoke_index["index_dir"], QUERIES, field="doc_len")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if m.empty:
+            continue
+        v = m["doc_len"].to_numpy(np.int64)
+        n = float(len(v))
+        mean = float(v.sum()) / n
+        var = max(float((v * v).sum()) / n - mean * mean, 0.0)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        rows.append((int(q.query_id), len(v), int(v.sum()), int((v * v).sum()),
+                     r6(mean), r6(var), r6(np.sqrt(var))))
+    exp = pd.DataFrame(rows, columns=[
+        "query_id", "n_docs", "sum_doc_len", "sumsq_doc_len",
+        "avg_doc_len", "var_doc_len", "std_doc_len"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_histogram_agg_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import histogram_agg
+
+    df = _src(smoke_fixture)
+    got = histogram_agg(smoke_index["index_dir"], QUERIES, field="doc_len",
+                        interval=8)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        for key, g in m.groupby((m["doc_len"] // 8) * 8):
+            rows.append((int(q.query_id), int(key), len(g)))
+    exp = pd.DataFrame(rows, columns=["query_id", "key", "n_docs"])
+    exp = exp.sort_values(["query_id", "key"]).reset_index(drop=True)
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_missing_agg_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import missing_agg
+
+    df = _src(smoke_fixture)
+    got = missing_agg(smoke_index["index_dir"], QUERIES, field="tool")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if m.empty:
+            continue
+        miss = int((m["tool"].isna() | (m["tool"] == "")).sum())
+        rows.append((int(q.query_id), len(m) - miss, miss))
+    exp = pd.DataFrame(rows, columns=["query_id", "n_value", "n_missing"])
+    assert len(exp) > 0 and (exp["n_missing"] > 0).any()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
 def test_sharded_match_sets_roundtrip():
     """_shard_match_sets + _ShardedMatches.for_batch reconstruct exactly the
     original per-query subsets for any batch docid range, across shard
