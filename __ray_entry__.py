@@ -903,6 +903,35 @@ def _q_bm25_missing(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+_FILTERS_SPEC = {
+    "user": [("role", "=", "user")],
+    "long": [("doc_len", ">=", 64)],
+    "tooled": [("tool", "!=", "")],
+}
+
+
+def _q_bm25_filters(sf_dir: str):
+    """OpenSearch filters aggregation: named overlapping predicate buckets
+    (user role / long docs / tool turns) counted over each query's full
+    match set (pipelines/aggs.filters_agg)."""
+    from remote_vector_index_builder_ray import filters_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = filters_agg(index_dir, pd.read_parquet(fx["queries"]), _FILTERS_SPEC)
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_adjacency(sf_dir: str):
+    """OpenSearch adjacency_matrix aggregation: the same named filters plus
+    'a&b' pairwise-intersection buckets (pipelines/aggs.adjacency_matrix_agg)."""
+    from remote_vector_index_builder_ray import adjacency_matrix_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = adjacency_matrix_agg(index_dir, pd.read_parquet(fx["queries"]),
+                               _FILTERS_SPEC)
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_cardinality(sf_dir: str):
     """OpenSearch cardinality aggregation (exact mode) over each query's
     full match set: distinct conversations matched
@@ -1507,6 +1536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_extended_stats": _q_bm25_extended_stats,
         "bm25_histogram": _q_bm25_histogram,
         "bm25_missing": _q_bm25_missing,
+        "bm25_filters": _q_bm25_filters,
+        "bm25_adjacency": _q_bm25_adjacency,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_top_hits": _q_bm25_top_hits,
@@ -2850,6 +2881,48 @@ FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id
 ORDER BY m.query_id
 """
+    # filters / adjacency_matrix: named overlapping predicate buckets over
+    # the match set (user role / doc_len>=64 / tool turns); adjacency adds
+    # 'a&b' pairwise intersections. Empty buckets omitted on both engines.
+    _filters_flags = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, role, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+flags AS (
+    SELECT m.query_id,
+           (d.role = 'user') AS f_user,
+           (coalesce(dl.dl, 0) >= 64) AS f_long,
+           (d.tool IS NOT NULL AND d.tool != '') AS f_tooled
+    FROM m JOIN docs d USING (docid) LEFT JOIN dl USING (docid)
+)"""
+    _filters_singles = """
+SELECT query_id, 'user' AS key, count(*)::BIGINT AS n_docs FROM flags WHERE f_user GROUP BY query_id
+UNION ALL
+SELECT query_id, 'long', count(*)::BIGINT FROM flags WHERE f_long GROUP BY query_id
+UNION ALL
+SELECT query_id, 'tooled', count(*)::BIGINT FROM flags WHERE f_tooled GROUP BY query_id"""
+    out["bm25_filters"] = (
+        _filters_flags + _filters_singles + "\nORDER BY query_id, key"
+    )
+    out["bm25_adjacency"] = (
+        _filters_flags + _filters_singles + """
+UNION ALL
+SELECT query_id, 'long&tooled', count(*)::BIGINT FROM flags WHERE f_long AND f_tooled GROUP BY query_id
+UNION ALL
+SELECT query_id, 'long&user', count(*)::BIGINT FROM flags WHERE f_long AND f_user GROUP BY query_id
+UNION ALL
+SELECT query_id, 'tooled&user', count(*)::BIGINT FROM flags WHERE f_tooled AND f_user GROUP BY query_id
+ORDER BY query_id, key"""
+    )
     # cardinality: exact distinct conversations per query's match set
     out["bm25_cardinality"] = f"""
 WITH {docs}, {_TOKS},

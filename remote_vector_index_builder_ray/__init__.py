@@ -37,7 +37,9 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
 from remote_vector_index_builder_ray.pipelines.aggs import (
     cardinality_agg,
     composite_agg,
+    adjacency_matrix_agg,
     date_histogram,
+    filters_agg,
     extended_stats_agg,
     histogram_agg,
     missing_agg,
@@ -83,7 +85,9 @@ __all__ = [
     "append_index",
     "build_index",
     "compact_index",
+    "adjacency_matrix_agg",
     "date_histogram",
+    "filters_agg",
     "extended_stats_agg",
     "histogram_agg",
     "missing_agg",

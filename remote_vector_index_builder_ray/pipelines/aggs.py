@@ -469,6 +469,134 @@ def extended_stats_agg(
     )
 
 
+def _eval_predicate(batch: pa.Table, pred) -> np.ndarray:
+    """Vectorized docmeta predicate: list of (field, op, value) ANDed.
+    Ops: = != > >= < <= in. Mirrors the filter-context predicate shape
+    ``pipelines/query.resolve_filter_docids`` pushes into the scan."""
+    mask = np.ones(batch.num_rows, dtype=bool)
+    for field, op, value in pred:
+        col = batch[field].combine_chunks().to_numpy(zero_copy_only=False)
+        if op == "=":
+            m = col == value
+        elif op == "!=":
+            m = col != value
+        elif op == ">":
+            m = col > value
+        elif op == ">=":
+            m = col >= value
+        elif op == "<":
+            m = col < value
+        elif op == "<=":
+            m = col <= value
+        elif op == "in":
+            m = np.isin(col, np.asarray(list(value)))
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        mask &= np.asarray(m, dtype=bool)
+    return mask
+
+
+class _ProbeFilters:
+    """Per-batch partials for the `filters` / `adjacency_matrix` aggs:
+    named (possibly overlapping) predicate buckets over each query's match
+    set. Emits (query_id, key, n) with key = filter name — plus, in
+    adjacency mode, 'a&b' intersection keys for every name pair (OpenSearch
+    adjacency_matrix bucket naming, pair names sorted)."""
+
+    def __init__(self, shard_refs, stride, filters: dict, adjacency: bool):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.filters = filters
+        self.adjacency = adjacency
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        names = sorted(self.filters)
+        fmasks = {n: _eval_predicate(batch, self.filters[n]) for n in names}
+        keys = list(names)
+        masks = [fmasks[n] for n in names]
+        if self.adjacency:
+            for i, a in enumerate(names):
+                for b in names[i + 1:]:
+                    keys.append(f"{a}&{b}")
+                    masks.append(fmasks[a] & fmasks[b])
+        qids, out_keys, ns = [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            hit = isin_sorted(ids, arr)
+            if not hit.any():
+                continue
+            for key, fm in zip(keys, masks):
+                c = int((hit & fm).sum())
+                if c:
+                    qids.append(qid)
+                    out_keys.append(key)
+                    ns.append(c)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "key": pa.array(out_keys, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+def filters_agg(
+    index_dir: str,
+    queries,
+    filters: dict,
+    adjacency: bool = False,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `filters` aggregation (and, with ``adjacency=True``, the
+    `adjacency_matrix` aggregation) over each query's full match set:
+    (query_id, key, n_docs) per named predicate bucket — buckets may
+    overlap, a doc counts in every bucket it satisfies; adjacency mode adds
+    'a&b' pairwise-intersection buckets. Empty buckets omitted."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    fields = sorted({f for pred in filters.values() for f, _, _ in pred})
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files),
+                              columns=["docid"] + fields)
+        .map_batches(
+            _ProbeFilters,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, filters,
+                                 adjacency),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "key": pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype=np.int64),
+        })
+    return (
+        partials.groupby(["query_id", "key"], sort=True)
+        .agg(n_docs=("n", "sum"))
+        .reset_index()
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def adjacency_matrix_agg(index_dir: str, queries, filters: dict, where=None):
+    """OpenSearch `adjacency_matrix` aggregation: filters_agg with pairwise
+    intersection buckets."""
+    return filters_agg(index_dir, queries, filters, adjacency=True, where=where)
+
+
 class _ProbeMissing:
     """Per-batch partials for value_count/missing: (query_id, n_value,
     n_missing) of a keyword docmeta field over the match set. A field is

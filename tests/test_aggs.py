@@ -187,6 +187,45 @@ def test_missing_agg_matches_brute_force(smoke_fixture, smoke_index):
                                   check_dtype=False)
 
 
+def test_filters_and_adjacency_match_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import adjacency_matrix_agg, filters_agg
+
+    spec = {
+        "user": [("role", "=", "user")],
+        "long": [("doc_len", ">=", 32)],
+        "tooled": [("tool", "!=", "")],
+    }
+    df = _src(smoke_fixture)
+    flags = {
+        "user": df["role"] == "user",
+        "long": df["doc_len"] >= 32,
+        "tooled": df["tool"].fillna("") != "",
+    }
+    names = sorted(spec)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        for i, a in enumerate(names):
+            c = int(flags[a].loc[m.index].sum())
+            if c:
+                rows.append((int(q.query_id), a, c))
+            for b in names[i + 1:]:
+                c2 = int((flags[a] & flags[b]).loc[m.index].sum())
+                if c2:
+                    rows.append((int(q.query_id), f"{a}&{b}", c2))
+    exp = pd.DataFrame(rows, columns=["query_id", "key", "n_docs"])
+    exp = exp.sort_values(["query_id", "key"]).reset_index(drop=True)
+    got = adjacency_matrix_agg(smoke_index["index_dir"], QUERIES, spec)
+    assert len(exp) > 0 and any("&" in k for k in exp["key"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+    # filters mode = the singles subset of the adjacency result
+    got_f = filters_agg(smoke_index["index_dir"], QUERIES, spec)
+    exp_f = exp[~exp["key"].str.contains("&")].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_f.reset_index(drop=True), exp_f,
+                                  check_dtype=False)
+
+
 def test_sharded_match_sets_roundtrip():
     """_shard_match_sets + _ShardedMatches.for_batch reconstruct exactly the
     original per-query subsets for any batch docid range, across shard
