@@ -373,6 +373,64 @@ def _ensure_pos_index(sf_dir: str):
     return fx, index_dir
 
 
+def _ensure_phrase_slop_queries(sf_dir: str) -> str:
+    """Deterministic 2-term sloppy-phrase query set: skip-one token pairs
+    (positions i, i+2 of sampled docs — only slop>=1 matches them), adjacent
+    pairs under widened slop, a reversed pair (in-order matcher), and an
+    absent phrase. Two terms each so the DuckDB twin's greedy-chain list
+    comprehension stays tractable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_phrase_slop_queries.parquet")
+    if os.path.exists(path):
+        return path
+    fx = _fx.ensure_fixture(name)
+    src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    toks = src["text"].map(lambda t: tokenize_text(t or ""))
+    pairs: list[tuple[str, int]] = []
+    step = max(1, len(src) // 20)
+    for i in range(0, len(src), step):
+        tk = toks[i]
+        if len(tk) >= 4:
+            pairs.append((f"{tk[1]} {tk[3]}", 1))       # skip-one: needs slop
+            pairs.append((f"{tk[1]} {tk[2]}", 2))       # adjacent, widened
+            pairs.append((f"{tk[2]} {tk[1]}", 2))       # reversed, in-order
+        if len(pairs) >= 15:
+            break
+    pairs.append(("zzzz_nonexistent qqqq", 3))
+    seen, uniq = set(), []
+    for p in pairs:
+        if p[0] not in seen:
+            seen.add(p[0])
+            uniq.append(p)
+    _write_atomic(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(uniq)), type=pa.int64()),
+                "text": pa.array([p for p, _ in uniq], type=pa.string()),
+                "slop": pa.array([s for _, s in uniq], type=pa.int32()),
+                "k": pa.array([10] * len(uniq), type=pa.int32()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _q_bm25_phrase_slop(sf_dir: str):
+    """Sloppy phrase top-k (mode="phrase" with per-query slop): ordered
+    greedy chain matching, Lucene sloppy weight 1/(1+gap) summed into the
+    phrase frequency (stages/search._score_phrase_slop)."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_phrase_slop_queries(sf_dir),
+                         mode="phrase")
+
+
 def _q_bm25_phrase(sf_dir: str):
     """Exact phrase top-k over the positional index (mode="phrase"),
     Lucene PhraseQuery scoring: sum(idf(term_i)) * tfnorm(phrase_tf)."""
@@ -1518,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_compacted": _q_bm25_compacted,
         "bm25_filtered": _q_bm25_filtered,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_phrase_slop": _q_bm25_phrase_slop,
         "bm25_and": _q_bm25_and,
         "bm25_msm": _q_bm25_msm,
         "bm25_prefix": _q_bm25_prefix,
@@ -3492,6 +3551,73 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # sloppy phrase (2-term queries): ordered greedy chain — for each
+    # occurrence x of term1, z = smallest term2 position > x; gap = z-x-1;
+    # weight 1/(z-x) when gap <= slop; stf = sum of weights (ascending x,
+    # mirroring the engine's bincount order); BM25 saturation as in phrase.
+    slop_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_phrase_slop_queries.parquet")
+    out["bm25_phrase_slop"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::DOUBLE / count(*) AS avgdl FROM docs),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+q AS MATERIALIZED (
+    SELECT query_id, k, slop::BIGINT AS slop,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{slop_pq}')
+),
+qterm AS (SELECT query_id, unnest(p) AS term FROM q),
+qidf AS (
+    SELECT qt.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM qterm qt JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qt.query_id
+),
+qok AS (
+    SELECT q.query_id, q.k, q.slop, q.p, qidf.idf_sum
+    FROM q JOIN qidf USING (query_id)
+    WHERE qidf.n_found = len(q.p) AND len(q.p) = 2
+),
+cand AS (
+    SELECT DISTINCT qok.query_id, tm.docid
+    FROM qok JOIN tm ON tm.term = qok.p[1]
+),
+stf AS (
+    SELECT c.query_id, c.docid,
+           list_sum(
+               [1.0 / (list_min([z FOR z IN p2 IF z > x]) - x)
+                FOR x IN p1
+                IF len([z FOR z IN p2 IF z > x]) > 0
+                   AND list_min([z FOR z IN p2 IF z > x]) - x - 1 <= q.slop]
+           ) AS stf, len(d.ts) AS dl
+    FROM cand c
+    JOIN qok q ON q.query_id = c.query_id
+    JOIN docs d ON d.docid = c.docid,
+    LATERAL (SELECT [i FOR i IN range(1, len(d.ts) + 1) IF d.ts[i] = q.p[1]] AS p1,
+                    [i FOR i IN range(1, len(d.ts) + 1) IF d.ts[i] = q.p[2]] AS p2) pos
+),
+scored AS (
+    SELECT f.query_id, f.docid, q.k,
+           q.idf_sum * (f.stf * (1.2 + 1)
+               / (f.stf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))) AS score
+    FROM stf f
+    JOIN qok q USING (query_id)
+    CROSS JOIN stats s
+    WHERE f.stf IS NOT NULL AND f.stf > 0
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     return out
 
 
@@ -3512,5 +3638,6 @@ except Exception:  # noqa: BLE001
     pass
 try:
     _ensure_phrase_queries(ORACLE_SF_DIR)
+    _ensure_phrase_slop_queries(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass

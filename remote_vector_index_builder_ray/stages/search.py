@@ -610,6 +610,92 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    def _score_phrase_slop(self, terms: list[str], k: int, slop: int,
+                           offsets=None):
+        """Ordered sloppy phrase (OpenSearch match_phrase with ``slop``):
+        the terms must appear IN ORDER; for each occurrence of the first
+        term the matcher greedily chains every later term to its smallest
+        position strictly after the previous term's matched position
+        (vectorized: one ``searchsorted`` per phrase term over the packed
+        (docid << 21 | pos) arrays — all chains across all candidate docs
+        advance at once). With adjusted positions a_i = p_i - offsets[i],
+        a chain matches when gap = max(a) - min(a) <= slop and contributes
+        Lucene's sloppy weight 1 / (1 + gap) to the doc's phrase frequency
+        (SloppyPhraseMatcher.sloppyWeight), which then runs through the BM25
+        saturation with summed term idfs exactly as the exact matcher.
+
+        Semantics note (frozen, documented): Lucene's sloppy matcher also
+        accepts OUT-of-order matches whose edit distance fits the slop
+        budget; this engine freezes the deterministic in-order greedy
+        subset so a SQL oracle reproduces it bit-for-bit. slop=0 is exactly
+        ``_score_phrase`` (and is routed there)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        if offsets is None:
+            offsets = list(range(len(terms)))
+        else:
+            offsets = [o - offsets[0] for o in offsets]
+        uterms = sorted(set(terms))
+        if any(self._cache.get(t) is None for t in uterms):
+            return empty
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += _idf(self.N, self._cache[t].df)
+        if any(self._pos_cache.get(t) is None for t in uterms):
+            return empty
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        cand_docs = None
+        for t in sorted(uterms, key=lambda t: len(self._pos_cache[t][2])):
+            cdoc = self._pos_cache[t][2]
+            cand_docs = cdoc if cand_docs is None else np.intersect1d(
+                cand_docs, cdoc, assume_unique=True
+            )
+            if cand_docs.size == 0:
+                return empty
+        K = self._POS_PACK
+        packed = []
+        for t in terms:
+            d, p, cdoc, _ = self._pos_cache[t]
+            if len(cand_docs) < len(cdoc):
+                m = isin_sorted(d, cand_docs)
+                d, p = d[m], p[m]
+            if len(d) == 0:
+                return empty
+            packed.append((d, p, d * K + p))
+        d0, p0, cur_key = packed[0]
+        valid = np.ones(len(cur_key), dtype=bool)
+        amin = (p0 - offsets[0]).astype(np.int64)
+        amax = amin.copy()
+        for (d, p, kk), off in zip(packed[1:], offsets[1:]):
+            idx = np.searchsorted(kk, cur_key, side="right")
+            ok = idx < len(kk)
+            idx_c = np.minimum(idx, len(kk) - 1)
+            same_doc = d[idx_c] == d0
+            step_ok = ok & same_doc
+            valid &= step_ok
+            cur_key = np.where(valid, kk[idx_c], cur_key)
+            a = p[idx_c] - off
+            amin = np.where(valid, np.minimum(amin, a), amin)
+            amax = np.where(valid, np.maximum(amax, a), amax)
+        gap = amax - amin
+        matched = valid & (gap <= slop)
+        if not matched.any():
+            return empty
+        mdocs = d0[matched]
+        weights = 1.0 / (1.0 + gap[matched].astype(np.float64))
+        cand, inv = np.unique(mdocs, return_inverse=True)
+        stf = np.bincount(inv, weights=weights, minlength=len(cand))
+        _, _, cdoc, cdl = self._pos_cache[terms[0]]
+        dl = cdl[np.searchsorted(cdoc, cand)]
+        scores = idf_sum * tfnorm(
+            stf, dl.astype(np.float64), self.avgdl, self.k1, self.b
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
     def _deny_set(self, exclude_terms: list[str]) -> np.ndarray:
         """bool.must_not: the sorted union of the excluded terms' posting
         docids (per query — unlike tombstones/filters, which are per-actor).
@@ -1151,16 +1237,25 @@ class BM25Searcher:
             denies = [None] * len(qids)
         if self.mode != "blended":
             groups_lists = [None] * len(qids)
+        # match_phrase slop (optional per-query int column, phrase mode)
+        if "slop" in cols:
+            if self.mode != "phrase":
+                raise ValueError("slop is only supported in phrase mode")
+            slops = [int(s or 0) for s in batch["slop"].to_pylist()]
+        else:
+            slops = [0] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
-            per_query_offsets,
+            per_query_offsets, slops,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
                 docids, scores = self._score_bmw(terms, k, after, deny)
             elif self.mode == "wand":
                 docids, scores = self._score_wand(terms, k)
+            elif self.mode == "phrase" and slop > 0:
+                docids, scores = self._score_phrase_slop(terms, k, slop, poffs)
             elif self.mode == "phrase":
                 docids, scores = self._score_phrase(terms, k, poffs)
             elif self.mode == "constant":

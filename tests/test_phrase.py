@@ -197,3 +197,90 @@ def test_phrase_incremental_generations(smoke_fixture, tmp_path_factory):
     res2 = _run(idx, [common])
     np.testing.assert_array_equal(res2["docid"].to_numpy(), res["docid"].to_numpy())
     np.testing.assert_array_equal(res2["score"].to_numpy(), res["score"].to_numpy())
+
+
+def _slop_gold(df: pd.DataFrame, phrase: str, slop: int, k: int):
+    """Brute-force oracle for the ordered greedy sloppy matcher: for each
+    occurrence of term 1, chain each later term to its smallest position
+    strictly after the previous match; gap = max(a)-min(a) over adjusted
+    positions a_i = p_i - i; weight 1/(1+gap) when gap <= slop."""
+    p = tokenize_text(phrase)
+    if not p:
+        return []
+    N = len(df)
+    dls = df["toks"].map(len)
+    avgdl = float(dls.sum()) / N
+    df_map = {t: int(df["toks"].map(lambda tk: t in tk).sum()) for t in set(p)}
+    if any(df_map[t] == 0 for t in p):
+        return []
+    idf_sum = 0.0
+    for t in p:
+        idf_sum += _idf(N, df_map[t])
+    rows = []
+    for docid, tk in zip(df["docid"], df["toks"]):
+        pos = {t: [i for i, x in enumerate(tk) if x == t] for t in set(p)}
+        if any(not pos[t] for t in p):
+            continue
+        stf = 0.0
+        for p1 in pos[p[0]]:
+            adj = [p1 - 0]
+            prev = p1
+            dead = False
+            for j, t in enumerate(p[1:], start=1):
+                nxt = [x for x in pos[t] if x > prev]
+                if not nxt:
+                    dead = True
+                    break
+                prev = nxt[0]
+                adj.append(prev - j)
+            if dead:
+                continue
+            gap = max(adj) - min(adj)
+            if gap <= slop:
+                stf += 1.0 / (1.0 + gap)
+        if stf > 0:
+            s = idf_sum * float(
+                tfnorm(np.array([stf], float), np.array([len(tk)], float),
+                       avgdl, 1.2, 0.75)[0]
+            )
+            rows.append((int(docid), s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def test_phrase_slop_matches_brute_force(smoke_fixture, pos_index):
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    a, b = common.split()
+    # skip-one bigram (slop=1 catches "a X b"), the common bigram itself,
+    # a reversed bigram (in-order matcher: only matches if b..a also occurs
+    # in order), and a trigram with slop
+    doc7 = df.loc[7, "toks"]
+    phrases = [
+        (common, 0), (common, 1), (common, 2),
+        (f"{b} {a}", 2),
+        (" ".join([doc7[0], doc7[2]]) if len(doc7) > 2 else common, 1),
+        (" ".join(doc7[:3]) if len(doc7) >= 3 else common, 2),
+    ]
+    q = pd.DataFrame({
+        "query_id": np.arange(len(phrases), dtype=np.int64),
+        "text": [p for p, _ in phrases],
+        "slop": np.array([s for _, s in phrases], dtype=np.int32),
+        "k": np.full(len(phrases), 12, dtype=np.int32),
+    })
+    res = (search(pos_index, q, mode="phrase").to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    any_nonempty = False
+    for qid, (phrase, slop) in enumerate(phrases):
+        gold = _slop_gold(df, phrase, slop, 12) if slop else _phrase_gold(df, phrase, 12)
+        g = res[res["query_id"] == qid]
+        np.testing.assert_array_equal(g["docid"].to_numpy(), [r[0] for r in gold],
+                                      err_msg=f"{phrase!r} slop={slop}")
+        np.testing.assert_array_equal(g["score"].to_numpy(), [r[1] for r in gold],
+                                      err_msg=f"{phrase!r} slop={slop}")
+        any_nonempty |= len(gold) > 0
+    assert any_nonempty
+    # slop widens the match set monotonically for the same phrase
+    n0 = len(res[res["query_id"] == 0])
+    n2 = len(res[res["query_id"] == 2])
+    assert n2 >= n0
