@@ -431,6 +431,17 @@ def _q_bm25_phrase_slop(sf_dir: str):
                          mode="phrase")
 
 
+def _q_bm25_rescore(sf_dir: str):
+    """OpenSearch query rescorer (score_mode=total): BM25 top-30 window per
+    query, re-scored by the same text as an exact phrase; final = bm25 +
+    phrase on 6-rounded components (pipelines/query.rescore_phrase)."""
+    from remote_vector_index_builder_ray import rescore_phrase
+
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return rescore_phrase(index_dir, _ensure_phrase_queries(sf_dir),
+                          window_size=30, k=10)
+
+
 def _q_bm25_phrase(sf_dir: str):
     """Exact phrase top-k over the positional index (mode="phrase"),
     Lucene PhraseQuery scoring: sum(idf(term_i)) * tfnorm(phrase_tf)."""
@@ -1577,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
+        "bm25_rescore": _q_bm25_rescore,
         "bm25_and": _q_bm25_and,
         "bm25_msm": _q_bm25_msm,
         "bm25_prefix": _q_bm25_prefix,
@@ -3549,6 +3561,90 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # rescore: BM25 top-30 window (rounded re-rank picks the window),
+    # re-scored by the same text as an exact phrase; final = round6(bm25)
+    # + round6(phrase) via the half-up floor trick, re-ranked, top-10.
+    out["bm25_rescore"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+toks AS MATERIALIZED (SELECT docid, unnest(ts) AS term FROM docs),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS MATERIALIZED (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{phrase_pq}')
+),
+qd AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM q),
+scored AS (
+    SELECT qd.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM qd
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY qd.query_id, tf.docid
+),
+win AS (
+    SELECT query_id, docid, round(score, 6) AS b,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+),
+qidf AS (
+    SELECT qt.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM (SELECT query_id, unnest(p) AS term FROM q) qt
+    JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qt.query_id
+),
+qok AS (
+    SELECT q.query_id, q.p, qidf.idf_sum
+    FROM q JOIN qidf USING (query_id)
+    WHERE qidf.n_found = len(q.p) AND len(q.p) > 0
+),
+ptf AS (
+    SELECT w.query_id, w.docid,
+           len([i FOR i IN range(1, len(d.ts) - len(qk.p) + 2)
+                IF d.ts[i:i + len(qk.p) - 1] = qk.p])::BIGINT AS ptf
+    FROM win w
+    JOIN qok qk USING (query_id)
+    JOIN docs d ON d.docid = w.docid
+    WHERE w.rank <= 30 AND len(d.ts) >= len(qk.p)
+),
+pscore AS (
+    SELECT p.query_id, p.docid,
+           round(qk.idf_sum * (p.ptf * (1.2 + 1)
+               / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * len(d.ts) / s.avgdl))), 6) AS ph
+    FROM ptf p
+    JOIN qok qk USING (query_id)
+    JOIN docs d ON d.docid = p.docid
+    CROSS JOIN stats s
+    WHERE p.ptf > 0
+),
+combined AS (
+    SELECT w.query_id, w.docid,
+           floor((w.b + coalesce(ps.ph, 0)) * 1000000 + 0.5) / 1000000 AS score
+    FROM win w LEFT JOIN pscore ps USING (query_id, docid)
+    WHERE w.rank <= 30
+),
+ranked AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM combined
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score
+FROM ranked r JOIN (SELECT query_id, any_value(k) AS k FROM q GROUP BY query_id) qq USING (query_id)
+WHERE r.rank <= 10
 ORDER BY query_id, rank
 """
     # sloppy phrase (2-term queries): ordered greedy chain — for each

@@ -73,6 +73,7 @@ from remote_vector_index_builder_ray.pipelines.query import (
     function_score,
     highlight,
     hydrate,
+    rescore_phrase,
     search,
     search_bool,
     search_multi_match,
@@ -100,6 +101,7 @@ __all__ = [
     "global_stats",
     "highlight",
     "hydrate",
+    "rescore_phrase",
     "load_tombstones",
     "more_like_this",
     "percolate",

@@ -453,6 +453,68 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def rescore_phrase(
+    index_dir: str,
+    queries,
+    window_size: int = 30,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+) -> pd.DataFrame:
+    """OpenSearch query rescorer (score_mode=total): the per-query BM25
+    top-``window_size`` window is re-scored by running the SAME query text
+    as an exact phrase; final = query_weight * bm25 + rescore_weight *
+    phrase, docs without the phrase keep their bm25 score. Docs outside the
+    window are untouched (the point of a rescorer: the expensive positional
+    query runs on window_size docs per query, not the corpus).
+
+    Cross-engine determinism: window membership and the final order are
+    decided on 6-decimal-rounded components (the driver float policy), so
+    a SQL oracle ranks identically. The phrase leg fetches ALL phrase
+    matches (k=INT32_MAX) and joins against the window driver-side — a
+    window semi-join, exact and simple; phrase match sets are small for
+    content phrases (a stopword-only phrase degrades to the posting walk
+    Lucene pays too)."""
+    import numpy as np
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    base = search(
+        index_dir, q.assign(k=np.int32(2 * window_size)), mode="bmw"
+    ).to_pandas()
+    if "query_id" not in base.columns:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int32),
+                             "docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    base["score"] = base["score"].round(6)
+    base = base.sort_values(["query_id", "score", "docid"],
+                            ascending=[True, False, True])
+    base["rank"] = base.groupby("query_id").cumcount() + 1
+    win = base[base["rank"] <= window_size][["query_id", "docid", "score"]]
+
+    ph = search(
+        index_dir, q.assign(k=np.int32(2**31 - 1)), mode="phrase"
+    ).to_pandas()
+    if "query_id" in ph.columns and len(ph):
+        ph = ph[["query_id", "docid", "score"]].rename(columns={"score": "p"})
+        ph["p"] = ph["p"].round(6)
+        win = win.merge(ph, on=["query_id", "docid"], how="left")
+        win["p"] = win["p"].fillna(0.0)
+    else:
+        win = win.assign(p=0.0)
+    win["score"] = r6(query_weight * win["score"] + rescore_weight * win["p"])
+    win = win.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    win["rank"] = (win.groupby("query_id").cumcount() + 1).astype(np.int32)
+    out = win[win["rank"] <= k]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
 def search_multi_match(
     index_dirs: dict[str, str],
     queries,

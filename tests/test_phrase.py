@@ -284,3 +284,30 @@ def test_phrase_slop_matches_brute_force(smoke_fixture, pos_index):
     n0 = len(res[res["query_id"] == 0])
     n2 = len(res[res["query_id"] == 2])
     assert n2 >= n0
+
+
+def test_rescore_phrase_matches_brute_force(smoke_fixture, pos_index):
+    """rescore_phrase == brute force: bm25 window by rounded rank, exact
+    phrase scores joined in, combined on rounded components."""
+    from remote_vector_index_builder_ray import rescore_phrase
+
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": [common],
+                      "k": np.array([10], dtype=np.int32)})
+    got = rescore_phrase(pos_index, q, window_size=15, k=10)
+
+    # brute force: full bm25 ranking (disjunction over distinct terms)
+    base = search(pos_index, q.assign(k=np.int32(10_000)), mode="exhaustive").to_pandas()
+    base["score"] = base["score"].round(6)
+    base = base.sort_values(["score", "docid"], ascending=[False, True]).reset_index(drop=True)
+    win = base.head(15).copy()
+    gold_ph = dict((d, round(s, 6)) for d, s in _phrase_gold(df, common, len(df)))
+    win["p"] = win["docid"].map(gold_ph).fillna(0.0)
+    win["combined"] = np.floor((win["score"] + win["p"]) * 1e6 + 0.5) / 1e6
+    win = win.sort_values(["combined", "docid"], ascending=[False, True]).head(10)
+    np.testing.assert_array_equal(got["docid"].to_numpy(), win["docid"].to_numpy())
+    np.testing.assert_array_equal(got["score"].to_numpy(), win["combined"].to_numpy())
+    # the rescorer must actually change the window order vs plain bm25
+    assert got["docid"].tolist() != base.head(10)["docid"].tolist() or (win["p"] > 0).any()
