@@ -431,6 +431,33 @@ def _q_bm25_phrase_slop(sf_dir: str):
                          mode="phrase")
 
 
+_BOOSTING_NEGATIVE = "w000200 tool"
+
+
+def _q_bm25_boosting(sf_dir: str):
+    """Lucene/OpenSearch boosting query: positive BM25 matches that also
+    match the negative query keep matching with score * negative_boost
+    (0.5 — an exact power of two, so both engines halve bit-identically).
+    Runs on the exhaustive scorer (demotion breaks block-max bounds)."""
+    from remote_vector_index_builder_ray import search
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    q2 = q.assign(k=(q["k"] * 2).astype("int32"),
+                  negative_text=_BOOSTING_NEGATIVE)
+    res = search(index_dir, q2, mode="exhaustive", negative_boost=0.5).to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res["k"] = res["query_id"].map(k_by_query)
+    res = res[res["rank"] <= res["k"]]
+    return res[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_rescore(sf_dir: str):
     """OpenSearch query rescorer (score_mode=total): BM25 top-30 window per
     query, re-scored by the same text as an exact phrase; final = bm25 +
@@ -1589,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "bm25_rescore": _q_bm25_rescore,
+        "bm25_boosting": _q_bm25_boosting,
         "bm25_and": _q_bm25_and,
         "bm25_msm": _q_bm25_msm,
         "bm25_prefix": _q_bm25_prefix,
@@ -3558,6 +3586,47 @@ ranked AS (
     SELECT query_id, docid, round(score, 6) AS score, k,
            row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
     FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # boosting query: positive BM25 scoring; docs also matching the
+    # negative query ('w000200 tool') score * 0.5 (exact halving)
+    out["bm25_boosting"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+neg AS (SELECT DISTINCT docid FROM toks WHERE term IN ('w000200', 'tool')),
+adj AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           CASE WHEN n.docid IS NOT NULL THEN sc.score * 0.5 ELSE sc.score END AS score
+    FROM scored sc LEFT JOIN neg n USING (docid)
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM adj
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

@@ -92,6 +92,7 @@ def search(
     min_should_match: int | None = None,
     tie_breaker: float = 0.0,
     collapse_round6: bool = False,
+    negative_boost: float = 0.5,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -186,6 +187,14 @@ def search(
             raise ValueError(f"search_after is not supported in {mode} mode")
         if "exclude_text" in queries.columns:
             raise ValueError(f"exclude_text is not supported in {mode} mode")
+    if (mode != "exhaustive" and hasattr(queries, "columns")
+            and "negative_text" in queries.columns):
+        # Lucene BoostingQuery: demotion breaks block-max bounds, so the
+        # boosting query runs on the exhaustive scorer only (driver-side
+        # fail-fast; an actor-side raise is an opaque ActorDiedError)
+        raise ValueError(
+            "negative_text (boosting query) requires mode='exhaustive'"
+        )
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
@@ -196,6 +205,7 @@ def search(
             "min_should_match": min_should_match,
             "tie_breaker": tie_breaker,
             "collapse_round6": collapse_round6,
+            "negative_boost": negative_boost,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -198,7 +198,8 @@ class BM25Searcher:
                  cache_terms: int = 8192, operator: str = "or",
                  min_should_match: int | None = None,
                  tie_breaker: float = 0.0,
-                 collapse_round6: bool = False):
+                 collapse_round6: bool = False,
+                 negative_boost: float = 0.5):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -251,6 +252,7 @@ class BM25Searcher:
         self.msm = None if min_should_match is None else int(min_should_match)
         self.tie_breaker = float(tie_breaker)  # mode="dismax" only
         self.collapse_round6 = bool(collapse_round6)  # mode="collapse" only
+        self.negative_boost = float(negative_boost)  # boosting query only
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -898,7 +900,8 @@ class BM25Searcher:
         return uniq[sel], scores[sel]
 
     # -- scoring --------------------------------------------------------------
-    def _score_exhaustive(self, terms: list[str], k: int, after=None, deny=None):
+    def _score_exhaustive(self, terms: list[str], k: int, after=None, deny=None,
+                          demote=None):
         need = self._need(terms)
         if need > 1:
             n_present = sum(1 for t in terms if self._cache.get(t) is not None)
@@ -933,6 +936,19 @@ class BM25Searcher:
 
             keep = ~isin_sorted(uniq, deny)
             uniq, scores = uniq[keep], scores[keep]
+        if demote is not None:
+            # Lucene BoostingQuery: docs matching the negative query keep
+            # matching but their score is multiplied by negative_boost.
+            # Applied across ALL positive matches before top-k (a demoted
+            # doc can fall out and let lower docs in) — which is why this
+            # runs in the exhaustive scorer: demotion invalidates the
+            # block-max upper bounds bmw prunes with.
+            neg_set, factor = demote
+            if len(neg_set):
+                from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+                hit = isin_sorted(uniq, neg_set)
+                scores = np.where(hit, scores * factor, scores)
         if after is not None:
             keep = self._after_mask(uniq, scores, after)
             uniq, scores = uniq[keep], scores[keep]
@@ -1235,6 +1251,27 @@ class BM25Searcher:
             ]
         else:
             denies = [None] * len(qids)
+        # boosting query (optional negative_text column): docs matching the
+        # negative query keep matching, score *= negative_boost
+        if "negative_text" in cols:
+            if self.mode != "exhaustive":
+                raise ValueError(
+                    "negative_text (boosting query) requires mode='exhaustive'"
+                    " — demotion invalidates block-max pruning bounds"
+                )
+            neg_lists = [
+                sorted(set(analyze_text(t or "", self._analyzer)))
+                for t in batch["negative_text"].to_pylist()
+            ]
+            neg_load = sorted({t for lst in neg_lists for t in lst})
+            if neg_load:
+                self._load_terms(neg_load)
+            demotes = [
+                (self._deny_set(lst), self.negative_boost) if lst else None
+                for lst in neg_lists
+            ]
+        else:
+            demotes = [None] * len(qids)
         if self.mode != "blended":
             groups_lists = [None] * len(qids)
         # match_phrase slop (optional per-query int column, phrase mode)
@@ -1245,9 +1282,9 @@ class BM25Searcher:
         else:
             slops = [0] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
-            per_query_offsets, slops,
+            per_query_offsets, slops, demotes,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -1267,7 +1304,8 @@ class BM25Searcher:
             elif self.mode == "collapse":
                 docids, scores = self._score_collapse(terms, k, self.collapse_round6)
             else:
-                docids, scores = self._score_exhaustive(terms, k, after, deny)
+                docids, scores = self._score_exhaustive(terms, k, after, deny,
+                                                        demote)
             n = len(docids)
             out_qid.extend([int(qid)] * n)
             out_rank.extend(range(1, n + 1))
