@@ -1302,9 +1302,10 @@ def _q_bm25_update(sf_dir: str):
 
 def _q_bm25_bool(sf_dir: str):
     """Full OpenSearch bool query (pipelines/query.search_bool): per query,
-    must = the first token (required), should = the remaining tokens
-    (scoring-optional), must_not = 'w000200' for every third query; score
-    sums BM25 over must+should terms (Lucene BooleanQuery)."""
+    must = the first TWO tokens (every one required — multi-term must), the
+    should = the remaining tokens (scoring-optional), must_not = 'w000200'
+    for every third query; score sums BM25 over must+should terms (Lucene
+    BooleanQuery)."""
     import pyarrow.parquet as pq
 
     from remote_vector_index_builder_ray import search_bool
@@ -1317,8 +1318,8 @@ def _q_bm25_bool(sf_dir: str):
     toks = q["text"].map(lambda t: tokenize_text(t or ""))
     bq = pd.DataFrame({
         "query_id": q["query_id"].astype(np.int64),
-        "must_text": toks.map(lambda p: p[0]),
-        "text": toks.map(lambda p: " ".join(p[1:])),
+        "must_text": toks.map(lambda p: " ".join(p[:2])),
+        "text": toks.map(lambda p: " ".join(p[2:])),
         "exclude_text": [
             "w000200" if int(qid) % 3 == 0 else "" for qid in q["query_id"]
         ],
@@ -2054,7 +2055,7 @@ q0 AS (
     WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) > 0
 ),
 qq AS (
-    SELECT query_id, k, p[1] AS must_term,
+    SELECT query_id, k, p[1:least(2, len(p))] AS must_terms,
            CASE WHEN query_id % 3 = 0 THEN 'w000200' ELSE NULL END AS ex, p
     FROM q0
 ),
@@ -2071,7 +2072,14 @@ scored AS (
     GROUP BY qt.query_id, tf.docid
 ),
 must_ok AS (
-    SELECT qq.query_id, t.docid FROM qq JOIN tf t ON t.term = qq.must_term
+    -- every must term present: docs whose matched-distinct-must count
+    -- equals the query's distinct-must count
+    SELECT mt.query_id, t.docid
+    FROM (SELECT query_id, unnest(list_distinct(must_terms)) AS term,
+                 len(list_distinct(must_terms)) AS n_must FROM qq) mt
+    JOIN tf t USING (term)
+    GROUP BY mt.query_id, t.docid, mt.n_must
+    HAVING count(DISTINCT t.term) = mt.n_must
 ),
 dead AS (
     SELECT qq.query_id, t.docid FROM qq JOIN tf t ON t.term = qq.ex
