@@ -1160,6 +1160,7 @@ def significant_terms_agg(
     queries,
     size: int = 10,
     where=None,
+    sampler_size: int | None = None,
 ) -> pd.DataFrame:
     """OpenSearch `significant_terms` aggregation with the JLH score: terms
     whose frequency in a query's match set (foreground) is anomalously high
@@ -1171,16 +1172,31 @@ def significant_terms_agg(
     (score desc, term asc); score rounded half-up to 6 decimals. Returns
     (query_id, term, fg_docs, bg_docs, score).
 
-    Scale note: partial rows are (query x distinct matched term) per task —
-    for pathologically unselective queries OpenSearch bounds this with its
-    sampler agg; the analog here is a ``where`` filter or query-side
-    sampling before the probe."""
+    ``sampler_size`` (the OpenSearch `sampler` agg analog, its default is
+    top-100 per shard): restrict each query's foreground to its
+    ``sampler_size`` BEST-scoring matched docs (BM25 desc, docid asc —
+    deterministic, so a SQL twin samples identically). This is the scale
+    path: without it, an unselective (stopword) query's partial rows are
+    (query x distinct matched term) per task, i.e. corpus-vocabulary-sized
+    at the driver."""
     from remote_vector_index_builder_ray.functions.tokenizer import load_analyzer
     from remote_vector_index_builder_ray.pipelines.expand import _get_dict
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    matches = _match_sets(index_dir, queries, where=where)
+    if sampler_size is not None:
+        scored = _match_sets_scored(index_dir, queries, where=where)
+        matches = {}
+        for qid, (d, s) in scored.items():
+            if len(d) > sampler_size:
+                # top sampler_size by (score desc, docid asc): arrays are
+                # docid-sorted, so a stable sort on -score keeps the docid
+                # ascending tiebreak
+                sel = np.argsort(-s, kind="stable")[:sampler_size]
+                d = np.sort(d[sel])
+            matches[qid] = d
+    else:
+        matches = _match_sets(index_dir, queries, where=where)
     shard_refs, qid_list = _shard_match_sets(matches)
     analyzer = load_analyzer(index_dir)
     meta_files = [

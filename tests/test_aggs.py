@@ -391,6 +391,48 @@ def test_significant_terms_matches_brute_force(smoke_fixture, smoke_index):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
 
 
+def test_significant_terms_sampler(smoke_fixture, smoke_index, smoke_oracle):
+    """sampler_size (OpenSearch sampler agg analog): the foreground is the
+    top-n BEST-scoring matches (score desc, docid asc) — brute-forced here
+    with the oracle's scores."""
+    from collections import Counter
+
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    df = _src(smoke_fixture)
+    N = float(len(df))
+    n_sample, size = 20, 10
+    got = significant_terms_agg(smoke_index["index_dir"], QUERIES, size=size,
+                                sampler_size=n_sample)
+    bg = Counter()
+    for toks in df["toks"]:
+        bg.update(toks)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        scores = smoke_oracle.score_query(q.text)
+        if not scores:
+            continue
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:n_sample]
+        sample = df[df["docid"].isin([d for d, _ in top])]
+        fg = Counter()
+        for toks in sample["toks"]:
+            fg.update(toks)
+        fgt = float(len(sample))
+        recs = []
+        for t, c in fg.items():
+            fr, br = c / fgt, bg[t] / N
+            recs.append((t, c, bg[t], float(np.floor((fr - br) * (fr / br) * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[3], r[0]))
+        for t, c, b_, s in recs[:size]:
+            rows.append((int(q.query_id), t, int(c), int(b_), s))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "term", "fg_docs", "bg_docs", "score"]
+    ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
+              "score": np.float64})
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
 def test_composite_agg_matches_brute_force(smoke_fixture, smoke_index):
     from remote_vector_index_builder_ray import composite_agg
 
