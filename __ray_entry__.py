@@ -609,6 +609,26 @@ def _q_bm25_wildcard(sf_dir: str):
     )
 
 
+def _q_bm25_terms(sf_dir: str):
+    """OpenSearch terms query (constant-score): docs containing ANY of the
+    exact terms (first 3 analyzed tokens of each fixture query), score 1.0,
+    docid-ascending (pipelines/expand.search_terms)."""
+    from remote_vector_index_builder_ray import search_terms
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    tq = pd.DataFrame({
+        "query_id": q["query_id"].astype(np.int64),
+        "terms": q["text"].map(lambda t: tokenize_text(t or "")[:3]),
+        "k": q["k"].astype(np.int32),
+    })
+    res = search_terms(index_dir, tq).to_pandas()
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
 def _q_bm25_regexp(sf_dir: str):
     """OpenSearch regexp query (constant-score rewrite): RE2 patterns,
     implicitly anchored, expanded against the term dictionary
@@ -902,6 +922,19 @@ def _q_bm25_date_histogram(sf_dir: str):
     fx, index_dir, _ = _ensure_index(sf_dir)
     out = date_histogram(index_dir, pd.read_parquet(fx["queries"]))
     return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_pipeline_aggs(sf_dir: str):
+    """OpenSearch pipeline aggregations (cumulative_sum + derivative) over
+    the per-day date_histogram of each query's match set
+    (pipelines/aggs.pipeline_date_histogram); deriv NULL on each query's
+    first bucket."""
+    from remote_vector_index_builder_ray import pipeline_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = pipeline_date_histogram(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "cum_docs": "int64", "deriv": "float64"}).reset_index(drop=True)
 
 
 def _q_bm25_collapse(sf_dir: str):
@@ -1623,10 +1656,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix": _q_bm25_prefix,
         "bm25_wildcard": _q_bm25_wildcard,
         "bm25_regexp": _q_bm25_regexp,
+        "bm25_terms": _q_bm25_terms,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
+        "bm25_pipeline_aggs": _q_bm25_pipeline_aggs,
         "bm25_page2": _q_bm25_page2,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_collapse": _q_bm25_collapse,
@@ -2291,6 +2326,29 @@ ranked AS (
 SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
 FROM ranked r JOIN p USING (query_id)
 WHERE r.rank <= p.k
+ORDER BY query_id, rank
+"""
+    # terms query: constant-score ANY-of-exact-terms (first 3 analyzed
+    # tokens per fixture query)
+    out["bm25_terms"] = f"""
+WITH {docs}, {_TOKS},
+q AS (
+    SELECT query_id, k,
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1:3] AS terms
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (
+    SELECT DISTINCT q.query_id, t.docid
+    FROM q JOIN toks t ON list_contains(q.terms, t.term)
+),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM m
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN q USING (query_id)
+WHERE r.rank <= q.k
 ORDER BY query_id, rank
 """
     # regexp query: constant-score rewrite, RE2 full-match over the
@@ -3397,6 +3455,32 @@ SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, date_trunc('day', d.ts)
 ORDER BY m.query_id, key
+"""
+    # pipeline aggs: cumulative_sum + derivative over the per-day
+    # date_histogram buckets (deriv NULL on each query's first bucket)
+    out["bm25_pipeline_aggs"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+)
+SELECT query_id, key, n_docs,
+       sum(n_docs) OVER (PARTITION BY query_id ORDER BY key
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs,
+       (n_docs - lag(n_docs) OVER (PARTITION BY query_id ORDER BY key))::DOUBLE AS deriv
+FROM hist
+ORDER BY query_id, key
 """
     # filtered search (role='user'): corpus-wide stats, candidates restricted
     # to the predicate — same SQL shape as the logical-delete oracle with the

@@ -43,6 +43,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     extended_stats_agg,
     histogram_agg,
     missing_agg,
+    pipeline_date_histogram,
     percentiles_agg,
     range_agg,
     significant_terms_agg,
@@ -92,6 +93,7 @@ __all__ = [
     "extended_stats_agg",
     "histogram_agg",
     "missing_agg",
+    "pipeline_date_histogram",
     "delete_docs",
     "expand_fuzzy",
     "expand_prefix",

@@ -1253,6 +1253,33 @@ def significant_terms_agg(
     return out
 
 
+def pipeline_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch pipeline aggregations over a date_histogram parent:
+    `cumulative_sum` and `derivative` of the per-day doc counts.
+    (query_id, key, n_docs, cum_docs, deriv) — deriv is the difference vs
+    the previous PRESENT bucket (this engine's histogram omits empty
+    buckets, min_doc_count=1; OpenSearch computes the derivative between
+    consecutive response buckets the same way), NULL/NaN for each query's
+    first bucket. Pipeline aggs reduce the parent's bucket stream — a
+    (queries x buckets) frame, driver-small by construction."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        out["cum_docs"] = pd.Series(dtype=np.int64)
+        out["deriv"] = pd.Series(dtype=np.float64)
+        return out
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    g = base.groupby("query_id", sort=False)["n_docs"]
+    base["cum_docs"] = g.cumsum().astype(np.int64)
+    base["deriv"] = g.diff().astype(np.float64)
+    return base
+
+
 # ---------------------------------------------------------------------------
 # composite aggregation (multi-source buckets)
 # ---------------------------------------------------------------------------

@@ -68,6 +68,22 @@ def test_date_histogram_matches_brute_force(smoke_fixture, smoke_index):
                                   check_dtype=False)
 
 
+def test_pipeline_date_histogram(smoke_fixture, smoke_index):
+    """cumulative_sum and derivative pipeline aggs over the per-day buckets."""
+    from remote_vector_index_builder_ray import pipeline_date_histogram
+
+    got = pipeline_date_histogram(smoke_index["index_dir"], QUERIES)
+    base = date_histogram(smoke_index["index_dir"], QUERIES)
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    assert len(got) == len(base) > 0
+    for qid, g in got.groupby("query_id"):
+        np.testing.assert_array_equal(g["cum_docs"].to_numpy(),
+                                      g["n_docs"].cumsum().to_numpy())
+        d = g["deriv"].to_numpy()
+        assert np.isnan(d[0])
+        np.testing.assert_array_equal(d[1:], np.diff(g["n_docs"].to_numpy()))
+
+
 def test_agg_respects_filter(smoke_fixture, smoke_index):
     got = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
                     where=[("role", "=", "user")])
