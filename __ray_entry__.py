@@ -679,6 +679,16 @@ def _q_bm25_compacted(sf_dir: str):
 _MLT_DOCS = [0, 100, 1000, 5000, 12345, 25000, 49999]
 
 
+def _q_bm25_termvectors(sf_dir: str):
+    """OpenSearch _termvectors (term_statistics=true): per requested doc its
+    analyzed terms with within-doc tf and corpus df (pipelines/mlt.
+    term_vectors — one broadcast docmeta fetch + termstats in-filter)."""
+    from remote_vector_index_builder_ray import term_vectors
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return term_vectors(index_dir, _MLT_DOCS).reset_index(drop=True)
+
+
 def _q_bm25_mlt(sf_dir: str):
     """more_like_this (pipelines/mlt): Lucene MLT term selection (tf>=2,
     df>=5, top-25 by rounded tf*idf) + BM25 disjunction, like-doc excluded;
@@ -1686,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_update": _q_bm25_update,
         "bm25_bool": _q_bm25_bool,
         "bm25_mlt": _q_bm25_mlt,
+        "bm25_termvectors": _q_bm25_termvectors,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2327,6 +2338,20 @@ SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
 FROM ranked r JOIN p USING (query_id)
 WHERE r.rank <= p.k
 ORDER BY query_id, rank
+"""
+    # _termvectors: per-doc term/tf plus corpus df for the MLT doc set
+    mlt_ids = ", ".join(str(d) for d in _MLT_DOCS)
+    out["bm25_termvectors"] = f"""
+WITH {docs}, {_TOKS},
+tf AS (
+    SELECT docid, term, count(*)::BIGINT AS tf
+    FROM toks WHERE docid IN ({mlt_ids})
+    GROUP BY docid, term
+),
+df AS (SELECT term, count(DISTINCT docid)::BIGINT AS df FROM toks GROUP BY term)
+SELECT t.docid, t.term, t.tf, d.df
+FROM tf t JOIN df d USING (term)
+ORDER BY docid, term
 """
     # terms query: constant-score ANY-of-exact-terms (first 3 analyzed
     # tokens per fixture query)

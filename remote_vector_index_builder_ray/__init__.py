@@ -66,7 +66,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     search_regexp,
     search_wildcard,
 )
-from remote_vector_index_builder_ray.pipelines.mlt import more_like_this
+from remote_vector_index_builder_ray.pipelines.mlt import more_like_this, term_vectors
 from remote_vector_index_builder_ray.pipelines.percolate import percolate
 from remote_vector_index_builder_ray.pipelines.reindex import reindex
 from remote_vector_index_builder_ray.pipelines.query import (
@@ -106,6 +106,7 @@ __all__ = [
     "rescore_phrase",
     "load_tombstones",
     "more_like_this",
+    "term_vectors",
     "percolate",
     "range_agg",
     "rank_eval",

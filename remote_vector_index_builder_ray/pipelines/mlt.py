@@ -117,3 +117,44 @@ def more_like_this(
     return res.astype(
         {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
     ).reset_index(drop=True)
+
+
+def term_vectors(index_dir: str, doc_ids: list[int]) -> pd.DataFrame:
+    """OpenSearch _termvectors API (term_statistics=true): per requested doc,
+    each of its analyzed terms with the within-doc term frequency and the
+    corpus-wide document frequency. Returns (docid, term, tf, df), sorted
+    (docid, term).
+
+    Same driver-small access pattern as more_like_this: one pruned
+    broadcast-semi-join docmeta fetch for the requested docs, a per-doc
+    tokenize, and a termstats ``in``-filter read for the df column — a
+    per-doc API never touches the corpus."""
+    import ray.data
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+    from remote_vector_index_builder_ray.pipelines.query import hydrate
+
+    an = load_analyzer(index_dir)
+    doc_ids = [int(d) for d in doc_ids]
+    like = hydrate(
+        index_dir,
+        ray.data.from_pandas(
+            pd.DataFrame({"query_id": doc_ids, "docid": doc_ids})
+        ),
+    )
+    rows: list[tuple[int, str, int]] = []
+    for r in like.itertuples(index=False):
+        tf: dict[str, int] = {}
+        for t in analyze_text(r.text or "", an):
+            tf[t] = tf.get(t, 0) + 1
+        rows.extend((int(r.docid), t, c) for t, c in tf.items())
+    all_terms = sorted({t for _, t, _ in rows})
+    _, df = _global_idf_inputs(index_dir, all_terms)
+    out = pd.DataFrame(rows, columns=["docid", "term", "tf"])
+    out["df"] = out["term"].map(df).fillna(0).astype(np.int64)
+    return out.sort_values(["docid", "term"]).reset_index(drop=True).astype(
+        {"docid": np.int64, "tf": np.int64, "df": np.int64}
+    )

@@ -65,3 +65,27 @@ def test_mlt_excludes_like_doc_and_modes_agree(smoke_index):
     assert not (a["query_id"] == a["docid"]).any()
     np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
     np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_term_vectors_matches_brute_force(smoke_fixture, smoke_index):
+    from collections import Counter
+
+    from remote_vector_index_builder_ray import term_vectors
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    df = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    df["toks"] = df["text"].map(lambda t: tokenize_text(t or ""))
+    ids = [0, 3, 17, len(df) - 1]
+    got = term_vectors(smoke_index["index_dir"], ids)
+    dfc = Counter()
+    for toks in df["toks"]:
+        dfc.update(set(toks))
+    rows = []
+    for d in ids:
+        for t, c in sorted(Counter(df.loc[d, "toks"]).items()):
+            rows.append((d, t, c, dfc[t]))
+    exp = pd.DataFrame(rows, columns=["docid", "term", "tf", "df"]).astype(
+        {"docid": np.int64, "tf": np.int64, "df": np.int64})
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
