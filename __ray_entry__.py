@@ -1485,6 +1485,28 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(_read(sf_dir, "embeddings"), qdf["vec_id"].to_numpy(), qm, k=10)
 
 
+def _q_ann_filtered(sf_dir: str):
+    """Filtered k-NN (OpenSearch knn query with a filter): exact cosine
+    top-k over ONLY the vectors passing a metadata predicate (label < 5).
+    The filter is pushed down into the parquet read (pre-filtering, the
+    exact OpenSearch filtered-knn semantics — never post-filter top-k), so
+    non-matching row groups never leave storage."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filter=(pads.field("label") < 5),
+    )
+    return brute_force_topk(ds, qdf["vec_id"].to_numpy(), qm, k=10)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     """Banded-LSH candidates + exact verify — the sub-quadratic scale path is
     the driver-checked entry; the O(N^2) exact scan stays a pytest oracle."""
@@ -1714,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features": _q_text_features,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ann_topk": _q_ann_topk,
+        "ann_filtered": _q_ann_filtered,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
@@ -1927,6 +1950,23 @@ sims AS (
     SELECT q.query_id, e.vec_id,
            floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
     FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+        "ann_filtered": """
+WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+    WHERE e.label < 5
 ),
 ranked AS (
     SELECT query_id, vec_id, cosine,
