@@ -458,6 +458,63 @@ def _q_bm25_boosting(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _ensure_qs_queries(sf_dir: str) -> str:
+    """Deterministic simple_query_string set: '"bigram" extra -neg' strings
+    built from sampled docs' tokens (phrase = tokens 1-2, extra should =
+    token 3, neg = a corpus-common token on every third query), plus
+    phrase-only, terms-only and all-negated edge cases."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_qs_queries.parquet")
+    if os.path.exists(path):
+        return path
+    fx = _fx.ensure_fixture(name)
+    src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    toks = src["text"].map(lambda t: tokenize_text(t or ""))
+    qs: list[str] = []
+    step = max(1, len(src) // 16)
+    for j, i in enumerate(range(0, len(src), step)):
+        tk = toks[i]
+        if len(tk) >= 4:
+            neg = " -the" if j % 3 == 0 else ""
+            qs.append(f'"{tk[1]} {tk[2]}" {tk[3]}{neg}')
+        if len(qs) >= 10:
+            break
+    qs.extend(['"zzzz_nonexistent qqqq" w000200', "w000100 w000200 -the",
+               '"the to"', "-the"])
+    seen, uniq = set(), []
+    for s in qs:
+        if s not in seen:
+            seen.add(s)
+            uniq.append(s)
+    _write_atomic(
+        pa.table(
+            {
+                "query_id": pa.array(range(len(uniq)), type=pa.int64()),
+                "text": pa.array(uniq, type=pa.string()),
+                "k": pa.array([10] * len(uniq), type=pa.int32()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _q_bm25_query_string(sf_dir: str):
+    """simple_query_string: quoted phrase clauses + bare OR terms + -negs in
+    one raw string, parsed by the frozen grammar and composed from the
+    phrase/exhaustive/constant legs (pipelines/query.search_query_string)."""
+    from remote_vector_index_builder_ray import search_query_string
+
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return search_query_string(index_dir, _ensure_qs_queries(sf_dir))
+
+
 def _q_bm25_rescore(sf_dir: str):
     """OpenSearch query rescorer (score_mode=total): BM25 top-30 window per
     query, re-scored by the same text as an exact phrase; final = bm25 +
@@ -1681,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
+        "bm25_query_string": _q_bm25_query_string,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_and": _q_bm25_and,
@@ -3748,6 +3806,125 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # simple_query_string: SQL re-parses the frozen grammar with the same
+    # regexes (quoted phrases, -negs, bare should terms), scores the term
+    # leg (BM25 sum, neg-excluded) and each phrase leg (PhraseQuery slice
+    # scan, neg-excluded), rounds each leg to 6, outer-merges and re-rounds.
+    qs_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_qs_queries.parquet")
+    out["bm25_query_string"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+toks AS MATERIALIZED (SELECT docid, unnest(ts) AS term FROM docs),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (SELECT query_id, k, lower(text) AS qs FROM read_parquet('{qs_pq}')),
+parsed AS (
+    SELECT query_id, k,
+           regexp_extract_all(qs, '"([^"]*)"', 1) AS phrases,
+           regexp_extract_all(regexp_replace(qs, '"[^"]*"', ' ', 'g'),
+                              '-([a-z0-9_]+)', 1) AS negs,
+           regexp_extract_all(
+               regexp_replace(regexp_replace(qs, '"[^"]*"', ' ', 'g'),
+                              '-[a-z0-9_]+', ' ', 'g'),
+               '[a-z0-9_]+') AS should
+    FROM q
+),
+neg AS (
+    SELECT DISTINCT n.query_id, t.docid
+    FROM (SELECT query_id, unnest(negs) AS term FROM parsed) n
+    JOIN tf t USING (term)
+),
+term_scored AS (
+    SELECT st.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM (SELECT query_id, unnest(list_distinct(should)) AS term
+          FROM parsed WHERE len(should) > 0) st
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY st.query_id, tf.docid
+),
+term_leg AS (
+    SELECT ts_.query_id, ts_.docid, round(ts_.score, 6) AS s
+    FROM term_scored ts_
+    ANTI JOIN neg n ON n.query_id = ts_.query_id AND n.docid = ts_.docid
+),
+phq0 AS (
+    SELECT query_id, unnest(phrases) AS phrase FROM parsed
+),
+phq AS (
+    SELECT query_id, phrase,
+           regexp_extract_all(phrase, '[a-z0-9_]+') AS p
+    FROM phq0 WHERE len(regexp_extract_all(phrase, '[a-z0-9_]+')) > 0
+),
+phidf AS (
+    SELECT pt.query_id, pt.phrase,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM (SELECT query_id, phrase, unnest(p) AS term FROM phq) pt
+    JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY pt.query_id, pt.phrase
+),
+phok AS (
+    SELECT phq.query_id, phq.phrase, phq.p, phidf.idf_sum
+    FROM phq JOIN phidf USING (query_id, phrase)
+    WHERE phidf.n_found = len(phq.p)
+),
+phcand AS (
+    SELECT DISTINCT pk.query_id, pk.phrase, t.docid
+    FROM phok pk JOIN tf t ON t.term = pk.p[1]
+),
+phtf AS (
+    SELECT c.query_id, c.phrase, c.docid,
+           len([i FOR i IN range(1, len(d.ts) - len(pk.p) + 2)
+                IF d.ts[i:i + len(pk.p) - 1] = pk.p])::BIGINT AS ptf
+    FROM phcand c
+    JOIN phok pk ON pk.query_id = c.query_id AND pk.phrase = c.phrase
+    JOIN docs d ON d.docid = c.docid
+    WHERE len(d.ts) >= len(pk.p)
+),
+ph_scored AS (
+    SELECT p.query_id, p.docid,
+           round(pk.idf_sum * (p.ptf * (1.2 + 1)
+               / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS s
+    FROM phtf p
+    JOIN phok pk ON pk.query_id = p.query_id AND pk.phrase = p.phrase
+    JOIN dl ON dl.docid = p.docid
+    CROSS JOIN stats s
+    WHERE p.ptf > 0
+),
+ph_leg AS (
+    SELECT ps.query_id, ps.docid, sum(ps.s) AS s
+    FROM ph_scored ps
+    ANTI JOIN neg n ON n.query_id = ps.query_id AND n.docid = ps.docid
+    GROUP BY ps.query_id, ps.docid
+),
+combined AS (
+    SELECT coalesce(t.query_id, p.query_id) AS query_id,
+           coalesce(t.docid, p.docid) AS docid,
+           floor((coalesce(t.s, 0) + coalesce(p.s, 0)) * 1000000 + 0.5) / 1000000 AS score
+    FROM term_leg t FULL OUTER JOIN ph_leg p
+      ON t.query_id = p.query_id AND t.docid = p.docid
+),
+ranked AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM combined
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score
+FROM ranked r JOIN q USING (query_id)
+WHERE r.rank <= q.k
+ORDER BY query_id, rank
+"""
     # boosting query: positive BM25 scoring; docs also matching the
     # negative query ('w000200 tool') score * 0.5 (exact halving)
     out["bm25_boosting"] = f"""
@@ -3961,5 +4138,6 @@ except Exception:  # noqa: BLE001
 try:
     _ensure_phrase_queries(ORACLE_SF_DIR)
     _ensure_phrase_slop_queries(ORACLE_SF_DIR)
+    _ensure_qs_queries(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass

@@ -74,7 +74,9 @@ from remote_vector_index_builder_ray.pipelines.query import (
     function_score,
     highlight,
     hydrate,
+    parse_simple_query_string,
     rescore_phrase,
+    search_query_string,
     search,
     search_bool,
     search_multi_match,
@@ -103,7 +105,9 @@ __all__ = [
     "global_stats",
     "highlight",
     "hydrate",
+    "parse_simple_query_string",
     "rescore_phrase",
+    "search_query_string",
     "load_tombstones",
     "more_like_this",
     "term_vectors",

@@ -525,6 +525,116 @@ def rescore_phrase(
     ).reset_index(drop=True)
 
 
+def parse_simple_query_string(qs: str) -> dict:
+    """Parse the frozen simple_query_string subset: ``"a b"`` quoted phrase
+    clauses, ``-term`` negations, bare terms as should clauses (default
+    operator OR). Tokens are the engine's [a-z0-9_]+ after lowercasing —
+    the same frozen grammar a SQL oracle re-parses with regexes.
+    Reference analog: OpenSearch simple_query_string supports exactly these
+    operators (plus | and prefix-*, covered by search_bool/search_prefix)."""
+    import re
+
+    qs = (qs or "").lower()
+    phrases = re.findall(r'"([^"]*)"', qs)
+    rest = re.sub(r'"[^"]*"', " ", qs)
+    negs = re.findall(r"-([a-z0-9_]+)", rest)
+    rest = re.sub(r"-[a-z0-9_]+", " ", rest)
+    should = re.findall(r"[a-z0-9_]+", rest)
+    return {"should": should, "phrases": phrases, "negs": negs}
+
+
+def search_query_string(
+    index_dir: str,
+    queries,
+) -> pd.DataFrame:
+    """OpenSearch ``simple_query_string``: per query a raw string with
+    quoted-phrase clauses, ``-`` negations and bare OR terms. A doc
+    qualifies when it matches ANY positive clause (default operator OR) and
+    no negated term; its score is the SUM of its clause scores — the term
+    disjunction's BM25 sum plus each phrase clause's PhraseQuery score —
+    with each leg rounded to 6 decimals before the sum (the cross-engine
+    float policy; legs accumulate in different orders in SQL).
+
+    Composition: one exhaustive scoring pass for all term legs (must_not
+    inside the actors), one phrase-mode pass for all phrase clauses, one
+    constant pass producing the negation match sets applied to the phrase
+    leg driver-side; legs outer-merge on (query_id, docid) — each leg's
+    result is queries x matches rows, driver-small for content queries."""
+    import numpy as np
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    parsed = {int(r.query_id): parse_simple_query_string(r.text)
+              for r in q.itertuples(index=False)}
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    kmax = np.int32(2**31 - 1)
+
+    legs: list[pd.DataFrame] = []
+    term_rows = [(qid, p) for qid, p in parsed.items() if p["should"]]
+    if term_rows:
+        tq = pd.DataFrame({
+            "query_id": pd.Series([qid for qid, _ in term_rows], dtype=np.int64),
+            "text": [" ".join(p["should"]) for _, p in term_rows],
+            "exclude_text": [" ".join(p["negs"]) for _, p in term_rows],
+            "k": kmax,
+        })
+        st = search(index_dir, tq, mode="exhaustive").to_pandas()
+        if "docid" in st.columns and len(st):
+            st["score"] = r6(st["score"].to_numpy())
+            legs.append(st[["query_id", "docid", "score"]])
+    ph_rows = [(qid, p) for qid, p in parsed.items() if p["phrases"]]
+    if ph_rows:
+        # one phrase-mode row per (query, phrase clause); clause scores of
+        # the same query sum after the merge
+        pq_ = pd.DataFrame({
+            "query_id": pd.Series(
+                [qid for qid, p in ph_rows for _ in p["phrases"]], dtype=np.int64),
+            "text": [ph for _, p in ph_rows for ph in p["phrases"]],
+            "k": kmax,
+        })
+        sp = search(index_dir, pq_, mode="phrase").to_pandas()
+        if "docid" in sp.columns and len(sp):
+            sp["score"] = r6(sp["score"].to_numpy())
+            # negations apply to phrase legs too (the scoring pass handles
+            # them actor-side only for the term leg)
+            neg_rows = [(qid, p["negs"]) for qid, p in ph_rows if p["negs"]]
+            if neg_rows:
+                nq = pd.DataFrame({
+                    "query_id": pd.Series([qid for qid, _ in neg_rows],
+                                          dtype=np.int64),
+                    "text": [" ".join(negs) for _, negs in neg_rows],
+                    "k": kmax,
+                })
+                nm = search(index_dir, nq, mode="constant").to_pandas()
+                if "docid" in nm.columns and len(nm):
+                    dead = nm[["query_id", "docid"]].assign(_dead=True)
+                    sp = sp.merge(dead, on=["query_id", "docid"], how="left")
+                    sp = sp[sp["_dead"].isna()]
+            sp = (sp.groupby(["query_id", "docid"], sort=False)["score"]
+                  .sum().reset_index())
+            legs.append(sp[["query_id", "docid", "score"]])
+    out_cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if not legs:
+        return pd.DataFrame(out_cols)
+    allm = pd.concat(legs, ignore_index=True)
+    tot = allm.groupby(["query_id", "docid"], sort=False)["score"].sum().reset_index()
+    tot["score"] = r6(tot["score"].to_numpy())
+    tot = tot.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    tot["rank"] = (tot.groupby("query_id").cumcount() + 1).astype(np.int32)
+    tot["k"] = tot["query_id"].map(k_by_query)
+    tot = tot[tot["rank"] <= tot["k"]]
+    return tot[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
 def search_multi_match(
     index_dirs: dict[str, str],
     queries,

