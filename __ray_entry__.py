@@ -526,6 +526,15 @@ def _q_bm25_rescore(sf_dir: str):
                           window_size=30, k=10)
 
 
+def _q_bm25_span_near(sf_dir: str):
+    """span_near (in_order=false, 2-term spans): proximity matches in either
+    direction, sloppy_freq = forward + backward greedy-chain sums
+    (stages/search._score_span_near); same query set as the sloppy phrase."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_phrase_slop_queries(sf_dir),
+                         mode="span_near")
+
+
 def _q_bm25_phrase(sf_dir: str):
     """Exact phrase top-k over the positional index (mode="phrase"),
     Lucene PhraseQuery scoring: sum(idf(term_i)) * tfnorm(phrase_tf)."""
@@ -1738,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
+        "bm25_span_near": _q_bm25_span_near,
         "bm25_query_string": _q_bm25_query_string,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_boosting": _q_bm25_boosting,
@@ -4048,6 +4058,86 @@ ranked AS (
 SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score
 FROM ranked r JOIN (SELECT query_id, any_value(k) AS k FROM q GROUP BY query_id) qq USING (query_id)
 WHERE r.rank <= 10
+ORDER BY query_id, rank
+"""
+    # span_near in_order=false (2-term): sloppy_freq = forward + backward
+    # greedy-chain legs (each the phrase_slop comprehension); equal terms
+    # degenerate to the forward leg only (mirrors the engine)
+    slop_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_phrase_slop_queries.parquet")
+    out["bm25_span_near"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(ts))::DOUBLE / count(*) AS avgdl FROM docs),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+q AS MATERIALIZED (
+    SELECT query_id, k, slop::BIGINT AS slop,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{slop_pq}')
+),
+qterm AS (SELECT query_id, unnest(p) AS term FROM q),
+qidf AS (
+    SELECT qt.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM qterm qt JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qt.query_id
+),
+qok AS (
+    SELECT q.query_id, q.k, q.slop, q.p, qidf.idf_sum
+    FROM q JOIN qidf USING (query_id)
+    WHERE qidf.n_found = len(q.p) AND len(q.p) = 2
+),
+cand AS (
+    SELECT DISTINCT qok.query_id, t1.docid
+    FROM qok
+    JOIN tm t1 ON t1.term = qok.p[1]
+    JOIN tm t2 ON t2.term = qok.p[2] AND t2.docid = t1.docid
+),
+stf AS (
+    SELECT c.query_id, c.docid,
+           list_sum(
+               [1.0 / (list_min([z FOR z IN p2 IF z > x]) - x)
+                FOR x IN p1
+                IF len([z FOR z IN p2 IF z > x]) > 0
+                   AND list_min([z FOR z IN p2 IF z > x]) - x - 1 <= q.slop]
+           ) AS fwd,
+           CASE WHEN q.p[1] = q.p[2] THEN NULL ELSE
+           list_sum(
+               [1.0 / (list_min([z FOR z IN p1 IF z > x]) - x)
+                FOR x IN p2
+                IF len([z FOR z IN p1 IF z > x]) > 0
+                   AND list_min([z FOR z IN p1 IF z > x]) - x - 1 <= q.slop]
+           ) END AS bwd,
+           len(d.ts) AS dl
+    FROM cand c
+    JOIN qok q ON q.query_id = c.query_id
+    JOIN docs d ON d.docid = c.docid,
+    LATERAL (SELECT [i FOR i IN range(1, len(d.ts) + 1) IF d.ts[i] = q.p[1]] AS p1,
+                    [i FOR i IN range(1, len(d.ts) + 1) IF d.ts[i] = q.p[2]] AS p2) pos
+),
+summed AS (
+    SELECT query_id, docid, coalesce(fwd, 0) + coalesce(bwd, 0) AS stf, dl
+    FROM stf
+),
+scored AS (
+    SELECT f.query_id, f.docid, q.k,
+           q.idf_sum * (f.stf * (1.2 + 1)
+               / (f.stf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl))) AS score
+    FROM summed f
+    JOIN qok q USING (query_id)
+    CROSS JOIN stats s
+    WHERE f.stf > 0
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
     # sloppy phrase (2-term queries): ordered greedy chain — for each

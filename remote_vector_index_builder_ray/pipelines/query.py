@@ -145,15 +145,15 @@ def search(
         # positional-postings loads, which duplicate across the pool — fewer,
         # bigger batches amortize the same term loads over more queries
         # (profiled at sf0.1: load 4.2 s vs score 0.26 s per batch)
-        batch_size = 64 if mode == "phrase" else 16
+        batch_size = 64 if mode in ("phrase", "span_near") else 16
     if concurrency is None:
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
-    if mode == "phrase":
+    if mode in ("phrase", "span_near"):
         # fail fast on the DRIVER (an actor-side raise surfaces as an opaque
-        # ActorDiedError): phrase search needs a positional index
+        # ActorDiedError): phrase/span search needs a positional index
         from remote_vector_index_builder_ray.config import EngineError
         from remote_vector_index_builder_ray.state import fs
 
@@ -171,18 +171,18 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase", "constant", "blended"):
+    if operator == "and" and mode in ("wand", "phrase", "span_near", "constant", "blended"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
     if min_should_match is not None:
         if operator == "and":
             raise ValueError(
                 "min_should_match is redundant with operator='and' (pick one)"
             )
-        if mode in ("wand", "phrase", "constant", "blended"):
+        if mode in ("wand", "phrase", "span_near", "constant", "blended"):
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if mode in ("wand", "phrase", "blended") and hasattr(queries, "columns"):
+    if mode in ("wand", "phrase", "span_near", "blended") and hasattr(queries, "columns"):
         if "after_score" in queries.columns:
             raise ValueError(f"search_after is not supported in {mode} mode")
         if "exclude_text" in queries.columns:

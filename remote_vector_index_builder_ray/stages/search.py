@@ -612,6 +612,56 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    def _chain_stf(self, terms: list[str], offsets: list[int], slop: int):
+        """Core of the sloppy matchers: greedy in-order chains over the
+        packed positional arrays. Returns (unique matched docids, per-doc
+        sloppy frequency = Σ 1/(1+gap)) or None for no match. Callers must
+        have loaded terms+positions and checked every term is present."""
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        cand_docs = None
+        for t in sorted(set(terms), key=lambda t: len(self._pos_cache[t][2])):
+            cdoc = self._pos_cache[t][2]
+            cand_docs = cdoc if cand_docs is None else np.intersect1d(
+                cand_docs, cdoc, assume_unique=True
+            )
+            if cand_docs.size == 0:
+                return None
+        K = self._POS_PACK
+        packed = []
+        for t in terms:
+            d, p, cdoc, _ = self._pos_cache[t]
+            if len(cand_docs) < len(cdoc):
+                m = isin_sorted(d, cand_docs)
+                d, p = d[m], p[m]
+            if len(d) == 0:
+                return None
+            packed.append((d, p, d * K + p))
+        d0, p0, cur_key = packed[0]
+        valid = np.ones(len(cur_key), dtype=bool)
+        amin = (p0 - offsets[0]).astype(np.int64)
+        amax = amin.copy()
+        for (d, p, kk), off in zip(packed[1:], offsets[1:]):
+            idx = np.searchsorted(kk, cur_key, side="right")
+            ok = idx < len(kk)
+            idx_c = np.minimum(idx, len(kk) - 1)
+            same_doc = d[idx_c] == d0
+            step_ok = ok & same_doc
+            valid &= step_ok
+            cur_key = np.where(valid, kk[idx_c], cur_key)
+            a = p[idx_c] - off
+            amin = np.where(valid, np.minimum(amin, a), amin)
+            amax = np.where(valid, np.maximum(amax, a), amax)
+        gap = amax - amin
+        matched = valid & (gap <= slop)
+        if not matched.any():
+            return None
+        mdocs = d0[matched]
+        weights = 1.0 / (1.0 + gap[matched].astype(np.float64))
+        cand, inv = np.unique(mdocs, return_inverse=True)
+        stf = np.bincount(inv, weights=weights, minlength=len(cand))
+        return cand, stf
+
     def _score_phrase_slop(self, terms: list[str], k: int, slop: int,
                            offsets=None):
         """Ordered sloppy phrase (OpenSearch match_phrase with ``slop``):
@@ -646,49 +696,52 @@ class BM25Searcher:
             idf_sum += _idf(self.N, self._cache[t].df)
         if any(self._pos_cache.get(t) is None for t in uterms):
             return empty
-        from remote_vector_index_builder_ray.stages.merge import isin_sorted
-
-        cand_docs = None
-        for t in sorted(uterms, key=lambda t: len(self._pos_cache[t][2])):
-            cdoc = self._pos_cache[t][2]
-            cand_docs = cdoc if cand_docs is None else np.intersect1d(
-                cand_docs, cdoc, assume_unique=True
-            )
-            if cand_docs.size == 0:
-                return empty
-        K = self._POS_PACK
-        packed = []
-        for t in terms:
-            d, p, cdoc, _ = self._pos_cache[t]
-            if len(cand_docs) < len(cdoc):
-                m = isin_sorted(d, cand_docs)
-                d, p = d[m], p[m]
-            if len(d) == 0:
-                return empty
-            packed.append((d, p, d * K + p))
-        d0, p0, cur_key = packed[0]
-        valid = np.ones(len(cur_key), dtype=bool)
-        amin = (p0 - offsets[0]).astype(np.int64)
-        amax = amin.copy()
-        for (d, p, kk), off in zip(packed[1:], offsets[1:]):
-            idx = np.searchsorted(kk, cur_key, side="right")
-            ok = idx < len(kk)
-            idx_c = np.minimum(idx, len(kk) - 1)
-            same_doc = d[idx_c] == d0
-            step_ok = ok & same_doc
-            valid &= step_ok
-            cur_key = np.where(valid, kk[idx_c], cur_key)
-            a = p[idx_c] - off
-            amin = np.where(valid, np.minimum(amin, a), amin)
-            amax = np.where(valid, np.maximum(amax, a), amax)
-        gap = amax - amin
-        matched = valid & (gap <= slop)
-        if not matched.any():
+        res = self._chain_stf(terms, offsets, slop)
+        if res is None:
             return empty
-        mdocs = d0[matched]
-        weights = 1.0 / (1.0 + gap[matched].astype(np.float64))
-        cand, inv = np.unique(mdocs, return_inverse=True)
-        stf = np.bincount(inv, weights=weights, minlength=len(cand))
+        cand, stf = res
+        _, _, cdoc, cdl = self._pos_cache[terms[0]]
+        dl = cdl[np.searchsorted(cdoc, cand)]
+        scores = idf_sum * tfnorm(
+            stf, dl.astype(np.float64), self.avgdl, self.k1, self.b
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
+    def _score_span_near(self, terms: list[str], k: int, slop: int):
+        """Lucene/OpenSearch span_near with in_order=false for a two-term
+        span: the doc frequency of proximity matches in EITHER direction —
+        sloppy_freq = chain(a→b, slop) + chain(b→a, slop), each direction
+        the same greedy in-order matcher as ``_score_phrase_slop`` with
+        adjacent expected offsets (0, 1) and sloppy weight 1/(1+gap); the
+        two per-doc direction sums add once (the SQL twin adds its two
+        comprehension legs in the same order). Identical terms degenerate
+        to the single forward direction (counting both would double every
+        pair). Scored as the span query's summed-idf BM25 saturation."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(terms) != 2:
+            return empty
+        uterms = sorted(set(terms))
+        if any(self._cache.get(t) is None for t in uterms):
+            return empty
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += _idf(self.N, self._cache[t].df)
+        if any(self._pos_cache.get(t) is None for t in uterms):
+            return empty
+        a, b = terms
+        legs = [self._chain_stf([a, b], [0, 1], slop)]
+        if a != b:
+            legs.append(self._chain_stf([b, a], [0, 1], slop))
+        legs = [r for r in legs if r is not None]
+        if not legs:
+            return empty
+        alldocs = np.concatenate([r[0] for r in legs])
+        allstf = np.concatenate([r[1] for r in legs])
+        cand, inv = np.unique(alldocs, return_inverse=True)
+        stf = np.zeros(len(cand), dtype=np.float64)
+        np.add.at(stf, inv, allstf)  # forward leg first, then backward
         _, _, cdoc, cdl = self._pos_cache[terms[0]]
         dl = cdl[np.searchsorted(cdoc, cand)]
         scores = idf_sum * tfnorm(
@@ -1192,10 +1245,10 @@ class BM25Searcher:
                 per_query_terms = [list(lst or []) for lst in lists]
             else:
                 per_query_terms = [sorted(set(lst or [])) for lst in lists]
-        elif self.mode == "phrase":
-            # phrase semantics: token ORDER matters, duplicates kept; under a
-            # filtering analyzer the pre-filter token indices ride along so
-            # the matcher demands the index's position gaps
+        elif self.mode in ("phrase", "span_near"):
+            # phrase/span semantics: token ORDER matters, duplicates kept;
+            # under a filtering analyzer the pre-filter token indices ride
+            # along so the matcher demands the index's position gaps
             from remote_vector_index_builder_ray.functions.tokenizer import (
                 analyze_text_positions,
             )
@@ -1212,7 +1265,7 @@ class BM25Searcher:
         all_terms = sorted({t for terms in per_query_terms for t in terms})
         if all_terms:
             self._load_terms(all_terms)
-            if self.mode == "phrase":
+            if self.mode in ("phrase", "span_near"):
                 self._load_positions(all_terms)
         # search_after cursors (optional per-query columns): a row with
         # non-null after_score/after_docid returns only docs STRICTLY after
@@ -1276,8 +1329,8 @@ class BM25Searcher:
             groups_lists = [None] * len(qids)
         # match_phrase slop (optional per-query int column, phrase mode)
         if "slop" in cols:
-            if self.mode != "phrase":
-                raise ValueError("slop is only supported in phrase mode")
+            if self.mode not in ("phrase", "span_near"):
+                raise ValueError("slop is only supported in phrase/span_near mode")
             slops = [int(s or 0) for s in batch["slop"].to_pylist()]
         else:
             slops = [0] * len(qids)
@@ -1291,6 +1344,8 @@ class BM25Searcher:
                 docids, scores = self._score_bmw(terms, k, after, deny)
             elif self.mode == "wand":
                 docids, scores = self._score_wand(terms, k)
+            elif self.mode == "span_near":
+                docids, scores = self._score_span_near(terms, k, slop)
             elif self.mode == "phrase" and slop > 0:
                 docids, scores = self._score_phrase_slop(terms, k, slop, poffs)
             elif self.mode == "phrase":

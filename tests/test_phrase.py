@@ -359,3 +359,54 @@ def test_query_string_composition(smoke_fixture, pos_index, smoke_oracle):
     assert ph_docs and (ph_docs & term_docs or True)
     # query 3 (-the only): no positive clause, no rows
     assert len(got[got["query_id"] == 3]) == 0
+
+
+def test_span_near_matches_brute_force(smoke_fixture, pos_index):
+    """span_near in_order=false: sloppy_freq = forward + backward greedy
+    chains; reversed pairs now match symmetrically."""
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    a, b = common.split()
+    slop = 2
+
+    def leg(tk, t1, t2):
+        pos = {t: [i for i, x in enumerate(tk) if x == t] for t in (t1, t2)}
+        s = 0.0
+        for x in pos[t1]:
+            nxt = [z for z in pos[t2] if z > x]
+            if nxt and nxt[0] - x - 1 <= slop:
+                s += 1.0 / (nxt[0] - x)
+        return s
+
+    N = len(df)
+    dls = df["toks"].map(len)
+    avgdl = float(dls.sum()) / N
+    df_map = {t: int(df["toks"].map(lambda tk: t in tk).sum()) for t in (a, b)}
+    idf_sum = _idf(N, df_map[a]) + _idf(N, df_map[b])
+    rows = []
+    for docid, tk in zip(df["docid"], df["toks"]):
+        if a not in tk or b not in tk:
+            continue
+        stf = leg(tk, a, b) + (leg(tk, b, a) if a != b else 0.0)
+        if stf > 0:
+            s = idf_sum * float(
+                tfnorm(np.array([stf], float), np.array([len(tk)], float),
+                       avgdl, 1.2, 0.75)[0]
+            )
+            rows.append((int(docid), s))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    gold = rows[:15]
+
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": [f"{a} {b}"],
+                      "slop": np.array([slop], dtype=np.int32),
+                      "k": np.array([15], dtype=np.int32)})
+    res = (search(pos_index, q, mode="span_near").to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    np.testing.assert_array_equal(res["docid"].to_numpy(), [g[0] for g in gold])
+    np.testing.assert_array_equal(res["score"].to_numpy(), [g[1] for g in gold])
+    # symmetry: reversed query text gives the same match set (scores equal)
+    q2 = q.assign(text=f"{b} {a}")
+    res2 = (search(pos_index, q2, mode="span_near").to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    np.testing.assert_array_equal(res2["docid"].to_numpy(), res["docid"].to_numpy())
