@@ -745,6 +745,16 @@ def _q_bm25_compacted(sf_dir: str):
 _MLT_DOCS = [0, 100, 1000, 5000, 12345, 25000, 49999]
 
 
+def _q_bm25_index_stats(sf_dir: str):
+    """OpenSearch _stats/_count analog: whole-index doc/term/posting counts
+    from stats.json + the termstats columns — the corpus never streams
+    (pipelines/incremental.index_stats)."""
+    from remote_vector_index_builder_ray import index_stats
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return index_stats(index_dir)
+
+
 def _q_bm25_termvectors(sf_dir: str):
     """OpenSearch _termvectors (term_statistics=true): per requested doc its
     analyzed terms with within-doc tf and corpus df (pipelines/mlt.
@@ -878,11 +888,9 @@ _AN_STOPWORDS = ("the", "and", "to", "of", "a", "in", "is", "it", "you",
 _AN_MIN_LEN = 2
 
 
-def _q_bm25_analyzed(sf_dir: str):
-    """Top-k over an index built with a configurable analyzer (stopword
-    filter + min token length, config.AnalyzerConfig): both the index terms
-    and the query terms pass the same filters; doc_len counts post-filter
-    tokens (the norms Lucene's stop-filtered fields see)."""
+def _ensure_an_index(sf_dir: str) -> str:
+    """Index built with the configurable analyzer (stopword filter + min
+    token length, config.AnalyzerConfig)."""
     from remote_vector_index_builder_ray import BuildConfig
     from remote_vector_index_builder_ray.config import AnalyzerConfig
 
@@ -895,7 +903,48 @@ def _q_bm25_analyzed(sf_dir: str):
         num_partitions=min(4, len(fx["transcripts"])),
         analyzer=AnalyzerConfig(stopwords=_AN_STOPWORDS, min_token_len=_AN_MIN_LEN),
     ))
-    return _topk_rounded(index_dir, fx["queries"])
+    return index_dir
+
+
+def _q_bm25_analyzed(sf_dir: str):
+    """Top-k over an index built with a configurable analyzer (stopword
+    filter + min token length, config.AnalyzerConfig): both the index terms
+    and the query terms pass the same filters; doc_len counts post-filter
+    tokens (the norms Lucene's stop-filtered fields see)."""
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    return _topk_rounded(_ensure_an_index(sf_dir), fx["queries"])
+
+
+_ANALYZE_MOD = 997
+
+
+def _q_bm25_analyze(sf_dir: str):
+    """OpenSearch _analyze API: run sampled doc texts (docid % 997 == 0)
+    through the analyzed index's analyzer, emitting (docid, term, position)
+    with Lucene position increments — position = the token's PRE-filter
+    stream index, so stopword gaps stay visible
+    (functions/tokenizer.analyze_text_positions)."""
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text_positions,
+        load_analyzer,
+    )
+    import pyarrow.parquet as pq
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = _ensure_an_index(sf_dir)
+    an = load_analyzer(index_dir)
+    src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    src["docid"] = np.arange(len(src), dtype=np.int64)
+    sel = src[src["docid"] % _ANALYZE_MOD == 0]
+    rows = []
+    for r in sel.itertuples(index=False):
+        toks, poss = analyze_text_positions(r.text or "", an)
+        rows.extend((int(r.docid), t, int(p)) for t, p in zip(toks, poss))
+    return pd.DataFrame(rows, columns=["docid", "term", "position"]).astype(
+        {"docid": np.int64, "position": np.int64})
 
 
 def _q_bm25_reindex(sf_dir: str):
@@ -1787,10 +1836,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_bool": _q_bm25_bool,
         "bm25_mlt": _q_bm25_mlt,
         "bm25_termvectors": _q_bm25_termvectors,
+        "bm25_index_stats": _q_bm25_index_stats,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_analyzed": _q_bm25_analyzed,
+        "bm25_analyze": _q_bm25_analyze,
         "bm25_suggest": _q_bm25_suggest,
         "bm25_percolate": _q_bm25_percolate,
         "bm25_reindex": _q_bm25_reindex,
@@ -2446,6 +2497,37 @@ SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
 FROM ranked r JOIN p USING (query_id)
 WHERE r.rank <= p.k
 ORDER BY query_id, rank
+"""
+    # _analyze API: sampled texts through the stopword/min-len analyzer,
+    # position = pre-filter token index (Lucene position increments)
+    out["bm25_analyze"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+z AS (
+    SELECT docid, unnest(ts) AS term, unnest(range(0, len(ts))) AS position
+    FROM docs WHERE docid % {_ANALYZE_MOD} = 0
+)
+SELECT docid, term, position::BIGINT AS position
+FROM z
+WHERE len(term) >= 2 AND term NOT IN ('the', 'and', 'to', 'of', 'a', 'in', 'is', 'it', 'you', 'that', 'he', 'was')
+ORDER BY docid, position
+"""
+    # index stats: whole-index counts (docs, tokens, distinct terms,
+    # postings = distinct (term,doc) pairs, total term occurrences)
+    out["bm25_index_stats"] = f"""
+WITH {docs}, {_TOKS},
+dl AS (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+tf AS (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term)
+SELECT (SELECT count(*) FROM docs)::BIGINT AS n_docs,
+       (SELECT count(*) FROM toks)::BIGINT AS total_len,
+       floor(((SELECT count(*) FROM toks)::DOUBLE / (SELECT count(*) FROM docs))
+             * 1000000 + 0.5) / 1000000 AS avgdl6,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS total_postings,
+       (SELECT sum(tf) FROM tf)::BIGINT AS total_tf
 """
     # _termvectors: per-doc term/tf plus corpus df for the MLT doc set
     mlt_ids = ", ".join(str(d) for d in _MLT_DOCS)

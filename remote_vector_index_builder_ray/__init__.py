@@ -32,6 +32,7 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     append_index,
     compact_index,
     global_stats,
+    index_stats,
     update_docs,
 )
 from remote_vector_index_builder_ray.pipelines.aggs import (
@@ -103,6 +104,7 @@ __all__ = [
     "expand_wildcard",
     "explain",
     "global_stats",
+    "index_stats",
     "highlight",
     "hydrate",
     "parse_simple_query_string",

@@ -363,3 +363,42 @@ def update_docs(
                        docid_mode="sort")
     return {"updated": int(len(old)) if "docid" in old.columns else 0,
             "inserted": int(len(keys)), "manifest": man}
+
+
+def index_stats(index_dir: str) -> "pd.DataFrame":
+    """OpenSearch _stats/_count analog: one row of whole-index statistics —
+    (n_docs, total_len, avgdl6, n_terms, total_postings, total_tf).
+    n_terms counts DISTINCT terms across base + live generations (a term in
+    two generations is one dictionary entry, as after a Lucene merge);
+    total_postings sums df (one posting per (term, doc) pair), total_tf sums
+    cf (every occurrence). Reads ONLY the termstats (term, df, cf) columns —
+    the corpus never streams for a stats call."""
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray.pipelines.expand import termstats_dirs
+
+    st = global_stats(index_dir)
+    df_by_term: dict[str, int] = {}
+    cf_total = 0
+    for d in termstats_dirs(index_dir):
+        for rel in fs.listdir(d, recursive=True):
+            if not rel.endswith(".parquet"):
+                continue
+            t = fs.read_table(fs.join(d, rel), columns=["term", "df", "cf"])
+            for term, dfv, cfv in zip(t["term"].to_pylist(),
+                                      t["df"].to_pylist(), t["cf"].to_pylist()):
+                df_by_term[term] = df_by_term.get(term, 0) + int(dfv)
+                cf_total += int(cfv)
+    avgdl6 = float(np.floor(st["avgdl"] * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_docs": [int(st["N"])],
+            "total_len": [int(st["total_len"])],
+            "avgdl6": [avgdl6],
+            "n_terms": [len(df_by_term)],
+            "total_postings": [int(sum(df_by_term.values()))],
+            "total_tf": [cf_total],
+        }
+    ).astype({"n_docs": np.int64, "total_len": np.int64, "n_terms": np.int64,
+              "total_postings": np.int64, "total_tf": np.int64})
