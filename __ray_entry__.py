@@ -1630,6 +1630,27 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(_read(sf_dir, "embeddings"), threshold=0.5)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing over the documents table: pack_id = global exclusive
+    token-prefix-sum // 2048 in doc_id order — the two-phase distributed
+    scan (extras/text.pack_sequences); SQL twin is one window cumsum."""
+    from remote_vector_index_builder_ray.extras.text import pack_sequences
+
+    out = pack_sequences(_read(sf_dir, "documents"), budget=2048).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "pack_id": "int64"})
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split by md5(doc_id) bucket — stable
+    under repartitioning and appends (extras/text.dataset_split)."""
+    from remote_vector_index_builder_ray.extras.text import dataset_split_ds
+
+    out = dataset_split_ds(_read(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "bucket": "int64"})
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 1800 s cuts a session); the SQL twin
     is the classic gaps-and-islands window-function rewrite."""
@@ -1862,6 +1883,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_stats": _q_token_stats,
+        "pack_sequences": _q_pack_sequences,
+        "dataset_split": _q_dataset_split,
         # approximate / non-SQL-expressible (rows-only check; pytest covers
         # their semantics vs brute-force oracles)
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -2105,6 +2128,27 @@ ORDER BY vec_id_a, vec_id_b
 """,
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": ngram_sql,
+        "dataset_split": """
+WITH t AS (
+    SELECT doc_id,
+           try_cast(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM t ORDER BY doc_id
+""",
+        "pack_sequences": """
+WITH t AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // 2048)::BIGINT AS pack_id
+FROM t ORDER BY doc_id
+""",
         "token_stats": r"""
 WITH t AS MATERIALIZED (
     -- explicit whitespace class: identical to the engine's WS_TOKEN_PATTERN

@@ -158,3 +158,151 @@ def token_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
 
 def token_stats_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(token_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (LLM pretraining batch construction)
+# ---------------------------------------------------------------------------
+
+
+class _BucketTokenCounts:
+    """Phase-1 partial: per doc_id-range bucket, the token-count sum for the
+    batch's rows — only (bucket, partial_sum) rows leave each task."""
+
+    def __init__(self, bucket_docs: int, id_col: str, text_col: str):
+        self.bucket_docs = bucket_docs
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        _, _, dl = tokenize_column(batch[self.text_col])
+        bucket = (ids // self.bucket_docs).astype(np.int64)
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        sums = np.bincount(inv, weights=dl.astype(np.float64)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uniq, type=pa.int64()),
+            "s": pa.array(sums, type=pa.int64()),
+        })
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    bucket_docs: int = 1 << 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Sequence packing for LLM pretraining: assign every document to a
+    fixed-token-budget pack, in global doc_id order — pack_id =
+    (exclusive-prefix-sum of token counts) // budget, i.e. each doc starts
+    at its running token offset and packs hold ``budget`` tokens of
+    contiguous docs (the "concat-and-chunk" packing used to build
+    pretraining batches).
+
+    A global ordered prefix sum is the textbook two-phase scan, kept
+    distributed:
+
+    1. phase 1 (map-side combine): per doc_id-range bucket partial token
+       sums — (n_buckets x read-tasks) rows reduce driver-side into
+       exclusive per-bucket offsets (driver-small: one int per 64k docs).
+    2. phase 2: ``groupby(bucket).map_groups`` sorts each bucket by doc_id,
+       adds its broadcast offset to the within-bucket exclusive cumsum, and
+       emits (doc_id, n_tokens, pack_id). The shuffle moves (doc_id,
+       n_tokens) pairs only — never the text.
+
+    Returns a Dataset of (doc_id, n_tokens, pack_id).
+    """
+    import pandas as pd
+    import ray
+
+    partials = (
+        ds.map_batches(
+            _BucketTokenCounts,
+            fn_constructor_args=(bucket_docs, id_col, text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    if partials.empty:
+        return ray.data.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype=np.int64),
+            "n_tokens": pd.Series(dtype=np.int64),
+            "pack_id": pd.Series(dtype=np.int64),
+        }))
+    bsum = partials.groupby("bucket", sort=True)["s"].sum()
+    offsets = {int(b): int(o) for b, o in
+               zip(bsum.index, bsum.cumsum().shift(fill_value=0))}
+    off_ref = ray.put(offsets)
+
+    def _assign(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = group.sort_values(id_col)
+        from remote_vector_index_builder_ray.functions.tokenizer import (
+            tokenize_column as _tc,
+        )
+
+        dl = _tc(pa.array(g[text_col].fillna("")))[2].astype(np.int64)
+        start = int(off[int(g["bucket"].iloc[0])]) + np.concatenate(
+            [[0], np.cumsum(dl)[:-1]]
+        )
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            "n_tokens": dl,
+            "pack_id": (start // budget).astype(np.int64),
+        })
+
+    with_bucket = ds.map_batches(
+        lambda b: b.append_column(
+            "bucket",
+            pa.array(
+                b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+                // bucket_docs, type=pa.int64())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return with_bucket.groupby("bucket").map_groups(_assign, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split (train / val / test)
+# ---------------------------------------------------------------------------
+
+
+def dataset_split(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    cuts: tuple = (80, 90),
+) -> pa.Table:
+    """Deterministic train/val/test assignment: bucket = the first 8 hex
+    chars of md5(str(doc_id)) as an integer, mod 100; bucket < cuts[0] →
+    'train', < cuts[1] → 'val', else 'test'. Hashing the ID (not row
+    position) keeps the split stable under repartitioning, appends and
+    re-runs — the property a training pipeline needs. A pure map (no
+    shuffle); md5-per-row matches the engine's established fingerprint
+    policy and the SQL twin computes the identical bucket."""
+    import hashlib
+
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    buckets = np.fromiter(
+        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % 100
+         for i in ids),
+        dtype=np.int64, count=len(ids),
+    )
+    split = np.where(buckets < cuts[0], "train",
+                     np.where(buckets < cuts[1], "val", "test"))
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "bucket": pa.array(buckets, type=pa.int64()),
+        "split": pa.array(split.tolist(), type=pa.string()),
+    })
+
+
+def dataset_split_ds(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     cuts: tuple = (80, 90)) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: dataset_split(b, id_col=id_col, cuts=cuts),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

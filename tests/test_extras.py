@@ -286,3 +286,45 @@ def test_sessionize():
     out = events.sessionize(ray.data.from_pandas(df), gap_sec=1800).to_pandas()
     assert len(out) == 2
     assert sorted(out["n_events"].tolist()) == [2, 2]
+
+
+def test_pack_sequences_matches_window_cumsum():
+    """pack_id == (exclusive global token prefix sum // budget) in doc_id
+    order, regardless of block layout (two-phase scan vs one-pass oracle)."""
+    rng = np.random.default_rng(3)
+    n = 300
+    texts = [" ".join(f"w{int(x)}" for x in rng.integers(0, 50, size=rng.integers(1, 30)))
+             for _ in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    # shuffle rows + multiple blocks: packing must be independent of layout
+    shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    ds = ray.data.from_pandas([shuffled.iloc[:100], shuffled.iloc[100:180],
+                               shuffled.iloc[180:]])
+    out = (text.pack_sequences(ds, budget=64, bucket_docs=64).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    n_tok = df["text"].map(lambda t: len(t.split())).to_numpy(np.int64)
+    start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), n_tok)
+    np.testing.assert_array_equal(out["pack_id"].to_numpy(), start // 64)
+    # packs are contiguous runs over doc_id order
+    assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_dataset_split_deterministic_and_stable():
+    import hashlib
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "text": ["x"] * 500})
+    out = (text.dataset_split_ds(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp_bucket = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                           for i in range(500)], dtype=np.int64)
+    np.testing.assert_array_equal(out["bucket"].to_numpy(), exp_bucket)
+    assert set(out["split"]) == {"train", "val", "test"}
+    # roughly 80/10/10
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+    # stable under repartitioning
+    out2 = (text.dataset_split_ds(ray.data.from_pandas(df).repartition(7)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    np.testing.assert_array_equal(out2["bucket"].to_numpy(), out["bucket"].to_numpy())
