@@ -1062,6 +1062,21 @@ def _q_bm25_pipeline_aggs(sf_dir: str):
                        "cum_docs": "int64", "deriv": "float64"}).reset_index(drop=True)
 
 
+_DATE_RANGES = [(None, "2026-03-01"), ("2026-03-01", "2026-05-01"),
+                ("2026-05-01", None)]
+
+
+def _q_bm25_date_range(sf_dir: str):
+    """OpenSearch date_range aggregation: [lo, hi) timestamp buckets over ts
+    with OpenSearch "lo-hi" keys (pipelines/aggs.date_range_agg)."""
+    from remote_vector_index_builder_ray import date_range_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = date_range_agg(index_dir, pd.read_parquet(fx["queries"]),
+                         ranges=_DATE_RANGES)
+    return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
+
+
 def _q_bm25_collapse(sf_dir: str):
     """Field collapsing on the conversation (OpenSearch collapse): top-k
     conversations per query by their best-scoring turn, one hit each;
@@ -1280,6 +1295,20 @@ def _q_bm25_multi_match(sf_dir: str):
     out = search_multi_match(
         {"text": index_dir, "tool": tool_idx},
         pd.read_parquet(mm_q), tie_breaker=0.3,
+    )
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_most_fields(sf_dir: str):
+    """OpenSearch multi_match most_fields over (text, tool) field indexes:
+    per doc the field scores ADD (BooleanQuery SHOULD-over-fields), vs the
+    best_fields dismax of bm25_multi_match."""
+    from remote_vector_index_builder_ray import search_multi_match
+
+    index_dir, tool_idx, mm_q = _ensure_mm(sf_dir)
+    out = search_multi_match(
+        {"text": index_dir, "tool": tool_idx},
+        pd.read_parquet(mm_q), match_type="most_fields",
     )
     return out.reset_index(drop=True)
 
@@ -1832,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_pipeline_aggs": _q_bm25_pipeline_aggs,
+        "bm25_date_range": _q_bm25_date_range,
         "bm25_page2": _q_bm25_page2,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_collapse": _q_bm25_collapse,
@@ -1848,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top_hits": _q_bm25_top_hits,
         "bm25_sig_terms": _q_bm25_sig_terms,
         "bm25_multi_match": _q_bm25_multi_match,
+        "bm25_most_fields": _q_bm25_most_fields,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_func_score": _q_bm25_func_score,
         "bm25_decay": _q_bm25_decay,
@@ -3506,6 +3537,69 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # most_fields: the same per-field legs, scores summed
+    out["bm25_most_fields"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+tx AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM docs
+),
+tl AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(tool), '[a-z0-9_]+')) AS term FROM docs
+),
+tf_x AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tx GROUP BY 1, 2),
+tf_l AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tl GROUP BY 1, 2),
+dl_x AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tx GROUP BY docid),
+dl_l AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tl GROUP BY docid),
+df_x AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_x GROUP BY term),
+df_l AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_l GROUP BY term),
+st_x AS (SELECT n.n_docs, (SELECT count(*) FROM tx)::DOUBLE / n.n_docs AS avgdl FROM ndocs n),
+st_l AS (SELECT n.n_docs, (SELECT count(*) FROM tl)::DOUBLE / n.n_docs AS avgdl FROM ndocs n),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mm_q_pq}')
+),
+sc_x AS (
+    SELECT q.query_id, any_value(q.k) AS k, t.docid,
+           sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM q JOIN tf_x t USING (term) JOIN df_x d USING (term)
+    JOIN dl_x l ON t.docid = l.docid CROSS JOIN st_x s
+    GROUP BY q.query_id, t.docid
+),
+sc_l AS (
+    SELECT q.query_id, any_value(q.k) AS k, t.docid,
+           sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM q JOIN tf_l t USING (term) JOIN df_l d USING (term)
+    JOIN dl_l l ON t.docid = l.docid CROSS JOIN st_l s
+    GROUP BY q.query_id, t.docid
+),
+u AS (
+    SELECT query_id, k, docid, score FROM sc_x
+    UNION ALL
+    SELECT query_id, k, docid, score FROM sc_l
+),
+comb AS (
+    SELECT query_id, any_value(k) AS k, docid,
+           floor(sum(score) * 1000000 + 0.5) / 1000000 AS score
+    FROM u GROUP BY query_id, docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS rank
+    FROM comb
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     # match_phrase_prefix (constant score): the trailing token is a prefix;
     # its first 50 dictionary completions (term order — Lucene's
     # max_expansions cap) each complete the phrase; a doc matches when any
@@ -3714,6 +3808,30 @@ SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, date_trunc('day', d.ts)
 ORDER BY m.query_id, key
+"""
+    # date_range agg: [lo,hi) timestamp buckets with "lo-hi" keys
+    out["bm25_date_range"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+lab AS (
+    SELECT m.query_id,
+           CASE WHEN d.ts < TIMESTAMP '2026-03-01' THEN '*-2026-03-01'
+                WHEN d.ts < TIMESTAMP '2026-05-01' THEN '2026-03-01-2026-05-01'
+                ELSE '2026-05-01-*' END AS key
+    FROM m JOIN docs d USING (docid)
+)
+SELECT query_id, key, count(*)::BIGINT AS n_docs
+FROM lab GROUP BY query_id, key
+ORDER BY query_id, key
 """
     # pipeline aggs: cumulative_sum + derivative over the per-day
     # date_histogram buckets (deriv NULL on each query's first bucket)

@@ -40,6 +40,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     composite_agg,
     adjacency_matrix_agg,
     date_histogram,
+    date_range_agg,
     filters_agg,
     extended_stats_agg,
     histogram_agg,
@@ -92,6 +93,7 @@ __all__ = [
     "compact_index",
     "adjacency_matrix_agg",
     "date_histogram",
+    "date_range_agg",
     "filters_agg",
     "extended_stats_agg",
     "histogram_agg",

@@ -147,16 +147,23 @@ class _ProbeAgg:
             raise ValueError(f"unsupported interval {self.interval!r}")
         if self.ranges is not None:
             # numeric range buckets, [lo, hi) per OpenSearch range agg;
-            # values outside every range get a sentinel dropped below
-            vals = keys.astype(np.float64)
+            # values outside every range get a sentinel dropped below.
+            # Timestamp fields (date_range agg) compare on epoch-us; a
+            # range entry may carry an explicit label as its 3rd element.
+            if keys.dtype.kind == "M":
+                vals = keys.astype("datetime64[us]").astype(np.int64).astype(np.float64)
+            else:
+                vals = keys.astype(np.float64)
             labels = np.full(len(vals), "", dtype=object)
-            for lo, hi in self.ranges:
+            for rng in self.ranges:
+                lo, hi = rng[0], rng[1]
+                label = rng[2] if len(rng) > 2 else self._range_key(lo, hi)
                 m = np.ones(len(vals), dtype=bool)
                 if lo is not None:
                     m &= vals >= lo
                 if hi is not None:
                     m &= vals < hi
-                labels[m] = self._range_key(lo, hi)
+                labels[m] = label
             keys = labels
         metric = (
             batch[self.metric_field].combine_chunks()
@@ -315,6 +322,31 @@ def range_agg(
     return _run_agg(
         index_dir, queries, field, None, metric_field, where, ranges=list(ranges)
     )
+
+
+def date_range_agg(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    ranges: list[tuple] = (),
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `date_range` aggregation: [lo, hi) timestamp buckets over
+    a date docmeta field. ``ranges`` entries are (lo_iso|None, hi_iso|None)
+    ISO-8601 strings; bucket keys are "lo-hi" with '*' for an open end
+    (OpenSearch's key format). Non-overlapping ranges; empty buckets
+    omitted."""
+    import numpy as np
+
+    def _us(s):
+        return None if s is None else int(np.datetime64(s, "us").astype(np.int64))
+
+    resolved = [
+        (_us(lo), _us(hi), f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
+        for lo, hi in ranges
+    ]
+    return _run_agg(index_dir, queries, field, None, None, where,
+                    ranges=resolved)
 
 
 class _ProbeStats:

@@ -640,15 +640,22 @@ def search_multi_match(
     queries,
     tie_breaker: float = 0.0,
     round6: bool = True,
+    match_type: str = "best_fields",
 ) -> pd.DataFrame:
-    """OpenSearch ``multi_match`` (type=best_fields) across per-field
-    indexes: each field of a document is indexed as its own corpus (same
-    docid space — both builds read the same transcripts under the same
-    (conv_id, turn_idx) order), the query scores against every field index,
-    and per doc ``score = max(field scores) + tie_breaker * (sum - max)``
-    — Lucene's DisjunctionMaxQuery over per-field BM25, which is exactly
-    what best_fields compiles to. Returns (query_id, rank, docid, score),
-    top-k per the queries' ``k`` column.
+    """OpenSearch ``multi_match`` across per-field indexes: each field of a
+    document is indexed as its own corpus (same docid space — both builds
+    read the same transcripts under the same (conv_id, turn_idx) order) and
+    the query scores against every field index. ``match_type``:
+
+    - ``best_fields`` (default): per doc ``score = max(field scores) +
+      tie_breaker * (sum - max)`` — Lucene's DisjunctionMaxQuery over
+      per-field BM25, exactly what best_fields compiles to.
+    - ``most_fields``: per doc ``score = sum(field scores)`` — every
+      matching field adds up (the Lucene BooleanQuery SHOULD-over-fields
+      rewrite).
+
+    Returns (query_id, rank, docid, score), top-k per the queries' ``k``
+    column.
 
     Scale note: each field search is the engine's normal streaming search;
     the combine is driver-side over the union of full match sets (the same
@@ -674,9 +681,14 @@ def search_multi_match(
              "docid": pd.Series(dtype=np.int64),
              "score": pd.Series(dtype=np.float64)}
         )
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unsupported multi_match type {match_type!r}")
     g = allp.groupby(["query_id", "docid"], sort=False)["score"]
     comb = g.agg(mx="max", sm="sum").reset_index()
-    comb["score"] = comb["mx"] + tie_breaker * (comb["sm"] - comb["mx"])
+    if match_type == "most_fields":
+        comb["score"] = comb["sm"]
+    else:
+        comb["score"] = comb["mx"] + tie_breaker * (comb["sm"] - comb["mx"])
     if round6:
         comb["score"] = np.floor(comb["score"] * 1e6 + 0.5) / 1e6
     comb = comb.sort_values(["query_id", "score", "docid"],
