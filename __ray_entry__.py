@@ -1670,6 +1670,27 @@ def _q_pack_sequences(sf_dir: str):
         {"doc_id": "int64", "n_tokens": "int64", "pack_id": "int64"})
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style duplicate-3-gram repetition ratio per doc
+    (extras/text.repetition_stats — dictionary-coded vectorized n-grams)."""
+    from remote_vector_index_builder_ray.extras.text import repetition_stats_ds
+
+    out = repetition_stats_ds(_read(sf_dir, "documents"), n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_ngrams": "int64", "n_distinct": "int64",
+         "dup_ratio": "float64"})
+
+
+def _q_unigram_lm(sf_dir: str):
+    """CCNet-style unigram-LM quality scores: per doc the average token
+    ln(cf/total) under the corpus LM (extras/text.unigram_lm_scores)."""
+    from remote_vector_index_builder_ray.extras.text import unigram_lm_scores
+
+    out = unigram_lm_scores(_read(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "avg_logprob": "float64"})
+
+
 def _q_dataset_split(sf_dir: str):
     """Deterministic train/val/test split by md5(doc_id) bucket — stable
     under repartitioning and appends (extras/text.dataset_split)."""
@@ -1916,6 +1937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "dataset_split": _q_dataset_split,
+        "repetition_stats": _q_repetition_stats,
+        "unigram_lm": _q_unigram_lm,
         # approximate / non-SQL-expressible (rows-only check; pytest covers
         # their semantics vs brute-force oracles)
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -2159,6 +2182,46 @@ ORDER BY vec_id_a, vec_id_b
 """,
         "ngram_jaccard_pairs": ngram_sql,
         "minhash_lsh_pairs": ngram_sql,
+        "unigram_lm": """
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+    FROM documents
+),
+cf AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term),
+total AS (SELECT sum(cnt)::DOUBLE AS tot FROM cf),
+ds AS (
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(ln(cf.cnt::DOUBLE / tt.tot)) AS s
+    FROM toks t JOIN cf USING (term) CROSS JOIN total tt
+    GROUP BY t.doc_id
+),
+alldocs AS (SELECT doc_id FROM documents)
+SELECT a.doc_id, coalesce(ds.n_tokens, 0)::BIGINT AS n_tokens,
+       CASE WHEN ds.doc_id IS NULL THEN 0.0
+            ELSE floor((ds.s / ds.n_tokens) * 1000000 + 0.5) / 1000000 END AS avg_logprob
+FROM alldocs a LEFT JOIN ds ON ds.doc_id = a.doc_id
+ORDER BY a.doc_id
+""",
+        "repetition_stats": """
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) >= 3
+                THEN [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                      FOR i IN range(1, len(ts) - 1)]
+                ELSE [] END AS tg
+    FROM t
+)
+SELECT doc_id, len(tg)::BIGINT AS n_ngrams,
+       len(list_distinct(tg))::BIGINT AS n_distinct,
+       CASE WHEN len(tg) = 0 THEN 0.0
+            ELSE floor((1 - len(list_distinct(tg))::DOUBLE / len(tg)) * 1000000 + 0.5)
+                 / 1000000 END AS dup_ratio
+FROM g ORDER BY doc_id
+""",
         "dataset_split": """
 WITH t AS (
     SELECT doc_id,

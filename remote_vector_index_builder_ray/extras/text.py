@@ -306,3 +306,144 @@ def dataset_split_ds(ds: ray.data.Dataset, id_col: str = "doc_id",
         lambda b: dataset_split(b, id_col=id_col, cuts=cuts),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality rule: duplicate n-gram ratio)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Per-doc duplicate n-gram ratio (the Gopher repetition filters'
+    duplicate-3-gram rule): (doc_id, n_ngrams, n_distinct, dup_ratio) with
+    dup_ratio = round6(1 - n_distinct / n_ngrams), 0 for docs shorter than
+    n tokens. Vectorized: one tokenize pass, tokens dictionary-encoded to
+    int codes, n-gram keys = base-V positional packing over the flat code
+    array (cross-doc windows masked out), per-doc distinct via one
+    np.unique over (doc, key) pairs — no Python loop over rows."""
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    tokens, doc_index, dl = tokenize_column(batch[text_col])
+    total = np.maximum(dl.astype(np.int64) - (n - 1), 0)
+    n_distinct = np.zeros(len(ids), dtype=np.int64)
+    if len(tokens) and total.sum():
+        dicted = tokens.dictionary_encode()
+        if isinstance(dicted, pa.ChunkedArray):
+            dicted = dicted.combine_chunks()
+        codes = dicted.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(dicted.dictionary) + 1)
+        m = len(codes) - (n - 1)
+        key = codes[:m].copy()
+        for j in range(1, n):
+            key = key * V + codes[j:m + j]
+        same_doc = doc_index[:m] == doc_index[n - 1:len(codes)]
+        drow = doc_index[:m][same_doc]
+        kk = key[same_doc]
+        pairs = np.unique(np.stack([drow, kk], axis=1), axis=0)
+        cnt = np.bincount(pairs[:, 0].astype(np.int64), minlength=len(ids))
+        n_distinct = cnt.astype(np.int64)
+    ratio = np.zeros(len(ids), dtype=np.float64)
+    nz = total > 0
+    ratio[nz] = 1.0 - n_distinct[nz].astype(np.float64) / total[nz].astype(np.float64)
+    ratio = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "n_ngrams": pa.array(total, type=pa.int64()),
+        "n_distinct": pa.array(n_distinct, type=pa.int64()),
+        "dup_ratio": pa.array(ratio, type=pa.float64()),
+    })
+
+
+def repetition_stats_ds(ds: ray.data.Dataset, n: int = 3) -> ray.data.Dataset:
+    return ds.map_batches(lambda b: repetition_stats(b, n=n),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring (CCNet-style perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+
+class _TermCountPartials:
+    """Per-batch combiner: (term, count) partial unigram counts."""
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens, _, _ = tokenize_column(batch[self.text_col])
+        if len(tokens) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        dicted = tokens.dictionary_encode()
+        if isinstance(dicted, pa.ChunkedArray):
+            dicted = dicted.combine_chunks()
+        codes = dicted.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(dicted.dictionary))
+        return pa.table({"term": dicted.dictionary,
+                         "cnt": pa.array(cnt, type=pa.int64())})
+
+
+class _LMScore:
+    """Per-batch scorer: avg token log-probability under the broadcast
+    unigram LM — the lookup is one searchsorted over the sorted vocab."""
+
+    def __init__(self, lm_ref):
+        import ray
+
+        self.vocab, self.lp = ray.get(lm_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tokens, doc_index, dl = tokenize_column(batch["text"])
+        sums = np.zeros(len(ids), dtype=np.float64)
+        if len(tokens):
+            toks_np = tokens.to_numpy(zero_copy_only=False).astype(np.str_)
+            pos = np.searchsorted(self.vocab, toks_np)
+            lp = self.lp[pos]  # LM trained on the same corpus: no OOV
+            sums = np.bincount(doc_index, weights=lp, minlength=len(ids))
+        n = dl.astype(np.float64)
+        avg = np.where(n > 0, sums / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(dl.astype(np.int64), type=pa.int64()),
+            "avg_logprob": pa.array(np.floor(avg * 1e6 + 0.5) / 1e6,
+                                    type=pa.float64()),
+        })
+
+
+def unigram_lm_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """CCNet-style quality scoring with a corpus unigram LM: per doc the
+    average token log-probability ln(cf(token)/total_tokens) — low scores
+    flag gibberish / rare-token-heavy docs, exactly what perplexity filters
+    threshold on (here with a unigram LM so the SQL twin is exact).
+
+    Two passes: (1) per-batch (term, count) partials reduce to the corpus
+    LM — driver-side here; at 100 TB the same partials feed
+    ``groupby('term').sum()`` and the LM table is the index's termstats cf
+    column read back — then the (vocab, logprob) arrays broadcast ONCE via
+    ``ray.put``; (2) a pure map scores every doc with one vectorized
+    searchsorted lookup. No shuffle touches the text."""
+    import pandas as pd
+    import ray
+
+    partials = (
+        ds.map_batches(_TermCountPartials, fn_constructor_args=("text",),
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 8))
+        .to_pandas()
+    )
+    if partials.empty:
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_tokens": pd.Series(dtype=np.int64),
+            "avg_logprob": pd.Series(dtype=np.float64),
+        }))
+    cf = partials.groupby("term", sort=True)["cnt"].sum()
+    total = float(cf.sum())
+    vocab = cf.index.to_numpy(np.str_)
+    lp = np.log(cf.to_numpy(np.float64) / total)
+    lm_ref = ray.put((vocab, lp))
+    return ds.map_batches(_LMScore, fn_constructor_args=(lm_ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))

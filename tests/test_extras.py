@@ -328,3 +328,42 @@ def test_dataset_split_deterministic_and_stable():
     out2 = (text.dataset_split_ds(ray.data.from_pandas(df).repartition(7)).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     np.testing.assert_array_equal(out2["bucket"].to_numpy(), out["bucket"].to_numpy())
+
+
+def test_repetition_stats_brute_force():
+    rng = np.random.default_rng(11)
+    texts = ["a b c a b c a b c", "x y z w", "ab", "",
+             " ".join(rng.choice(list("abcdef"), size=40))]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (text.repetition_stats_ds(ray.data.from_pandas(df), n=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        tg = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        assert out.loc[i, "n_ngrams"] == len(tg)
+        assert out.loc[i, "n_distinct"] == len(set(tg))
+        exp = 0.0 if not tg else np.floor((1 - len(set(tg)) / len(tg)) * 1e6 + 0.5) / 1e6
+        assert out.loc[i, "dup_ratio"] == exp, t
+
+
+def test_unigram_lm_scores_brute_force():
+    from collections import Counter
+
+    texts = ["the cat sat", "the the the", "dog", ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (text.unigram_lm_scores(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cf = Counter(w for t in texts for w in t.split())
+    total = sum(cf.values())
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert out.loc[i, "avg_logprob"] == 0.0
+            continue
+        s = np.sum(np.log(np.array([cf[w] for w in toks], float) / total))
+        exp = np.floor((s / len(toks)) * 1e6 + 0.5) / 1e6
+        assert out.loc[i, "avg_logprob"] == exp, t
+    # the repeated-common-token doc scores higher than the rare-token doc
+    assert out.loc[1, "avg_logprob"] > out.loc[2, "avg_logprob"]
