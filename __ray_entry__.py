@@ -1066,6 +1066,29 @@ _DATE_RANGES = [(None, "2026-03-01"), ("2026-03-01", "2026-05-01"),
                 ("2026-05-01", None)]
 
 
+def _q_bm25_moving_avg(sf_dir: str):
+    """moving_avg/moving_fn pipeline agg: trailing-3-bucket mean over the
+    per-day histogram (pipelines/aggs.moving_avg_date_histogram)."""
+    from remote_vector_index_builder_ray import moving_avg_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = moving_avg_date_histogram(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "moving_avg": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_bucket_sort(sf_dir: str):
+    """bucket_selector + bucket_sort pipeline aggs: buckets with
+    n_docs >= 10, top-5 per query by (n_docs desc, key)
+    (pipelines/aggs.bucket_sort_date_histogram)."""
+    from remote_vector_index_builder_ray import bucket_sort_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = bucket_sort_date_histogram(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "bucket_rank": "int32"}).reset_index(drop=True)
+
+
 def _q_bm25_date_range(sf_dir: str):
     """OpenSearch date_range aggregation: [lo, hi) timestamp buckets over ts
     with OpenSearch "lo-hi" keys (pipelines/aggs.date_range_agg)."""
@@ -1883,6 +1906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_pipeline_aggs": _q_bm25_pipeline_aggs,
         "bm25_date_range": _q_bm25_date_range,
+        "bm25_moving_avg": _q_bm25_moving_avg,
+        "bm25_bucket_sort": _q_bm25_bucket_sort,
         "bm25_page2": _q_bm25_page2,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_collapse": _q_bm25_collapse,
@@ -3871,6 +3896,59 @@ SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, date_trunc('day', d.ts)
 ORDER BY m.query_id, key
+"""
+    # moving_avg: trailing-3 windowed sum/count over per-day buckets
+    out["bm25_moving_avg"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+)
+SELECT query_id, key, n_docs,
+       floor((sum(n_docs) OVER w)::DOUBLE / (count(*) OVER w) * 1000000 + 0.5)
+           / 1000000 AS moving_avg
+FROM hist
+WINDOW w AS (PARTITION BY query_id ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY query_id, key
+"""
+    # bucket_selector (HAVING n_docs >= 10) + bucket_sort (top-5 by count)
+    out["bm25_bucket_sort"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+    HAVING count(*) >= 10
+),
+ranked AS (
+    SELECT query_id, key, n_docs,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_docs DESC, key) AS bucket_rank
+    FROM hist
+)
+SELECT query_id, key, n_docs, bucket_rank::INT AS bucket_rank
+FROM ranked WHERE bucket_rank <= 5
+ORDER BY query_id, bucket_rank
 """
     # date_range agg: [lo,hi) timestamp buckets with "lo-hi" keys
     out["bm25_date_range"] = f"""

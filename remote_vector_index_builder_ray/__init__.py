@@ -45,6 +45,8 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     extended_stats_agg,
     histogram_agg,
     missing_agg,
+    bucket_sort_date_histogram,
+    moving_avg_date_histogram,
     pipeline_date_histogram,
     percentiles_agg,
     range_agg,
@@ -98,6 +100,8 @@ __all__ = [
     "extended_stats_agg",
     "histogram_agg",
     "missing_agg",
+    "bucket_sort_date_histogram",
+    "moving_avg_date_histogram",
     "pipeline_date_histogram",
     "delete_docs",
     "expand_fuzzy",

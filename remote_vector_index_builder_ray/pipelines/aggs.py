@@ -1312,6 +1312,61 @@ def pipeline_date_histogram(
     return base
 
 
+def moving_avg_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    window: int = 3,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `moving_fn`/`moving_avg` pipeline agg over a
+    date_histogram parent: per bucket the mean of the trailing ``window``
+    PRESENT buckets (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW),
+    computed as windowed-sum / windowed-count so the SQL twin reproduces
+    the float division exactly; rounded half-up to 6 decimals."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        out["moving_avg"] = pd.Series(dtype=np.float64)
+        return out
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    outs = []
+    for _, g in base.groupby("query_id", sort=False):
+        v = g["n_docs"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(v)])
+        idx = np.arange(len(v))
+        lo = np.maximum(idx - (window - 1), 0)
+        wsum = cum[idx + 1] - cum[lo]
+        wcnt = (idx + 1 - lo).astype(np.float64)
+        g = g.copy()
+        g["moving_avg"] = np.floor(wsum.astype(np.float64) / wcnt * 1e6 + 0.5) / 1e6
+        outs.append(g)
+    return pd.concat(outs, ignore_index=True)
+
+
+def bucket_sort_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    min_doc_count: int = 10,
+    size: int = 5,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `bucket_selector` + `bucket_sort` pipeline aggs over a
+    date_histogram parent: keep buckets with n_docs >= ``min_doc_count``
+    (the selector's HAVING), order (n_docs desc, key asc) and truncate to
+    ``size`` buckets per query — the "top busiest days" shape."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        return base
+    base = base[base["n_docs"] >= min_doc_count]
+    base = base.sort_values(["query_id", "n_docs", "key"],
+                            ascending=[True, False, True])
+    out = base.groupby("query_id", sort=True).head(size).reset_index(drop=True)
+    out["bucket_rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # composite aggregation (multi-source buckets)
 # ---------------------------------------------------------------------------
