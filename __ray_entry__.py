@@ -695,6 +695,60 @@ def _q_bm25_terms(sf_dir: str):
     )
 
 
+def _ensure_ps_queries(sf_dir: str) -> str:
+    """Phrase-suggester query artifact: 2-token phrases from sampled docs
+    with the last character of one token mutated (a distance-1 typo), plus
+    a correct phrase and an uncorrectable-garbage phrase."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_ps_queries.parquet")
+    if os.path.exists(path):
+        return path
+    fx = _fx.ensure_fixture(name)
+    src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    toks = src["text"].map(lambda t: tokenize_text(t or ""))
+    texts: list[str] = []
+    step = max(1, len(src) // 12)
+    for i in range(0, len(src), step):
+        tk = toks[i]
+        if len(tk) >= 3 and len(tk[1]) >= 3:
+            typo = tk[1][:-1] + ("x" if tk[1][-1] != "x" else "q")
+            texts.append(f"{typo} {tk[2]}")          # typo in token 1
+            texts.append(f"{tk[1]} {tk[2]}")          # already correct
+        if len(texts) >= 10:
+            break
+    texts.append("zzqqzzqq wvwvwvwv")                 # uncorrectable
+    seen, uniq = set(), []
+    for s in texts:
+        if s not in seen:
+            seen.add(s)
+            uniq.append(s)
+    _write_atomic(
+        pa.table({
+            "query_id": pa.array(range(len(uniq)), type=pa.int64()),
+            "text": pa.array(uniq, type=pa.string()),
+        }),
+        path,
+    )
+    return path
+
+
+def _q_bm25_suggest_phrase(sf_dir: str):
+    """Phrase suggester (unigram-LM frozen mode): per-token best
+    Levenshtein<=1 dictionary correction by df, suggestion scored by
+    summed ln(df/N) (pipelines/expand.suggest_phrase)."""
+    from remote_vector_index_builder_ray import suggest_phrase
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(_ensure_ps_queries(sf_dir))
+    return suggest_phrase(index_dir, q).reset_index(drop=True)
+
+
 def _q_bm25_regexp(sf_dir: str):
     """OpenSearch regexp query (constant-score rewrite): RE2 patterns,
     implicitly anchored, expanded against the term dictionary
@@ -1941,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_analyzed": _q_bm25_analyzed,
         "bm25_analyze": _q_bm25_analyze,
         "bm25_suggest": _q_bm25_suggest,
+        "bm25_suggest_phrase": _q_bm25_suggest_phrase,
         "bm25_percolate": _q_bm25_percolate,
         "bm25_reindex": _q_bm25_reindex,
         "bm25_rank_eval": _q_bm25_rank_eval,
@@ -2705,6 +2760,39 @@ df AS (SELECT term, count(DISTINCT docid)::BIGINT AS df FROM toks GROUP BY term)
 SELECT t.docid, t.term, t.tf, d.df
 FROM tf t JOIN df d USING (term)
 ORDER BY docid, term
+"""
+    # phrase suggester: per-token argmax-df Levenshtein<=1 correction,
+    # suggestion scored by summed ln(df/N); a token with no candidate
+    # kills the query's suggestion
+    ps_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_ps_queries.parquet")
+    out["bm25_suggest_phrase"] = f"""
+WITH {docs}, {_TOKS},
+d AS MATERIALIZED (SELECT term, count(DISTINCT docid)::BIGINT AS df FROM toks GROUP BY term),
+ndocs AS (SELECT count(*)::DOUBLE AS n FROM docs),
+q AS (
+    SELECT query_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS qt,
+           unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9_]+')))) AS pos,
+           len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_toks
+    FROM read_parquet('{ps_pq}')
+),
+cand AS (
+    SELECT q.query_id, q.pos, q.n_toks, d.term, d.df,
+           row_number() OVER (PARTITION BY q.query_id, q.pos
+                              ORDER BY d.df DESC, d.term) AS rn
+    FROM q JOIN d ON abs(length(d.term) - length(q.qt)) <= 1
+                 AND levenshtein(d.term, q.qt) <= 1
+),
+best AS (SELECT query_id, pos, n_toks, term, df FROM cand WHERE rn = 1),
+full_q AS (
+    SELECT query_id, any_value(n_toks) AS n_toks, count(*)::BIGINT AS n_fixed,
+           string_agg(term, ' ' ORDER BY pos) AS suggestion,
+           sum(ln(df::DOUBLE / (SELECT n FROM ndocs))) AS s
+    FROM best GROUP BY query_id
+)
+SELECT query_id, suggestion,
+       floor(s * 1000000 + 0.5) / 1000000 AS score
+FROM full_q WHERE n_fixed = n_toks AND n_toks > 0
+ORDER BY query_id
 """
     # terms query: constant-score ANY-of-exact-terms (first 3 analyzed
     # tokens per fixture query)
@@ -4614,5 +4702,6 @@ try:
     _ensure_phrase_queries(ORACLE_SF_DIR)
     _ensure_phrase_slop_queries(ORACLE_SF_DIR)
     _ensure_qs_queries(ORACLE_SF_DIR)
+    _ensure_ps_queries(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass

@@ -68,6 +68,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     search_synonyms,
     search_terms,
     search_regexp,
+    suggest_phrase,
     search_wildcard,
 )
 from remote_vector_index_builder_ray.pipelines.mlt import more_like_this, term_vectors
@@ -130,6 +131,7 @@ __all__ = [
     "search_synonyms",
     "search_terms",
     "search_regexp",
+    "suggest_phrase",
     "search_wildcard",
     "search_multi_match",
     "search_phrase_prefix",

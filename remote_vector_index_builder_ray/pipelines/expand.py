@@ -379,6 +379,56 @@ def suggest_terms(
     return pd.DataFrame(rows, columns=["term", "suggestion", "distance", "df"])
 
 
+def suggest_phrase(
+    index_dir: str,
+    queries: pd.DataFrame,
+) -> pd.DataFrame:
+    """Phrase suggester (OpenSearch `suggest` phrase mode, frozen to a
+    unigram LM): each query token independently corrects to its highest-df
+    dictionary term within Levenshtein distance 1 (itself included when in
+    the dictionary; df desc, term asc tie-break — the aggressive
+    did-you-mean mode where a real word may still rewrite to a more
+    frequent neighbor, OpenSearch's real_word_error_likelihood analog).
+    The suggestion is the corrected token sequence; its score is the
+    unigram log-likelihood Σ ln(df(token)/N) rounded half-up to 6. A token
+    with NO candidate within distance 1 yields no suggestion for that
+    query (OpenSearch emits none when a term cannot be corrected).
+    Returns (query_id, suggestion, score). Driver-small dictionary lookup,
+    like every expansion."""
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.pipelines.incremental import global_stats
+
+    td = _get_dict(index_dir)
+    n_docs = float(global_stats(index_dir)["N"])
+    rows = []
+    for r in queries.itertuples(index=False):
+        toks = tokenize_text(str(r.text or ""))
+        if not toks:
+            continue
+        picked, ok = [], True
+        for t in toks:
+            ids = td.fuzzy_candidate_ids(t, 1, 0, False)
+            cands = [str(x) for x in td.terms[ids]]
+            mask = _levenshtein_leq(cands, t, 1, False)
+            best = sorted(
+                (-int(df_), c)
+                for c, m, df_ in zip(cands, mask, td.df[ids]) if m
+            )
+            if not best:
+                ok = False
+                break
+            picked.append((best[0][1], -best[0][0]))
+        if not ok:
+            continue
+        score = 0.0
+        for _, df_ in picked:
+            score += float(np.log(df_ / n_docs))
+        rows.append((int(r.query_id), " ".join(c for c, _ in picked),
+                     float(np.floor(score * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "suggestion", "score"]).astype(
+        {"query_id": np.int64, "score": np.float64})
+
+
 # ---------------------------------------------------------------------------
 # search wrappers
 # ---------------------------------------------------------------------------

@@ -74,3 +74,54 @@ def test_rank_eval_perfect_ranking():
     assert out["ndcg_at_k"].iloc[0] == 1.0
     assert out["reciprocal_rank"].iloc[0] == 1.0
     assert out["recall_at_k"].iloc[0] == 1.0
+
+
+def test_suggest_phrase_brute_force(smoke_fixture, smoke_index, smoke_oracle):
+    """Per-token argmax-df Levenshtein<=1 correction; unigram log-likelihood
+    score; uncorrectable token kills the suggestion."""
+    import numpy as np
+
+    from remote_vector_index_builder_ray import suggest_phrase
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    vocab = {t: len(post) for t, post in smoke_oracle.postings.items()}
+    n_docs = float(smoke_oracle.N)
+    some = sorted(vocab)[5]
+    typo = some[:-1] + ("x" if some[-1] != "x" else "q")
+    queries = pd.DataFrame({
+        "query_id": np.arange(3, dtype=np.int64),
+        "text": [f"{typo} the", f"{some} the", "zzqzqzqz the"],
+    })
+    got = suggest_phrase(smoke_index["index_dir"], queries)
+
+    def _lev1(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # tiny DP
+        import numpy as _np
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)] <= 1
+
+    rows = []
+    for r in queries.itertuples(index=False):
+        toks = tokenize_text(r.text)
+        picked, ok = [], True
+        for t in toks:
+            cands = sorted(((-(vocab[c])), c) for c in vocab if _lev1(c, t))
+            if not cands:
+                ok = False
+                break
+            picked.append((cands[0][1], -cands[0][0]))
+        if ok:
+            s = sum(np.log(df / n_docs) for _, df in picked)
+            rows.append((int(r.query_id), " ".join(c for c, _ in picked),
+                         float(np.floor(s * 1e6 + 0.5) / 1e6)))
+    exp = pd.DataFrame(rows, columns=["query_id", "suggestion", "score"]).astype(
+        {"query_id": np.int64, "score": np.float64})
+    assert len(exp) == 2  # garbage query dropped
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
