@@ -1876,6 +1876,15 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), shingle_k=3, threshold=0.2)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: connected components over the exact Jaccard pair
+    graph, cluster_id = min doc_id per component (extras/dedup.dedup_clusters;
+    the SQL twin is a recursive min-label propagation)."""
+    from remote_vector_index_builder_ray.extras.dedup import dedup_clusters
+
+    return dedup_clusters(_read(sf_dir, "documents"), shingle_k=3, threshold=0.2)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """Banded simhash near-dup pairs. Banding is EXACT for radius<=3 with 4
     quarters (pigeonhole), so the SQL twin — a brute-force hamming self-join
@@ -2014,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "dataset_split": _q_dataset_split,
@@ -2066,6 +2076,38 @@ def oracle_sql() -> dict[str, str]:
     # exact n-gram Jaccard over the shingle inverted index — shared by the
     # ngram_jaccard_pairs entry AND the minhash entry (whose LSH candidates,
     # exact-verified at the same threshold, equal the exact pair set)
+    cluster_sql = """
+WITH RECURSIVE t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+),
+s AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+             ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        END)) AS shingle
+    FROM t
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT doc_a, doc_b
+    FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.2
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, label) AS (
+    SELECT a AS node, a AS label FROM edges
+    UNION
+    SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
     ngram_sql = """
 WITH t AS MATERIALIZED (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
@@ -2261,6 +2303,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.5
 ORDER BY vec_id_a, vec_id_b
 """,
         "ngram_jaccard_pairs": ngram_sql,
+        "dedup_clusters": cluster_sql,
         "minhash_lsh_pairs": ngram_sql,
         "unigram_lm": """
 WITH toks AS MATERIALIZED (

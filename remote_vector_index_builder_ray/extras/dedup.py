@@ -446,3 +446,45 @@ def simhash_pairs(ds: ray.data.Dataset, radius: int = 3) -> pd.DataFrame:
     )
     pdf = pairs.to_pandas()
     return pdf.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dedup_clusters(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> pd.DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the exact
+    n-gram-Jaccard pair graph — the step after candidate generation in a
+    dedup pipeline ("keep one doc per cluster"). cluster_id = the smallest
+    doc_id in the component; only docs participating in at least one pair
+    are emitted (singletons keep themselves trivially).
+
+    The pair edges are driver-small by the near-dup contract (dup pairs,
+    not the corpus); union-find runs driver-side in O(E α). Scale path for
+    a pathological pair explosion: iterative min-label propagation as
+    repeated (edges ⋈ labels) groupby-min rounds — same result, each round
+    a Ray shuffle of (node, label) ints only."""
+    pairs = ngram_jaccard_pairs(ds, shingle_k=shingle_k, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                max_shingle_df=max_shingle_df)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    return pd.DataFrame({
+        "doc_id": pd.Series(nodes, dtype=np.int64),
+        "cluster_id": pd.Series([find(int(n)) for n in nodes], dtype=np.int64),
+    })

@@ -367,3 +367,28 @@ def test_unigram_lm_scores_brute_force():
         assert out.loc[i, "avg_logprob"] == exp, t
     # the repeated-common-token doc scores higher than the rare-token doc
     assert out.loc[1, "avg_logprob"] > out.loc[2, "avg_logprob"]
+
+
+def test_dedup_clusters_union_find():
+    """Chained near-dups (A~B, B~C but A!~C) land in ONE cluster labeled by
+    the smallest doc_id — the transitive property pair lists lack."""
+    from remote_vector_index_builder_ray.extras.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = base.replace("gamma", "lambda").replace("eta", "mu")
+    far = mid.replace("alpha", "nu").replace("iota", "xi")
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [base, base, mid, far, "unrelated words entirely different"],
+    })
+    out = dedup_clusters(ray.data.from_pandas(df), shingle_k=3, threshold=0.2)
+    by = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by[0] == by[1] == 0          # exact dups
+    assert 4 not in by                   # no pair: not emitted
+    # every emitted cluster label is the min doc in its component
+    for d, c in by.items():
+        assert c <= d
+    # chain connectivity: if 2 and 3 are in, they share 0's component or
+    # at least each other's (depends on threshold); assert transitivity
+    if 2 in by and 3 in by and by[2] == by[0]:
+        assert by[3] == by[0] or by[3] == by[2]
