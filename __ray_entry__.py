@@ -1706,6 +1706,63 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(_read(sf_dir, "embeddings"), qdf["vec_id"].to_numpy(), qm, k=10)
 
 
+def _pq_artifact_path(name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{name}_pq_topk.parquet")
+
+
+def _ensure_pq_artifact(sf_dir: str) -> str:
+    """Run the deterministic PQ+rerank top-k and persist it; the SQL twin
+    joins it against a brute-force top-k computed in SQL for per-query
+    recall — the same persisted-artifact pattern as the IVF entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import pq_topk
+
+    path = _pq_artifact_path(_sf_name(sf_dir))
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    res = pq_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10, m=16, n_centroids=64, rerank=16,
+    )
+    _write_atomic(pa.Table.from_pandas(res, preserve_index=False), path)
+    return path
+
+
+def _q_ann_pq_topk(sf_dir: str):
+    """Per-query recall@10 of the PQ (asymmetric-distance + exact-rerank)
+    path vs brute force — the reference's FAISS IVF-PQ compression analog
+    (extras/ann.pq_topk: m=16 subspaces x 64 centroids, 16x rerank)."""
+    path = _ensure_pq_artifact(sf_dir)
+    res = pd.read_parquet(path)
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    bf = brute_force_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10,
+    )
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    rows = []
+    for qid, g in res.groupby("query_id"):
+        hits = sum((int(qid), int(v)) in bfset for v in g["vec_id"])
+        rows.append((int(qid), float(np.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "recall"]).astype(
+        {"query_id": np.int64, "recall": np.float64})
+
+
 def _q_ann_filtered(sf_dir: str):
     """Filtered k-NN (OpenSearch knn query with a filter): exact cosine
     top-k over ONLY the vectors passing a metadata predicate (label < 5).
@@ -2018,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ann_topk": _q_ann_topk,
         "ann_filtered": _q_ann_filtered,
+        "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
@@ -2442,6 +2500,26 @@ SELECT media_id, frame_idx::INT AS frame_idx,
        floor((('0x' || substr(md5(hex(payload) || ':' || frame_idx::VARCHAR || ':0'), 1, 8))::UBIGINT
               / 4294967296.0) * 1000000 + 0.5) / 1000000 AS feat0
 FROM f ORDER BY media_id, frame_idx
+""",
+        "ann_pq_topk": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+pq AS (SELECT query_id, vec_id FROM read_parquet('{_pq_artifact_path(sf)}'))
+SELECT p.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM pq p LEFT JOIN bf b ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+GROUP BY p.query_id ORDER BY p.query_id
 """,
         "ann_ivf_topk": f"""
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4739,6 +4817,7 @@ except Exception:  # noqa: BLE001 — oracle-scale testdata may be absent
     pass
 try:
     _ensure_ivf_artifact(ORACLE_SF_DIR)
+    _ensure_pq_artifact(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass
 try:

@@ -330,3 +330,175 @@ def embedding_near_dup_exact(ds: ray.data.Dataset, threshold: float = 0.9) -> pd
         zero_copy_batch=True, concurrency=(1, 8),
     ).to_pandas()
     return pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the reference's FAISS IVF-PQ analog)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    ds: ray.data.Dataset,
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_mod: int = 5,
+    iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks over the deterministic modulo sample
+    (normalized vectors, so ADC inner products approximate cosine):
+    returns (m, n_centroids, dim/m). The analog of the reference's PQ
+    training (``core/index_builder/.../ivf_pq_build_cagra_config.py`` —
+    pq_dim / kmeans trainset fraction)."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    sample = ds.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    sample = sample.sort_values("vec_id")
+    mat = _normalize(np.stack([np.asarray(v, np.float64)
+                               for v in sample["embedding"]]))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_centroids, sub), dtype=np.float64)
+    for mi in range(m):
+        x = mat[:, mi * sub:(mi + 1) * sub]
+        cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                            replace=False)].copy()
+        for _ in range(iters):
+            # nearest centroid in L2 over the subspace
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                sel = x[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books[mi, :len(cent)] = cent
+        if len(cent) < n_centroids:
+            books[mi, len(cent):] = cent[0]
+    return books
+
+
+class PQScoreTopK:
+    """map_batches callable: encode the batch's (normalized) vectors to PQ
+    codes and score every query via its ADC lookup table — score(q, x) =
+    Σ_m LUT[m, code_m(x)] with LUT[m, j] = q_m · c_{m,j} — keeping the
+    batch-local top-k partial (same reduce shape as CosineTopK). Encoding
+    per batch keeps the operator single-pass; a persisted-codes variant
+    would split encode/score into two stages with the codes parquet in
+    between (the FAISS write_index/read_index analog)."""
+
+    def __init__(self, queries_ref, books_ref, k: int):
+        q = ray.get(queries_ref)
+        self.qids, qm = q
+        qn = _normalize(qm)
+        self.books = ray.get(books_ref)  # (m, ncent, sub)
+        m, ncent, sub = self.books.shape
+        nq = qn.shape[0]
+        self.lut = np.empty((nq, m, ncent), dtype=np.float64)
+        for mi in range(m):
+            self.lut[:, mi, :] = qn[:, mi * sub:(mi + 1) * sub] @ self.books[mi].T
+        self.k = k
+
+    def _encode(self, mat: np.ndarray) -> np.ndarray:
+        m, ncent, sub = self.books.shape
+        codes = np.empty((mat.shape[0], m), dtype=np.int64)
+        for mi in range(m):
+            x = mat[:, mi * sub:(mi + 1) * sub]
+            d2 = ((x[:, None, :] - self.books[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1)
+        return codes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = self._encode(mat)
+        nq = self.lut.shape[0]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):
+            # gather LUT values per subspace, sum across subspaces
+            s = np.take_along_axis(self.lut[qi], codes.T, axis=1).sum(axis=0)
+            k = min(self.k, len(s))
+            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.extend([int(self.qids[qi])] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank: int | None = 8,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via product quantization with asymmetric
+    distance computation: codebooks train on the modulo sample, then one
+    streaming pass encodes + ADC-scores every batch (the query-side LUTs
+    broadcast once; per-batch partials reduce driver-side). Compression:
+    dim floats -> m bytes per vector.
+
+    ``rerank`` (the FAISS refine stage): the ADC pass keeps a
+    ``rerank * k`` shortlist per query, whose ORIGINAL vectors are gathered
+    with one broadcast ``isin`` filter pass (shortlist is queries x
+    rerank*k — tiny) and re-scored exactly; final ranking and the 6-decimal
+    rounding then match the brute-force scorer on everything the shortlist
+    caught. ``rerank=None`` returns raw ADC scores."""
+    books = train_pq_codebooks(ds, m=m, n_centroids=n_centroids)
+    bref = ray.put(books)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qref = ray.put((qids, qm))
+    kk = k if rerank is None else rerank * k
+    partials = ds.map_batches(
+        PQScoreTopK, fn_constructor_args=(qref, bref, kk),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    short = _finalize_topk(partials, kk)
+    if rerank is None:
+        return short
+    wanted = np.unique(short["vec_id"].to_numpy(np.int64))
+    wref = ray.put(wanted)
+
+    class GatherVecs:
+        def __init__(self, ref):
+            self.wanted = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.wanted, ids)
+            pos = np.clip(pos, 0, len(self.wanted) - 1)
+            return batch.filter(pa.array(self.wanted[pos] == ids))
+
+    got = ds.map_batches(
+        GatherVecs, fn_constructor_args=(wref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    ).to_pandas()
+    vec_by_id = {
+        int(i): np.asarray(v, np.float64)
+        for i, v in zip(got["vec_id"], got["embedding"])
+    }
+    qn = _normalize(qm)
+    rows = []
+    for qi, qid in enumerate(qids):
+        cand = short[short["query_id"] == int(qid)]["vec_id"].to_numpy(np.int64)
+        if not len(cand):
+            continue
+        mat = _normalize(np.stack([vec_by_id[int(c)] for c in cand]))
+        s = mat @ qn[qi]
+        rows.append(pd.DataFrame({
+            "query_id": np.full(len(cand), int(qid), dtype=np.int64),
+            "vec_id": cand, "cosine": s,
+        }))
+    return _finalize_topk(pd.concat(rows, ignore_index=True), k)

@@ -392,3 +392,28 @@ def test_dedup_clusters_union_find():
     # at least each other's (depends on threshold); assert transitivity
     if 2 in by and 3 in by and by[2] == by[0]:
         assert by[3] == by[0] or by[3] == by[2]
+
+
+def test_pq_topk_recall_and_determinism():
+    """PQ + exact rerank: high recall vs brute force on spread data, and
+    bit-identical across runs (deterministic sample + seeds)."""
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((300, 32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    q = vecs[:4].astype(np.float64)
+    a = ann.pq_topk(ds, np.arange(4), q, k=5, m=8, n_centroids=32, rerank=8)
+    b = ann.pq_topk(ds, np.arange(4), q, k=5, m=8, n_centroids=32, rerank=8)
+    pd.testing.assert_frame_equal(a, b)
+    bf = ann.brute_force_topk(ds, np.arange(4), q, k=5)
+    inter = len(set(map(tuple, a[["query_id", "vec_id"]].values))
+                & set(map(tuple, bf[["query_id", "vec_id"]].values)))
+    assert inter / len(bf) >= 0.8
+    # reranked scores of recovered pairs equal the exact scores
+    ja = a.merge(bf, on=["query_id", "vec_id"], suffixes=("_pq", "_bf"))
+    np.testing.assert_array_equal(ja["cosine_pq"].to_numpy(),
+                                  ja["cosine_bf"].to_numpy())
