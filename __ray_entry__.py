@@ -1143,6 +1143,18 @@ def _q_bm25_bucket_sort(sf_dir: str):
                        "bucket_rank": "int32"}).reset_index(drop=True)
 
 
+def _q_bm25_sorted_multi(sf_dir: str):
+    """Multi-key field sort (role asc, ts desc, docid asc) over each query's
+    full match set (pipelines/query.search_sorted_multi)."""
+    from remote_vector_index_builder_ray import search_sorted_multi
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = search_sorted_multi(index_dir, pd.read_parquet(fx["queries"]),
+                              sort=[("role", True), ("ts", False)])
+    return out.astype({"query_id": "int64", "rank": "int32",
+                       "docid": "int64"}).reset_index(drop=True)
+
+
 def _q_bm25_date_range(sf_dir: str):
     """OpenSearch date_range aggregation: [lo, hi) timestamp buckets over ts
     with OpenSearch "lo-hi" keys (pipelines/aggs.date_range_agg)."""
@@ -2028,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_range": _q_bm25_date_range,
         "bm25_moving_avg": _q_bm25_moving_avg,
         "bm25_bucket_sort": _q_bm25_bucket_sort,
+        "bm25_sorted_multi": _q_bm25_sorted_multi,
         "bm25_page2": _q_bm25_page2,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_collapse": _q_bm25_collapse,
@@ -4105,6 +4118,31 @@ SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, date_trunc('day', d.ts)
 ORDER BY m.query_id, key
+"""
+    # multi-key field sort: (role asc, ts desc, docid asc) top-k
+    out["bm25_sorted_multi"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+ranked AS (
+    SELECT m.query_id, m.docid, d.role, d.ts,
+           row_number() OVER (PARTITION BY m.query_id
+                              ORDER BY d.role ASC, d.ts DESC, m.docid ASC) AS rank
+    FROM m JOIN docs d USING (docid)
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.role, r.ts
+FROM ranked r
+JOIN (SELECT query_id, k FROM read_parquet('{_queries_path(sf)}')) qq USING (query_id)
+WHERE r.rank <= qq.k
+ORDER BY query_id, rank
 """
     # moving_avg: trailing-3 windowed sum/count over per-day buckets
     out["bm25_moving_avg"] = f"""

@@ -82,6 +82,7 @@ from remote_vector_index_builder_ray.pipelines.query import (
     parse_simple_query_string,
     rescore_phrase,
     search_query_string,
+    search_sorted_multi,
     search,
     search_bool,
     search_multi_match,
@@ -117,6 +118,7 @@ __all__ = [
     "parse_simple_query_string",
     "rescore_phrase",
     "search_query_string",
+    "search_sorted_multi",
     "load_tombstones",
     "more_like_this",
     "term_vectors",

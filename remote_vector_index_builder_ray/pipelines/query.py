@@ -326,6 +326,128 @@ def search_sorted(
     ).reset_index(drop=True)
 
 
+class _ProbeTopMulti:
+    """Per-batch combiner for MULTI-key field-sorted search: batch-local
+    top-k by the lexicographic (key1, key2, ..., docid) order. Descending
+    string keys are rejected (negation needs a numeric view); numeric /
+    datetime keys negate via their int64 view."""
+
+    def __init__(self, shard_refs, stride, sort: list, k: int):
+        from remote_vector_index_builder_ray.pipelines.aggs import _ShardedMatches
+
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.sort = sort
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {f: batch[f].combine_chunks().to_numpy(zero_copy_only=False)
+                for f, _ in self.sort}
+        qids, docs = [], []
+        out_vals: dict[str, list] = {f: [] for f, _ in self.sort}
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            d = ids[mask]
+            # np.lexsort sorts by the LAST key primarily: pass
+            # (docid, key_n, ..., key_1) so key_1 is primary, docid ties last
+            keys = [d]
+            for f, asc in reversed(self.sort):
+                v = cols[f][mask]
+                if not asc:
+                    if v.dtype.kind in "Mm":
+                        v = -v.astype("int64")
+                    elif v.dtype.kind in "iuf":
+                        v = -v
+                    else:
+                        raise ValueError(
+                            f"descending sort on non-numeric field {f!r}")
+                keys.append(v)
+            order = np.lexsort(tuple(keys))[: self.k]
+            qids.extend([qid] * len(order))
+            docs.extend(d[order].tolist())
+            for f, _ in self.sort:
+                out_vals[f].extend(cols[f][mask][order].tolist())
+        data = {
+            "query_id": pa.array(qids, type=pa.int64()),
+            "docid": pa.array(docs, type=pa.int64()),
+        }
+        for f, _ in self.sort:
+            data[f] = pa.array(out_vals[f], type=batch[f].type)
+        return pa.table(data)
+
+
+def search_sorted_multi(
+    index_dir: str,
+    queries,
+    sort: list[tuple[str, bool]] = (("role", True), ("ts", False)),
+    where=None,
+) -> pd.DataFrame:
+    """Multi-key field-sorted search (OpenSearch ``sort: [{f1: o1},
+    {f2: o2}]``): top-k of each query's full match set under the
+    lexicographic (f1, f2, ..., docid asc) order — same broadcast-semi-join
+    streaming shape as the single-key ``search_sorted``, with a multi-key
+    per-batch combiner. Returns (query_id, rank, docid, f1, f2, ...)."""
+    import numpy as np
+    import ray.data
+
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        _MATCH_SHARD_STRIDE,
+        _match_sets,
+        _shard_match_sets,
+    )
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    sort = [(f, bool(a)) for f, a in sort]
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    k_max = max(k_by_query.values(), default=10)
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, q, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    fields = [f for f, _ in sort]
+    partials = (
+        ray.data.read_parquet(
+            **fs.for_ray_paths(meta_files), columns=["docid"] + fields
+        )
+        .map_batches(
+            _ProbeTopMulti,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, sort, k_max),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    if partials.empty:
+        cols = {"query_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int32),
+                "docid": pd.Series(dtype=np.int64)}
+        for f in fields:
+            cols[f] = pd.Series(dtype=object)
+        return pd.DataFrame(cols)
+    out = partials.sort_values(
+        ["query_id"] + fields + ["docid"],
+        ascending=[True] + [a for _, a in sort] + [True],
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["k"] = out["query_id"].map(k_by_query)
+    out = out[out["rank"] <= out["k"]].drop(columns=["k"])
+    return out[["query_id", "rank", "docid"] + fields].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64}
+    ).reset_index(drop=True)
+
+
 def explain(
     index_dir: str,
     queries: pd.DataFrame,

@@ -51,3 +51,28 @@ def test_sorted_by_doc_len(smoke_fixture, smoke_index):
     for _, g in got.groupby("query_id"):
         v = g["doc_len"].to_numpy()
         assert (np.diff(v) <= 0).all()
+
+
+def test_search_sorted_multi_matches_pandas(smoke_fixture, smoke_index):
+    """Multi-key (role asc, ts desc) order equals a pandas lexicographic
+    sort of the full match set — including batch-truncation correctness
+    (k smaller than the per-batch match count)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search_sorted_multi
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    src = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    src["docid"] = np.arange(len(src), dtype=np.int64)
+    src["toks"] = src["text"].map(lambda t: set(tokenize_text(t or "")))
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(5)
+    got = search_sorted_multi(smoke_index["index_dir"], qdf,
+                              sort=[("role", True), ("ts", False)])
+    for q in qdf.itertuples(index=False):
+        terms = set(tokenize_text(q.text or ""))
+        m = src[[bool(t & terms) for t in src["toks"]]]
+        exp = m.sort_values(["role", "ts", "docid"],
+                            ascending=[True, False, True]).head(int(q.k))
+        g = got[got["query_id"] == int(q.query_id)]
+        assert g["docid"].tolist() == exp["docid"].tolist(), q.text
