@@ -1847,6 +1847,17 @@ def _q_dataset_split(sf_dir: str):
         {"doc_id": "int64", "bucket": "int64"})
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel per user within 24h
+    (extras/events.funnel): greedy earliest-completion chain, the event-
+    stream twin of the sloppy-phrase matcher."""
+    from remote_vector_index_builder_ray.extras.events import funnel
+
+    out = funnel(_read(sf_dir, "events")).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True).astype(
+        {"user_id": "int64", "n_steps": "int64", "converted": "bool"})
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 1800 s cuts a session); the SQL twin
     is the classic gaps-and-islands window-function rewrite."""
@@ -2091,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
+        "events_funnel": _q_events_funnel,
         "events_sessionize": _q_events_sessionize,
         "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2451,6 +2463,30 @@ SELECT doc_id, len(wtoks)::BIGINT AS n_ws_tokens, n_bpe AS n_bpe_tokens,
            (acc, v) -> (acc * 1000003 + v) % 2147483647
        )::BIGINT AS rolling_fp
 FROM t ORDER BY doc_id
+""",
+        "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (
+    SELECT user_id, min(epoch_us(ts)) AS t
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t
+    FROM events e JOIN t1 ON t1.user_id = e.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t
+    FROM events e JOIN t2 ON t2.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t
+    GROUP BY e.user_id
+)
+SELECT t1.user_id::BIGINT AS user_id,
+       (1 + (t2.user_id IS NOT NULL)::INT + (t3.user_id IS NOT NULL)::INT)::BIGINT AS n_steps,
+       (t3.user_id IS NOT NULL AND t3.t - t1.t <= 86400000000::BIGINT) AS converted
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+ORDER BY user_id
 """,
         "events_window": """
 SELECT user_id::BIGINT AS user_id,

@@ -69,3 +69,51 @@ def sessionize(ds: ray.data.Dataset, gap_sec: int = 1800) -> ray.data.Dataset:
         return out
 
     return ds.groupby("user_id").map_groups(cut, batch_format="pandas")
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    steps: tuple = ("view", "click", "purchase"),
+    horizon_sec: int | None = 86400,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis per user: greedy earliest-completion chain —
+    t1 = the user's first ``steps[0]`` event, t_i = the first ``steps[i]``
+    event strictly after t_{i-1}; ``n_steps`` counts how far the chain got
+    and ``converted`` requires the full chain within ``horizon_sec`` of t1
+    (None = unbounded). The same greedy-chain shape as the sloppy-phrase
+    matcher, over event streams instead of positions — and exactly
+    SQL-expressible, so the driver twin is a nested min-over-filter chain.
+
+    Keyed ``groupby(user_id).map_groups`` (the sessionize partitioning
+    assumption: one user's events fit a task; salt by day at scale). Only
+    users with at least one first-step event are emitted."""
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        t = None
+        n = 0
+        t0 = None
+        for step in steps:
+            sel = ts[(et == step) & ((ts > t) if t is not None else np.ones(len(ts), bool))]
+            if len(sel) == 0:
+                break
+            t = int(sel.min())
+            if t0 is None:
+                t0 = t
+            n += 1
+        if n == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_steps": pd.Series(dtype=np.int64),
+                                 "converted": pd.Series(dtype=bool)})
+        conv = n == len(steps) and (
+            horizon_sec is None or (t - t0) <= horizon_sec * 1_000_000
+        )
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_steps": [np.int64(n)],
+            "converted": [bool(conv)],
+        })
+
+    return ds.groupby("user_id").map_groups(chain, batch_format="pandas")

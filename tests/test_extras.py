@@ -417,3 +417,32 @@ def test_pq_topk_recall_and_determinism():
     ja = a.merge(bf, on=["query_id", "vec_id"], suffixes=("_pq", "_bf"))
     np.testing.assert_array_equal(ja["cosine_pq"].to_numpy(),
                                   ja["cosine_bf"].to_numpy())
+
+
+def test_funnel_greedy_chain():
+    """Order matters: a purchase BEFORE the click doesn't complete the
+    funnel; the horizon bounds conversion."""
+    ts = pd.to_datetime([0, 10, 20, 30, 1000, 2000, 200000], unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(7, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 1, 2, 2, 2, 3], dtype=np.int64),
+        "event_type": ["view", "click", "purchase",   # user 1: full funnel
+                       "purchase", "view", "click",   # user 2: purchase first
+                       "view"],                       # user 3: view only
+        "value": np.ones(7),
+        "props": ["{}"] * 7,
+    })
+    out = (events.funnel(ray.data.from_pandas(df),
+                         steps=("view", "click", "purchase"),
+                         horizon_sec=3600).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    by = {int(r.user_id): (int(r.n_steps), bool(r.converted))
+          for r in out.itertuples(index=False)}
+    assert by[1] == (3, True)
+    assert by[2] == (2, False)   # view->click found, purchase was earlier
+    assert by[3] == (1, False)
+    # horizon: user 1's chain within 30s converts at 60s horizon, not at 15s
+    out2 = (events.funnel(ray.data.from_pandas(df), horizon_sec=15).to_pandas())
+    r1 = out2[out2["user_id"] == 1].iloc[0]
+    assert int(r1["n_steps"]) == 3 and not bool(r1["converted"])
