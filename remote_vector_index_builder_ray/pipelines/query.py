@@ -158,6 +158,26 @@ def search(
         from remote_vector_index_builder_ray.state import fs
 
         man = fs.read_json(fs.join(index_dir, "manifest.json"))
+        if isinstance(queries, pd.DataFrame) and "text" in queries.columns:
+            # bucket-affine batching: order queries by their first term's
+            # positions-bucket so each batch's postings loads cluster into
+            # few bucket files instead of fanning across all of them (the
+            # positional load dominates phrase batches — module docstring).
+            # Results are per-query, so query order never changes them.
+            import zlib
+
+            nb = int(man["num_buckets"])
+            first_tok = (
+                queries["text"].fillna("").str.lower()
+                .str.extract(r"([a-z0-9_]+)", expand=False).fillna("")
+            )
+            bkt = first_tok.map(lambda t: zlib.crc32(t.encode()) % nb)
+            queries = (
+                queries.assign(_bkt=bkt.to_numpy())
+                .sort_values(["_bkt"], kind="mergesort")
+                .drop(columns=["_bkt"])
+                .reset_index(drop=True)
+            )
         pos_dirs = [fs.join(index_dir, "positions")] + [
             fs.join(index_dir, g["dir"], "positions")
             for g in man.get("generations", [])
@@ -182,12 +202,13 @@ def search(
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if mode in ("wand", "phrase", "span_near", "blended") and hasattr(queries, "columns"):
+    if (mode in ("wand", "phrase", "span_near", "blended")
+            and isinstance(queries, pd.DataFrame)):
         if "after_score" in queries.columns:
             raise ValueError(f"search_after is not supported in {mode} mode")
         if "exclude_text" in queries.columns:
             raise ValueError(f"exclude_text is not supported in {mode} mode")
-    if (mode != "exhaustive" and hasattr(queries, "columns")
+    if (mode != "exhaustive" and isinstance(queries, pd.DataFrame)
             and "negative_text" in queries.columns):
         # Lucene BoostingQuery: demotion breaks block-max bounds, so the
         # boosting query runs on the exhaustive scorer only (driver-side
