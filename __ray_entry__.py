@@ -515,6 +515,17 @@ def _q_bm25_query_string(sf_dir: str):
     return search_query_string(index_dir, _ensure_qs_queries(sf_dir))
 
 
+def _q_bm25_hybrid(sf_dir: str):
+    """Hybrid search: RRF fusion of the BM25 disjunction leg and the exact
+    phrase leg over the phrase query set (pipelines/query.search_hybrid —
+    the OpenSearch hybrid query + rrf processor shape)."""
+    from remote_vector_index_builder_ray import search_hybrid
+
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return search_hybrid(index_dir, _ensure_phrase_queries(sf_dir),
+                         modes=("bmw", "phrase"), k=10)
+
+
 def _q_bm25_rescore(sf_dir: str):
     """OpenSearch query rescorer (score_mode=total): BM25 top-30 window per
     query, re-scored by the same text as an exact phrase; final = bm25 +
@@ -807,6 +818,26 @@ def _q_bm25_index_stats(sf_dir: str):
 
     _, index_dir, _ = _ensure_index(sf_dir)
     return index_stats(index_dir)
+
+
+def _q_bm25_restore(sf_dir: str):
+    """Snapshot -> restore -> search: the restored index must answer the
+    reference query set bit-identically, so this entry shares the bm25_topk
+    oracle (pipelines/incremental.snapshot_index/restore_index)."""
+    import shutil
+
+    from remote_vector_index_builder_ray import restore_index, snapshot_index
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    name = _sf_name(sf_dir)
+    snap = os.path.join(INDEX_ROOT, f"{name}_snap")
+    rest = os.path.join(INDEX_ROOT, f"{name}_restored")
+    if not os.path.exists(os.path.join(rest, "manifest.json")):
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(rest, ignore_errors=True)
+        snapshot_index(index_dir, snap)
+        restore_index(snap, rest)
+    return _topk_rounded(rest, fx["queries"])
 
 
 def _q_bm25_termvectors(sf_dir: str):
@@ -2036,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_span_near": _q_bm25_span_near,
         "bm25_query_string": _q_bm25_query_string,
         "bm25_rescore": _q_bm25_rescore,
+        "bm25_hybrid": _q_bm25_hybrid,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_and": _q_bm25_and,
         "bm25_msm": _q_bm25_msm,
@@ -2079,6 +2111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_mlt": _q_bm25_mlt,
         "bm25_termvectors": _q_bm25_termvectors,
         "bm25_index_stats": _q_bm25_index_stats,
+        "bm25_restore": _q_bm25_restore,
         "bm25_explain": _q_bm25_explain,
         "bm25_must_not": _q_bm25_must_not,
         "bm25_synonyms": _q_bm25_synonyms,
@@ -2595,6 +2628,7 @@ GROUP BY i.query_id ORDER BY i.query_id
     # SAME docid space as the one-shot build (conv-sorted split; see
     # _ensure_inc_index) — its oracle IS the bm25_topk oracle
     out["bm25_incremental"] = out["bm25_topk"]
+    out["bm25_restore"] = out["bm25_topk"]
     # logical delete (tombstones, no expunge): score the FULL corpus (stats,
     # df, tf all unchanged — Lucene numDocs-vs-maxDoc), drop the deleted
     # docids before ranking. Victim set: conv_id ending in '0'.
@@ -4642,6 +4676,97 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # hybrid RRF: bm25-disjunction and exact-phrase legs each ranked over
+    # their full match set by (round6 desc, docid), fused by 1/(60+rank)
+    out["bm25_hybrid"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+toks AS MATERIALIZED (SELECT docid, unnest(ts) AS term FROM docs),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS MATERIALIZED (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{phrase_pq}')
+),
+qd AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM q),
+bm_scored AS (
+    SELECT qd.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM qd JOIN tf USING (term) JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid CROSS JOIN stats s
+    GROUP BY qd.query_id, tf.docid
+),
+bm_rank AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM bm_scored
+),
+qidf AS (
+    SELECT qt.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM (SELECT query_id, unnest(p) AS term FROM q) qt
+    JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qt.query_id
+),
+qok AS (
+    SELECT q.query_id, q.p, qidf.idf_sum
+    FROM q JOIN qidf USING (query_id)
+    WHERE qidf.n_found = len(q.p) AND len(q.p) > 0
+),
+cand AS (
+    SELECT DISTINCT qk.query_id, t.docid
+    FROM qok qk JOIN tf t ON t.term = qk.p[1]
+),
+ptf AS (
+    SELECT c.query_id, c.docid,
+           len([i FOR i IN range(1, len(d.ts) - len(qk.p) + 2)
+                IF d.ts[i:i + len(qk.p) - 1] = qk.p])::BIGINT AS ptf
+    FROM cand c
+    JOIN qok qk USING (query_id)
+    JOIN docs d ON d.docid = c.docid
+    WHERE len(d.ts) >= len(qk.p)
+),
+ph_scored AS (
+    SELECT p.query_id, p.docid,
+           qk.idf_sum * (p.ptf * (1.2 + 1)
+               / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM ptf p JOIN qok qk USING (query_id)
+    JOIN dl ON dl.docid = p.docid CROSS JOIN stats s
+    WHERE p.ptf > 0
+),
+ph_rank AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM ph_scored
+),
+fused AS (
+    SELECT coalesce(b.query_id, p.query_id) AS query_id,
+           coalesce(b.docid, p.docid) AS docid,
+           floor((coalesce(1.0 / (60 + b.rank), 0)
+                  + coalesce(1.0 / (60 + p.rank), 0)) * 1000000 + 0.5) / 1000000 AS score
+    FROM bm_rank b FULL OUTER JOIN ph_rank p
+      ON b.query_id = p.query_id AND b.docid = p.docid
+),
+ranked AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM fused
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score
+FROM ranked r JOIN (SELECT query_id, any_value(k) AS k FROM q GROUP BY query_id) qq USING (query_id)
+WHERE r.rank <= qq.k
 ORDER BY query_id, rank
 """
     # rescore: BM25 top-30 window (rounded re-rank picks the window),

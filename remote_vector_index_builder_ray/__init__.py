@@ -33,6 +33,8 @@ from remote_vector_index_builder_ray.pipelines.incremental import (
     compact_index,
     global_stats,
     index_stats,
+    restore_index,
+    snapshot_index,
     update_docs,
 )
 from remote_vector_index_builder_ray.pipelines.aggs import (
@@ -81,6 +83,8 @@ from remote_vector_index_builder_ray.pipelines.query import (
     hydrate,
     parse_simple_query_string,
     rescore_phrase,
+    rrf_fuse,
+    search_hybrid,
     search_query_string,
     search_sorted_multi,
     search,
@@ -113,10 +117,14 @@ __all__ = [
     "explain",
     "global_stats",
     "index_stats",
+    "restore_index",
+    "snapshot_index",
     "highlight",
     "hydrate",
     "parse_simple_query_string",
     "rescore_phrase",
+    "rrf_fuse",
+    "search_hybrid",
     "search_query_string",
     "search_sorted_multi",
     "load_tombstones",

@@ -402,3 +402,45 @@ def index_stats(index_dir: str) -> "pd.DataFrame":
         }
     ).astype({"n_docs": np.int64, "total_len": np.int64, "n_terms": np.int64,
               "total_postings": np.int64, "total_tf": np.int64})
+
+
+def snapshot_index(index_dir: str, snapshot_dir: str) -> dict:
+    """OpenSearch _snapshot analog: copy a COMPLETED index's files to
+    ``snapshot_dir`` (any fs.py URI — the object-store path this engine is
+    built around) with the manifest verified first and written LAST, so a
+    torn snapshot is never restorable. Returns the manifest. File-level
+    copy through the fs layer; no Ray work (an index is bytes, not rows)."""
+    man = _load_completed_manifest(index_dir).data
+    fs.makedirs(snapshot_dir)
+    rels = [r for r in fs.listdir(index_dir, recursive=True, files_only=True)
+            if r != "manifest.json"]
+    for rel in rels:
+        dst = fs.join(snapshot_dir, rel)
+        parent = dst.rsplit("/", 1)[0]
+        fs.makedirs(parent)
+        with fs.open_input(fs.join(index_dir, rel)) as src, \
+                fs.open_output(dst) as out:
+            out.write(src.read())
+    fs.write_json_atomic(fs.join(snapshot_dir, "manifest.json"), man)
+    return man
+
+
+def restore_index(snapshot_dir: str, index_dir: str) -> dict:
+    """OpenSearch _restore analog: materialize a snapshot as a fresh index
+    dir (refuses to clobber an existing one). The restored index answers
+    queries bit-identically — the conformance check the driver entry runs."""
+    if fs.exists(fs.join(index_dir, "manifest.json")):
+        raise FileExistsError(f"index already exists at {index_dir}")
+    man = fs.read_json(fs.join(snapshot_dir, "manifest.json"))
+    fs.makedirs(index_dir)
+    rels = [r for r in fs.listdir(snapshot_dir, recursive=True, files_only=True)
+            if r != "manifest.json"]
+    for rel in rels:
+        dst = fs.join(index_dir, rel)
+        parent = dst.rsplit("/", 1)[0]
+        fs.makedirs(parent)
+        with fs.open_input(fs.join(snapshot_dir, rel)) as src, \
+                fs.open_output(dst) as out:
+            out.write(src.read())
+    fs.write_json_atomic(fs.join(index_dir, "manifest.json"), man)
+    return man

@@ -778,6 +778,77 @@ def search_query_string(
     ).reset_index(drop=True)
 
 
+def rrf_fuse(rankings: list[pd.DataFrame], k: int = 10, c: int = 60,
+             k_by_query: dict | None = None) -> pd.DataFrame:
+    """Reciprocal-rank fusion (the OpenSearch hybrid-search RRF processor):
+    fused score = Σ_legs 1 / (c + rank_leg) over each leg's (query_id,
+    rank, docid) ranking; docs absent from a leg contribute nothing. The
+    fused order is (score desc, docid asc), 6-decimal-rounded — rank
+    reciprocals are exact small rationals, so both engines sum
+    identically."""
+    import numpy as np
+
+    legs = []
+    for r in rankings:
+        if r is None or r.empty or "docid" not in r.columns:
+            continue
+        g = r[["query_id", "docid", "rank"]].copy()
+        g["s"] = 1.0 / (c + g["rank"].astype(np.float64))
+        legs.append(g[["query_id", "docid", "s"]])
+    if not legs:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int32),
+                             "docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    allm = pd.concat(legs, ignore_index=True)
+    tot = allm.groupby(["query_id", "docid"], sort=False)["s"].sum().reset_index()
+    tot["score"] = np.floor(tot["s"].to_numpy() * 1e6 + 0.5) / 1e6
+    tot = tot.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    tot["rank"] = (tot.groupby("query_id").cumcount() + 1).astype(np.int32)
+    if k_by_query:
+        tot["k"] = tot["query_id"].map(k_by_query).fillna(k)
+    else:
+        tot["k"] = k
+    tot = tot[tot["rank"] <= tot["k"]]
+    return tot[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
+def search_hybrid(
+    index_dir: str,
+    queries,
+    modes: tuple = ("bmw", "phrase"),
+    k: int = 10,
+    c: int = 60,
+) -> pd.DataFrame:
+    """Hybrid search via RRF: run the query text through each mode (e.g.
+    the BM25 disjunction AND the exact phrase), rank each leg over its
+    FULL match set by (round6(score) desc, docid asc), and fuse with
+    reciprocal ranks — the OpenSearch hybrid query + rrf processor shape.
+    Each leg is the engine's normal streaming search; fusion is
+    queries x matches driver-side."""
+    import numpy as np
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)} \
+        if "k" in q.columns else None
+    legs = []
+    for mode in modes:
+        res = search(index_dir, q.assign(k=np.int32(2**31 - 1)),
+                     mode=mode).to_pandas()
+        if "docid" not in res.columns or res.empty:
+            continue
+        res["score"] = res["score"].round(6)
+        res = res.sort_values(["query_id", "score", "docid"],
+                              ascending=[True, False, True])
+        res["rank"] = res.groupby("query_id").cumcount() + 1
+        legs.append(res[["query_id", "docid", "rank"]])
+    return rrf_fuse(legs, k=k, c=c, k_by_query=k_by_query)
+
+
 def search_multi_match(
     index_dirs: dict[str, str],
     queries,

@@ -73,9 +73,10 @@ def file_size(uri: str) -> int:
     return int(info.size or 0)
 
 
-def listdir(uri: str, recursive: bool = False) -> list[str]:
+def listdir(uri: str, recursive: bool = False, files_only: bool = False) -> list[str]:
     """Names (relative to ``uri``) of entries under a directory URI; [] if the
-    directory does not exist. Sorted for determinism."""
+    directory does not exist. Sorted for determinism. ``files_only`` drops
+    directory entries (a recursive listing includes them)."""
     fs, path = resolve(uri)
     try:
         infos = fs.get_file_info(pafs.FileSelector(path, recursive=recursive, allow_not_found=True))
@@ -84,6 +85,8 @@ def listdir(uri: str, recursive: bool = False) -> list[str]:
     base = path.rstrip("/")
     out = []
     for info in infos:
+        if files_only and info.type != pafs.FileType.File:
+            continue
         rel = info.path[len(base) + 1 :] if info.path.startswith(base + "/") else info.path
         out.append(rel)
     return sorted(out)

@@ -410,3 +410,35 @@ def test_span_near_matches_brute_force(smoke_fixture, pos_index):
     res2 = (search(pos_index, q2, mode="span_near").to_pandas()
             .sort_values("rank").reset_index(drop=True))
     np.testing.assert_array_equal(res2["docid"].to_numpy(), res["docid"].to_numpy())
+
+
+def test_hybrid_rrf_matches_brute_force(smoke_fixture, pos_index, smoke_oracle):
+    """RRF fusion of bm25 + phrase legs == brute-force reciprocal-rank sum."""
+    from remote_vector_index_builder_ray import search_hybrid
+
+    df = _corpus(smoke_fixture)
+    common = _common_bigram(df)
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": [common],
+                      "k": np.array([10], dtype=np.int32)})
+    got = search_hybrid(pos_index, q, modes=("bmw", "phrase"), k=10)
+
+    def ranked(items):
+        return {d: i + 1 for i, (d, _) in enumerate(items)}
+
+    bm = sorted(((d, round(s, 6)) for d, s in smoke_oracle.score_query(common).items()),
+                key=lambda kv: (-kv[1], kv[0]))
+    ph = [(d, round(s, 6)) for d, s in _phrase_gold(df, common, len(df))]
+    rb, rp = ranked(bm), ranked(ph)
+    fused = {}
+    for d, r in rb.items():
+        fused[d] = fused.get(d, 0.0) + 1.0 / (60 + r)
+    for d, r in rp.items():
+        fused[d] = fused.get(d, 0.0) + 1.0 / (60 + r)
+    exp = sorted(((d, float(np.floor(s * 1e6 + 0.5) / 1e6)) for d, s in fused.items()),
+                 key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got["docid"].tolist() == [d for d, _ in exp]
+    assert got["score"].tolist() == [s for _, s in exp]
+    # both legs contribute: the top fused doc appears in both rankings
+    top = got["docid"].iloc[0]
+    assert top in rb and top in rp
