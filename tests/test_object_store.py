@@ -94,3 +94,27 @@ def test_collision_on_mock_store(mock_index):
     )
     with pytest.raises(HashCollisionError):
         build_index(bad)
+
+
+def test_snapshot_restore_on_mock_store(mock_index):
+    """snapshot -> restore across stores; the restored index answers the
+    query set bit-identically to the source index."""
+    from remote_vector_index_builder_ray import restore_index, snapshot_index
+
+    fx, uri, cfg, man = mock_index
+    snap = "mock://store1/snapshots/bm25"
+    rest = "mock://store2/indexes/bm25_restored"
+    fs.rm_tree(snap)
+    fs.rm_tree(rest)
+    snapshot_index(uri, snap)
+    man2 = restore_index(snap, rest)
+    assert man2["stats"] == man["stats"]
+    a = search(uri, fx["queries"]).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = search(rest, fx["queries"]).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a["docid"].tolist() == b["docid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    # restore refuses to clobber
+    with pytest.raises(FileExistsError):
+        restore_index(snap, rest)
