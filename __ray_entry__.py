@@ -1321,6 +1321,16 @@ def _q_bm25_adjacency(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_global_agg(sf_dir: str):
+    """OpenSearch global bucket agg: whole-index role buckets with avg
+    doc_len — a pure streaming groupby, no query (pipelines/aggs.
+    global_terms_agg)."""
+    from remote_vector_index_builder_ray import global_terms_agg
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return global_terms_agg(index_dir).reset_index(drop=True)
+
+
 def _q_bm25_cardinality(sf_dir: str):
     """OpenSearch cardinality aggregation (exact mode) over each query's
     full match set: distinct conversations matched
@@ -2095,6 +2105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_missing": _q_bm25_missing,
         "bm25_filters": _q_bm25_filters,
         "bm25_adjacency": _q_bm25_adjacency,
+        "bm25_global_agg": _q_bm25_global_agg,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_top_hits": _q_bm25_top_hits,
@@ -3758,6 +3769,20 @@ UNION ALL
 SELECT query_id, 'tooled&user', count(*)::BIGINT FROM flags WHERE f_tooled AND f_user GROUP BY query_id
 ORDER BY query_id, key"""
     )
+    # global agg: whole-index role buckets + avg doc_len, no query
+    out["bm25_global_agg"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid)
+SELECT d.role AS key, count(*)::BIGINT AS n_docs,
+       floor((sum(coalesce(dl.dl, 0))::DOUBLE / count(*)) * 1000000 + 0.5)
+           / 1000000 AS avg_doc_len
+FROM docs d LEFT JOIN dl USING (docid)
+GROUP BY d.role ORDER BY key
+"""
     # cardinality: exact distinct conversations per query's match set
     out["bm25_cardinality"] = f"""
 WITH {docs}, {_TOKS},

@@ -44,6 +44,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     date_histogram,
     date_range_agg,
     filters_agg,
+    global_terms_agg,
     extended_stats_agg,
     histogram_agg,
     missing_agg,
@@ -103,6 +104,7 @@ __all__ = [
     "date_histogram",
     "date_range_agg",
     "filters_agg",
+    "global_terms_agg",
     "extended_stats_agg",
     "histogram_agg",
     "missing_agg",

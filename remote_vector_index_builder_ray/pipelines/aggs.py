@@ -1312,6 +1312,50 @@ def pipeline_date_histogram(
     return base
 
 
+def global_terms_agg(
+    index_dir: str,
+    field: str = "role",
+    metric_field: str = "doc_len",
+) -> pd.DataFrame:
+    """OpenSearch `global` bucket aggregation: terms buckets over the WHOLE
+    index, ignoring any query — a pure Ray Data streaming groupby over the
+    docmeta files (per-batch combiner via map_batches partials, driver-small
+    reduce; no match-set probe at all). Returns (key, n_docs,
+    avg_<metric_field>), key-ascending."""
+    import pyarrow.compute as pc
+
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(field).aggregate(
+            [(metric_field, "sum"), ([], "count_all")]
+        )
+        return t.rename_columns([field, "s", "n"])
+
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files),
+                              columns=[field, metric_field])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    g = (partials.groupby(field, sort=True)
+         .agg(n_docs=("n", "sum"), s=("s", "sum")).reset_index())
+    avg = g["s"].astype(np.float64) / g["n_docs"]
+    return pd.DataFrame({
+        "key": g[field],
+        "n_docs": g["n_docs"].astype(np.int64),
+        f"avg_{metric_field}": np.floor(avg * 1e6 + 0.5) / 1e6,
+    })
+
+
 def moving_avg_date_histogram(
     index_dir: str,
     queries,
