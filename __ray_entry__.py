@@ -1816,6 +1816,54 @@ def _q_ann_pq_topk(sf_dir: str):
         {"query_id": np.int64, "recall": np.float64})
 
 
+def _kmeans_artifact_paths(name: str) -> tuple[str, str]:
+    return (os.path.join(ARTIFACT_ROOT, f"{name}_kmeans_centroids.parquet"),
+            os.path.join(ARTIFACT_ROOT, f"{name}_kmeans_assign.parquet"))
+
+
+def _ensure_kmeans_artifact(sf_dir: str) -> tuple[str, str]:
+    """Deterministic k-means-lite centroids + full assignment, persisted so
+    the SQL twin can recompute every vector's nearest centroid from the
+    SAME centroids and compare assignments exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.ann import IVFAssign, train_centroids
+
+    cpath, apath = _kmeans_artifact_paths(_sf_name(sf_dir))
+    if os.path.exists(cpath) and os.path.exists(apath):
+        return cpath, apath
+    import ray as _ray
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = train_centroids(ds, n_centroids=16)
+    _write_atomic(
+        pa.table({
+            "cid": pa.array(range(len(cent)), type=pa.int64()),
+            "centroid": pa.array([list(map(float, c)) for c in cent],
+                                 type=pa.list_(pa.float64())),
+        }),
+        cpath,
+    )
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(_ray.put(cent),),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).select_columns(["vec_id", "bucket"]).to_pandas()
+    assigned = assigned.sort_values("vec_id").reset_index(drop=True)
+    _write_atomic(pa.Table.from_pandas(assigned, preserve_index=False), apath)
+    return cpath, apath
+
+
+def _q_ann_kmeans(sf_dir: str):
+    """Distributed k-means assignment (the IVF bucketing step as its own
+    operator): every vector's nearest trained centroid by cosine
+    (extras/ann.train_centroids + IVFAssign). The SQL twin recomputes the
+    argmax over the persisted centroids."""
+    _, apath = _ensure_kmeans_artifact(sf_dir)
+    out = pd.read_parquet(apath)
+    return out.astype({"vec_id": "int64", "bucket": "int32"}).reset_index(drop=True)
+
+
 def _q_ann_filtered(sf_dir: str):
     """Filtered k-NN (OpenSearch knn query with a filter): exact cosine
     top-k over ONLY the vectors passing a metadata predicate (label < 5).
@@ -2144,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_filtered": _q_ann_filtered,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_kmeans": _q_ann_kmeans,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "events_funnel": _q_events_funnel,
@@ -2593,6 +2642,21 @@ SELECT media_id, frame_idx::INT AS frame_idx,
        floor((('0x' || substr(md5(hex(payload) || ':' || frame_idx::VARCHAR || ':0'), 1, 8))::UBIGINT
               / 4294967296.0) * 1000000 + 0.5) / 1000000 AS feat0
 FROM f ORDER BY media_id, frame_idx
+""",
+        "ann_kmeans": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT cid, centroid FROM read_parquet('{_kmeans_artifact_paths(sf)[0]}')),
+sims AS (
+    SELECT e.vec_id, c.cid,
+           list_cosine_similarity(e.v, c.centroid) AS s
+    FROM e CROSS JOIN c
+),
+best AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims
+)
+SELECT vec_id, cid::INT AS bucket FROM best WHERE rn = 1 ORDER BY vec_id
 """,
         "ann_pq_topk": f"""
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5042,6 +5106,7 @@ except Exception:  # noqa: BLE001 — oracle-scale testdata may be absent
 try:
     _ensure_ivf_artifact(ORACLE_SF_DIR)
     _ensure_pq_artifact(ORACLE_SF_DIR)
+    _ensure_kmeans_artifact(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass
 try:
