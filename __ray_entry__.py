@@ -1947,6 +1947,18 @@ def _q_events_funnel(sf_dir: str):
         {"user_id": "int64", "n_steps": "int64", "converted": "bool"})
 
 
+def _q_events_retention(sf_dir: str):
+    """Weekly retention triangle: (cohort_week, offset_weeks, n_users)
+    (extras/events.retention — dedup'd (user, week) pairs, per-user cohort
+    offsets, driver-small counts)."""
+    from remote_vector_index_builder_ray.extras.events import retention
+
+    out = retention(_read(sf_dir, "events")).to_pandas()
+    out["cohort_week"] = pd.to_datetime(out["cohort_week"])
+    return out.sort_values(["cohort_week", "offset_weeks"]).reset_index(drop=True).astype(
+        {"offset_weeks": "int64", "n_users": "int64"})
+
+
 def _q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 1800 s cuts a session); the SQL twin
     is the classic gaps-and-islands window-function rewrite."""
@@ -2196,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_sessionize": _q_events_sessionize,
         "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2556,6 +2569,16 @@ SELECT doc_id, len(wtoks)::BIGINT AS n_ws_tokens, n_bpe AS n_bpe_tokens,
            (acc, v) -> (acc * 1000003 + v) % 2147483647
        )::BIGINT AS rolling_fp
 FROM t ORDER BY doc_id
+""",
+        "events_retention": """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+coh AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id)
+SELECT coh.cw::TIMESTAMP AS cohort_week,
+       (date_diff('day', coh.cw, uw.w) // 7)::BIGINT AS offset_weeks,
+       count(DISTINCT uw.user_id)::BIGINT AS n_users
+FROM uw JOIN coh USING (user_id)
+GROUP BY coh.cw, offset_weeks
+ORDER BY cohort_week, offset_weeks
 """,
         "events_funnel": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -117,3 +117,52 @@ def funnel(
         })
 
     return ds.groupby("user_id").map_groups(chain, batch_format="pandas")
+
+
+def retention(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Weekly retention cohorts: cohort = a user's first active week
+    (Monday-floored, matching SQL date_trunc('week')); for every later
+    active week the user counts into (cohort_week, offset_weeks). Returns
+    (cohort_week, offset_weeks, n_users) — the classic retention triangle.
+
+    Shape: one map pass dedups (user, week) pairs per batch, one
+    ``groupby(user_id).map_groups`` computes each user's cohort + offsets
+    (the shuffle moves (user_id, week) int pairs only), and the
+    (cohorts x offsets) result is driver-small by construction."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        days = batch["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        days = days.astype("datetime64[D]").astype(np.int64)
+        # Monday floor: 1970-01-01 was a Thursday (weekday 3, Monday=0)
+        week = days - (days + 3) % 7
+        key = np.unique(uid.astype(np.int64) * np.int64(1 << 20) + week)
+        return pa.table({
+            "user_id": pa.array(key >> np.int64(20), type=pa.int64()),
+            "week": pa.array(key & np.int64((1 << 20) - 1), type=pa.int64()),
+        })
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.unique(g["week"].to_numpy(np.int64))
+        cw = int(w.min())
+        return pd.DataFrame({
+            "cohort_week": np.full(len(w), cw, dtype=np.int64),
+            "offset_weeks": (w - cw) // 7,
+        })
+
+    uw = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    per_user = uw.groupby("user_id").map_groups(offsets, batch_format="pandas")
+
+    def count(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["cohort_week", "offset_weeks"]).aggregate([([], "count_all")])
+        return t.rename_columns(["cohort_week", "offset_weeks", "n"])
+
+    out = per_user.map_batches(count, batch_format="pyarrow").to_pandas()
+    g = (out.groupby(["cohort_week", "offset_weeks"], sort=True)["n"].sum()
+         .reset_index().rename(columns={"n": "n_users"}))
+    g["cohort_week"] = (g["cohort_week"].to_numpy(np.int64)
+                        .astype("datetime64[D]").astype("datetime64[us]"))
+    import ray
+
+    return ray.data.from_pandas(g.astype({"offset_weeks": np.int64,
+                                          "n_users": np.int64}))

@@ -446,3 +446,26 @@ def test_funnel_greedy_chain():
     out2 = (events.funnel(ray.data.from_pandas(df), horizon_sec=15).to_pandas())
     r1 = out2[out2["user_id"] == 1].iloc[0]
     assert int(r1["n_steps"]) == 3 and not bool(r1["converted"])
+
+
+def test_retention_matches_pandas():
+    ts = pd.to_datetime(["2026-01-05", "2026-01-06", "2026-01-13",
+                         "2026-01-26", "2026-01-12", "2026-01-20"])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "event_type": ["view"] * 6,
+        "value": np.ones(6),
+        "props": ["{}"] * 6,
+    })
+    out = (events.retention(ray.data.from_pandas(df)).to_pandas()
+           .sort_values(["cohort_week", "offset_weeks"]).reset_index(drop=True))
+    # user 1: cohort 2026-01-05 (Mon), active weeks 0, 1, 3
+    # user 2: cohort 2026-01-12 (Mon), active weeks 0, 1
+    exp = pd.DataFrame({
+        "cohort_week": pd.to_datetime(["2026-01-05"] * 3 + ["2026-01-12"] * 2),
+        "offset_weeks": np.array([0, 1, 3, 0, 1], dtype=np.int64),
+        "n_users": np.ones(5, dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(out, exp)
