@@ -1947,6 +1947,19 @@ def _q_events_funnel(sf_dir: str):
         {"user_id": "int64", "n_steps": "int64", "converted": "bool"})
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1h windows advancing by 15min — each event
+    counts into 4 overlapping windows (extras/events.hopping_window_agg)."""
+    from remote_vector_index_builder_ray.extras.events import hopping_window_agg
+
+    out = hopping_window_agg(_read(sf_dir, "events"), window_sec=3600,
+                             hop_sec=900).to_pandas()
+    out["sum_value"] = np.floor(out["sum_value"].to_numpy() * 1e4 + 0.5) / 1e4
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True).astype(
+        {"user_id": "int64", "window_start": "int64", "n_events": "int64"}
+    )
+
+
 def _q_events_retention(sf_dir: str):
     """Weekly retention triangle: (cohort_week, offset_weeks, n_users)
     (extras/events.retention — dedup'd (user, week) pairs, per-user cohort
@@ -2209,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_hopping": _q_events_hopping,
         "events_sessionize": _q_events_sessionize,
         "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2569,6 +2583,20 @@ SELECT doc_id, len(wtoks)::BIGINT AS n_ws_tokens, n_bpe AS n_bpe_tokens,
            (acc, v) -> (acc * 1000003 + v) % 2147483647
        )::BIGINT AS rolling_fp
 FROM t ORDER BY doc_id
+""",
+        "events_hopping": """
+WITH rep AS (
+    SELECT user_id,
+           unnest([((epoch_us(ts) // 900000000) - j) * 900
+                   FOR j IN range(0, 4)]) AS window_start,
+           value
+    FROM events
+)
+SELECT user_id::BIGINT AS user_id, window_start::BIGINT AS window_start,
+       count(*)::BIGINT AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+FROM rep WHERE window_start >= 0
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "events_retention": """
 WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),

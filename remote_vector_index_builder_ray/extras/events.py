@@ -166,3 +166,50 @@ def retention(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     return ray.data.from_pandas(g.astype({"offset_weeks": np.int64,
                                           "n_users": np.int64}))
+
+
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+) -> ray.data.Dataset:
+    """count + sum(value) per (user_id, HOPPING window): overlapping windows
+    of ``window_sec`` advancing by ``hop_sec`` (must divide evenly) — every
+    event replicates into window_sec/hop_sec windows inside the per-batch
+    combiner (the replication happens on the tiny partial rows, never on a
+    shuffle of raw events), then the same associative groupby reduce as the
+    tumbling window."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    n_w = window_sec // hop_sec
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["ts"].combine_chunks()
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[col.type.unit]
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts // (hop_sec * per_sec)  # hop-unit index of each event
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        offs = np.arange(n_w, dtype=np.int64)
+        win = (base[:, None] - offs[None, :]) * hop_sec  # (n, n_w) starts
+        rep_uid = np.repeat(uid, n_w)
+        rep_val = np.repeat(val, n_w)
+        flat = win.reshape(-1)
+        keep = flat >= 0
+        df = pd.DataFrame({
+            "user_id": rep_uid[keep],
+            "window_start": flat[keep],
+            "value": rep_val[keep],
+        })
+        g = df.groupby(["user_id", "window_start"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        partials.groupby(["user_id", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )

@@ -469,3 +469,29 @@ def test_retention_matches_pandas():
         "n_users": np.ones(5, dtype=np.int64),
     })
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_hopping_window_replication():
+    """Each event lands in window/hop overlapping windows; totals equal the
+    tumbling aggregate replicated 4x."""
+    ts = pd.to_datetime([0, 1800, 3600, 7199], unit="s")
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+        "event_type": ["view"] * 4,
+        "value": np.array([1.0, 2.0, 4.0, 8.0]),
+        "props": ["{}"] * 4,
+    })
+    out = (events.hopping_window_agg(ray.data.from_pandas(df),
+                                     window_sec=3600, hop_sec=900).to_pandas()
+           .sort_values(["window_start"]).reset_index(drop=True))
+    # event at t=0 lands only in window 0 (earlier windows are negative)
+    w0 = out[out["window_start"] == 0].iloc[0]
+    assert w0["n_events"] == 2 and w0["sum_value"] == 3.0  # t=0 and t=1800
+    # every event appears in at most 4 windows; total event-slots check
+    expected_slots = sum(min(4, int(t.timestamp()) // 900 + 1) for t in ts)
+    assert int(out["n_events"].sum()) == expected_slots
+    # window 3600 covers t=3600..7199: events at 3600 and 7199
+    w = out[out["window_start"] == 3600].iloc[0]
+    assert w["n_events"] == 2 and w["sum_value"] == 12.0
