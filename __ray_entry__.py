@@ -1321,6 +1321,17 @@ def _q_bm25_adjacency(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_rare_terms(sf_dir: str):
+    """OpenSearch rare_terms agg: match-set terms with corpus df <= 2
+    (pipelines/aggs.rare_terms_agg — the long-tail complement of terms)."""
+    from remote_vector_index_builder_ray import rare_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = rare_terms_agg(index_dir, pd.read_parquet(fx["queries"]),
+                         max_doc_count=2)
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_global_agg(sf_dir: str):
     """OpenSearch global bucket agg: whole-index role buckets with avg
     doc_len — a pure streaming groupby, no query (pipelines/aggs.
@@ -2179,6 +2190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filters": _q_bm25_filters,
         "bm25_adjacency": _q_bm25_adjacency,
         "bm25_global_agg": _q_bm25_global_agg,
+        "bm25_rare_terms": _q_bm25_rare_terms,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_top_hits": _q_bm25_top_hits,
@@ -3884,6 +3896,30 @@ UNION ALL
 SELECT query_id, 'tooled&user', count(*)::BIGINT FROM flags WHERE f_tooled AND f_user GROUP BY query_id
 ORDER BY query_id, key"""
     )
+    # rare_terms: match-set terms with corpus df <= 2
+    out["bm25_rare_terms"] = f"""
+WITH {docs}, {_TOKS},
+tm AS MATERIALIZED (
+    SELECT docid, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM docs
+),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+fg AS (
+    SELECT m.query_id, tm.term, count(*)::BIGINT AS fg_docs
+    FROM m JOIN tm USING (docid)
+    GROUP BY m.query_id, tm.term
+)
+SELECT fg.query_id, fg.term, fg.fg_docs, df.df AS bg_docs
+FROM fg JOIN df USING (term)
+WHERE df.df <= 2
+ORDER BY query_id, term
+"""
     # global agg: whole-index role buckets + avg doc_len, no query
     out["bm25_global_agg"] = f"""
 WITH docs AS MATERIALIZED (

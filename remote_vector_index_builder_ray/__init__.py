@@ -53,6 +53,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     pipeline_date_histogram,
     percentiles_agg,
     range_agg,
+    rare_terms_agg,
     significant_terms_agg,
     stats_agg,
     terms_agg,
@@ -157,6 +158,7 @@ __all__ = [
     "delete_by_query",
     "update_docs",
     "percentiles_agg",
+    "rare_terms_agg",
     "significant_terms_agg",
     "top_hits_agg",
 ]

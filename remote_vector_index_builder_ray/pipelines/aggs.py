@@ -1411,6 +1411,65 @@ def bucket_sort_date_histogram(
     return out
 
 
+def rare_terms_agg(
+    index_dir: str,
+    queries,
+    max_doc_count: int = 2,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `rare_terms` aggregation: terms of each query's match set
+    whose CORPUS document frequency is <= ``max_doc_count`` — the long-tail
+    complement of the terms agg. Same probe as significant_terms (one
+    tokenize pass per docmeta batch → per-query foreground counts); the
+    corpus df filter comes from the cached term dictionary. Returns
+    (query_id, term, fg_docs, bg_docs), term-ascending per query."""
+    from remote_vector_index_builder_ray.functions.tokenizer import load_analyzer
+    from remote_vector_index_builder_ray.pipelines.expand import _get_dict
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    matches = _match_sets(index_dir, queries, where=where)
+    shard_refs, _ = _shard_match_sets(matches)
+    analyzer = load_analyzer(index_dir)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", "text"])
+        .map_batches(
+            _ProbeSigTerms,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, analyzer),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "term": pd.Series(dtype=object),
+        "fg_docs": pd.Series(dtype=np.int64),
+        "bg_docs": pd.Series(dtype=np.int64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    td = _get_dict(index_dir)
+    fg = partials.groupby(["query_id", "term"], sort=True)["fg"].sum().reset_index()
+    pos = np.searchsorted(td.terms, fg["term"].to_numpy(np.str_))
+    bg = td.df[pos].astype(np.int64)
+    out = pd.DataFrame({
+        "query_id": fg["query_id"].astype(np.int64),
+        "term": fg["term"],
+        "fg_docs": fg["fg"].astype(np.int64),
+        "bg_docs": bg,
+    })
+    out = out[out["bg_docs"] <= max_doc_count]
+    return out.sort_values(["query_id", "term"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # composite aggregation (multi-source buckets)
 # ---------------------------------------------------------------------------
