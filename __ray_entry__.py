@@ -1321,6 +1321,18 @@ def _q_bm25_adjacency(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_string_stats(sf_dir: str):
+    """OpenSearch string_stats agg over the tool field: value-length stats
+    plus Shannon entropy of the matched values' character distribution
+    (pipelines/aggs.string_stats_agg — O(256) byte-histogram partials)."""
+    from remote_vector_index_builder_ray import string_stats_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = string_stats_agg(index_dir, pd.read_parquet(fx["queries"]),
+                           field="tool")
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_rare_terms(sf_dir: str):
     """OpenSearch rare_terms agg: match-set terms with corpus df <= 2
     (pipelines/aggs.rare_terms_agg — the long-tail complement of terms)."""
@@ -2191,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_adjacency": _q_bm25_adjacency,
         "bm25_global_agg": _q_bm25_global_agg,
         "bm25_rare_terms": _q_bm25_rare_terms,
+        "bm25_string_stats": _q_bm25_string_stats,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
         "bm25_top_hits": _q_bm25_top_hits,
@@ -3896,6 +3909,41 @@ UNION ALL
 SELECT query_id, 'tooled&user', count(*)::BIGINT FROM flags WHERE f_tooled AND f_user GROUP BY query_id
 ORDER BY query_id, key"""
     )
+    # string_stats: value-length stats + character-distribution entropy
+    out["bm25_string_stats"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+vals AS (SELECT m.query_id, coalesce(d.tool, '') AS v FROM m JOIN docs d USING (docid)),
+base AS (
+    SELECT query_id, count(*)::BIGINT AS n_values,
+           min(length(v))::BIGINT AS min_len, max(length(v))::BIGINT AS max_len,
+           sum(length(v))::BIGINT AS ls
+    FROM vals GROUP BY query_id
+),
+cc AS (
+    SELECT query_id, unnest(regexp_extract_all(v, '.')) AS c FROM vals
+),
+ck AS (SELECT query_id, c, count(*)::BIGINT AS k FROM cc GROUP BY query_id, c),
+tot AS (SELECT query_id, sum(k)::DOUBLE AS t FROM ck GROUP BY query_id),
+ent AS (
+    SELECT ck.query_id, sum(-(ck.k / tt.t) * ln(ck.k / tt.t)) AS e
+    FROM ck JOIN tot tt USING (query_id) GROUP BY ck.query_id
+)
+SELECT b.query_id, b.n_values, b.min_len, b.max_len,
+       floor(b.ls::DOUBLE / b.n_values * 1000000 + 0.5) / 1000000 AS avg_len,
+       floor(coalesce(e.e, 0) * 1000000 + 0.5) / 1000000 AS entropy
+FROM base b LEFT JOIN ent e USING (query_id)
+ORDER BY b.query_id
+"""
     # rare_terms: match-set terms with corpus df <= 2
     out["bm25_rare_terms"] = f"""
 WITH {docs}, {_TOKS},

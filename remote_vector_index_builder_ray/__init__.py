@@ -56,6 +56,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     rare_terms_agg,
     significant_terms_agg,
     stats_agg,
+    string_stats_agg,
     terms_agg,
     top_hits_agg,
 )
@@ -151,6 +152,7 @@ __all__ = [
     "search_bool",
     "function_score",
     "stats_agg",
+    "string_stats_agg",
     "suggest_terms",
     "terms_agg",
     "cardinality_agg",

@@ -1411,6 +1411,122 @@ def bucket_sort_date_histogram(
     return out
 
 
+class _ProbeStringStats:
+    """Per-batch partials for string_stats: per query (n, len-sum, len-min,
+    len-max) plus a 256-slot byte histogram of the matched values'
+    characters (ASCII fields here) — entropy derives from the merged
+    histogram driver-side, so the partial stays O(256) per query."""
+
+    def __init__(self, shard_refs, stride, field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        col = batch[self.field].combine_chunks()
+        lens = pc.binary_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.to_numpy(zero_copy_only=False)
+        qids, ns, ls, mn, mx, hists = [], [], [], [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            lv = lens[mask]
+            joined = "".join(vals[mask])  # one join per (query, batch)
+            h = np.bincount(
+                np.frombuffer(joined.encode(), dtype=np.uint8), minlength=256
+            ).astype(np.int64)
+            qids.append(qid)
+            ns.append(int(mask.sum()))
+            ls.append(int(lv.sum()))
+            mn.append(int(lv.min()))
+            mx.append(int(lv.max()))
+            hists.append(h.tolist())
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "ls": pa.array(ls, type=pa.int64()),
+            "mn": pa.array(mn, type=pa.int64()),
+            "mx": pa.array(mx, type=pa.int64()),
+            "hist": pa.array(hists, type=pa.list_(pa.int64())),
+        })
+
+
+def string_stats_agg(
+    index_dir: str,
+    queries,
+    field: str = "tool",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `string_stats` aggregation (show_distribution-style
+    entropy) over a keyword docmeta field of each query's full match set:
+    (query_id, n_values, min_len, max_len, avg_len, entropy) where entropy
+    = -Σ p ln p over the CHARACTER distribution of all matched values
+    (OpenSearch's Shannon entropy). Partials carry a 256-slot byte
+    histogram, so the reduce is associative and O(256) per query."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeStringStats,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "n_values": pd.Series(dtype=np.int64),
+        "min_len": pd.Series(dtype=np.int64),
+        "max_len": pd.Series(dtype=np.int64),
+        "avg_len": pd.Series(dtype=np.float64),
+        "entropy": pd.Series(dtype=np.float64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    rows = []
+    for qid, g in partials.groupby("query_id", sort=True):
+        n = int(g["n"].sum())
+        ls = int(g["ls"].sum())
+        hist = np.sum(np.stack([np.asarray(h, np.int64) for h in g["hist"]]),
+                      axis=0)
+        total = float(hist.sum())
+        ent = 0.0
+        if total > 0:
+            # ascending byte order — the SQL twin groups by character and
+            # sums in the same order after its ORDER BY
+            nz = hist[hist > 0].astype(np.float64)
+            p = nz / total
+            ent = float(-(p * np.log(p)).sum())
+        rows.append((int(qid), n, ls, int(g["mn"].min()), int(g["mx"].max()),
+                     ent))
+    out = pd.DataFrame(rows, columns=["query_id", "n_values", "ls",
+                                      "min_len", "max_len", "entropy"])
+    out["avg_len"] = r6(out["ls"].astype(np.float64) / out["n_values"])
+    out["entropy"] = r6(out["entropy"].to_numpy())
+    return out[["query_id", "n_values", "min_len", "max_len", "avg_len",
+                "entropy"]].astype({"query_id": np.int64,
+                                    "n_values": np.int64,
+                                    "min_len": np.int64,
+                                    "max_len": np.int64})
+
+
 def rare_terms_agg(
     index_dir: str,
     queries,

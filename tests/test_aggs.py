@@ -468,3 +468,33 @@ def test_composite_agg_matches_brute_force(smoke_fixture, smoke_index):
     got["key_day"] = pd.to_datetime(got["key_day"])
     pd.testing.assert_frame_equal(got.astype({"n_docs": np.int64}), exp,
                                   check_dtype=False)
+
+
+def test_string_stats_matches_brute_force(smoke_fixture, smoke_index):
+    from collections import Counter
+
+    from remote_vector_index_builder_ray import string_stats_agg
+
+    df = _src(smoke_fixture)
+    got = string_stats_agg(smoke_index["index_dir"], QUERIES, field="tool")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if m.empty:
+            continue
+        vals = m["tool"].fillna("").tolist()
+        lens = [len(v) for v in vals]
+        cnt = Counter("".join(vals))
+        tot = float(sum(cnt.values()))
+        ent = 0.0
+        if tot:
+            import math
+            ent = sum(-(k / tot) * math.log(k / tot) for _, k in sorted(cnt.items()))
+        rows.append((int(q.query_id), len(vals), min(lens), max(lens),
+                     r6(sum(lens) / len(vals)), r6(ent)))
+    exp = pd.DataFrame(rows, columns=["query_id", "n_values", "min_len",
+                                      "max_len", "avg_len", "entropy"])
+    assert len(exp) > 0 and (exp["entropy"] > 0).any()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
