@@ -1151,6 +1151,18 @@ _DATE_RANGES = [(None, "2026-03-01"), ("2026-03-01", "2026-05-01"),
                 ("2026-05-01", None)]
 
 
+def _q_bm25_serial_diff(sf_dir: str):
+    """serial_diff pipeline agg: lag-7 (week-over-week) difference over the
+    per-day histogram (pipelines/aggs.serial_diff_date_histogram)."""
+    from remote_vector_index_builder_ray import serial_diff_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = serial_diff_date_histogram(index_dir, pd.read_parquet(fx["queries"]),
+                                     lag=7)
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "serial_diff": "float64"}).reset_index(drop=True)
+
+
 def _q_bm25_moving_avg(sf_dir: str):
     """moving_avg/moving_fn pipeline agg: trailing-3-bucket mean over the
     per-day histogram (pipelines/aggs.moving_avg_date_histogram)."""
@@ -2188,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pipeline_aggs": _q_bm25_pipeline_aggs,
         "bm25_date_range": _q_bm25_date_range,
         "bm25_moving_avg": _q_bm25_moving_avg,
+        "bm25_serial_diff": _q_bm25_serial_diff,
         "bm25_bucket_sort": _q_bm25_bucket_sort,
         "bm25_sorted_multi": _q_bm25_sorted_multi,
         "bm25_page2": _q_bm25_page2,
@@ -4437,6 +4450,29 @@ FROM ranked r
 JOIN (SELECT query_id, k FROM read_parquet('{_queries_path(sf)}')) qq USING (query_id)
 WHERE r.rank <= qq.k
 ORDER BY query_id, rank
+"""
+    # serial_diff: lag-7 difference over per-day buckets
+    out["bm25_serial_diff"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+)
+SELECT query_id, key, n_docs,
+       (n_docs - lag(n_docs, 7) OVER (PARTITION BY query_id ORDER BY key))::DOUBLE AS serial_diff
+FROM hist
+ORDER BY query_id, key
 """
     # moving_avg: trailing-3 windowed sum/count over per-day buckets
     out["bm25_moving_avg"] = f"""

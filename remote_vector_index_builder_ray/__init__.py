@@ -50,6 +50,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     missing_agg,
     bucket_sort_date_histogram,
     moving_avg_date_histogram,
+    serial_diff_date_histogram,
     pipeline_date_histogram,
     percentiles_agg,
     range_agg,
@@ -112,6 +113,7 @@ __all__ = [
     "missing_agg",
     "bucket_sort_date_histogram",
     "moving_avg_date_histogram",
+    "serial_diff_date_histogram",
     "pipeline_date_histogram",
     "delete_docs",
     "expand_fuzzy",

@@ -1388,6 +1388,30 @@ def moving_avg_date_histogram(
     return pd.concat(outs, ignore_index=True)
 
 
+def serial_diff_date_histogram(
+    index_dir: str,
+    queries,
+    lag: int = 7,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `serial_diff` pipeline agg over a date_histogram parent:
+    per bucket the difference vs the bucket ``lag`` positions earlier in
+    the query's PRESENT-bucket sequence (week-over-week with lag=7 daily
+    buckets); NULL/NaN for each query's first ``lag`` buckets."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        out["serial_diff"] = pd.Series(dtype=np.float64)
+        return out
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    base["serial_diff"] = (
+        base.groupby("query_id", sort=False)["n_docs"].diff(lag)
+        .astype(np.float64)
+    )
+    return base
+
+
 def bucket_sort_date_histogram(
     index_dir: str,
     queries,
