@@ -1151,6 +1151,18 @@ _DATE_RANGES = [(None, "2026-03-01"), ("2026-03-01", "2026-05-01"),
                 ("2026-05-01", None)]
 
 
+def _q_bm25_auto_histogram(sf_dir: str):
+    """auto_date_histogram: the coarsest-needed calendar interval
+    (day/week/month) whose bucket count fits target=20, per query
+    (pipelines/aggs.auto_date_histogram)."""
+    from remote_vector_index_builder_ray import auto_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = auto_date_histogram(index_dir, pd.read_parquet(fx["queries"]),
+                              target_buckets=20)
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_serial_diff(sf_dir: str):
     """serial_diff pipeline agg: lag-7 (week-over-week) difference over the
     per-day histogram (pipelines/aggs.serial_diff_date_histogram)."""
@@ -2201,6 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_range": _q_bm25_date_range,
         "bm25_moving_avg": _q_bm25_moving_avg,
         "bm25_serial_diff": _q_bm25_serial_diff,
+        "bm25_auto_histogram": _q_bm25_auto_histogram,
         "bm25_bucket_sort": _q_bm25_bucket_sort,
         "bm25_sorted_multi": _q_bm25_sorted_multi,
         "bm25_page2": _q_bm25_page2,
@@ -4450,6 +4463,37 @@ FROM ranked r
 JOIN (SELECT query_id, k FROM read_parquet('{_queries_path(sf)}')) qq USING (query_id)
 WHERE r.rank <= qq.k
 ORDER BY query_id, rank
+"""
+    # auto_date_histogram: per query pick day/week/month so the bucket
+    # count fits 20 (month kept regardless), then bucket at that floor
+    out["bm25_auto_histogram"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+pts AS (SELECT m.query_id, d.ts FROM m JOIN docs d USING (docid)),
+chosen AS (
+    SELECT query_id,
+           CASE WHEN count(DISTINCT date_trunc('day', ts)) <= 20 THEN 'day'
+                WHEN count(DISTINCT date_trunc('week', ts)) <= 20 THEN 'week'
+                ELSE 'month' END AS interval
+    FROM pts GROUP BY query_id
+)
+SELECT p.query_id, c.interval,
+       CASE c.interval WHEN 'day' THEN date_trunc('day', p.ts)
+                       WHEN 'week' THEN date_trunc('week', p.ts)
+                       ELSE date_trunc('month', p.ts) END AS key,
+       count(*)::BIGINT AS n_docs
+FROM pts p JOIN chosen c USING (query_id)
+GROUP BY p.query_id, c.interval, key
+ORDER BY p.query_id, key
 """
     # serial_diff: lag-7 difference over per-day buckets
     out["bm25_serial_diff"] = f"""

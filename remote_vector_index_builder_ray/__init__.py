@@ -41,6 +41,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     cardinality_agg,
     composite_agg,
     adjacency_matrix_agg,
+    auto_date_histogram,
     date_histogram,
     date_range_agg,
     filters_agg,
@@ -104,6 +105,7 @@ __all__ = [
     "build_index",
     "compact_index",
     "adjacency_matrix_agg",
+    "auto_date_histogram",
     "date_histogram",
     "date_range_agg",
     "filters_agg",

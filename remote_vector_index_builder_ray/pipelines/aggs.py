@@ -1388,6 +1388,47 @@ def moving_avg_date_histogram(
     return pd.concat(outs, ignore_index=True)
 
 
+def auto_date_histogram(
+    index_dir: str,
+    queries,
+    target_buckets: int = 20,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `auto_date_histogram`: per query, the COARSEST-needed
+    calendar interval from (day, week, month) whose bucket count fits
+    ``target_buckets`` (month kept even when it still exceeds). Weeks are
+    Monday-floored (SQL date_trunc('week')), months calendar-floored.
+    Returns (query_id, interval, key, n_docs). Derived from the day
+    histogram — one probe pass, the re-bucketing is driver-small."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        out["interval"] = pd.Series(dtype=object)
+        return out[["query_id", "interval", "key", "n_docs"]]
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    outs = []
+    for qid, g in base.groupby("query_id", sort=True):
+        days = g["key"].to_numpy("datetime64[us]").astype("datetime64[D]")
+        di = days.astype(np.int64)
+        week = (di - (di + 3) % 7).astype("datetime64[D]")
+        month = days.astype("datetime64[M]").astype("datetime64[D]")
+        n = g["n_docs"].to_numpy(np.int64)
+        if len(np.unique(days)) <= target_buckets:
+            interval, keys = "day", days
+        elif len(np.unique(week)) <= target_buckets:
+            interval, keys = "week", week
+        else:
+            interval, keys = "month", month
+        df = pd.DataFrame({"key": keys.astype("datetime64[us]"), "n": n})
+        agg = df.groupby("key", sort=True)["n"].sum().reset_index()
+        agg.insert(0, "interval", interval)
+        agg.insert(0, "query_id", int(qid))
+        outs.append(agg.rename(columns={"n": "n_docs"}))
+    return pd.concat(outs, ignore_index=True).astype(
+        {"query_id": np.int64, "n_docs": np.int64})
+
+
 def serial_diff_date_histogram(
     index_dir: str,
     queries,
