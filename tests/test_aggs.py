@@ -498,3 +498,26 @@ def test_string_stats_matches_brute_force(smoke_fixture, smoke_index):
     assert len(exp) > 0 and (exp["entropy"] > 0).any()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                   check_dtype=False)
+
+
+def test_serial_diff_and_auto_histogram(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import (
+        auto_date_histogram,
+        serial_diff_date_histogram,
+    )
+
+    base = date_histogram(smoke_index["index_dir"], QUERIES)
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    sd = serial_diff_date_histogram(smoke_index["index_dir"], QUERIES, lag=2)
+    for qid, g in sd.groupby("query_id"):
+        v = g["n_docs"].to_numpy(np.int64)
+        d = g["serial_diff"].to_numpy()
+        assert np.isnan(d[:2]).all() or len(v) < 3
+        if len(v) > 2:
+            np.testing.assert_array_equal(d[2:], (v[2:] - v[:-2]).astype(float))
+    ah = auto_date_histogram(smoke_index["index_dir"], QUERIES, target_buckets=3)
+    for qid, g in ah.groupby("query_id"):
+        assert len(g) <= 3 or g["interval"].iloc[0] == "month"
+        assert g["interval"].nunique() == 1
+        # totals preserved vs the day histogram
+        assert g["n_docs"].sum() == base[base["query_id"] == qid]["n_docs"].sum()
