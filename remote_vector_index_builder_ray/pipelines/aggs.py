@@ -1257,7 +1257,9 @@ def significant_terms_agg(
     }
     if partials.empty:
         return pd.DataFrame(cols)
-    st = fs.read_json(fs.join(index_dir, "stats.json"))
+    from remote_vector_index_builder_ray.state.manifest import load_base_stats
+
+    st = load_base_stats(index_dir)
     N = float(st["N"])
     td = _get_dict(index_dir)
     fg = (

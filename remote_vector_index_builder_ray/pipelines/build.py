@@ -98,6 +98,7 @@ def run_merge(
     byte_budget: int,
     tombstones=None,
     positions_dir: str | None = None,
+    stats_payload: dict | None = None,
 ) -> dict:
     """The merge exchange as a standalone phase: read every bucket's partial
     files under ``seg_roots`` (hive-partitioned by phase A — the map-side
@@ -170,14 +171,28 @@ def run_merge(
             for bkt, files in sorted(bucket_files.items())
         ]
     results = ray.get(futures)
+    if stats_payload is not None:
+        # commit record: the new stats land in the SAME rename as the new
+        # postings (state.manifest.load_base_stats explains why)
+        fs.write_json_atomic(fs.join(tmp_post, "stats.json"), stats_payload)
+
+    def _swap(tmp: str, final: str) -> None:
+        # move the live dir ASIDE first (one rename), not rm_tree-then-move:
+        # rm_tree leaves a no-postings window proportional to the file count
+        old = final + ".old"
+        fs.rm_tree(old)
+        if fs.exists(final):
+            fs.move_dir(final, old)
+        fs.move_dir(tmp, final)
+        fs.rm_tree(old)
+
     if pos_futures:
         ray.get(pos_futures)
-        fs.rm_tree(positions_dir)
-        fs.move_dir(tmp_posn, positions_dir)
-    for final in (postings_dir, termstats_dir):
-        fs.rm_tree(final)
-    fs.move_dir(tmp_post, postings_dir)
-    fs.move_dir(tmp_ts, termstats_dir)
+        _swap(tmp_posn, positions_dir)
+    _swap(tmp_ts, termstats_dir)
+    # postings last: they carry the commit record, so a reader never sees the
+    # new stats without the postings they describe
+    _swap(tmp_post, postings_dir)
     return {
         "term_shards": int(sum(r[0] for r in results)),
         "terms": int(sum(r[1] for r in results)),

@@ -253,6 +253,16 @@ def compact_index(index_dir: str) -> dict:
         fs.join(index_dir, g["dir"], "segments") for g in gens
     ]
     t0 = time.time()
+    # the full post-compaction stats + the generations this postings set
+    # folds in: committed INSIDE the postings dir by run_merge, in the same
+    # atomic rename as the postings (state.manifest.load_base_stats) — a
+    # crash or searcher init between the swap and the writes below can never
+    # pair new postings with stale stats/generation flags
+    st = dict(man.data["stats"])
+    st.update({
+        "N": n, "total_len": tl, "avgdl": avgdl,
+        "compacted_gens": sorted(g["dir"] for g in gens),
+    })
     m = run_merge(
         seg_roots,
         fs.join(index_dir, "postings"),
@@ -265,11 +275,8 @@ def compact_index(index_dir: str) -> dict:
             if man.data.get("config", {}).get("positions")
             else None
         ),
+        stats_payload=st,
     )
-    # commit order: postings are already swapped atomically above; now make
-    # stats global and retire the generations' own postings
-    st = dict(man.data["stats"])
-    st.update({"N": n, "total_len": tl, "avgdl": avgdl})
     fs.write_json_atomic(fs.join(index_dir, "stats.json"), st)
     man.data["stats"] = st
     man.data["postings_files"] = m["postings_files"]
@@ -339,7 +346,8 @@ def update_docs(
                 "|",
             ).to_numpy(zero_copy_only=False).astype(np.str_)
             mask = isin_sorted(packed, self.keys)
-            return batch.filter(pa.array(mask)).select(["docid"])
+            out = batch.filter(pa.array(mask)).select(["docid"])
+            return out.append_column("key", pa.array(packed[mask]))
 
     meta_files = [
         fs.join(d, rel)
@@ -361,8 +369,12 @@ def update_docs(
         delete_docs(index_dir, docids=old["docid"].tolist())
     man = append_index(index_dir, input_paths, num_partitions=num_partitions,
                        docid_mode="sort")
-    return {"updated": int(len(old)) if "docid" in old.columns else 0,
-            "inserted": int(len(keys)), "manifest": man}
+    # OpenSearch bulk distinguishes updated (key replaced an existing doc)
+    # from created. A key updated twice matches BOTH its tombstoned and live
+    # docmeta rows, so count DISTINCT matched keys, not matched docids.
+    n_updated = int(old["key"].nunique()) if "key" in old.columns else 0
+    return {"updated": n_updated,
+            "inserted": int(len(keys)) - n_updated, "manifest": man}
 
 
 def index_stats(index_dir: str) -> "pd.DataFrame":

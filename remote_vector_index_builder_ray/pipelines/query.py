@@ -1083,11 +1083,17 @@ def search_bool(
     k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
     an = load_analyzer(index_dir)
 
-    # scoring pass: union of must + should terms, must_not inside the actors
+    # scoring pass: union of must + should terms, must_not inside the actors.
+    # Both clause columns are optional (df.get returns a scalar "" for a
+    # missing column, which has no .fillna — build a Series explicitly).
+    def _col(name: str) -> pd.Series:
+        if name in q.columns:
+            return q[name].fillna("").astype(str)
+        return pd.Series("", index=q.index)
+
     sq = pd.DataFrame({
         "query_id": q["query_id"].astype(np.int64),
-        "text": (q.get("must_text", "").fillna("") + " " +
-                 q.get("text", "").fillna("")),
+        "text": _col("must_text") + " " + _col("text"),
         "k": np.full(len(q), 2**31 - 1, dtype=np.int32),
     })
     if "exclude_text" in q.columns:

@@ -203,9 +203,12 @@ class BM25Searcher:
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
+        from remote_vector_index_builder_ray.state.manifest import load_base_stats
 
         self._fs = _fs
-        st = _fs.read_json(_fs.join(index_dir, "stats.json"))
+        # crash-consistent with the postings: prefers the stats record
+        # committed INSIDE postings/ by compact_index's atomic swap
+        st = load_base_stats(index_dir)
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
         # query analysis uses the INDEX's analyzer (stats.json) so query
@@ -257,7 +260,15 @@ class BM25Searcher:
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
         # makes multi-generation results equal a from-scratch build.
-        gens = [g for g in man.get("generations", []) if not g.get("compacted")]
+        # skip generations the postings set already folded in, even if the
+        # manifest has not flagged them compacted yet (the stats record in
+        # postings/ commits atomically with the postings; the manifest update
+        # trails it — state.manifest.load_base_stats)
+        folded = set(st.get("compacted_gens", ()))
+        gens = [
+            g for g in man.get("generations", [])
+            if not g.get("compacted") and g["dir"] not in folded
+        ]
         N, total_len = int(st["N"]), int(st["total_len"])
         for g in gens:
             N += int(g["n_docs"])
@@ -408,7 +419,12 @@ class BM25Searcher:
                     )
                 tabs.append(t)
         if len(self._cache) + len(missing) > self.cache_terms:
+            # evict, but never drop a term of the CURRENT request: a cleared
+            # entry would read back as None (= "term absent") and silently
+            # zero its BM25 contribution for this batch
+            keep = {t: self._cache[t] for t in terms if t in self._cache}
             self._cache.clear()
+            self._cache.update(keep)
         for t in missing:
             self._cache[t] = None
         if not tabs:
@@ -501,7 +517,10 @@ class BM25Searcher:
                 if t.num_rows:
                     tabs.append(t)
         if len(self._pos_cache) + len(missing) > self.cache_terms:
+            # retain current-request terms across eviction (see _load_terms)
+            keep = {t: self._pos_cache[t] for t in terms if t in self._pos_cache}
             self._pos_cache.clear()
+            self._pos_cache.update(keep)
         for t in missing:
             self._pos_cache[t] = None
         if not tabs:
@@ -1298,7 +1317,9 @@ class BM25Searcher:
             ]
             excl_load = sorted({t for lst in excl_lists for t in lst})
             if excl_load:
-                self._load_terms(excl_load)
+                # include the main query terms so a cache eviction triggered
+                # by this load cannot drop postings the scorer needs below
+                self._load_terms(sorted(set(all_terms) | set(excl_load)))
             denies = [
                 self._deny_set(lst) if lst else None for lst in excl_lists
             ]
@@ -1318,7 +1339,7 @@ class BM25Searcher:
             ]
             neg_load = sorted({t for lst in neg_lists for t in lst})
             if neg_load:
-                self._load_terms(neg_load)
+                self._load_terms(sorted(set(all_terms) | set(neg_load)))
             demotes = [
                 (self._deny_set(lst), self.negative_boost) if lst else None
                 for lst in neg_lists

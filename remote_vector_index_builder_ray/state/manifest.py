@@ -77,5 +77,24 @@ class Manifest:
         self.save()
 
 
+def load_base_stats(index_dir: str) -> dict:
+    """Base-index stats for scoring, crash-consistent with the postings.
+
+    ``compact_index`` commits a full stats record INSIDE the new postings
+    directory (written to the temp dir before the atomic rename), so the
+    post-expunge (N, total_len, avgdl) — and the ``compacted_gens`` list
+    saying which generations that postings set already folded in — land in
+    the SAME rename as the postings themselves. Readers prefer that record;
+    the top-level ``stats.json`` (written after the swap) is the fallback
+    for indexes that were never compacted. Without this, a crash (or a
+    searcher actor init) between the postings swap and the stats write
+    would score post-expunge postings with the pre-expunge avgdl, breaking
+    BMW's block-max bounds (silently missing true top-k docs)."""
+    p = fs.join(index_dir, "postings", "stats.json")
+    if fs.exists(p):
+        return fs.read_json(p)
+    return fs.read_json(fs.join(index_dir, "stats.json"))
+
+
 # Back-compat alias: the build pipeline imports atomic_write_dir from here.
 atomic_write_dir = fs.atomic_write_dir

@@ -196,3 +196,58 @@ def test_rebuild_resume_preserves_compacted_stats(smoke_fixture, tmp_path_factor
         res_before.sort_values(["query_id", "rank"]).reset_index(drop=True),
         res_after.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_searcher_consistent_in_compaction_commit_window(
+    smoke_fixture, tmp_path_factory
+):
+    """ADVICE r2: compact_index commits postings, stats.json and the manifest
+    at different times. A searcher initialized between the postings swap and
+    the trailing writes must still score the NEW postings with the NEW stats
+    (the record committed inside postings/ in the same rename) and must not
+    double-count generations the new postings already folded in — else BMW's
+    block-max bounds are wrong (stored with the new avgdl, corrected with the
+    stale one) and folded docs score twice."""
+    import json
+
+    d = tmp_path_factory.mktemp("crashwin")
+    idx = str(d / "idx")
+    full = pa.concat_tables([pq.read_table(p) for p in smoke_fixture["transcripts"]])
+    import pyarrow.compute as pc
+
+    convs = sorted(set(full["conv_id"].to_pylist()))
+    cut = convs[len(convs) // 2]
+    mask = pc.less(full["conv_id"], pa.scalar(cut))
+    a_path, b_path = str(d / "a.parquet"), str(d / "b.parquet")
+    pq.write_table(full.filter(mask), a_path)
+    pq.write_table(full.filter(pc.invert(mask)), b_path)
+
+    build_index(BuildConfig(input_paths=[a_path], index_dir=idx, num_buckets=32))
+    append_index(idx, [b_path])  # a live generation for compaction to fold
+    delete_docs(idx, docids=[0, 1, 2])  # expunge shrinks N / avgdl
+
+    # the pre-compaction commit trailers a crash would leave behind
+    stale_stats = json.load(open(f"{idx}/stats.json"))
+    stale_man = json.load(open(f"{idx}/manifest.json"))
+
+    compact_index(idx)
+    truth = {
+        mode: search(idx, smoke_fixture["queries"], mode=mode)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        for mode in ("exhaustive", "bmw")
+    }
+
+    # simulate the crash window: new postings/ on disk, stale trailers
+    json.dump(stale_stats, open(f"{idx}/stats.json", "w"))
+    json.dump(stale_man, open(f"{idx}/manifest.json", "w"))
+
+    for mode, want in truth.items():
+        got = (
+            search(idx, smoke_fixture["queries"], mode=mode)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)

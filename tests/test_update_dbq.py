@@ -88,7 +88,9 @@ def test_update_docs_upsert(smoke_fixture, tmp_path_factory, mode):
     batch.to_parquet(upd_pq, index=False)
 
     out = update_docs(idx, [upd_pq])
-    assert out["updated"] == 3 and out["inserted"] == 4
+    # OpenSearch bulk semantics: updated = keys that replaced a live doc,
+    # inserted (created) = keys that matched nothing
+    assert out["updated"] == 3 and out["inserted"] == 1
 
     # expected docid space: generation rows sorted by (conv_id, turn_idx)
     # get docids n..n+3; old versions dead
