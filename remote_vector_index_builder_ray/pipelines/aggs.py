@@ -18,12 +18,20 @@ aggs per shard and reduces — this engine does the same with Ray Data:
 
 Scale note (100 TB): this is the broadcast-semi-join pattern, made
 range-local — each query's sorted match set is SHARDED by docid range
-(``_MATCH_SHARD_STRIDE`` docids per shard, one ``ray.put`` per shard) and a
-probe task fetches only the shards overlapping its batch's docid range. The
-docmeta files are docid-ordered, so a task touches O(its slice) of the match
-set rather than Σ|matches| — a stopword matching half the corpus costs each
-probe task only its own range's members. The tiny shard directory
-({shard_id: ObjectRef}) is the only thing every actor holds.
+(``_MATCH_SHARD_STRIDE`` docids per shard) and a probe task fetches only the
+shards overlapping its batch's docid range. The docmeta files are
+docid-ordered, so a task touches O(its slice) of the match set rather than
+Σ|matches| — a stopword matching half the corpus costs each probe task only
+its own range's members. The tiny shard directory ({shard_id: [ObjectRef]})
+is the only thing every actor holds.
+
+Shard PRODUCTION is distributed too (``_sharded_matches``): the constant
+scorer's output Dataset is materialized in the OBJECT STORE only; one pack
+task per scorer block splits that block into per-shard pieces and
+``ray.put``s each piece where it sits. The driver handles block refs, piece
+refs and per-query match COUNTS — never a docid. A stopword query over a
+100 TB corpus therefore costs the driver O(shards) refs, not a corpus-sized
+docid list (the round-2 ``.to_pandas()`` round-trip).
 """
 
 from __future__ import annotations
@@ -59,9 +67,11 @@ def _match_sets(index_dir: str, queries, where=None) -> dict[int, np.ndarray]:
 def _shard_match_sets(matches: dict[int, np.ndarray], stride: int | None = None):
     """Split each query's sorted match array into docid-range shards and
     ``ray.put`` each shard's {qid: sub-array} dict separately. Returns
-    (shard_refs, qids): a small {shard_id: ObjectRef} directory plus the
+    (shard_refs, qids): a small {shard_id: [ObjectRef]} directory plus the
     full query-id list (a query with zero matches still needs empty
-    output semantics)."""
+    output semantics). This is the SMALL-match-set path (driver-held dicts,
+    e.g. the sig_terms sampler's k-bounded foreground); unbounded match sets
+    go through ``_sharded_matches``, which never lands docids on the driver."""
     if stride is None:
         stride = _MATCH_SHARD_STRIDE  # resolved at call time (testable)
     shards: dict[int, dict[int, np.ndarray]] = {}
@@ -73,40 +83,130 @@ def _shard_match_sets(matches: dict[int, np.ndarray], stride: int | None = None)
         starts = np.concatenate([[0], bounds])
         for chunk, s0 in zip(np.split(arr, bounds), sid[starts]):
             shards.setdefault(int(s0), {})[qid] = chunk
-    return {sid: ray.put(d) for sid, d in shards.items()}, sorted(matches)
+    return {sid: [ray.put(d)] for sid, d in shards.items()}, sorted(matches)
+
+
+@ray.remote
+def _pack_block(block: pa.Table, stride: int, scored: bool):
+    """Split ONE scorer output block into docid-range shard pieces, ``ray.put``
+    each piece from this worker (the data never visits the driver), and return
+    the small directory ({shard_id: piece_ref}, {qid: n_matches})."""
+    if block.num_rows == 0 or "query_id" not in block.column_names:
+        return {}, {}
+    qids = block.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = block.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    scores = (
+        block.column("score").to_numpy(zero_copy_only=False).astype(np.float64)
+        if scored
+        else None
+    )
+    order = np.lexsort((docs, qids))  # qid-major, docid ascending within qid
+    qids, docs = qids[order], docs[order]
+    if scored:
+        scores = scores[order]
+    sids = docs // stride
+    change = np.flatnonzero((qids[1:] != qids[:-1]) | (sids[1:] != sids[:-1])) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(docs)]])
+    shards: dict[int, dict] = {}
+    for s0, e0 in zip(starts, ends):
+        seg = (docs[s0:e0], scores[s0:e0]) if scored else docs[s0:e0]
+        shards.setdefault(int(sids[s0]), {})[int(qids[s0])] = seg
+    uq, uc = np.unique(qids, return_counts=True)
+    counts = {int(a): int(b) for a, b in zip(uq, uc)}
+    return {sid: ray.put(d) for sid, d in shards.items()}, counts
+
+
+def _sharded_matches(index_dir: str, queries, where=None, scored: bool = False,
+                     stride: int | None = None):
+    """Distributed match-set shard production: run the constant-score scorer
+    (or, with ``scored=True``, the exhaustive scorer) at k=INT32_MAX and shard
+    its output by docid range WITHOUT a driver round-trip. The scorer's output
+    Dataset is materialized as object-store blocks; one ``_pack_block`` task
+    per block splits it into per-shard pieces in place. Returns
+    (shard_refs, qid_list, counts):
+
+    - shard_refs: {shard_id: [piece ObjectRef, ...]} — each piece holds
+      {qid: sorted docids} (scored: {qid: (docids, scores)}) for that range.
+      ``_ShardedMatches`` merges a shard's pieces on first touch, per actor.
+    - qid_list: sorted qids with >= 1 match (zero-match semantics unchanged).
+    - counts: {qid: total matches} — the only per-query aggregate some aggs
+      need driver-side (e.g. significant_terms' fg_total), reduced from tiny
+      per-block partials.
+    """
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    if stride is None:
+        stride = _MATCH_SHARD_STRIDE
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    q["k"] = np.int32(2**31 - 1)
+    res = search(index_dir, q, mode="exhaustive" if scored else "constant",
+                 where=where)
+    block_refs = res.to_arrow_refs()  # refs only: blocks stay in the store
+    futures = [_pack_block.remote(r, stride, scored) for r in block_refs]
+    shard_refs: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for dir_map, cnt in ray.get(futures):
+        for sid, ref in dir_map.items():
+            shard_refs.setdefault(sid, []).append(ref)
+        for qid, c in cnt.items():
+            counts[qid] = counts.get(qid, 0) + c
+    return shard_refs, sorted(counts), counts
 
 
 class _ShardedMatches:
     """Actor-side view over the sharded match sets: fetches (and caches) only
-    the shards overlapping the docids a batch actually contains."""
+    the shards overlapping the docids a batch actually contains. A shard may
+    arrive in several PIECES (one per scorer block that touched its range —
+    ``_sharded_matches``); pieces are merged once per actor on first touch."""
 
     def __init__(self, shard_refs: dict, stride: int):
-        self._refs = shard_refs
+        self._refs = shard_refs  # {shard_id: [piece ObjectRef, ...]}
         self._stride = stride
-        self._cache: dict[int, dict[int, np.ndarray]] = {}
+        self._cache: dict[int, dict] = {}
 
-    def for_batch(self, ids: np.ndarray) -> dict[int, np.ndarray]:
+    @staticmethod
+    def _merge(parts: list):
+        # pieces of one (shard, qid): disjoint row sets, re-sort to restore
+        # the per-query docid order the probes binary-search on
+        return parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+
+    @staticmethod
+    def _concat(parts: list):
+        # across ASCENDING shards of one qid: already globally sorted
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def _shard(self, sid: int) -> dict:
+        d = self._cache.get(sid)
+        if d is None:
+            refs = self._refs.get(sid)
+            if not refs:
+                d = {}
+            else:
+                pieces = ray.get(list(refs))
+                if len(pieces) == 1:
+                    d = pieces[0]
+                else:
+                    tmp: dict[int, list] = {}
+                    for p in pieces:
+                        for qid, v in p.items():
+                            tmp.setdefault(qid, []).append(v)
+                    d = {qid: self._merge(vs) for qid, vs in tmp.items()}
+            self._cache[sid] = d
+        return d
+
+    def for_batch(self, ids: np.ndarray) -> dict:
         """{qid: sorted docids} restricted to the batch's docid-range shards,
         concatenated in ascending-shard order (still sorted per query)."""
         if len(ids) == 0:
             return {}
         lo = int(ids.min()) // self._stride
         hi = int(ids.max()) // self._stride
-        parts: dict[int, list[np.ndarray]] = {}
+        parts: dict[int, list] = {}
         for sid in range(lo, hi + 1):
-            ref = self._refs.get(sid)
-            if ref is None:
-                continue
-            d = self._cache.get(sid)
-            if d is None:
-                d = ray.get(ref)
-                self._cache[sid] = d
-            for qid, arr in d.items():
-                parts.setdefault(qid, []).append(arr)
-        return {
-            qid: (ps[0] if len(ps) == 1 else np.concatenate(ps))
-            for qid, ps in parts.items()
-        }
+            for qid, v in self._shard(sid).items():
+                parts.setdefault(qid, []).append(v)
+        return {qid: self._concat(ps) for qid, ps in parts.items()}
 
 
 class _ProbeAgg:
@@ -223,7 +323,7 @@ def _run_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -398,7 +498,7 @@ def _stats_reduced(index_dir: str, queries, field: str, where) -> pd.DataFrame:
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -588,7 +688,7 @@ def filters_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -686,7 +786,7 @@ def missing_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -846,8 +946,7 @@ def cardinality_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    matches = _match_sets(index_dir, queries, where=where)
-    shard_refs, qid_list = _shard_match_sets(matches)
+    shard_refs, qid_list, counts = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -869,7 +968,7 @@ def cardinality_agg(
     rows = []
     for qid in qid_list:
         part = partials[partials["query_id"] == qid] if len(partials) else partials
-        if len(matches.get(qid, ())) == 0 or part.empty:
+        if counts.get(qid, 0) == 0 or part.empty:
             continue
         if exact:
             n = int(part["value"].nunique())
@@ -909,7 +1008,7 @@ def percentiles_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -992,37 +1091,30 @@ def _shard_scored_sets(scored: dict, stride: int | None = None):
             np.split(arr, bounds), np.split(sc, bounds), sid[starts]
         ):
             shards.setdefault(int(s0), {})[qid] = (d_chunk, s_chunk)
-    return {sid: ray.put(d) for sid, d in shards.items()}, sorted(scored)
+    return {sid: [ray.put(d)] for sid, d in shards.items()}, sorted(scored)
 
 
 class _ShardedScored(_ShardedMatches):
-    def for_batch(self, ids: np.ndarray) -> dict[int, tuple]:
-        if len(ids) == 0:
-            return {}
-        lo = int(ids.min()) // self._stride
-        hi = int(ids.max()) // self._stride
-        parts: dict[int, list[tuple]] = {}
-        for sid in range(lo, hi + 1):
-            ref = self._refs.get(sid)
-            if ref is None:
-                continue
-            d = self._cache.get(sid)
-            if d is None:
-                d = ray.get(ref)
-                self._cache[sid] = d
-            for qid, pair in d.items():
-                parts.setdefault(qid, []).append(pair)
-        return {
-            qid: (
-                ps[0]
-                if len(ps) == 1
-                else (
-                    np.concatenate([p[0] for p in ps]),
-                    np.concatenate([p[1] for p in ps]),
-                )
-            )
-            for qid, ps in parts.items()
-        }
+    """Scored twin: values are (docids, scores) pairs; merge/concat keep the
+    score array aligned with the docid sort."""
+
+    @staticmethod
+    def _merge(parts: list):
+        if len(parts) == 1:
+            return parts[0]
+        d = np.concatenate([p[0] for p in parts])
+        s = np.concatenate([p[1] for p in parts])
+        o = np.argsort(d, kind="stable")
+        return d[o], s[o]
+
+    @staticmethod
+    def _concat(parts: list):
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
 
 class _ProbeTopHits:
@@ -1084,7 +1176,7 @@ def top_hits_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_scored_sets(_match_sets_scored(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where, scored=True)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -1217,19 +1309,25 @@ def significant_terms_agg(
     from remote_vector_index_builder_ray.state import fs
 
     if sampler_size is not None:
-        scored = _match_sets_scored(index_dir, queries, where=where)
-        matches = {}
-        for qid, (d, s) in scored.items():
-            if len(d) > sampler_size:
-                # top sampler_size by (score desc, docid asc): arrays are
-                # docid-sorted, so a stable sort on -score keeps the docid
-                # ascending tiebreak
-                sel = np.argsort(-s, kind="stable")[:sampler_size]
-                d = np.sort(d[sel])
-            matches[qid] = d
+        # "top sampler_size matches by (BM25 desc, docid asc)" IS search at
+        # k=sampler_size — a k-bounded distributed reduce whose result is
+        # queries x sampler_size rows, driver-small by construction (the
+        # round-2 version ran k=INT32_MAX and took the top-N on the driver)
+        from remote_vector_index_builder_ray.pipelines.query import search
+
+        qq = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+        qq["k"] = np.int32(sampler_size)
+        res = search(index_dir, qq, mode="exhaustive", where=where).to_pandas()
+        matches = (
+            {int(qid): np.sort(g["docid"].to_numpy(np.int64))
+             for qid, g in res.groupby("query_id")}
+            if "query_id" in res.columns
+            else {}
+        )
+        shard_refs, qid_list = _shard_match_sets(matches)
+        counts = {qid: len(a) for qid, a in matches.items()}
     else:
-        matches = _match_sets(index_dir, queries, where=where)
-    shard_refs, qid_list = _shard_match_sets(matches)
+        shard_refs, qid_list, counts = _sharded_matches(index_dir, queries, where=where)
     analyzer = load_analyzer(index_dir)
     meta_files = [
         fs.join(d, rel)
@@ -1268,7 +1366,7 @@ def significant_terms_agg(
     # background df lookup on the sorted dictionary
     pos = np.searchsorted(td.terms, fg["term"].to_numpy(np.str_))
     bg = td.df[pos].astype(np.float64)
-    fg_total = fg["query_id"].map({q: float(len(matches[q])) for q in qid_list})
+    fg_total = fg["query_id"].map({q: float(counts[q]) for q in qid_list})
     fg_rate = fg["fg"].astype(np.float64) / fg_total
     bg_rate = bg / N
     score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
@@ -1538,7 +1636,7 @@ def string_stats_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -1611,8 +1709,7 @@ def rare_terms_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    matches = _match_sets(index_dir, queries, where=where)
-    shard_refs, _ = _shard_match_sets(matches)
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     analyzer = load_analyzer(index_dir)
     meta_files = [
         fs.join(d, rel)
@@ -1716,7 +1813,7 @@ def composite_agg(
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, queries, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)

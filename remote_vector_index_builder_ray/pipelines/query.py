@@ -298,8 +298,7 @@ def search_sorted(
 
     from remote_vector_index_builder_ray.pipelines.aggs import (
         _MATCH_SHARD_STRIDE,
-        _match_sets,
-        _shard_match_sets,
+        _sharded_matches,
     )
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
@@ -307,7 +306,7 @@ def search_sorted(
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
     k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
     k_max = max(k_by_query.values(), default=10)
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, q, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, q, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -419,8 +418,7 @@ def search_sorted_multi(
 
     from remote_vector_index_builder_ray.pipelines.aggs import (
         _MATCH_SHARD_STRIDE,
-        _match_sets,
-        _shard_match_sets,
+        _sharded_matches,
     )
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
@@ -429,7 +427,7 @@ def search_sorted_multi(
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
     k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
     k_max = max(k_by_query.values(), default=10)
-    shard_refs, _ = _shard_match_sets(_match_sets(index_dir, q, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, q, where=where)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)
@@ -1005,8 +1003,7 @@ def function_score(
 
     from remote_vector_index_builder_ray.pipelines.aggs import (
         _MATCH_SHARD_STRIDE,
-        _match_sets_scored,
-        _shard_scored_sets,
+        _sharded_matches,
     )
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
@@ -1014,7 +1011,7 @@ def function_score(
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
     k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
     k_max = max(k_by_query.values(), default=10)
-    shard_refs, _ = _shard_scored_sets(_match_sets_scored(index_dir, q, where=where))
+    shard_refs, _, _ = _sharded_matches(index_dir, q, where=where, scored=True)
     meta_files = [
         fs.join(d, rel)
         for d in docmeta_dirs(index_dir)

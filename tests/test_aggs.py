@@ -521,3 +521,86 @@ def test_serial_diff_and_auto_histogram(smoke_fixture, smoke_index):
         assert g["interval"].nunique() == 1
         # totals preserved vs the day histogram
         assert g["n_docs"].sum() == base[base["query_id"] == qid]["n_docs"].sum()
+
+
+def test_sharded_matches_distributed_equals_driver(smoke_index):
+    """_sharded_matches (pack tasks over the scorer's object-store blocks)
+    reconstructs exactly what the round-2 driver-side _match_sets produced:
+    same qids, same counts, same per-shard members — and the driver never
+    holds a docid (only refs)."""
+    import remote_vector_index_builder_ray.pipelines.aggs as am
+
+    want = am._match_sets(smoke_index["index_dir"], QUERIES)
+    refs, qids, counts = am._sharded_matches(
+        smoke_index["index_dir"], QUERIES, stride=1 << 10
+    )
+    assert qids == sorted(want)
+    assert counts == {q: len(a) for q, a in want.items() if len(a)}
+    sm = am._ShardedMatches(refs, 1 << 10)
+    hi = max(int(a.max()) for a in want.values() if len(a))
+    got = sm.for_batch(np.arange(0, hi + 1, dtype=np.int64))
+    for qid, arr in want.items():
+        if len(arr) == 0:
+            assert qid not in got
+            continue
+        np.testing.assert_array_equal(got[qid], arr)
+
+
+def test_sharded_matches_scored_equals_driver(smoke_index):
+    import remote_vector_index_builder_ray.pipelines.aggs as am
+
+    want = am._match_sets_scored(smoke_index["index_dir"], QUERIES)
+    refs, qids, _ = am._sharded_matches(
+        smoke_index["index_dir"], QUERIES, scored=True, stride=1 << 10
+    )
+    assert qids == sorted(q for q, (d, _s) in want.items() if len(d))
+    sm = am._ShardedScored(refs, 1 << 10)
+    hi = max(int(d.max()) for d, _ in want.values() if len(d))
+    got = sm.for_batch(np.arange(0, hi + 1, dtype=np.int64))
+    for qid, (d, s) in want.items():
+        if len(d) == 0:
+            continue
+        np.testing.assert_array_equal(got[qid][0], d)
+        np.testing.assert_array_equal(got[qid][1], s)
+
+
+def test_sharded_matches_multi_piece_merge():
+    """A shard whose members arrive in several pieces (one per scorer block)
+    must merge back to the sorted per-query array — including a qid split
+    across pieces (Ray Data splits large blocks)."""
+    import ray as _ray
+
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        _ShardedMatches,
+        _ShardedScored,
+    )
+
+    p1 = {0: np.array([5, 50], dtype=np.int64), 1: np.array([7], dtype=np.int64)}
+    p2 = {0: np.array([20, 99], dtype=np.int64)}
+    sm = _ShardedMatches({0: [_ray.put(p1), _ray.put(p2)]}, 100)
+    got = sm.for_batch(np.arange(100, dtype=np.int64))
+    np.testing.assert_array_equal(got[0], [5, 20, 50, 99])
+    np.testing.assert_array_equal(got[1], [7])
+
+    s1 = {0: (np.array([5, 50], dtype=np.int64), np.array([0.5, 5.0]))}
+    s2 = {0: (np.array([20], dtype=np.int64), np.array([2.0]))}
+    ss = _ShardedScored({0: [_ray.put(s1), _ray.put(s2)]}, 100)
+    got = ss.for_batch(np.arange(100, dtype=np.int64))
+    np.testing.assert_array_equal(got[0][0], [5, 20, 50])
+    np.testing.assert_array_equal(got[0][1], [0.5, 2.0, 5.0])
+
+
+def test_aggs_never_materialize_match_sets_on_driver(smoke_index, monkeypatch):
+    """VERDICT r2 #1: the agg/sort probes must not round-trip the match set
+    through driver memory. _match_sets (the driver-side materializer, kept
+    only for delete_by_query's tombstone list) must be unreachable from the
+    agg path."""
+    import remote_vector_index_builder_ray.pipelines.aggs as am
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side _match_sets called from an agg")
+
+    monkeypatch.setattr(am, "_match_sets", _boom)
+    monkeypatch.setattr(am, "_match_sets_scored", _boom)
+    out = terms_agg(smoke_index["index_dir"], QUERIES, field="role")
+    assert len(out) > 0
