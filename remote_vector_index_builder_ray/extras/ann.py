@@ -19,11 +19,15 @@ flake against SQL ``round`` at exact half-way values.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 
 def _round6(x: np.ndarray | float) -> np.ndarray | float:
@@ -41,6 +45,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+@ray.remote
+def _consolidate_vectors(*blocks):
+    """Concatenate gathered (vec_id, embedding) blocks into ONE
+    (sorted ids, normalized matrix) pair. Runs on a worker, so the combined
+    matrix is created — and stays — in the object store; callers hand the
+    returned ObjectRef to map_batches constructors without ever ray.get-ing
+    it on the driver."""
+    tabs = [b for b in blocks if b.num_rows]
+    if not tabs:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+    t = pa.concat_tables(tabs)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(_batch_matrix(t, "embedding"))
+    o = np.argsort(ids)
+    return ids[o], m[o]
 
 
 class CosineTopK:
@@ -121,29 +142,100 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
-def train_centroids(ds: ray.data.Dataset, n_centroids: int, sample_mod: int = 5, iters: int = 5, seed: int = 7):
-    """k-means-lite on a deterministic sample: vectors with
-    ``vec_id % sample_mod == 0`` (content-determined, stable across runs and
-    block layouts — ``random_sample`` depends on block structure). The analog
-    of the reference's kmeans_trainset_fraction IVF training
-    (``ivf_pq_build_cagra_config.py:25-26``)."""
-    import pyarrow.compute as pc
+def _bounded_sample(ds: ray.data.Dataset, sample_mod: int,
+                    max_train_rows: int | None) -> ray.data.Dataset:
+    """Deterministic modulo trainset sample, BOUNDED: vectors with
+    ``vec_id % mod == 0`` where the modulus widens so at most
+    ~``max_train_rows`` rows are kept no matter the corpus size. A fixed
+    fraction (the round-2 behavior) meant 20 TB of trainset at 100 TB; the
+    reference bounds training the same way (kmeans_trainset_fraction,
+    ``ivf_pq_build_cagra_config.py:25-26``). Content-determined (stable
+    across runs and block layouts — ``random_sample`` is not). Returns a
+    MATERIALIZED dataset: training iterates over it several times."""
+    if max_train_rows is not None:
+        n_rows = ds.count()  # parquet metadata count — no data scan
+        if n_rows and n_rows // sample_mod > max_train_rows:
+            sample_mod = -(-n_rows // max_train_rows)  # ceil division
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.filter(pa.array(ids % sample_mod == 0))
 
-    sample = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    sample = sample.sort_values("vec_id")  # deterministic row order
-    m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]]))
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+
+class _KMeansPartial:
+    """map_batches callable for one k-means iteration: assign each (normalized)
+    vector of the batch to its nearest centroid by cosine (the ``IVFAssign``
+    kernel) and emit the per-centroid PARTIAL (sum vector, count) — n_centroids
+    rows per batch, so only O(centroids x dim) ever reduces to the driver."""
+
+    def __init__(self, cent_ref):
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, "embedding"))
+        assign = (m @ self.cent.T).argmax(axis=1)
+        ncent, dim = self.cent.shape
+        sums = np.zeros((ncent, dim), dtype=np.float64)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=ncent).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # b0 keys the partial by its batch so the driver reduce can sum in a
+        # deterministic order (block completion order is not)
+        b0 = int(ids.min()) if len(ids) else -1
+        return pa.table({
+            "cid": pa.array(np.arange(ncent, dtype=np.int64)),
+            "b0": pa.array(np.full(ncent, b0, dtype=np.int64)),
+            "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+            "n": pa.array(counts, type=pa.int64()),
+        })
+
+
+def train_centroids(ds: ray.data.Dataset, n_centroids: int, sample_mod: int = 5,
+                    iters: int = 5, seed: int = 7,
+                    max_train_rows: int | None = 1 << 16):
+    """k-means-lite, fully distributed: the bounded modulo sample stays in the
+    object store; every iteration is one ``map_batches`` pass emitting
+    per-centroid (sum, count) partials that reduce to an
+    (n_centroids x dim) update on the driver. The driver never holds the
+    trainset — only sampled ids (<= max_train_rows int64s) for seeding and
+    the centroid matrix itself. Round 2 materialized the whole sample with
+    ``.to_pandas()`` and iterated locally."""
+    sample = _bounded_sample(ds, sample_mod, max_train_rows)
+    # seed: rng over the SORTED sampled-id list (ids only — tiny), then one
+    # distributed gather of just the chosen vectors
+    ids = np.sort(
+        sample.select_columns(["vec_id"]).to_pandas()["vec_id"].to_numpy(np.int64)
+    )
     rng = np.random.default_rng(seed)
-    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    chosen = np.sort(rng.choice(ids, size=min(n_centroids, len(ids)), replace=False))
+    cref = ray.put(chosen)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        want = ray.get(cref)
+        bi = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(bi, want)))
+
+    seeds = (
+        sample.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cent = _normalize(np.stack([np.asarray(v, np.float64) for v in seeds["embedding"]]))
     for _ in range(iters):
-        assign = (m @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            sel = m[assign == c]
-            if len(sel):
-                cent[c] = sel.mean(axis=0)
+        parts = sample.map_batches(
+            _KMeansPartial, fn_constructor_args=(ray.put(cent),),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        ).to_pandas()  # blocks x n_centroids rows — driver-tiny
+        parts = parts.sort_values(["cid", "b0"])  # deterministic sum order
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for cid, g in parts.groupby("cid", sort=True):
+            sums[int(cid)] = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+            counts[int(cid)] = int(g["n"].sum())
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
         cent = _normalize(cent)
     return cent
 
@@ -200,6 +292,7 @@ def embedding_near_dup(
     n_planes: int = 48,
     band_size: int = 4,
     seed: int = 11,
+    max_bucket: int | None = 1000,
 ) -> pd.DataFrame:
     """Pairs with cosine >= threshold: BANDED random-hyperplane LSH
     candidates + exact verification — the sub-quadratic scale path.
@@ -208,11 +301,16 @@ def embedding_near_dup(
     ``n_planes/band_size`` bands; docs sharing ANY band bucket are candidates
     (miss probability for a pair at cosine c is
     ``(1 - p^band_size)^nbands`` with ``p = 1 - arccos(c)/pi`` — e.g.
-    ~5e-10 at c=0.95 with the defaults). Candidates are verified exactly:
-    their embeddings are gathered via a broadcast ``np.isin`` filter (the
-    candidate set is tiny relative to the corpus) and scored on the driver.
-    The shuffle key is (band, 64-bit band key) — embeddings never enter the
-    shuffle."""
+    ~5e-10 at c=0.95 with the defaults). ``max_bucket`` caps a band bucket's
+    size (a degenerate bucket — zero vectors, boilerplate — would emit m²
+    pairs into the shuffle); dropped buckets are logged, model
+    ``dedup.ngram_jaccard_pairs.max_shingle_df``. Candidates are verified
+    exactly AND distributed: the candidate embeddings are gathered via a
+    broadcast ``np.isin`` filter, consolidated into one object-store matrix
+    by a worker-side task (never the driver), and each candidate-pair batch
+    scores its dot products in ``map_batches`` — only verified pairs (the
+    contract-small result) reach the driver. The shuffle key is
+    (band, 64-bit band key) — embeddings never enter the shuffle."""
     rng = np.random.default_rng(seed)
 
     first = ds.take_batch(1, batch_format="pyarrow")
@@ -244,9 +342,17 @@ def embedding_near_dup(
             )
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                              "vec_id_b": pd.Series(dtype="int64")})
         ids = np.unique(g["vec_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64")})
+            return empty
+        if max_bucket is not None and len(ids) > max_bucket:
+            logger.warning(
+                "embedding_near_dup: dropping band bucket with %d members "
+                "> max_bucket=%d", len(ids), max_bucket,
+            )
+            return empty
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"vec_id_a": ids[a], "vec_id_b": ids[b]})
 
@@ -255,38 +361,68 @@ def embedding_near_dup(
                        zero_copy_batch=True, concurrency=(1, 4))
         .groupby(["band", "band_key"])
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(["vec_id_a", "vec_id_b"])
+        .materialize()  # feeds the wanted-id pass AND the verify pass
     )
-    if not len(cand):
+    if cand.count() == 0:
         return pd.DataFrame(
             {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
         )
 
-    # exact verification: gather candidate embeddings (broadcast isin filter)
-    wanted = np.unique(np.concatenate([cand["vec_id_a"].to_numpy(), cand["vec_id_b"].to_numpy()]))
-    wref = ray.put(np.sort(wanted.astype(np.int64)))
+    # candidate ids (band-duplicated pairs included — deduped after verify,
+    # cheaper than a pair-keyed shuffle since a dot product costs less than
+    # moving the pair): distinct vec_ids, a tiny driver-side list
+    wanted = cand.groupby("vec_id_a").count().to_pandas()["vec_id_a"].to_numpy(np.int64)
+    wanted_b = cand.groupby("vec_id_b").count().to_pandas()["vec_id_b"].to_numpy(np.int64)
+    wanted = np.unique(np.concatenate([wanted, wanted_b]))
+    if not len(wanted):
+        return pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+        )
+    wref = ray.put(np.sort(wanted))
 
     def collect(batch: pa.Table) -> pa.Table:
         keep = ray.get(wref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.filter(pa.array(np.isin(ids, keep)))
 
-    sub = ds.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    sub = sub.sort_values("vec_id")
-    ids = sub["vec_id"].to_numpy().astype(np.int64)
-    m = _normalize(np.stack([np.asarray(v, np.float64) for v in sub["embedding"]]))
-    ia = np.searchsorted(ids, cand["vec_id_a"].to_numpy())
-    ib = np.searchsorted(ids, cand["vec_id_b"].to_numpy())
-    sims = np.einsum("ij,ij->i", m[ia], m[ib])
-    keep = sims >= threshold
-    out = pd.DataFrame(
-        {
-            "vec_id_a": cand["vec_id_a"].to_numpy()[keep],
-            "vec_id_b": cand["vec_id_b"].to_numpy()[keep],
-            "cosine": _round6(sims[keep]),
-        }
-    )
+    # consolidate the gathered candidate vectors into ONE (ids, matrix)
+    # object — built by a worker task from the gather's object-store blocks,
+    # so the embeddings never visit the driver
+    sub_refs = ds.map_batches(
+        collect, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    mat_ref = _consolidate_vectors.remote(*sub_refs)
+
+    class VerifyPairs:
+        """map_batches over the candidate-pair stream: look both sides up in
+        the broadcast candidate matrix, keep pairs at cosine >= threshold."""
+
+        def __init__(self, mat_ref, threshold: float):
+            self.ids, self.m = ray.get(mat_ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["vec_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["vec_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(self.ids, a)
+            ib = np.searchsorted(self.ids, b)
+            sims = np.einsum("ij,ij->i", self.m[ia], self.m[ib])
+            keep = sims >= self.threshold
+            return pa.table({
+                "vec_id_a": pa.array(a[keep], type=pa.int64()),
+                "vec_id_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(_round6(sims[keep]), type=pa.float64()),
+            })
+
+    out = cand.map_batches(
+        VerifyPairs, fn_constructor_args=(mat_ref, threshold),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()  # verified pairs only: the near-dup-contract-small result
+    if "vec_id_a" not in out.columns:  # zero rows -> column-less frame
+        return pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+        )
+    out = out.drop_duplicates(["vec_id_a", "vec_id_b"])
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
@@ -337,6 +473,41 @@ def embedding_near_dup_exact(ds: ray.data.Dataset, threshold: float = 0.9) -> pd
 # ---------------------------------------------------------------------------
 
 
+class _PQPartial:
+    """One PQ k-means iteration over ALL subspaces in a single pass: per
+    subspace, L2-assign the batch's rows to the current codebook and emit
+    (subspace, cid, sum vector, count) partials — m x n_centroids rows per
+    batch."""
+
+    def __init__(self, books_ref):
+        self.books = ray.get(books_ref)  # (m, ncent, sub)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        m, ncent, sub = self.books.shape
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = int(ids.min()) if len(ids) else -1
+        out_mi, out_cid, out_sum, out_n = [], [], [], []
+        for mi in range(m):
+            x = mat[:, mi * sub:(mi + 1) * sub]
+            d2 = ((x[:, None, :] - self.books[mi][None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros((ncent, sub), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=ncent).astype(np.int64)
+            out_mi.extend([mi] * ncent)
+            out_cid.extend(range(ncent))
+            out_sum.extend(list(sums))
+            out_n.extend(counts.tolist())
+        return pa.table({
+            "mi": pa.array(out_mi, type=pa.int64()),
+            "cid": pa.array(out_cid, type=pa.int64()),
+            "b0": pa.array(np.full(len(out_mi), b0, dtype=np.int64)),
+            "vsum": pa.array(out_sum, type=pa.list_(pa.float64())),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+
 def train_pq_codebooks(
     ds: ray.data.Dataset,
     m: int = 8,
@@ -344,42 +515,66 @@ def train_pq_codebooks(
     sample_mod: int = 5,
     iters: int = 5,
     seed: int = 7,
+    max_train_rows: int | None = 1 << 16,
 ) -> np.ndarray:
-    """Per-subspace k-means codebooks over the deterministic modulo sample
-    (normalized vectors, so ADC inner products approximate cosine):
-    returns (m, n_centroids, dim/m). The analog of the reference's PQ
-    training (``core/index_builder/.../ivf_pq_build_cagra_config.py`` —
-    pq_dim / kmeans trainset fraction)."""
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(ids % sample_mod == 0))
+    """Per-subspace k-means codebooks over the BOUNDED deterministic modulo
+    sample (normalized vectors, so ADC inner products approximate cosine):
+    returns (m, n_centroids, dim/m). Distributed like ``train_centroids``:
+    the sample never lands on the driver — each iteration is one
+    ``map_batches`` pass over all m subspaces emitting (mi, cid, sum, count)
+    partials. The analog of the reference's PQ training
+    (``core/index_builder/.../ivf_pq_build_cagra_config.py`` — pq_dim /
+    kmeans trainset fraction)."""
+    sample = _bounded_sample(ds, sample_mod, max_train_rows)
+    ids = np.sort(
+        sample.select_columns(["vec_id"]).to_pandas()["vec_id"].to_numpy(np.int64)
+    )
+    rng = np.random.default_rng(seed)
+    # one independent seed draw per subspace (matches the round-2 rng stream
+    # shape: m successive choice() calls on the same generator)
+    chosen_per_sub = [
+        np.sort(rng.choice(ids, size=min(n_centroids, len(ids)), replace=False))
+        for _ in range(m)
+    ]
+    want_all = np.unique(np.concatenate(chosen_per_sub))
+    wref = ray.put(want_all)
 
-    sample = ds.map_batches(keep, batch_format="pyarrow",
-                            zero_copy_batch=True).to_pandas()
-    sample = sample.sort_values("vec_id")
-    mat = _normalize(np.stack([np.asarray(v, np.float64)
-                               for v in sample["embedding"]]))
-    dim = mat.shape[1]
+    def pick(batch: pa.Table) -> pa.Table:
+        want = ray.get(wref)
+        bi = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(bi, want)))
+
+    seeds = (
+        sample.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    seed_ids = seeds["vec_id"].to_numpy(np.int64)
+    seed_mat = _normalize(np.stack([np.asarray(v, np.float64)
+                                    for v in seeds["embedding"]]))
+    dim = seed_mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, n_centroids, sub), dtype=np.float64)
     for mi in range(m):
-        x = mat[:, mi * sub:(mi + 1) * sub]
-        cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
-                            replace=False)].copy()
-        for _ in range(iters):
-            # nearest centroid in L2 over the subspace
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(cent)):
-                sel = x[assign == c]
-                if len(sel):
-                    cent[c] = sel.mean(axis=0)
+        rows = seed_mat[np.searchsorted(seed_ids, chosen_per_sub[mi])]
+        cent = rows[:, mi * sub:(mi + 1) * sub].copy()
         books[mi, :len(cent)] = cent
         if len(cent) < n_centroids:
             books[mi, len(cent):] = cent[0]
+    for _ in range(iters):
+        parts = sample.map_batches(
+            _PQPartial, fn_constructor_args=(ray.put(books),),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        ).to_pandas()
+        parts = parts.sort_values(["mi", "cid", "b0"])  # deterministic sums
+        for (mi, cid), g in parts.groupby(["mi", "cid"], sort=True):
+            n = int(g["n"].sum())
+            if n:
+                books[int(mi), int(cid)] = (
+                    np.sum(np.stack(g["vsum"].to_numpy()), axis=0) / n
+                )
     return books
 
 

@@ -224,12 +224,17 @@ class MinHashSignatures:
 
 
 def minhash_lsh_candidates(
-    ds: ray.data.Dataset, num_hashes: int = 64, band_size: int = 4, shingle_k: int = 3
+    ds: ray.data.Dataset, num_hashes: int = 64, band_size: int = 4,
+    shingle_k: int = 3, max_band_df: int | None = 1000,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    Shuffle key = (band, band_key); each group emits its pairs (buckets are
-    tiny by construction — collisions are either real near-dups or rare).
+    Shuffle key = (band, band_key); each group emits its pairs. Buckets are
+    tiny by construction for REAL near-dups, but a degenerate bucket (a
+    boilerplate signature shared by m docs — e.g. empty texts) would emit m²
+    pairs into the shuffle, so ``max_band_df`` (default 1000) drops and logs
+    oversized buckets, mirroring ``ngram_jaccard_pairs.max_shingle_df``.
+    Pass ``None`` for the uncapped (oracle-comparison) behavior.
     """
     sigs = ds.map_batches(
         MinHashSignatures,
@@ -241,6 +246,12 @@ def minhash_lsh_candidates(
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
         if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        if max_band_df is not None and len(ids) > max_band_df:
+            logger.warning(
+                "minhash_lsh_candidates: dropping band bucket with %d members"
+                " > max_band_df=%d", len(ids), max_band_df,
+            )
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
