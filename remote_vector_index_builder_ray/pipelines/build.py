@@ -38,10 +38,13 @@ from remote_vector_index_builder_ray.config import (
 )
 from remote_vector_index_builder_ray.sources.transcripts import read_transcripts
 from remote_vector_index_builder_ray.stages.docids import (
+    ShardedOffsets,
     assign_docids_dense,
     assign_docids_sort,
     compute_conv_offsets,
     dedup_exact,
+    load_sharded_offsets,
+    persist_sharded_offsets,
 )
 from remote_vector_index_builder_ray.stages.merge import merge_bucket_files
 from remote_vector_index_builder_ray.stages.postings import PostingsPartials, add_doc_len
@@ -271,23 +274,37 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
 
     # ---- phase 0: conv offsets / docid basis --------------------------------
     offsets_path = fs.join(cfg.index_dir, "conv_offsets.parquet")
+    offsets_dir = fs.join(cfg.index_dir, "conv_offsets")  # sharded checkpoint
     if cfg.docid_mode == "dense":
-        if not (man.stage_done("conv_offsets") and fs.exists(offsets_path)):
+        if not (man.stage_done("conv_offsets")
+                and (fs.exists(offsets_path) or fs.exists(offsets_dir))):
             t0 = time.time()
             two = read_transcripts(cfg.input_paths, columns=["conv_id", "turn_idx"])
             if cfg.dedup:
                 # count DISTINCT (conv_id, turn_idx): dedup pairs first
                 two = two.groupby(["conv_id", "turn_idx"]).count()
             conv_ids, offsets, n_docs, _ = compute_conv_offsets(two, validate_dense=True)
-            offsets = offsets + int(cfg.docid_base)  # generation base (0 for a base index)
-            tbl = pa.table({"conv_id": pa.array(conv_ids), "offset": pa.array(offsets, type=pa.int64())})
-            # safe without a temp file: the stage commit (below) happens only
-            # after the write completes, and resume re-writes on a dirty file
-            fs.write_table(tbl, offsets_path)
-            man.commit_stage("conv_offsets", {"n_convs": len(conv_ids), "n_docs": n_docs, "sec": time.time() - t0})
-        tbl = fs.read_table(offsets_path)
-        conv_ids = tbl["conv_id"].to_numpy(zero_copy_only=False)
-        offsets = tbl["offset"].to_numpy(zero_copy_only=False)
+            if isinstance(conv_ids, ShardedOffsets):
+                # beyond _CONV_DRIVER_MAX: worker tasks write one file per
+                # block (base applied in-task); the driver commits only the
+                # tiny range index
+                n_convs = persist_sharded_offsets(
+                    conv_ids, int(cfg.docid_base), offsets_dir
+                )
+            else:
+                offsets = offsets + int(cfg.docid_base)  # generation base (0 for a base index)
+                tbl = pa.table({"conv_id": pa.array(conv_ids), "offset": pa.array(offsets, type=pa.int64())})
+                # safe without a temp file: the stage commit (below) happens only
+                # after the write completes, and resume re-writes on a dirty file
+                fs.write_table(tbl, offsets_path)
+                n_convs = len(conv_ids)
+            man.commit_stage("conv_offsets", {"n_convs": n_convs, "n_docs": n_docs, "sec": time.time() - t0})
+        if fs.exists(offsets_path):
+            tbl = fs.read_table(offsets_path)
+            conv_ids = tbl["conv_id"].to_numpy(zero_copy_only=False)
+            offsets = tbl["offset"].to_numpy(zero_copy_only=False)
+        else:
+            conv_ids, offsets = load_sharded_offsets(offsets_dir), None
 
     # ---- phase dedup (optional, global) -------------------------------------
     # Duplicates of (conv_id, turn_idx) can span input files, so dedup is a

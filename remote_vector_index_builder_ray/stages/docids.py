@@ -13,10 +13,13 @@ Two paths:
   columns validates that ``turn_idx`` is dense ``0..len-1`` per conversation,
   then a prefix sum over conv-sorted counts yields each conversation's docid
   offset; ``docid = offset[conv_id] + turn_idx`` is a pure broadcast-lookup
-  ``map_batches``. The 100 TB table is never sorted. The offsets table is
-  ~n_turns/8 rows; it is broadcast via ``ray.put`` (at 10^12-turn scale it
-  would instead be range-sharded and joined with ``Dataset.join`` — same
-  semantics, noted here for the multi-node path).
+  ``map_batches``. The 100 TB table is never sorted. Below
+  ``_CONV_DRIVER_MAX`` conversations the offsets table is broadcast via
+  ``ray.put``; above it, the finalize goes DISTRIBUTED end-to-end
+  (groupby → sort → per-block prefix-sum attach, all in the object store)
+  and assignment reads conv-RANGE-SHARDED offset blocks — the driver holds
+  one first-conv_id boundary per block, never the conv table
+  (``ShardedOffsets``; the 10^12-conversation path).
 
 * **sort** (general fallback): full ``ds.sort(conv_id, turn_idx)`` +
   per-block offset zip-with-index (raw Ray tasks over the sorted block refs —
@@ -33,12 +36,61 @@ import ray.data
 
 from remote_vector_index_builder_ray.config import SchemaValidationError
 
+# conv-table rows above which the offsets finalize and lookup go fully
+# distributed (ShardedOffsets) instead of driver Arrow + ray.put broadcast
+_CONV_DRIVER_MAX = 50_000_000
+
+
+class ShardedOffsets:
+    """Conv-RANGE-sharded (conv_id -> docid offset) lookup: the conv-sorted
+    offsets table lives as object-store blocks; the driver holds only one
+    (first conv_id, ObjectRef) pair per block. ``assign_docids_dense``
+    dispatches to an actor-pool lookup that fetches just the blocks
+    overlapping each batch's conv range — the 10^12-conversation path the
+    module docstring promises (``Dataset.join`` would re-shuffle the 100 TB
+    turn table; a range-sharded broadcast probe moves only offset blocks)."""
+
+    def __init__(self, block_refs: list, first_convs: np.ndarray, n_docs: int):
+        self.block_refs = block_refs
+        self.first_convs = first_convs  # ascending; len == len(block_refs)
+        self.n_docs = int(n_docs)
+
+
+@ray.remote
+def _conv_block_stats(t: pa.Table, validate_dense: bool):
+    """Per-block finalize stats: (rows, total turns, first conv_id, dense
+    violations + up to 3 examples). Blocks are conv-sorted and disjoint."""
+    if t.num_rows == 0:
+        return 0, 0, None, 0, []
+    n_bad, examples = 0, []
+    if validate_dense:
+        bad = pc.not_equal(pc.add(t["max_turn"], 1), t["n_turns"])
+        n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+        if n_bad:
+            examples = t.filter(bad).slice(0, 3).to_pylist()
+    total = pc.sum(t["n_turns"]).as_py()
+    return t.num_rows, int(total), t["conv_id"][0].as_py(), int(n_bad), examples
+
+
+@ray.remote
+def _attach_conv_offsets(t: pa.Table, start: int) -> pa.Table:
+    """Per-block exclusive prefix sum: (conv_id, offset) for this block,
+    offset by the cumulative turn count of all preceding blocks."""
+    n = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+    off = int(start) + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+    return pa.table({
+        "conv_id": t["conv_id"],
+        "offset": pa.array(off, type=pa.int64()),
+    })
+
 
 def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
     """Per-conversation docid offsets from a (conv_id, turn_idx) projection.
 
-    Returns ``(conv_ids_sorted: np.ndarray[str], offsets: np.ndarray[int64],
-    n_docs: int, total_turn_rows: int)``.
+    Returns ``(conv_ids_sorted, offsets, n_docs, total_turn_rows)``. Below
+    ``_CONV_DRIVER_MAX`` conv-partial rows the first two are numpy arrays
+    (broadcast path); above it they are ``(ShardedOffsets, None)`` — the conv
+    table never lands on the driver. ``assign_docids_dense`` accepts both.
     """
     from ray.data.aggregate import Max, Sum
 
@@ -52,54 +104,112 @@ def compute_conv_offsets(ds: ray.data.Dataset, validate_dense: bool = True):
 
     partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         partial_counts, batch_format="pyarrow", zero_copy_batch=True
-    )
-    # Finalize: the partials are ~one row per (conv, batch). Below a size
+    ).materialize()
+    # Finalize: the partials are ~one row per (conv, batch). Below the size
     # threshold the combine runs driver-side in Arrow C++ (group_by + sort
     # kernels — the pandas version of this finalize was a flat ~8-10 s serial
     # stage at 12M turns and capped whole-build scaling); above it, the
-    # distributed groupby is the scale path (at 10^12 turns the conv table
-    # itself is cluster-sized).
-    refs = partials.to_arrow_refs()
-    tabs = [t for t in ray.get(refs) if t.num_rows]
-    total_rows = sum(t.num_rows for t in tabs)
-    if total_rows <= 50_000_000:
+    # finalize AND the lookup table stay distributed (at 10^12 turns the conv
+    # table itself is cluster-sized).
+    total_rows = partials.count()  # metadata only — no block fetch
+    if total_rows <= _CONV_DRIVER_MAX:
+        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
         t = pa.concat_tables(tabs, promote_options="default")
         g = pa.TableGroupBy(t, "conv_id").aggregate([("n_turns", "sum"), ("max_turn", "max")])
         g = g.rename_columns(["conv_id", "n_turns", "max_turn"]).sort_by("conv_id")
-        n_col = g["n_turns"]
-        max_col = g["max_turn"]
-        conv_col = g["conv_id"]
-    else:  # distributed finalize
-        counts = partials.groupby("conv_id").aggregate(
-            Sum("n_turns", alias_name="n_turns"), Max("max_turn", alias_name="max_turn")
-        )
-        t = pa.concat_tables(
-            [b for b in ray.get(counts.to_arrow_refs()) if b.num_rows],
-            promote_options="default",
-        ).sort_by("conv_id")
-        n_col, max_col, conv_col = t["n_turns"], t["max_turn"], t["conv_id"]
+        n_col, max_col, conv_col = g["n_turns"], g["max_turn"], g["conv_id"]
+        if validate_dense:
+            bad = pc.not_equal(pc.add(max_col, 1), n_col)
+            n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            if n_bad:
+                examples = pa.table({"conv_id": conv_col, "n_turns": n_col, "max_turn": max_col}) \
+                    .filter(bad).slice(0, 3).to_pylist()
+                raise SchemaValidationError(
+                    f"turn_idx not dense 0..len-1 for {n_bad} conversations "
+                    f"(e.g. {examples}); use docid_mode='sort' or dedup=True"
+                )
+        n = n_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        return conv_col.to_numpy(zero_copy_only=False), offsets, int(n.sum()), int(n.sum())
+
+    # distributed finalize: combine + conv-sort as Dataset shuffles, then a
+    # per-block prefix-sum attach over the sorted blocks' refs — the driver
+    # sees per-block stats (a handful of ints + one conv_id each), never rows
+    counts = partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"), Max("max_turn", alias_name="max_turn")
+    )
+    refs = counts.sort("conv_id").to_arrow_refs()
+    stats = ray.get([_conv_block_stats.remote(r, validate_dense) for r in refs])
     if validate_dense:
-        bad = pc.not_equal(pc.add(max_col, 1), n_col)
-        n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+        n_bad = sum(s[3] for s in stats)
         if n_bad:
-            examples = pa.table({"conv_id": conv_col, "n_turns": n_col, "max_turn": max_col}) \
-                .filter(bad).slice(0, 3).to_pylist()
+            examples = next(s[4] for s in stats if s[4])
             raise SchemaValidationError(
                 f"turn_idx not dense 0..len-1 for {n_bad} conversations "
                 f"(e.g. {examples}); use docid_mode='sort' or dedup=True"
             )
-    n = n_col.to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
-    return conv_col.to_numpy(zero_copy_only=False), offsets, int(n.sum()), int(n.sum())
+    keep = [(r, s) for r, s in zip(refs, stats) if s[0]]
+    totals = np.array([s[1] for _, s in keep], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+    off_refs = [_attach_conv_offsets.remote(r, int(st)) for (r, _), st in zip(keep, starts)]
+    first_convs = np.array([s[2] for _, s in keep], dtype=object)
+    n_docs = int(totals.sum())
+    return ShardedOffsets(off_refs, first_convs, n_docs), None, n_docs, n_docs
 
 
-def assign_docids_dense(ds: ray.data.Dataset, conv_ids: np.ndarray, offsets: np.ndarray) -> ray.data.Dataset:
+class _ShardedOffsetAssign:
+    """Actor-pool lookup over ``ShardedOffsets``: per batch, binary-search the
+    block boundaries for the batch's conv range and fetch (then cache) only
+    those offset blocks — O(batch's conv span), never the whole conv table."""
+
+    def __init__(self, block_refs: list, firsts_ref):
+        self._refs = block_refs
+        self._firsts = ray.get(firsts_ref)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        b = self._cache.get(bi)
+        if b is None:
+            t = ray.get(self._refs[bi])
+            b = (
+                t["conv_id"].to_numpy(zero_copy_only=False),
+                t["offset"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+            self._cache[bi] = b
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(conv) == 0:
+            return batch.append_column("docid", pa.array([], type=pa.int64()))
+        lo = max(0, int(np.searchsorted(self._firsts, conv.min(), side="right")) - 1)
+        hi = max(0, int(np.searchsorted(self._firsts, conv.max(), side="right")) - 1)
+        parts = [self._block(bi) for bi in range(lo, hi + 1)]
+        conv_ids_s = np.concatenate([p[0] for p in parts])  # blocks are sorted+disjoint
+        offsets_s = np.concatenate([p[1] for p in parts])
+        idx = np.searchsorted(conv_ids_s, conv)
+        if (idx >= len(conv_ids_s)).any() or (conv_ids_s[idx] != conv).any():
+            raise SchemaValidationError("conv_id seen in data but absent from offsets pass")
+        turn = batch["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        docid = offsets_s[idx] + turn
+        return batch.append_column("docid", pa.array(docid, type=pa.int64()))
+
+
+def assign_docids_dense(ds: ray.data.Dataset, conv_ids, offsets=None) -> ray.data.Dataset:
     """map_batches stage: ``docid = offset[conv_id] + turn_idx``.
 
-    Stateless TASKS, not an actor pool: the (sorted conv_ids, offsets) pair is
-    put in the object store ONCE and each task reads it zero-copy via
-    ``ray.get`` (broadcast lookup, never re-shipped per batch; no actor
-    processes to spin up)."""
+    With numpy arrays (the broadcast path): stateless TASKS — the
+    (sorted conv_ids, offsets) pair is put in the object store ONCE and each
+    task reads it zero-copy via ``ray.get`` (never re-shipped per batch).
+    With a ``ShardedOffsets`` (the beyond-``_CONV_DRIVER_MAX`` path): an
+    actor pool that range-probes only the offset blocks its batches touch."""
+    if isinstance(conv_ids, ShardedOffsets):
+        sh = conv_ids
+        return ds.map_batches(
+            _ShardedOffsetAssign,
+            fn_constructor_args=(sh.block_refs, ray.put(sh.first_convs)),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        )
     conv_ref = ray.put(conv_ids)
     off_ref = ray.put(offsets)
 
@@ -114,6 +224,65 @@ def assign_docids_dense(ds: ray.data.Dataset, conv_ids: np.ndarray, offsets: np.
         return batch.append_column("docid", pa.array(docid, type=pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@ray.remote
+def _persist_offset_block(t: pa.Table, base: int, path: str):
+    from remote_vector_index_builder_ray.state import fs
+
+    out = pa.table({
+        "conv_id": t["conv_id"],
+        "offset": pc.add(t["offset"], pa.scalar(base, type=pa.int64())),
+    })
+    fs.write_table(out, path)
+    return t["conv_id"][0].as_py(), t.num_rows
+
+
+@ray.remote
+def _read_offset_block(path: str) -> pa.Table:
+    from remote_vector_index_builder_ray.state import fs
+
+    return fs.read_table(path)
+
+
+def persist_sharded_offsets(sh: ShardedOffsets, base: int, out_dir: str) -> int:
+    """Checkpoint a ``ShardedOffsets`` as one parquet file per block, written
+    by worker tasks (the conv table never visits the driver — the whole point
+    of the sharded path). A tiny ``_index.json`` records the per-file first
+    conv_id and the doc count so resume can rebuild the range directory
+    without touching the blocks. Returns the conversation count."""
+    import json
+
+    from remote_vector_index_builder_ray.state import fs
+
+    fs.makedirs(out_dir)
+    names = [f"part-{i:05d}.parquet" for i in range(len(sh.block_refs))]
+    res = ray.get([
+        _persist_offset_block.remote(r, base, fs.join(out_dir, n))
+        for r, n in zip(sh.block_refs, names)
+    ])
+    index = {
+        "files": [{"name": n, "first_conv": f} for n, (f, _) in zip(names, res)],
+        "n_docs": sh.n_docs,
+        "base": int(base),
+    }
+    fs.write_json_atomic(fs.join(out_dir, "_index.json"), index)
+    return int(sum(c for _, c in res))
+
+
+def load_sharded_offsets(out_dir: str) -> ShardedOffsets:
+    """Rebuild a ``ShardedOffsets`` from its checkpoint: block reads are
+    remote tasks (refs only on the driver); the range directory comes from
+    ``_index.json``."""
+    from remote_vector_index_builder_ray.state import fs
+
+    index = fs.read_json(fs.join(out_dir, "_index.json"))
+    refs = [
+        _read_offset_block.remote(fs.join(out_dir, f["name"]))
+        for f in index["files"]
+    ]
+    firsts = np.array([f["first_conv"] for f in index["files"]], dtype=object)
+    return ShardedOffsets(refs, firsts, int(index["n_docs"]))
 
 
 def assign_docids_sort(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:

@@ -869,6 +869,19 @@ class BM25Searcher:
                     offs.append(
                         t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
                     )
+                    continue
+                # sharded checkpoint (stages/docids.persist_sharded_offsets):
+                # one file per conv-range block
+                sd = self._fs.join(d, "conv_offsets")
+                if self._fs.exists(sd):
+                    for rel in sorted(self._fs.listdir(sd)):
+                        if rel.endswith(".parquet"):
+                            t = self._fs.read_table(
+                                self._fs.join(sd, rel), columns=["offset"]
+                            )
+                            offs.append(
+                                t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+                            )
             if not offs:
                 from remote_vector_index_builder_ray.config import EngineError
 

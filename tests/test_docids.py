@@ -77,3 +77,81 @@ def test_dedup_first_wins():
     key = (df.iloc[0]["conv_id"], df.iloc[0]["turn_idx"])
     kept = out[(out["conv_id"] == key[0]) & (out["turn_idx"] == key[1])]
     assert kept["text"].tolist() == [df.iloc[0]["text"]]
+
+
+def test_sharded_offsets_path_matches_broadcast(monkeypatch):
+    """Force _CONV_DRIVER_MAX below the fixture size: compute_conv_offsets
+    returns a ShardedOffsets (the conv table never concatenated on the
+    driver) and assignment produces the identical docid mapping."""
+    import remote_vector_index_builder_ray.stages.docids as dm
+
+    df = _toy_df()
+    ds = ray.data.from_pandas([df.iloc[:3], df.iloc[3:6], df.iloc[6:]])
+    ca, oa, n_a, _ = compute_conv_offsets(ds)
+    want = assign_docids_dense(ds, ca, oa).to_pandas().sort_values("docid")
+
+    monkeypatch.setattr(dm, "_CONV_DRIVER_MAX", 0)
+    sh, none_off, n_b, _ = compute_conv_offsets(ds)
+    assert isinstance(sh, dm.ShardedOffsets) and none_off is None
+    assert n_a == n_b == 9
+    got = assign_docids_dense(ds, sh).to_pandas().sort_values("docid")
+    assert got["docid"].tolist() == want["docid"].tolist() == list(range(9))
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_sharded_offsets_validation_still_rejects_holes(monkeypatch):
+    import remote_vector_index_builder_ray.stages.docids as dm
+
+    monkeypatch.setattr(dm, "_CONV_DRIVER_MAX", 0)
+    df = _toy_df()
+    df.loc[df["turn_idx"] == 1, "turn_idx"] = 7
+    with pytest.raises(SchemaValidationError):
+        compute_conv_offsets(ray.data.from_pandas(df))
+
+
+def test_sharded_offsets_persist_roundtrip(tmp_path, monkeypatch):
+    """persist_sharded_offsets -> load_sharded_offsets reproduces the lookup
+    (with the docid base applied), all via worker tasks."""
+    import remote_vector_index_builder_ray.stages.docids as dm
+
+    monkeypatch.setattr(dm, "_CONV_DRIVER_MAX", 0)
+    df = _toy_df()
+    ds = ray.data.from_pandas(df)
+    sh, _, _, _ = compute_conv_offsets(ds)
+    out_dir = str(tmp_path / "conv_offsets")
+    n_convs = dm.persist_sharded_offsets(sh, 100, out_dir)
+    assert n_convs == 3
+    sh2 = dm.load_sharded_offsets(out_dir)
+    assert sh2.n_docs == 9
+    got = assign_docids_dense(ds, sh2).to_pandas().sort_values("docid")
+    assert got["docid"].tolist() == [100 + i for i in range(9)]
+
+
+def test_build_index_sharded_offsets_end_to_end(smoke_fixture, tmp_path_factory, monkeypatch):
+    """A full build forced through the sharded-offsets path searches
+    bit-identically to the broadcast-path smoke index."""
+    import remote_vector_index_builder_ray.stages.docids as dm
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    monkeypatch.setattr(dm, "_CONV_DRIVER_MAX", 0)
+    idx = str(tmp_path_factory.mktemp("shardoff") / "idx")
+    man = build_index(BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=idx, num_buckets=32,
+    ))
+    assert man["status"] == "COMPLETED"
+    import os
+    assert os.path.isdir(os.path.join(idx, "conv_offsets"))  # sharded ckpt
+    assert not os.path.exists(os.path.join(idx, "conv_offsets.parquet"))
+    got = search(idx, smoke_fixture["queries"], mode="bmw").to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # collapse rides the sharded checkpoint for its conv map
+    got_c = search(idx, smoke_fixture["queries"], mode="collapse").to_pandas()
+    assert len(got_c) > 0
+    monkeypatch.undo()
+    base = str(tmp_path_factory.mktemp("shardoff") / "base")
+    build_index(BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=base, num_buckets=32,
+    ))
+    want = search(base, smoke_fixture["queries"], mode="bmw").to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
