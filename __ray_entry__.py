@@ -396,17 +396,21 @@ def _ensure_phrase_slop_queries(sf_dir: str) -> str:
     step = max(1, len(src) // 20)
     for i in range(0, len(src), step):
         tk = toks[i]
-        if len(tk) >= 4:
+        # DISTINCT terms only: the engine's transposition-tolerant matcher
+        # (and its SQL twin) applies to distinct-term phrases; repeated
+        # terms route to the ordered chain
+        if len(tk) >= 4 and len({tk[1], tk[2], tk[3]}) == 3:
             pairs.append((f"{tk[1]} {tk[3]}", 1))       # skip-one: needs slop
             pairs.append((f"{tk[1]} {tk[2]}", 2))       # adjacent, widened
-            pairs.append((f"{tk[2]} {tk[1]}", 2))       # reversed, in-order
+            pairs.append((f"{tk[2]} {tk[1]}", 2))       # TRANSPOSED: matches only out-of-order (cost 2)
+            pairs.append((f"{tk[2]} {tk[1]}", 1))       # transposed under-budget: must NOT match adjacency
         if len(pairs) >= 15:
             break
     pairs.append(("zzzz_nonexistent qqqq", 3))
     seen, uniq = set(), []
     for p in pairs:
-        if p[0] not in seen:
-            seen.add(p[0])
+        if p not in seen:  # (text, slop) pairs: same text under two slops is intentional
+            seen.add(p)
             uniq.append(p)
     _write_atomic(
         pa.table(
@@ -5237,9 +5241,11 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
-    # sloppy phrase (2-term queries): ordered greedy chain — for each
-    # occurrence x of term1, z = smallest term2 position > x; gap = z-x-1;
-    # weight 1/(z-x) when gap <= slop; stf = sum of weights (ascending x,
+    # sloppy phrase (2-term queries), Lucene transposition-tolerant
+    # (stages/search._nearest_stf): for each occurrence x of term1 the
+    # nearest ADJUSTED term2 position (z - 1, either side of x) is chosen;
+    # gap = min over z of abs(z - 1 - x); weight 1/(1+gap) when gap <= slop
+    # — a transposed pair costs 2. stf = sum of weights (ascending x,
     # mirroring the engine's bincount order); BM25 saturation as in phrase.
     slop_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_phrase_slop_queries.parquet")
     out["bm25_phrase_slop"] = f"""
@@ -5275,10 +5281,10 @@ cand AS (
 stf AS (
     SELECT c.query_id, c.docid,
            list_sum(
-               [1.0 / (list_min([z FOR z IN p2 IF z > x]) - x)
+               [1.0 / (1 + list_min([abs(z - 1 - x) FOR z IN p2]))
                 FOR x IN p1
-                IF len([z FOR z IN p2 IF z > x]) > 0
-                   AND list_min([z FOR z IN p2 IF z > x]) - x - 1 <= q.slop]
+                IF len(p2) > 0
+                   AND list_min([abs(z - 1 - x) FOR z IN p2]) <= q.slop]
            ) AS stf, len(d.ts) AS dl
     FROM cand c
     JOIN qok q ON q.query_id = c.query_id

@@ -681,24 +681,85 @@ class BM25Searcher:
         stf = np.bincount(inv, weights=weights, minlength=len(cand))
         return cand, stf
 
+    def _nearest_stf(self, terms: list[str], offsets: list[int], slop: int):
+        """OUT-OF-ORDER-tolerant sloppy matcher (Lucene match_phrase slop
+        semantics): anchor on each occurrence of the FIRST phrase term; every
+        other term contributes the occurrence whose ADJUSTED position
+        (p - expected offset) is nearest the anchor (tie: the earlier
+        position). gap = max(adjusted) - min(adjusted) over the chosen
+        occurrences; a match needs gap <= slop and weighs 1/(1+gap)
+        (SloppyPhraseMatcher.sloppyWeight). A transposed pair — query
+        "york new" over "... new york ..." — has adjusted distance 2, so it
+        matches at slop >= 2: exactly Lucene's transposition cost, which the
+        round-2 in-order chain silently missed. Vectorized like
+        ``_chain_stf``: one searchsorted per later term over packed
+        (docid, adjusted) keys; all anchors advance at once. Requires
+        DISTINCT terms (callers route repeated-term phrases to the in-order
+        chain, which cannot reuse one position for two slots). Returns
+        (unique matched docids, per-doc sloppy freq) or None."""
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        cand_docs = None
+        for t in sorted(set(terms), key=lambda t: len(self._pos_cache[t][2])):
+            cdoc = self._pos_cache[t][2]
+            cand_docs = cdoc if cand_docs is None else np.intersect1d(
+                cand_docs, cdoc, assume_unique=True
+            )
+            if cand_docs.size == 0:
+                return None
+        bias = int(max(offsets))
+        KB = self._POS_PACK + bias  # adjusted values fit in [0, KB)
+        packed = []
+        for t, off in zip(terms, offsets):
+            d, p, cdoc, _ = self._pos_cache[t]
+            if len(cand_docs) < len(cdoc):
+                m = isin_sorted(d, cand_docs)
+                d, p = d[m], p[m]
+            if len(d) == 0:
+                return None
+            a = p.astype(np.int64) - int(off)
+            packed.append((d, a, d * KB + (a + bias)))
+        d0, a0, anchor_key = packed[0]
+        valid = np.ones(len(anchor_key), dtype=bool)
+        amin = a0.copy()
+        amax = a0.copy()
+        for d, a, kk in packed[1:]:
+            idx = np.searchsorted(kk, anchor_key)  # side=left: kk[idx-1] < key <= kk[idx]
+            li = np.maximum(idx - 1, 0)
+            ri = np.minimum(idx, len(kk) - 1)
+            lv = (idx > 0) & (d[li] == d0)
+            rv = (idx < len(kk)) & (d[ri] == d0)
+            la, ra = a[li], a[ri]
+            ldist = a0 - la   # > 0 (strictly left of the anchor key)
+            rdist = ra - a0   # >= 0
+            use_left = lv & (~rv | (ldist <= rdist))  # tie -> earlier position
+            chosen = np.where(use_left, la, ra)
+            valid &= lv | rv
+            amin = np.where(valid, np.minimum(amin, chosen), amin)
+            amax = np.where(valid, np.maximum(amax, chosen), amax)
+        gap = amax - amin
+        matched = valid & (gap <= slop)
+        if not matched.any():
+            return None
+        mdocs = d0[matched]
+        weights = 1.0 / (1.0 + gap[matched].astype(np.float64))
+        cand, inv = np.unique(mdocs, return_inverse=True)
+        stf = np.bincount(inv, weights=weights, minlength=len(cand))
+        return cand, stf
+
     def _score_phrase_slop(self, terms: list[str], k: int, slop: int,
                            offsets=None):
-        """Ordered sloppy phrase (OpenSearch match_phrase with ``slop``):
-        the terms must appear IN ORDER; for each occurrence of the first
-        term the matcher greedily chains every later term to its smallest
-        position strictly after the previous term's matched position
-        (vectorized: one ``searchsorted`` per phrase term over the packed
-        (docid << 21 | pos) arrays — all chains across all candidate docs
-        advance at once). With adjusted positions a_i = p_i - offsets[i],
-        a chain matches when gap = max(a) - min(a) <= slop and contributes
-        Lucene's sloppy weight 1 / (1 + gap) to the doc's phrase frequency
-        (SloppyPhraseMatcher.sloppyWeight), which then runs through the BM25
-        saturation with summed term idfs exactly as the exact matcher.
-
-        Semantics note (frozen, documented): Lucene's sloppy matcher also
-        accepts OUT-of-order matches whose edit distance fits the slop
-        budget; this engine freezes the deterministic in-order greedy
-        subset so a SQL oracle reproduces it bit-for-bit. slop=0 is exactly
+        """Sloppy phrase (OpenSearch match_phrase with ``slop``), Lucene
+        transposition-tolerant: for DISTINCT phrase terms the nearest-anchor
+        matcher (``_nearest_stf``) accepts out-of-order alignments whose
+        adjusted-position spread fits the slop budget — "york new"~2 matches
+        "new york", the round-3 fix for the engine's one silent divergence
+        from OpenSearch. Each anchor's match contributes Lucene's sloppy
+        weight 1/(1+gap) to the doc's phrase frequency, which runs through
+        the BM25 saturation with summed term idfs exactly as the exact
+        matcher. Phrases with a REPEATED term keep the ordered greedy chain
+        (``_chain_stf`` — the nearest rule could bind one document position
+        to two phrase slots, which Lucene forbids). slop=0 is exactly
         ``_score_phrase`` (and is routed there)."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not terms:
@@ -715,7 +776,10 @@ class BM25Searcher:
             idf_sum += _idf(self.N, self._cache[t].df)
         if any(self._pos_cache.get(t) is None for t in uterms):
             return empty
-        res = self._chain_stf(terms, offsets, slop)
+        if len(set(terms)) == len(terms):
+            res = self._nearest_stf(terms, offsets, slop)
+        else:
+            res = self._chain_stf(terms, offsets, slop)
         if res is None:
             return empty
         cand, stf = res

@@ -200,10 +200,12 @@ def test_phrase_incremental_generations(smoke_fixture, tmp_path_factory):
 
 
 def _slop_gold(df: pd.DataFrame, phrase: str, slop: int, k: int):
-    """Brute-force oracle for the ordered greedy sloppy matcher: for each
-    occurrence of term 1, chain each later term to its smallest position
-    strictly after the previous match; gap = max(a)-min(a) over adjusted
-    positions a_i = p_i - i; weight 1/(1+gap) when gap <= slop."""
+    """Brute-force oracle for the sloppy matcher. Distinct-term phrases use
+    the transposition-tolerant NEAREST-ANCHOR rule (for each occurrence of
+    term 1, every later term contributes its adjusted position a = p - j
+    nearest the anchor, tie -> earlier); repeated-term phrases use the
+    ordered greedy chain. gap = max(a)-min(a); weight 1/(1+gap) when
+    gap <= slop (mirrors stages/search._nearest_stf / _chain_stf)."""
     p = tokenize_text(phrase)
     if not p:
         return []
@@ -216,6 +218,7 @@ def _slop_gold(df: pd.DataFrame, phrase: str, slop: int, k: int):
     idf_sum = 0.0
     for t in p:
         idf_sum += _idf(N, df_map[t])
+    distinct = len(set(p)) == len(p)
     rows = []
     for docid, tk in zip(df["docid"], df["toks"]):
         pos = {t: [i for i, x in enumerate(tk) if x == t] for t in set(p)}
@@ -224,15 +227,21 @@ def _slop_gold(df: pd.DataFrame, phrase: str, slop: int, k: int):
         stf = 0.0
         for p1 in pos[p[0]]:
             adj = [p1 - 0]
-            prev = p1
             dead = False
-            for j, t in enumerate(p[1:], start=1):
-                nxt = [x for x in pos[t] if x > prev]
-                if not nxt:
-                    dead = True
-                    break
-                prev = nxt[0]
-                adj.append(prev - j)
+            if distinct:
+                for j, t in enumerate(p[1:], start=1):
+                    cands = [x - j for x in pos[t]]
+                    best = min(cands, key=lambda a: (abs(a - p1), a))
+                    adj.append(best)
+            else:
+                prev = p1
+                for j, t in enumerate(p[1:], start=1):
+                    nxt = [x for x in pos[t] if x > prev]
+                    if not nxt:
+                        dead = True
+                        break
+                    prev = nxt[0]
+                    adj.append(prev - j)
             if dead:
                 continue
             gap = max(adj) - min(adj)
@@ -442,3 +451,49 @@ def test_hybrid_rrf_matches_brute_force(smoke_fixture, pos_index, smoke_oracle):
     # both legs contribute: the top fused doc appears in both rankings
     top = got["docid"].iloc[0]
     assert top in rb and top in rp
+
+
+def test_phrase_slop_transposition(tmp_path_factory):
+    """Lucene slop semantics: a transposed pair costs 2 — query "york new"
+    over a corpus containing only "new york" matches at slop>=2 and NOT at
+    slop<=1 (the round-2 in-order matcher silently returned nothing)."""
+    d = tmp_path_factory.mktemp("transpose")
+    docs = pd.DataFrame({
+        "conv_id": ["c0"] * 3,
+        "turn_idx": np.arange(3, dtype=np.int32),
+        "role": ["user"] * 3,
+        "text": [
+            "i love new york in the spring",
+            "york is a city and new ideas flourish",  # york...new, distance 5
+            "totally unrelated words here",
+        ],
+        "tool": [""] * 3,
+        "ts": pd.to_datetime(["2026-01-01"] * 3),
+    })
+    path = str(d / "docs.parquet")
+    docs.to_parquet(path, index=False)
+    idx = str(d / "idx")
+    build_index(BuildConfig(input_paths=[path], index_dir=idx,
+                            num_buckets=8, positions=True))
+
+    def run(slop):
+        q = pd.DataFrame({
+            "query_id": np.array([0], dtype=np.int64),
+            "text": ["york new"],
+            "slop": np.array([slop], dtype=np.int32),
+            "k": np.array([10], dtype=np.int32),
+        })
+        return search(idx, q, mode="phrase").to_pandas()
+
+    assert len(run(1)) == 0                        # adjacency budget: no match
+    got2 = run(2)
+    assert got2["docid"].tolist() == [0]           # transposition costs exactly 2
+    got5 = run(5)                                   # wider budget reaches doc 1 too
+    assert set(got5["docid"]) == {0, 1}
+    # doc 0's weight 1/(1+2) both ways; brute-force score check via the gold
+    df = docs.copy()
+    df["docid"] = np.arange(3)
+    df["toks"] = df["text"].map(tokenize_text)
+    gold = _slop_gold(df, "york new", 2, 10)
+    np.testing.assert_array_equal(got2["docid"].to_numpy(), [r[0] for r in gold])
+    np.testing.assert_allclose(got2["score"].to_numpy(), [r[1] for r in gold])
