@@ -610,6 +610,30 @@ def _q_bm25_snippets(sf_dir: str):
     )
 
 
+def _q_bm25_snippets_multi(sf_dir: str):
+    """Multi-fragment highlighting (OpenSearch number_of_fragments=3 with
+    6-token fragments): the token stream splits into consecutive 6-token
+    tiles; the top 3 tiles by query-term count (ties to the earliest)
+    return in position order, one row per fragment
+    (pipelines/query.highlight with number_of_fragments)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from remote_vector_index_builder_ray import highlight
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    topk = _q_bm25_topk(sf_dir)
+    qdf = pq.read_table(fx["queries"]).to_pandas()
+    out = highlight(index_dir, ray.data.from_pandas(topk), qdf, window=6,
+                    number_of_fragments=3)
+    return out[["query_id", "rank", "docid", "fragment_idx", "snippet"]] \
+        .sort_values(["query_id", "rank", "fragment_idx"]) \
+        .reset_index(drop=True).astype(
+            {"query_id": "int64", "rank": "int32", "docid": "int64",
+             "fragment_idx": "int32"}
+        )
+
+
 def _q_bm25_and(sf_dir: str):
     """Conjunctive match (operator='and'): every query term required;
     qualifying docs score identically to the OR search."""
@@ -1494,6 +1518,23 @@ def _q_bm25_most_fields(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_cross_fields(sf_dir: str):
+    """OpenSearch multi_match cross_fields over (text, tool): term-centric
+    blended scoring (Lucene BlendedTermQuery) — per term the document
+    frequency blends across fields (max), each field contributes its raw tf
+    saturation under its own norms, fields combine as dismax +
+    tie_breaker * residual, terms sum
+    (pipelines/query.search_cross_fields). tie_breaker=0.25."""
+    from remote_vector_index_builder_ray import search_cross_fields
+
+    index_dir, tool_idx, mm_q = _ensure_mm(sf_dir)
+    out = search_cross_fields(
+        {"text": index_dir, "tool": tool_idx},
+        pd.read_parquet(mm_q), tie_breaker=0.25,
+    )
+    return out.reset_index(drop=True)
+
+
 def _ensure_pp_queries(sf_dir: str) -> str:
     """match_phrase_prefix query artifact: head token + truncated last token
     drawn from corpus docs (mixed prefix lengths so the max_expansions=50
@@ -2211,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_terms": _q_bm25_terms,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_snippets": _q_bm25_snippets,
+        "bm25_snippets_multi": _q_bm25_snippets_multi,
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_pipeline_aggs": _q_bm25_pipeline_aggs,
@@ -2240,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sig_terms": _q_bm25_sig_terms,
         "bm25_multi_match": _q_bm25_multi_match,
         "bm25_most_fields": _q_bm25_most_fields,
+        "bm25_cross_fields": _q_bm25_cross_fields,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_func_score": _q_bm25_func_score,
         "bm25_decay": _q_bm25_decay,
@@ -4234,6 +4277,85 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # cross_fields (term-centric blend): per term, df = greatest over the
+    # fields' dfs; each field's leg is the raw tf saturation under that
+    # field's norms; legs combine max + 0.25 * (sum - max); the blended idf
+    # multiplies; terms sum (pipelines/query.search_cross_fields)
+    out["bm25_cross_fields"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+tx AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM docs
+),
+tl AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(tool), '[a-z0-9_]+')) AS term FROM docs
+),
+tf_x AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tx GROUP BY 1, 2),
+tf_l AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tl GROUP BY 1, 2),
+dl_x AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tx GROUP BY docid),
+dl_l AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tl GROUP BY docid),
+df_x AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_x GROUP BY term),
+df_l AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_l GROUP BY term),
+st_x AS (SELECT n.n_docs, (SELECT count(*) FROM tx)::DOUBLE / n.n_docs AS avgdl FROM ndocs n),
+st_l AS (SELECT n.n_docs, (SELECT count(*) FROM tl)::DOUBLE / n.n_docs AS avgdl FROM ndocs n),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mm_q_pq}')
+),
+dfb AS (
+    SELECT q.query_id, q.term, q.k,
+           greatest(coalesce(x.df, 0), coalesce(l.df, 0)) AS dfb
+    FROM q LEFT JOIN df_x x USING (term) LEFT JOIN df_l l USING (term)
+),
+tfn_x AS (
+    SELECT q.query_id, q.term, t.docid,
+           t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS tfn
+    FROM q JOIN tf_x t USING (term)
+    JOIN dl_x l ON t.docid = l.docid CROSS JOIN st_x s
+),
+tfn_l AS (
+    SELECT q.query_id, q.term, t.docid,
+           t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS tfn
+    FROM q JOIN tf_l t USING (term)
+    JOIN dl_l l ON t.docid = l.docid CROSS JOIN st_l s
+),
+u AS (
+    SELECT query_id, term, docid, tfn FROM tfn_x
+    UNION ALL
+    SELECT query_id, term, docid, tfn FROM tfn_l
+),
+blend AS (
+    SELECT query_id, term, docid, max(tfn) AS mx, sum(tfn) AS sm
+    FROM u GROUP BY query_id, term, docid
+),
+contrib AS (
+    SELECT b.query_id, b.docid, d.k,
+           ln(1 + (n.n_docs - d.dfb + 0.5) / (d.dfb + 0.5))
+               * (b.mx + 0.25 * (b.sm - b.mx)) AS c
+    FROM blend b
+    JOIN dfb d ON b.query_id = d.query_id AND b.term = d.term
+    CROSS JOIN ndocs n
+),
+scored AS (
+    SELECT query_id, docid, any_value(k) AS k,
+           floor(sum(c) * 1000000 + 0.5) / 1000000 AS score
+    FROM contrib GROUP BY query_id, docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     # match_phrase_prefix (constant score): the trailing token is a prefix;
     # its first 50 dictionary completions (term order — Lucene's
     # max_expansions cap) each complete the phrase; a doc matches when any
@@ -4763,6 +4885,79 @@ SELECT query_id, rank::INT AS rank, docid,
                 tk[list_position(cs, list_max(cs)) : list_position(cs, list_max(cs)) + 7], ' ')
        END AS snippet
 FROM cnt ORDER BY query_id, rank
+"""
+    # multi-fragment highlighting: consecutive 6-token tiles; top 3 tiles
+    # by query-term count (ties earliest) in position order; whole doc when
+    # shorter than one tile (pipelines/query.highlight number_of_fragments)
+    out["bm25_snippets_multi"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+qts AS (
+    SELECT query_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS qt
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+),
+snip AS (
+    SELECT r.query_id, r.rank, r.docid,
+           regexp_extract_all(lower(d.text), '[a-z0-9_]+') AS tk, qts.qt
+    FROM ranked r JOIN docs d USING (docid) JOIN qts USING (query_id)
+    WHERE r.rank <= r.k
+),
+shortd AS (
+    SELECT query_id, rank, docid, 0 AS fragment_idx,
+           array_to_string(tk, ' ') AS snippet
+    FROM snip WHERE len(tk) <= 6
+),
+tiled AS (
+    SELECT s.query_id, s.rank, s.docid, u.ti,
+           array_to_string(s.tk[u.ti * 6 + 1 : u.ti * 6 + 6], ' ') AS frag,
+           len(list_filter(s.tk[u.ti * 6 + 1 : u.ti * 6 + 6],
+                           x -> list_contains(s.qt, x))) AS c
+    FROM snip s,
+    LATERAL (SELECT unnest(range(0, (len(s.tk) + 5) // 6)) AS ti) u
+    WHERE len(s.tk) > 6
+),
+chosen AS (
+    SELECT query_id, rank, docid, ti, frag,
+           row_number() OVER (PARTITION BY query_id, docid
+                              ORDER BY c DESC, ti) AS rr
+    FROM tiled WHERE c > 0
+),
+multi AS (
+    SELECT query_id, rank, docid,
+           (row_number() OVER (PARTITION BY query_id, docid ORDER BY ti) - 1) AS fragment_idx,
+           frag AS snippet
+    FROM chosen WHERE rr <= 3
+)
+SELECT query_id, rank::INT AS rank, docid, fragment_idx::INT AS fragment_idx, snippet FROM shortd
+UNION ALL
+SELECT query_id, rank::INT AS rank, docid, fragment_idx::INT AS fragment_idx, snippet FROM multi
+ORDER BY query_id, rank, fragment_idx
 """
     # phrase search: exact consecutive-term match counted by list-slice
     # comparison (Lucene PhraseQuery scoring — summed term idfs, phrase tf

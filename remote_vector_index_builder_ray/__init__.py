@@ -94,6 +94,7 @@ from remote_vector_index_builder_ray.pipelines.query import (
     search_sorted_multi,
     search,
     search_bool,
+    search_cross_fields,
     search_multi_match,
     search_sorted,
 )
@@ -151,6 +152,7 @@ __all__ = [
     "search_regexp",
     "suggest_phrase",
     "search_wildcard",
+    "search_cross_fields",
     "search_multi_match",
     "search_phrase_prefix",
     "search_bool",

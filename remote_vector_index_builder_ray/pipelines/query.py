@@ -93,6 +93,7 @@ def search(
     tie_breaker: float = 0.0,
     collapse_round6: bool = False,
     negative_boost: float = 0.5,
+    unit_idf: bool = False,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -216,6 +217,8 @@ def search(
         raise ValueError(
             "negative_text (boosting query) requires mode='exhaustive'"
         )
+    if unit_idf and mode != "exhaustive":
+        raise ValueError("unit_idf requires mode='exhaustive'")
     allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
@@ -227,6 +230,7 @@ def search(
             "tie_breaker": tie_breaker,
             "collapse_round6": collapse_round6,
             "negative_boost": negative_boost,
+            "unit_idf": unit_idf,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -510,17 +514,28 @@ def highlight(
     results,
     queries: pd.DataFrame,
     window: int = 8,
+    number_of_fragments: int = 1,
 ) -> pd.DataFrame:
-    """Best-window snippets for a result set (the Lucene highlighter analog,
-    deterministic): for each hit, the ``window``-token span of the doc with
-    the most query-term occurrences; ties break to the EARLIEST window; docs
-    shorter than the window snippet whole. Snippets are built from the
-    analyzer's token stream (lowercased), so the DuckDB twin reproduces them
-    byte-identically.
+    """Snippets for a result set (the Lucene highlighter analog,
+    deterministic). Snippets are built from the analyzer's token stream
+    (lowercased), so the DuckDB twin reproduces them byte-identically.
+
+    ``number_of_fragments=1`` (default): for each hit, the ``window``-token
+    span of the doc with the most query-term occurrences; ties break to the
+    EARLIEST window; docs shorter than the window snippet whole. Returns the
+    result rows with a ``snippet`` column.
+
+    ``number_of_fragments=F > 1`` (the OpenSearch ``number_of_fragments`` /
+    ``fragment_size`` analog): the token stream splits into consecutive
+    non-overlapping ``window``-token tiles; the top F tiles by
+    (query-term count desc, position asc) — tiles without a hit never
+    qualify — return in POSITION order (OpenSearch's default fragment
+    order), one row per fragment with a ``fragment_idx`` column. Docs
+    shorter than one window return the whole doc as fragment 0.
 
     Text is fetched with the same broadcast-semi-join as ``hydrate`` and the
-    sliding-window count is a vectorized cumsum per doc — the snippet stage
-    is a per-batch transform, so it distributes with the result set.
+    per-doc work is a vectorized cumsum / tile reduce — the snippet stage is
+    a per-batch transform, so it distributes with the result set.
     """
     import numpy as np
 
@@ -551,10 +566,40 @@ def highlight(
         s = int(np.argmax(counts))       # first max = earliest window
         return " ".join(toks[s:s + w])
 
-    meta["snippet"] = [
-        _snippet(q, t) for q, t in zip(meta["query_id"], meta["text"])
-    ]
-    out = res.merge(meta[["query_id", "docid", "snippet"]], on=["query_id", "docid"])
+    if number_of_fragments <= 1:
+        meta["snippet"] = [
+            _snippet(q, t) for q, t in zip(meta["query_id"], meta["text"])
+        ]
+        out = res.merge(meta[["query_id", "docid", "snippet"]], on=["query_id", "docid"])
+        return out
+
+    def _fragments(qid: int, text: str) -> list[str]:
+        toks = analyze_text(text or "", an)
+        if not toks:
+            return []
+        qt = terms_by_query.get(int(qid), frozenset())
+        n, w = len(toks), window
+        if n <= w:
+            return [" ".join(toks)]
+        tiles = [toks[i:i + w] for i in range(0, n, w)]
+        scored = [
+            (sum(t in qt for t in tile), ti)
+            for ti, tile in enumerate(tiles)
+        ]
+        chosen = sorted(
+            ((c, ti) for c, ti in scored if c > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:number_of_fragments]
+        return [" ".join(tiles[ti]) for ti in sorted(ti for _, ti in chosen)]
+
+    rows = []
+    for q, d, t in zip(meta["query_id"], meta["docid"], meta["text"]):
+        for fi, frag in enumerate(_fragments(q, t)):
+            rows.append((int(q), int(d), fi, frag))
+    frags = pd.DataFrame(
+        rows, columns=["query_id", "docid", "fragment_idx", "snippet"]
+    ).astype({"query_id": np.int64, "docid": np.int64, "fragment_idx": np.int32})
+    out = res.merge(frags, on=["query_id", "docid"])
     return out
 
 
@@ -908,6 +953,119 @@ def search_multi_match(
     comb["rank"] = comb.groupby("query_id").cumcount() + 1
     comb["k"] = comb["query_id"].map(k_by_query)
     out = comb[comb["rank"] <= comb["k"]]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
+def search_cross_fields(
+    index_dirs: dict[str, str],
+    queries,
+    tie_breaker: float = 0.0,
+    round6: bool = True,
+) -> pd.DataFrame:
+    """OpenSearch ``multi_match`` type=``cross_fields`` (Lucene
+    ``BlendedTermQuery.dismaxBlendedQuery``): the fields are treated as ONE
+    blended field — term-centric, unlike best/most_fields' field-centric
+    combine. Per query TERM:
+
+    - document frequency is BLENDED across fields: df = max over the
+      fields' dfs (Lucene's blend), so a term common in one field is not
+      over-rewarded for being rare in another;
+    - each field contributes the term's raw tf saturation under that
+      FIELD's own length norms (dl/avgdl — Lucene keeps per-field norms);
+    - the per-field contributions combine as
+      ``max + tie_breaker * (sum - max)`` and the blended idf multiplies
+      the result; terms then SUM (term-ascending float order).
+
+    Mechanics: one unit-idf single-term exhaustive search per (term, field)
+    — ``search(..., unit_idf=True)`` returns exactly the tf saturation —
+    and the blended dfs come from the per-field term dictionaries. Fields
+    must share the analyzer (Lucene groups cross_fields by analyzer; the
+    first index's analyzer tokenizes the query). The combine is driver-side
+    over the union of full match sets — the same envelope as
+    ``search_multi_match`` above. Returns (query_id, rank, docid, score)."""
+    import numpy as np
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+    from remote_vector_index_builder_ray.pipelines.expand import _get_dict
+    from remote_vector_index_builder_ray.pipelines.incremental import global_stats
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    fields = sorted(index_dirs)
+    an = load_analyzer(index_dirs[fields[0]])
+    N = float(global_stats(index_dirs[fields[0]])["N"])
+
+    # one expanded row per (query, DISTINCT term), term-ascending (the float
+    # summation order of the final per-doc term sum)
+    eq_qid, eq_term = [], []
+    for r in q.itertuples(index=False):
+        toks = analyze_text(str(r.text or ""), an)
+        for t in sorted(set(toks)):
+            eq_qid.append(int(r.query_id))
+            eq_term.append(t)
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=np.int64),
+         "rank": pd.Series(dtype=np.int32),
+         "docid": pd.Series(dtype=np.int64),
+         "score": pd.Series(dtype=np.float64)}
+    )
+    if not eq_qid:
+        return empty
+    expq = pd.DataFrame({
+        "query_id": np.arange(len(eq_qid), dtype=np.int64),
+        "text": eq_term,
+        "k": np.full(len(eq_qid), 2**31 - 1, dtype=np.int32),
+    })
+
+    parts = []
+    for f in fields:
+        r = search(index_dirs[f], expq, mode="exhaustive", unit_idf=True).to_pandas()
+        if "docid" in r.columns:
+            parts.append(r[["query_id", "docid", "score"]])
+    allp = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+    if allp.empty:
+        return empty
+
+    # blended idf per expanded term: df = max over fields (0 when absent)
+    dicts = {f: _get_dict(index_dirs[f]) for f in fields}
+    uterms = np.asarray(sorted(set(eq_term)), dtype=np.str_)
+    df_b = np.zeros(len(uterms), dtype=np.int64)
+    for f in fields:
+        td = dicts[f]
+        pos = np.searchsorted(td.terms, uterms)
+        ok = (pos < len(td.terms)) & (td.terms[np.minimum(pos, max(len(td.terms) - 1, 0))] == uterms) if len(td.terms) else np.zeros(len(uterms), bool)
+        dfv = np.where(ok, td.df[np.minimum(pos, max(len(td.terms) - 1, 0))], 0)
+        df_b = np.maximum(df_b, dfv)
+    # textual mirror of the SQL twin: ln(1 + (N - df + 0.5) / (df + 0.5))
+    idf_b = np.log(1.0 + (N - df_b + 0.5) / (df_b + 0.5))
+    idf_by_term = dict(zip(uterms.tolist(), idf_b.tolist()))
+
+    # dismax across fields per (expanded term, doc), blended idf, sum terms
+    g = allp.groupby(["query_id", "docid"], sort=True)["score"]
+    comb = g.agg(mx="max", sm="sum").reset_index()
+    comb["qid"] = comb["query_id"].map(dict(enumerate(eq_qid)))
+    comb["term"] = comb["query_id"].map(dict(enumerate(eq_term)))
+    comb["idf"] = comb["term"].map(idf_by_term)
+    comb["contrib"] = comb["idf"] * (
+        comb["mx"] + tie_breaker * (comb["sm"] - comb["mx"])
+    )
+    # groupby(sort=True) on (query_id, docid) left rows expanded-qid-major ==
+    # term-ascending within each original query: the deterministic sum order
+    out = comb.groupby(["qid", "docid"], sort=True)["contrib"].sum().reset_index()
+    out = out.rename(columns={"qid": "query_id", "contrib": "score"})
+    if round6:
+        out["score"] = np.floor(out["score"] * 1e6 + 0.5) / 1e6
+    out = out.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["k"] = out["query_id"].map(k_by_query)
+    out = out[out["rank"] <= out["k"]]
     return out[["query_id", "rank", "docid", "score"]].astype(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
          "score": np.float64}

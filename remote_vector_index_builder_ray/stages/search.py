@@ -199,7 +199,8 @@ class BM25Searcher:
                  min_should_match: int | None = None,
                  tie_breaker: float = 0.0,
                  collapse_round6: bool = False,
-                 negative_boost: float = 0.5):
+                 negative_boost: float = 0.5,
+                 unit_idf: bool = False):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -256,6 +257,11 @@ class BM25Searcher:
         self.tie_breaker = float(tie_breaker)  # mode="dismax" only
         self.collapse_round6 = bool(collapse_round6)  # mode="collapse" only
         self.negative_boost = float(negative_boost)  # boosting query only
+        # unit_idf (exhaustive mode only): score with idf == 1.0 so a
+        # SINGLE-term query returns the raw per-doc tf saturation — the
+        # building block cross_fields multi_match re-weights with a BLENDED
+        # idf on the combine side (pipelines/query.search_cross_fields)
+        self.unit_idf = bool(unit_idf)
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -1061,7 +1067,7 @@ class BM25Searcher:
             tp = self._cache.get(t)
             if tp is None:
                 continue
-            w = _idf(self.N, tp.df)
+            w = 1.0 if self.unit_idf else _idf(self.N, tp.df)
             docids, _, _ = tp.decode_all()
             doc_parts.append(docids)
             contrib_parts.append(w * tp.tfnorms(self.avgdl, self.k1, self.b))
