@@ -679,21 +679,22 @@ def pq_topk(
     got = ds.map_batches(
         GatherVecs, fn_constructor_args=(wref,),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
-    ).to_pandas()
-    vec_by_id = {
-        int(i): np.asarray(v, np.float64)
-        for i, v in zip(got["vec_id"], got["embedding"])
-    }
+    ).to_pandas().sort_values("vec_id")
+    # vectorized exact rescore of the whole shortlist at once: one gather of
+    # the candidate matrix, one row-wise dot (the round-2 per-query pandas
+    # loop re-stacked the matrix per query)
+    ids_sorted = got["vec_id"].to_numpy(np.int64)
+    mat = _normalize(np.stack([np.asarray(v, np.float64) for v in got["embedding"]]))
     qn = _normalize(qm)
-    rows = []
-    for qi, qid in enumerate(qids):
-        cand = short[short["query_id"] == int(qid)]["vec_id"].to_numpy(np.int64)
-        if not len(cand):
-            continue
-        mat = _normalize(np.stack([vec_by_id[int(c)] for c in cand]))
-        s = mat @ qn[qi]
-        rows.append(pd.DataFrame({
-            "query_id": np.full(len(cand), int(qid), dtype=np.int64),
-            "vec_id": cand, "cosine": s,
-        }))
-    return _finalize_topk(pd.concat(rows, ignore_index=True), k)
+    qrow = {int(q): i for i, q in enumerate(qids)}
+    pos = np.searchsorted(ids_sorted, short["vec_id"].to_numpy(np.int64))
+    qi = short["query_id"].map(qrow).to_numpy(np.int64)
+    s = np.einsum("ij,ij->i", mat[pos], qn[qi])
+    return _finalize_topk(
+        pd.DataFrame({
+            "query_id": short["query_id"].to_numpy(np.int64),
+            "vec_id": short["vec_id"].to_numpy(np.int64),
+            "cosine": s,
+        }),
+        k,
+    )

@@ -94,6 +94,7 @@ def search(
     collapse_round6: bool = False,
     negative_boost: float = 0.5,
     unit_idf: bool = False,
+    allow_docids=None,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -219,7 +220,18 @@ def search(
         )
     if unit_idf and mode != "exhaustive":
         raise ValueError("unit_idf requires mode='exhaustive'")
-    allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
+    # allow_docids: an EXPLICIT docid allow-list with the same filter-context
+    # semantics as `where` (candidates restricted, scores unchanged) — used
+    # by rescore_phrase to bound its phrase leg to the rescore windows
+    if allow_docids is not None:
+        if where is not None:
+            raise ValueError("pass either where or allow_docids, not both")
+        import numpy as _np
+        import ray as _ray
+
+        allow_ref = _ray.put(_np.sort(_np.asarray(allow_docids, dtype=_np.int64)))
+    else:
+        allow_ref = None if where is None else resolve_filter_docids(index_dir, where)
     qds = _as_dataset(queries, batch_size)
     return qds.map_batches(
         BM25Searcher,
@@ -666,11 +678,12 @@ def rescore_phrase(
 
     Cross-engine determinism: window membership and the final order are
     decided on 6-decimal-rounded components (the driver float policy), so
-    a SQL oracle ranks identically. The phrase leg fetches ALL phrase
-    matches (k=INT32_MAX) and joins against the window driver-side — a
-    window semi-join, exact and simple; phrase match sets are small for
-    content phrases (a stopword-only phrase degrades to the posting walk
-    Lucene pays too)."""
+    a SQL oracle ranks identically. The phrase leg runs RESTRICTED to the
+    union of the rescore windows (the searcher's allow-list filter context:
+    candidates outside the windows drop, phrase scores are unchanged), so
+    what reaches the driver is bounded by queries x window_size even for a
+    stopword phrase — exactly Lucene's rescorer contract (the positional
+    query only ever evaluates window docs)."""
     import numpy as np
 
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
@@ -691,7 +704,8 @@ def rescore_phrase(
     win = base[base["rank"] <= window_size][["query_id", "docid", "score"]]
 
     ph = search(
-        index_dir, q.assign(k=np.int32(2**31 - 1)), mode="phrase"
+        index_dir, q.assign(k=np.int32(2**31 - 1)), mode="phrase",
+        allow_docids=np.unique(win["docid"].to_numpy(np.int64)),
     ).to_pandas()
     if "query_id" in ph.columns and len(ph):
         ph = ph[["query_id", "docid", "score"]].rename(columns={"score": "p"})

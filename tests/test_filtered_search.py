@@ -97,3 +97,27 @@ def test_unselective_filter_equals_unfiltered(smoke_fixture, smoke_index):
     )
     np.testing.assert_array_equal(res["docid"].to_numpy(), base["docid"].to_numpy())
     np.testing.assert_array_equal(res["score"].to_numpy(), base["score"].to_numpy())
+
+
+def test_allow_docids_explicit_filter_context(smoke_fixture, smoke_index, smoke_oracle):
+    """search(allow_docids=...) — the explicit allow-list used by
+    rescore_phrase to bound its phrase leg: same filter-context semantics
+    as `where` (candidates restricted, scores bit-unchanged)."""
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(10)
+    allowed = set(range(0, 2000, 3))
+    got = (
+        search(smoke_index["index_dir"], qdf, mode="exhaustive",
+               allow_docids=np.array(sorted(allowed), dtype=np.int64))
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    gold = _filtered_gold(smoke_oracle, qdf, allowed)
+    np.testing.assert_array_equal(got["docid"].to_numpy(), gold["docid"].to_numpy())
+    np.testing.assert_array_equal(got["score"].to_numpy(), gold["score"].to_numpy())
+
+
+def test_allow_docids_where_mutually_exclusive(smoke_fixture, smoke_index):
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(1)
+    with pytest.raises(ValueError, match="not both"):
+        search(smoke_index["index_dir"], qdf,
+               where=[("role", "=", "user")],
+               allow_docids=np.array([1, 2], dtype=np.int64))
