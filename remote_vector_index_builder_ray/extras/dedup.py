@@ -459,6 +459,106 @@ def simhash_pairs(ds: ray.data.Dataset, radius: int = 3) -> pd.DataFrame:
     return pdf.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# Edge count above which dedup_clusters switches from the driver-side
+# union-find to the distributed min-label-propagation path. Read at CALL
+# time so tests can monkeypatch it down to force the distributed path.
+_CLUSTER_DRIVER_MAX = 2_000_000
+
+# dst sentinel marking a "label carrier" row in the propagation shuffle —
+# a value no real doc_id can collide with
+_LABEL_SENTINEL = np.iinfo(np.int64).min
+
+
+def _clusters_propagate(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFrame:
+    """Distributed connected components: iterative min-label propagation.
+
+    Each round is ONE keyed Ray shuffle of (int64, int64, int64) rows —
+    never the documents, never the adjacency as a driver structure:
+
+      1. union(edge rows (src, dst, _), label rows (node, SENTINEL, label))
+      2. groupby(src).map_groups: the group's label row gives the node's
+         current label; emit (neighbour, label) per edge row + (node, label)
+      3. groupby(node).min(label) -> next round's labels
+
+    The label-edge augmentation (each node's current label joins the edge
+    set, both directions) gives pointer-doubling-style acceleration, so a
+    length-L chain converges in O(log L) rounds, not O(L). Labels only ever
+    decrease, so the propagation has converged exactly when sum(label)
+    stops decreasing — a scalar Dataset aggregate per round. Per-round
+    ``materialize()`` keeps the lineage flat (iterative pipelines re-execute
+    their whole history otherwise)."""
+    out_cols = {"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")}
+    if len(pairs) == 0:
+        return pd.DataFrame(out_cols)
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "label": pa.array(np.full(2 * len(a), _LABEL_SENTINEL, dtype=np.int64)),
+        }
+    )
+    lab_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(nodes, type=pa.int64()),
+                "dst": pa.array(np.full(len(nodes), _LABEL_SENTINEL, dtype=np.int64)),
+                "label": pa.array(nodes, type=pa.int64()),
+            }
+        )
+    ).materialize()
+    prev_sum = int(nodes.astype(object).sum())  # object avoids int64 overflow
+
+    def relay(g: pd.DataFrame) -> pd.DataFrame:
+        is_lab = g["dst"].to_numpy(np.int64) == _LABEL_SENTINEL
+        lab = int(g.loc[is_lab, "label"].min())
+        dsts = g.loc[~is_lab, "dst"].to_numpy(np.int64)
+        # neighbours hear the label; the label-edge (node, lab) both ways
+        # doubles the hop length each round
+        out = np.concatenate([dsts, [int(g["src"].iloc[0]), lab]])
+        return pd.DataFrame({"node": out.astype(np.int64),
+                             "label": np.full(len(out), lab, dtype=np.int64)})
+
+    for _ in range(max_rounds):
+        lab_edges = lab_ds.map_batches(
+            lambda t: pa.table({
+                "src": t.column("label"), "dst": t.column("src"),
+                "label": pa.array(
+                    np.full(t.num_rows, _LABEL_SENTINEL, dtype=np.int64)),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        nxt = (
+            ray.data.from_arrow(edges_tbl)
+            .union(lab_edges, lab_ds)
+            .groupby("src")
+            .map_groups(relay, batch_format="pandas")
+            .groupby("node")
+            .min("label")
+        )
+        lab_ds = nxt.map_batches(
+            lambda t: pa.table({
+                "src": t.column("node"),
+                "dst": pa.array(np.full(t.num_rows, _LABEL_SENTINEL, dtype=np.int64)),
+                "label": t.column("min(label)"),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        cur_sum = int(lab_ds.sum("label"))
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    res = lab_ds.to_pandas()
+    return (
+        pd.DataFrame({"doc_id": res["src"].astype("int64"),
+                      "cluster_id": res["label"].astype("int64")})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def dedup_clusters(
     ds: ray.data.Dataset,
     shingle_k: int = 3,
@@ -474,13 +574,16 @@ def dedup_clusters(
     are emitted (singletons keep themselves trivially).
 
     The pair edges are driver-small by the near-dup contract (dup pairs,
-    not the corpus); union-find runs driver-side in O(E α). Scale path for
-    a pathological pair explosion: iterative min-label propagation as
-    repeated (edges ⋈ labels) groupby-min rounds — same result, each round
-    a Ray shuffle of (node, label) ints only."""
+    not the corpus), so up to ``_CLUSTER_DRIVER_MAX`` edges union-find runs
+    driver-side in O(E α). Beyond that — a pathological pair explosion —
+    the same components come from ``_clusters_propagate``: distributed
+    min-label propagation where each round shuffles (node, label) int64
+    rows only. Both paths produce identical output (pinned by pytest)."""
     pairs = ngram_jaccard_pairs(ds, shingle_k=shingle_k, threshold=threshold,
                                 text_col=text_col, id_col=id_col,
                                 max_shingle_df=max_shingle_df)
+    if len(pairs) > _CLUSTER_DRIVER_MAX:
+        return _clusters_propagate(pairs)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

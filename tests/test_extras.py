@@ -394,6 +394,59 @@ def test_dedup_clusters_union_find():
         assert by[3] == by[0] or by[3] == by[2]
 
 
+def test_clusters_propagate_matches_union_find():
+    """The distributed min-label-propagation path produces EXACTLY the
+    union-find labels — on a long chain (worst case for propagation: the
+    pointer-doubling augmentation must cover it in O(log L) rounds), plus a
+    star, a triangle and a disjoint pair."""
+    from remote_vector_index_builder_ray.extras.dedup import _clusters_propagate
+
+    chain = [(i, i + 1) for i in range(10, 40)]          # one 31-node chain
+    star = [(100, x) for x in (101, 102, 103, 104)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    duo = [(300, 301)]
+    pairs = pd.DataFrame(
+        {
+            "doc_a": np.array([a for a, _ in chain + star + tri + duo], np.int64),
+            "doc_b": np.array([b for _, b in chain + star + tri + duo], np.int64),
+        }
+    )
+    out = _clusters_propagate(pairs, max_rounds=12)
+    by = dict(zip(out["doc_id"], out["cluster_id"]))
+    for n in range(10, 41):
+        assert by[n] == 10
+    for n in (100, 101, 102, 103, 104):
+        assert by[n] == 100
+    for n in (200, 201, 202):
+        assert by[n] == 200
+    assert by[300] == 300 and by[301] == 300
+    assert len(out) == 31 + 5 + 3 + 2
+
+
+def test_dedup_clusters_distributed_path_identical(monkeypatch):
+    """Forcing the scale path (_CLUSTER_DRIVER_MAX=0) yields bit-identical
+    cluster assignments to the driver-side union-find on the same corpus."""
+    from remote_vector_index_builder_ray.extras import dedup
+
+    rng = np.random.default_rng(7)
+    vocab = ["tok%d" % i for i in range(40)]
+    texts = []
+    for i in range(30):
+        base = " ".join(rng.choice(vocab, size=12))
+        texts.append(base)
+        texts.append(base.replace(base.split()[3], "mut%d" % i))  # near-dup
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df)
+    small = dedup.dedup_clusters(ds, shingle_k=3, threshold=0.2)
+    monkeypatch.setattr(dedup, "_CLUSTER_DRIVER_MAX", 0)
+    big = dedup.dedup_clusters(ds, shingle_k=3, threshold=0.2)
+    pd.testing.assert_frame_equal(
+        small.sort_values("doc_id").reset_index(drop=True),
+        big.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_pq_topk_recall_and_determinism():
     """PQ + exact rerank: high recall vs brute force on spread data, and
     bit-identical across runs (deterministic sample + seeds)."""
