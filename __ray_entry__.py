@@ -1226,6 +1226,73 @@ def _q_bm25_bucket_sort(sf_dir: str):
                        "bucket_rank": "int32"}).reset_index(drop=True)
 
 
+def _q_bm25_weighted_avg(sf_dir: str):
+    """OpenSearch weighted_avg metric agg: per query's full match set,
+    sum(doc_len*turn_idx)/sum(turn_idx) over docmeta — exact int64 partials,
+    one rounded float64 division (pipelines/aggs.weighted_avg_agg)."""
+    from remote_vector_index_builder_ray import weighted_avg_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = weighted_avg_agg(index_dir, pd.read_parquet(fx["queries"]),
+                           value_field="doc_len", weight_field="turn_idx")
+    return out.astype({"query_id": "int64",
+                       "weighted_avg": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_percentile_ranks(sf_dir: str):
+    """OpenSearch percentile_ranks metric agg (exact CDF): % of each query's
+    matched docs with doc_len <= v for v in (8, 16, 32)
+    (pipelines/aggs.percentile_ranks_agg)."""
+    from remote_vector_index_builder_ray import percentile_ranks_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = percentile_ranks_agg(index_dir, pd.read_parquet(fx["queries"]),
+                               field="doc_len", values=(8, 16, 32))
+    return out.astype({"query_id": "int64", "value": "float64",
+                       "percent": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_top_metrics(sf_dir: str):
+    """OpenSearch top_metrics agg: doc_len of each query's top-3 matched
+    docs by (ts DESC, docid ASC) — field-sorted, size-bounded partials
+    (pipelines/aggs.top_metrics_agg)."""
+    from remote_vector_index_builder_ray import top_metrics_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = top_metrics_agg(index_dir, pd.read_parquet(fx["queries"]),
+                          sort_field="ts", metric_field="doc_len", size=3)
+    return out.astype({"query_id": "int64", "rank": "int32", "docid": "int64",
+                       "doc_len": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_multi_terms(sf_dir: str):
+    """OpenSearch multi_terms bucket agg: one bucket per (role, tool)
+    combination of each query's match set; docs with a null/empty tool are
+    skipped per OpenSearch source semantics
+    (pipelines/aggs.multi_terms_agg)."""
+    from remote_vector_index_builder_ray import multi_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = multi_terms_agg(index_dir, pd.read_parquet(fx["queries"]),
+                          fields=("role", "tool"))
+    return out.astype({"query_id": "int64",
+                       "n_docs": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_stats_bucket(sf_dir: str):
+    """OpenSearch stats_bucket sibling pipeline agg over the per-day
+    date_histogram: per query bucket-count/min/max/sum/avg of daily doc
+    counts (pipelines/aggs.stats_bucket_date_histogram)."""
+    from remote_vector_index_builder_ray import stats_bucket_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = stats_bucket_date_histogram(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64", "n_buckets": "int64",
+                       "min_docs": "int64", "max_docs": "int64",
+                       "sum_docs": "int64",
+                       "avg_docs": "float64"}).reset_index(drop=True)
+
+
 def _q_bm25_sorted_multi(sf_dir: str):
     """Multi-key field sort (role asc, ts desc, docid asc) over each query's
     full match set (pipelines/query.search_sorted_multi)."""
@@ -2255,6 +2322,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets_multi": _q_bm25_snippets_multi,
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
+        "bm25_weighted_avg": _q_bm25_weighted_avg,
+        "bm25_percentile_ranks": _q_bm25_percentile_ranks,
+        "bm25_top_metrics": _q_bm25_top_metrics,
+        "bm25_multi_terms": _q_bm25_multi_terms,
+        "bm25_stats_bucket": _q_bm25_stats_bucket,
         "bm25_pipeline_aggs": _q_bm25_pipeline_aggs,
         "bm25_date_range": _q_bm25_date_range,
         "bm25_moving_avg": _q_bm25_moving_avg,
@@ -4513,6 +4585,117 @@ SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
 ORDER BY m.query_id, key_term, key_day
+"""
+    # weighted_avg: sum(doc_len*turn_idx)/sum(turn_idx) per match set;
+    # integer sums, one rounded float64 division (engine combiner mirror)
+    out["bm25_weighted_avg"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id,
+       floor((sum(dl.dl * d.turn_idx)::DOUBLE / sum(d.turn_idx)) * 1000000 + 0.5) / 1000000
+           AS weighted_avg
+FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+GROUP BY m.query_id
+HAVING sum(d.turn_idx) > 0
+ORDER BY m.query_id
+"""
+    # percentile_ranks (exact CDF): % of matched docs with doc_len <= v
+    out["bm25_percentile_ranks"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+vals AS (SELECT unnest([8.0, 16.0, 32.0]) AS value)
+SELECT m.query_id, v.value,
+       floor(100.0 * count(CASE WHEN dl.dl <= v.value THEN 1 END)::DOUBLE
+             / count(*) * 1000000 + 0.5) / 1000000 AS percent
+FROM m JOIN dl USING (docid) CROSS JOIN vals v
+GROUP BY m.query_id, v.value
+ORDER BY m.query_id, v.value
+"""
+    # top_metrics: doc_len of the top-3 matched docs by (ts DESC, docid ASC)
+    out["bm25_top_metrics"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+ranked AS (
+    SELECT m.query_id, m.docid, d.ts, dl.dl AS doc_len,
+           row_number() OVER (PARTITION BY m.query_id
+                              ORDER BY d.ts DESC, m.docid ASC) AS rank
+    FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, ts, doc_len
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+    # multi_terms: (role, tool) composite buckets; docs missing tool skipped
+    out["bm25_multi_terms"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, tool, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, d.role, d.tool, count(*)::BIGINT AS n_docs
+FROM m JOIN docs d USING (docid)
+WHERE d.tool IS NOT NULL AND d.tool <> ''
+GROUP BY m.query_id, d.role, d.tool
+ORDER BY m.query_id, d.role, d.tool
+"""
+    # stats_bucket: stats over the per-day date_histogram bucket counts
+    out["bm25_stats_bucket"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+h AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+)
+SELECT query_id, count(*)::BIGINT AS n_buckets, min(n) AS min_docs,
+       max(n) AS max_docs, sum(n)::BIGINT AS sum_docs,
+       floor((sum(n)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS avg_docs
+FROM h GROUP BY query_id ORDER BY query_id
 """
     # significant_terms (JLH): fg doc-rate vs corpus doc-rate per term,
     # score = (fg_rate - bg_rate) * (fg_rate / bg_rate), top 10 per query

@@ -61,6 +61,11 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     string_stats_agg,
     terms_agg,
     top_hits_agg,
+    multi_terms_agg,
+    percentile_ranks_agg,
+    stats_bucket_date_histogram,
+    top_metrics_agg,
+    weighted_avg_agg,
 )
 from remote_vector_index_builder_ray.functions.metrics import rank_eval
 from remote_vector_index_builder_ray.pipelines.expand import (
@@ -163,6 +168,11 @@ __all__ = [
     "terms_agg",
     "cardinality_agg",
     "composite_agg",
+    "multi_terms_agg",
+    "percentile_ranks_agg",
+    "stats_bucket_date_histogram",
+    "top_metrics_agg",
+    "weighted_avg_agg",
     "delete_by_query",
     "update_docs",
     "percentiles_agg",

@@ -1847,3 +1847,372 @@ def composite_agg(
         .sum().reset_index().rename(columns={"n": "n_docs"})
     )
     return out.astype({"query_id": np.int64, "n_docs": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg / percentile_ranks / top_metrics / multi_terms / stats_bucket
+# ---------------------------------------------------------------------------
+
+
+def _meta_files(index_dir: str) -> list[str]:
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    return [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+
+
+def _probe_partials(index_dir, queries, where, probe_cls, ctor_extra, columns):
+    """Shared scaffold for the probe-style aggs: sharded match-set broadcast,
+    column-pruned docmeta stream, per-batch combiner actor pool, driver-small
+    partial rows."""
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
+    return (
+        ray.data.read_parquet(
+            **fs.for_ray_paths(_meta_files(index_dir)), columns=columns
+        )
+        .map_batches(
+            probe_cls,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, *ctor_extra),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+
+
+class _ProbeWeighted:
+    """Per-batch partials for `weighted_avg`: exact int64 (sum(v*w), sum(w))
+    per query — the single float64 division happens at the driver so the
+    result is bit-reproducible by a SQL oracle."""
+
+    def __init__(self, shard_refs, stride, value_field: str, weight_field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.value_field = value_field
+        self.weight_field = weight_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch[self.value_field].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = batch[self.weight_field].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qids, svw, sw = [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            qids.append(qid)
+            svw.append(int((v[mask] * w[mask]).sum()))
+            sw.append(int(w[mask].sum()))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "svw": pa.array(svw, type=pa.int64()),
+                "sw": pa.array(sw, type=pa.int64()),
+            }
+        )
+
+
+def weighted_avg_agg(
+    index_dir: str,
+    queries,
+    value_field: str = "doc_len",
+    weight_field: str = "turn_idx",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `weighted_avg` aggregation over each query's full match
+    set: sum(value*weight)/sum(weight) on integer docmeta fields —
+    (query_id, weighted_avg) rounded half-up to 6dp. Queries whose matched
+    weight sum is zero are omitted (OpenSearch would return null)."""
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeWeighted,
+        (value_field, weight_field), ["docid", value_field, weight_field],
+    )
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "weighted_avg": pd.Series(dtype=np.float64)})
+    g = (
+        partials.groupby("query_id", sort=True)
+        .agg(svw=("svw", "sum"), sw=("sw", "sum"))
+        .reset_index()
+    )
+    g = g[g["sw"] > 0]
+    avg = g["svw"].astype(np.float64) / g["sw"]
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype(np.int64),
+        "weighted_avg": np.floor(avg * 1e6 + 0.5) / 1e6,
+    }).reset_index(drop=True)
+
+
+class _ProbeRanks:
+    """`percentile_ranks` partials: per (query, probe value) the count of
+    matched docs with field <= value, plus the query's match count in the
+    batch — driver reduce sums and divides once."""
+
+    def __init__(self, shard_refs, stride, field: str, values):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+        self.values = [float(v) for v in values]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        f = batch[self.field].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        qids, vals, les, tots = [], [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            fv = f[mask]
+            for v in self.values:
+                qids.append(qid)
+                vals.append(v)
+                les.append(int((fv <= v).sum()))
+                tots.append(len(fv))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "value": pa.array(vals, type=pa.float64()),
+                "n_le": pa.array(les, type=pa.int64()),
+                "n_tot": pa.array(tots, type=pa.int64()),
+            }
+        )
+
+
+def percentile_ranks_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    values=(8, 16, 32),
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `percentile_ranks` aggregation (exact CDF form) over each
+    query's full match set: for each probe value v, the percentage of
+    matched docs with field <= v — (query_id, value, percent) rounded
+    half-up to 6dp, ordered by (query_id, value)."""
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeRanks, (field, values),
+        ["docid", field],
+    )
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "value": pd.Series(dtype=np.float64),
+                             "percent": pd.Series(dtype=np.float64)})
+    g = (
+        partials.groupby(["query_id", "value"], sort=True)
+        .agg(n_le=("n_le", "sum"), n_tot=("n_tot", "sum"))
+        .reset_index()
+    )
+    pct = 100.0 * g["n_le"].astype(np.float64) / g["n_tot"]
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype(np.int64),
+        "value": g["value"].astype(np.float64),
+        "percent": np.floor(pct * 1e6 + 0.5) / 1e6,
+    }).reset_index(drop=True)
+
+
+class _ProbeTopMetrics:
+    """`top_metrics` partials: each batch's per-query top-``size`` docs by
+    (sort_field DESC, docid ASC) with the metric value — size-bounded rows
+    per (query, task); the driver reduce re-sorts and trims to size."""
+
+    def __init__(self, shard_refs, stride, sort_field: str, metric_field: str,
+                 size: int):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.sort_field = sort_field
+        self.metric_field = metric_field
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = batch[self.sort_field].combine_chunks().to_numpy(zero_copy_only=False)
+        if s.dtype.kind == "M":
+            s = s.astype("datetime64[us]").astype(np.int64)
+        else:
+            s = s.astype(np.int64)
+        m = batch[self.metric_field].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qids, docs, sorts, mets = [], [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            di, si, mi = ids[mask], s[mask], m[mask]
+            # np.lexsort: LAST key is primary -> (-sort) asc == sort desc,
+            # docid asc breaks ties
+            order = np.lexsort((di, -si))[: self.size]
+            qids.extend([qid] * len(order))
+            docs.extend(di[order].tolist())
+            sorts.extend(si[order].tolist())
+            mets.extend(mi[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "docid": pa.array(docs, type=pa.int64()),
+                "sort_us": pa.array(sorts, type=pa.int64()),
+                "metric": pa.array(mets, type=pa.int64()),
+            }
+        )
+
+
+def top_metrics_agg(
+    index_dir: str,
+    queries,
+    sort_field: str = "ts",
+    metric_field: str = "doc_len",
+    size: int = 3,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `top_metrics` aggregation over each query's full match
+    set: the ``metric_field`` values of the top-``size`` matched docs by
+    (sort_field DESC, docid ASC) — (query_id, rank, docid, <sort_field>,
+    <metric_field>). Unlike top_hits the sort key is a FIELD, not the
+    relevance score; partials are size-bounded per task."""
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeTopMetrics,
+        (sort_field, metric_field, size), ["docid", sort_field, metric_field],
+    )
+    is_ts = sort_field == "ts"
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        sort_field: pd.Series(dtype="datetime64[us]" if is_ts else np.int64),
+        metric_field: pd.Series(dtype=np.int64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    partials = partials.sort_values(
+        ["query_id", "sort_us", "docid"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(size).copy()
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int32) + 1
+    sv = top["sort_us"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "query_id": top["query_id"].astype(np.int64).to_numpy(),
+        "rank": top["rank"].to_numpy(np.int32),
+        "docid": top["docid"].astype(np.int64).to_numpy(),
+        sort_field: sv.astype("datetime64[us]") if is_ts else sv,
+        metric_field: top["metric"].astype(np.int64).to_numpy(),
+    })
+    return out.reset_index(drop=True)
+
+
+class _ProbeMultiTerms:
+    """`multi_terms` per-batch combiner: composite bucket over N term
+    fields; rows where ANY key field is null or the empty-string sentinel
+    are skipped (OpenSearch skips docs missing a source value)."""
+
+    def __init__(self, shard_refs, stride, fields, missing: str = ""):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.fields = list(fields)
+        self.missing = missing
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols, valid = [], np.ones(len(ids), dtype=bool)
+        for f in self.fields:
+            arr = batch[f].combine_chunks()
+            valid &= ~np.asarray(arr.is_null())
+            v = arr.to_numpy(zero_copy_only=False)
+            valid &= v != self.missing
+            cols.append(v)
+        qids, ns = [], []
+        outs: list[list] = [[] for _ in self.fields]
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr) & valid
+            if not mask.any():
+                continue
+            g = (
+                pd.DataFrame({f"k{i}": c[mask] for i, c in enumerate(cols)})
+                .groupby([f"k{i}" for i in range(len(cols))], sort=False)
+                .size()
+            )
+            qids.extend([qid] * len(g))
+            for i in range(len(cols)):
+                outs[i].extend(g.index.get_level_values(i).tolist())
+            ns.extend(g.tolist())
+        tbl = {"query_id": pa.array(qids, type=pa.int64())}
+        for f, o in zip(self.fields, outs):
+            tbl[f] = pa.array(o, type=pa.string())
+        tbl["n"] = pa.array(ns, type=pa.int64())
+        return pa.table(tbl)
+
+
+def multi_terms_agg(
+    index_dir: str,
+    queries,
+    fields=("role", "tool"),
+    missing: str = "",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `multi_terms` aggregation over each query's full match
+    set: one bucket per distinct combination of the term ``fields``
+    (query_id, <field...>, n_docs), ordered by (query_id, fields). Docs
+    where any source field is null/sentinel-missing are skipped — the
+    difference from composite_agg, which buckets terms x date."""
+    fields = list(fields)
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeMultiTerms, (fields, missing),
+        ["docid"] + fields,
+    )
+    cols = {"query_id": pd.Series(dtype=np.int64)}
+    for f in fields:
+        cols[f] = pd.Series(dtype=object)
+    cols["n_docs"] = pd.Series(dtype=np.int64)
+    if partials.empty:
+        return pd.DataFrame(cols)
+    out = (
+        partials.groupby(["query_id"] + fields, sort=True)["n"]
+        .sum().reset_index().rename(columns={"n": "n_docs"})
+    )
+    return out.astype({"query_id": np.int64, "n_docs": np.int64})
+
+
+def stats_bucket_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `stats_bucket` (and by restriction avg/min/max/sum_bucket)
+    sibling pipeline aggregation over the per-day date_histogram of each
+    query's match set: (query_id, n_buckets, min_docs, max_docs, sum_docs,
+    avg_docs[6dp]). Bucket rows are driver-small (queries x days) — the
+    heavy probe work is the shared date_histogram pass."""
+    h = date_histogram(index_dir, queries, field=field, where=where)
+    if h.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "n_buckets": pd.Series(dtype=np.int64),
+            "min_docs": pd.Series(dtype=np.int64),
+            "max_docs": pd.Series(dtype=np.int64),
+            "sum_docs": pd.Series(dtype=np.int64),
+            "avg_docs": pd.Series(dtype=np.float64),
+        })
+    g = (
+        h.groupby("query_id", sort=True)["n_docs"]
+        .agg(n_buckets="size", min_docs="min", max_docs="max", sum_docs="sum")
+        .reset_index()
+    )
+    avg = g["sum_docs"].astype(np.float64) / g["n_buckets"]
+    g["avg_docs"] = np.floor(avg * 1e6 + 0.5) / 1e6
+    return g.astype({"query_id": np.int64, "n_buckets": np.int64,
+                     "min_docs": np.int64, "max_docs": np.int64,
+                     "sum_docs": np.int64}).reset_index(drop=True)

@@ -604,3 +604,104 @@ def test_aggs_never_materialize_match_sets_on_driver(smoke_index, monkeypatch):
     monkeypatch.setattr(am, "_match_sets_scored", _boom)
     out = terms_agg(smoke_index["index_dir"], QUERIES, field="role")
     assert len(out) > 0
+
+
+def test_weighted_avg_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import weighted_avg_agg
+
+    df = _src(smoke_fixture)
+    got = weighted_avg_agg(smoke_index["index_dir"], QUERIES,
+                           value_field="doc_len", weight_field="turn_idx")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        sw = int(m["turn_idx"].sum())
+        if len(m) == 0 or sw == 0:
+            continue
+        svw = int((m["doc_len"] * m["turn_idx"]).sum())
+        rows.append((int(q.query_id), np.floor(svw / sw * 1e6 + 0.5) / 1e6))
+    exp = pd.DataFrame(rows, columns=["query_id", "weighted_avg"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_percentile_ranks_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import percentile_ranks_agg
+
+    df = _src(smoke_fixture)
+    vals = (8, 16, 32)
+    got = percentile_ranks_agg(smoke_index["index_dir"], QUERIES,
+                               field="doc_len", values=vals)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        for v in vals:
+            pct = 100.0 * int((m["doc_len"] <= v).sum()) / len(m)
+            rows.append((int(q.query_id), float(v),
+                         np.floor(pct * 1e6 + 0.5) / 1e6))
+    exp = pd.DataFrame(rows, columns=["query_id", "value", "percent"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_top_metrics_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import top_metrics_agg
+
+    df = _src(smoke_fixture)
+    got = top_metrics_agg(smoke_index["index_dir"], QUERIES,
+                          sort_field="ts", metric_field="doc_len", size=3)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text).sort_values(
+            ["ts", "docid"], ascending=[False, True]).head(3)
+        for r, t in enumerate(m.itertuples(index=False), start=1):
+            rows.append((int(q.query_id), r, int(t.docid), t.ts,
+                         int(t.doc_len)))
+    exp = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "ts",
+                                      "doc_len"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_multi_terms_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import multi_terms_agg
+
+    df = _src(smoke_fixture)
+    got = multi_terms_agg(smoke_index["index_dir"], QUERIES,
+                          fields=("role", "tool"))
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        m = m[m["tool"].notna() & (m["tool"] != "")]
+        for (role, tool), g in m.groupby(["role", "tool"]):
+            rows.append((int(q.query_id), role, tool, len(g)))
+    exp = (pd.DataFrame(rows, columns=["query_id", "role", "tool", "n_docs"])
+           .sort_values(["query_id", "role", "tool"]).reset_index(drop=True))
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_stats_bucket_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import (
+        date_histogram as dh, stats_bucket_date_histogram,
+    )
+
+    got = stats_bucket_date_histogram(smoke_index["index_dir"], QUERIES)
+    h = dh(smoke_index["index_dir"], QUERIES)
+    rows = []
+    for qid, g in h.groupby("query_id"):
+        n = g["n_docs"]
+        rows.append((int(qid), len(n), int(n.min()), int(n.max()),
+                     int(n.sum()),
+                     np.floor(int(n.sum()) / len(n) * 1e6 + 0.5) / 1e6))
+    exp = pd.DataFrame(rows, columns=["query_id", "n_buckets", "min_docs",
+                                      "max_docs", "sum_docs", "avg_docs"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
