@@ -1120,6 +1120,88 @@ def _q_bm25_must_not(sf_dir: str):
     return _topk_rounded(index_dir, _ensure_mustnot_queries(sf_dir))
 
 
+def _ensure_filterterms_queries(sf_dir: str) -> str:
+    """Standard query set + a cycling filter_text column (stopword filter,
+    selective term, absent term => match-nothing, empty => unfiltered)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_filterterms_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        q = pq.read_table(fx["queries"]).to_pandas()
+        fl = ["the", "w000100", "zz_absent", ""]
+        q["filter_text"] = [fl[int(i) % len(fl)] for i in q["query_id"]]
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_filter_terms(sf_dir: str):
+    """bool.filter on the INDEXED field (stages/search filter_text column):
+    candidates must contain >= 1 filter term; survivors score unchanged
+    (filter context). An all-absent filter matches nothing; an empty one
+    filters nothing."""
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_filterterms_queries(sf_dir))
+
+
+def _ensure_boolprefix_queries(sf_dir: str) -> str:
+    """Standard query set with each text's LAST token truncated to its
+    first 5 chars (a live dictionary prefix), plus prefix-only and absent
+    variants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_boolprefix_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        q = pq.read_table(fx["queries"]).to_pandas().head(40)
+        texts = []
+        for t in q["text"]:
+            toks = tokenize_text(t or "")
+            texts.append(" ".join(toks[:-1] + [toks[-1][:5]]) if toks else "")
+        q = q.assign(text=texts)
+        extra = pd.DataFrame({
+            "query_id": np.array([9001, 9002, 9003], dtype=np.int64),
+            "text": ["w0001", "the w0001", "zzznomatch"],
+            "k": np.array([10, 10, 10], dtype=np.int32),
+        })
+        q = pd.concat([q, extra], ignore_index=True)
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_bool_prefix(sf_dir: str):
+    """OpenSearch match_bool_prefix (pipelines/expand.search_match_bool_prefix):
+    BM25 bool-OR over all but the last token + a constant-score prefix
+    clause on the last (+1.0 on prefix match; prefix-only docs score 1.0).
+    Driver float policy: 2k oversample, 6-decimal round, re-rank."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search_match_bool_prefix
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    qpath = _ensure_boolprefix_queries(sf_dir)
+    q = pq.read_table(qpath).to_pandas()
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    res = search_match_bool_prefix(
+        index_dir, q.assign(k=(q["k"] * 2).astype("int32"))
+    )
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res = res[res["rank"] <= res["query_id"].map(k_by_query)]
+    return res[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64",
+         "score": "float64"}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_explain(sf_dir: str):
     """Lucene-explain analog (pipelines/query.explain): per-term breakdown
     of every bm25_topk hit — one row per (query, doc, matching term) with
@@ -2322,6 +2404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets_multi": _q_bm25_snippets_multi,
         "bm25_facets": _q_bm25_facets,
         "bm25_date_histogram": _q_bm25_date_histogram,
+        "bm25_filter_terms": _q_bm25_filter_terms,
+        "bm25_bool_prefix": _q_bm25_bool_prefix,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_top_metrics": _q_bm25_top_metrics,
@@ -3610,6 +3694,113 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # bool.filter on the indexed field: bm25_topk scoring, candidates
+    # restricted to docs containing >= 1 filter term (semi-join against the
+    # filter terms' postings); empty filter = unrestricted, all-absent
+    # filter = no rows
+    filterterms_q = _ensure_filterterms_queries(ORACLE_SF_DIR)
+    out["bm25_filter_terms"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{filterterms_q}')
+),
+fq AS (
+    SELECT query_id,
+           list_distinct(regexp_extract_all(lower(filter_text), '[a-z0-9_]+')) AS fl
+    FROM read_parquet('{filterterms_q}')
+),
+f AS (SELECT query_id, unnest(fl) AS term FROM fq),
+allowd AS (SELECT DISTINCT f.query_id, t.docid FROM f JOIN toks t USING (term)),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT sc.query_id, sc.docid, round(sc.score, 6) AS score, sc.k,
+           row_number() OVER (PARTITION BY sc.query_id ORDER BY round(sc.score, 6) DESC, sc.docid) AS rank
+    FROM scored sc
+    JOIN fq ON fq.query_id = sc.query_id
+    LEFT JOIN allowd a ON a.query_id = sc.query_id AND a.docid = sc.docid
+    WHERE len(fq.fl) = 0 OR a.docid IS NOT NULL
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # match_bool_prefix: BM25 over all-but-last tokens + 1.0 constant on a
+    # doc matching any of the first-50 (term-order) prefix expansions;
+    # prefix-only docs score 1.0
+    boolprefix_q = _ensure_boolprefix_queries(ORACLE_SF_DIR)
+    out["bm25_bool_prefix"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+qraw AS (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+    FROM read_parquet('{boolprefix_q}')
+),
+qq AS (
+    SELECT query_id, k, l[1:len(l) - 1] AS full_l, l[len(l)] AS prefix
+    FROM qraw WHERE len(l) > 0
+),
+qt AS (SELECT query_id, unnest(list_distinct(full_l)) AS term FROM qq),
+dict AS (SELECT DISTINCT term FROM tf),
+exp AS (
+    SELECT query_id, term FROM (
+        SELECT qq.query_id, d.term,
+               row_number() OVER (PARTITION BY qq.query_id ORDER BY d.term) AS rn
+        FROM qq JOIN dict d ON starts_with(d.term, qq.prefix)
+    ) WHERE rn <= 50
+),
+pmatch AS (SELECT DISTINCT e.query_id, t.docid FROM exp e JOIN toks t USING (term)),
+scored AS (
+    SELECT qt.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS s
+    FROM qt
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY qt.query_id, tf.docid
+),
+comb AS (
+    SELECT COALESCE(s.query_id, p.query_id) AS query_id,
+           COALESCE(s.docid, p.docid) AS docid,
+           COALESCE(s.s, 0) + (CASE WHEN p.docid IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+    FROM scored s
+    FULL OUTER JOIN pmatch p ON s.query_id = p.query_id AND s.docid = p.docid
+),
+ranked AS (
+    SELECT c.query_id, c.docid, round(c.score, 6) AS score,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY round(c.score, 6) DESC, c.docid) AS rank
+    FROM comb c
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score
+FROM ranked r
+JOIN (SELECT query_id, k FROM read_parquet('{boolprefix_q}')) kk USING (query_id)
+WHERE r.rank <= kk.k
 ORDER BY query_id, rank
 """
     # bool.must_not: bm25_topk scoring, candidates minus the docs containing

@@ -75,6 +75,7 @@ from remote_vector_index_builder_ray.pipelines.expand import (
     expand_wildcard,
     suggest_terms,
     search_fuzzy,
+    search_match_bool_prefix,
     search_phrase_prefix,
     search_prefix,
     search_synonyms,
@@ -159,6 +160,7 @@ __all__ = [
     "search_wildcard",
     "search_cross_fields",
     "search_multi_match",
+    "search_match_bool_prefix",
     "search_phrase_prefix",
     "search_bool",
     "function_score",

@@ -623,3 +623,136 @@ def search_phrase_prefix(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
          "score": np.float64}
     ).reset_index(drop=True)
+
+
+def search_match_bool_prefix(
+    index_dir: str,
+    queries: pd.DataFrame,
+    max_expansions: int = 50,
+    **kw,
+):
+    """OpenSearch ``match_bool_prefix``: every analyzed token but the last
+    is a plain term clause in a bool SHOULD; the LAST token is a prefix
+    clause under the constant-score rewrite. A doc matches when it contains
+    any full term OR any dictionary expansion of the prefix (first
+    ``max_expansions`` in term order — Lucene's cap); it scores the BM25
+    OR-sum of its full terms plus 1.0 if it matches the prefix, and a doc
+    matching ONLY the prefix scores exactly 1.0.
+
+    Exact top-k from three k-bounded legs — no corpus-sized driver state:
+
+    - P: ``search(full terms, filter_text=expansions)`` top-k — the best
+      prefix-MATCHING docs by full score (+1.0 shifts the whole class, so
+      combined order inside it equals full-score order).
+    - N: plain ``search(full terms)`` top-k minus P's docids — +1.0 never
+      hurts, so a non-prefix doc's combined rank is never better than its
+      full rank, and any prefix doc in full top-k also sits in P (its
+      P-rank <= its full rank); the subtraction removes exactly those.
+    - pure: prefix-only docs score 1.0 with docid-ascending tie-break ==
+      the constant scorer's rank order; they can reach the final top-k
+      only when |P| < k, in which case P holds ALL full-scoring prefix
+      docs and constant-top-(k+|P|) minus P docids is genuinely
+      full-score-0. (When |P| == k every P doc scores > 1.0, so any
+      misclassified pure candidate is dominated and harmless.)
+
+    Merged candidates re-rank by (score desc, docid asc); top-k per query.
+    ``queries`` has (query_id, text, k). Returns a pandas DataFrame of
+    (query_id, rank, docid, score) with RAW scores (callers apply their own
+    rounding policy, as with search())."""
+    import numpy as np
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    out_cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    }
+    an = load_analyzer(index_dir)
+    exp_cache: dict[str, list[str]] = {}
+    full_by, exp_by = {}, {}
+    for r in queries.itertuples(index=False):
+        toks = analyze_text(r.text or "", an)
+        qid = int(r.query_id)
+        if not toks:
+            full_by[qid], exp_by[qid] = "", ""
+            continue
+        *full, prefix = toks
+        if prefix not in exp_cache:
+            exp_cache[prefix] = expand_prefix(index_dir, prefix)[:max_expansions]
+        full_by[qid] = " ".join(sorted(set(full)))
+        exp_by[qid] = " ".join(exp_cache[prefix])
+    base = queries[["query_id", "k"]].copy()
+    base["query_id"] = base["query_id"].astype("int64")
+    base["k"] = base["k"].astype("int32")
+    base["text"] = base["query_id"].map(full_by).fillna("")
+    base["filter_text"] = base["query_id"].map(exp_by).fillna("")
+
+    def _run(df: pd.DataFrame, mode: str) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 "docid": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        res = search(index_dir, df.reset_index(drop=True), mode=mode,
+                     **kw).to_pandas()
+        if "docid" not in res.columns:  # zero rows -> column-less frame
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 "docid": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        return res[["query_id", "docid", "score"]]
+
+    p_leg = _run(
+        base.loc[(base["filter_text"] != "") & (base["text"] != ""),
+                 ["query_id", "text", "k", "filter_text"]],
+        "exhaustive",
+    )
+    n_leg = _run(base.loc[base["text"] != "", ["query_id", "text", "k"]],
+                 "exhaustive")
+    p_key = set(zip(p_leg["query_id"].astype(int), p_leg["docid"].astype(int)))
+    if len(p_key):
+        nk = ~pd.Series(
+            list(zip(n_leg["query_id"].astype(int), n_leg["docid"].astype(int)))
+        ).isin(p_key).to_numpy() if len(n_leg) else np.empty(0, bool)
+        n_leg = n_leg[nk] if len(n_leg) else n_leg
+    # pure leg: constant scorer over the expansions at k + |P| so dropping
+    # P docids still leaves k candidates
+    p_counts = p_leg.groupby("query_id").size() if len(p_leg) else pd.Series(dtype=np.int64)
+    pure_in = base.loc[base["filter_text"] != "", ["query_id", "k"]].copy()
+    if len(pure_in):
+        pure_in["k"] = (
+            pure_in["k"].astype(np.int64)
+            + pure_in["query_id"].map(p_counts).fillna(0).astype(np.int64)
+        ).astype("int32")
+        pure_in["text"] = pure_in["query_id"].map(exp_by)
+        pure = _run(pure_in[["query_id", "text", "k"]], "constant")
+        if len(pure) and len(p_key):
+            keep = ~pd.Series(
+                list(zip(pure["query_id"].astype(int), pure["docid"].astype(int)))
+            ).isin(p_key).to_numpy()
+            pure = pure[keep]
+    else:
+        pure = p_leg.iloc[0:0]
+    parts = []
+    if len(p_leg):
+        parts.append(p_leg.assign(score=p_leg["score"] + 1.0))
+    if len(n_leg):
+        parts.append(n_leg)
+    if len(pure):
+        parts.append(pure.assign(score=1.0))
+    if not parts:
+        return pd.DataFrame(out_cols)
+    allc = pd.concat(parts, ignore_index=True)
+    allc = allc.sort_values(["query_id", "score", "docid"],
+                            ascending=[True, False, True])
+    allc["rank"] = allc.groupby("query_id").cumcount() + 1
+    k_by = dict(zip(base["query_id"].astype(int), base["k"].astype(int)))
+    allc = allc[allc["rank"] <= allc["query_id"].map(k_by)]
+    return allc[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)

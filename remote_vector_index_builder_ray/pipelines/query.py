@@ -125,6 +125,12 @@ def search(
     the candidate set; surviving docs score unchanged (exclusion is
     non-scoring in Lucene). Supported in exhaustive, bmw and constant modes.
 
+    bool.filter on the INDEXED field: an optional per-query ``filter_text``
+    column is analyzed and only docs containing at least one of its terms
+    stay candidates — OpenSearch filter-context semantics (non-matching
+    docs drop, scores unchanged; a filter whose terms are all absent
+    matches nothing). Same mode support as exclude_text.
+
     Pagination (Lucene searchAfter): optional per-query columns
     ``after_score``/``after_docid`` restrict results to docs STRICTLY after
     that (score, docid) cursor in the engine's (score desc, docid asc) total
@@ -210,6 +216,12 @@ def search(
             raise ValueError(f"search_after is not supported in {mode} mode")
         if "exclude_text" in queries.columns:
             raise ValueError(f"exclude_text is not supported in {mode} mode")
+    if (mode not in ("exhaustive", "bmw", "constant")
+            and isinstance(queries, pd.DataFrame)
+            and "filter_text" in queries.columns):
+        # bool.filter on the indexed field (per-query ALLOW terms) rides the
+        # candidate-mask path shared by exhaustive/bmw/constant only
+        raise ValueError(f"filter_text is not supported in {mode} mode")
     if (mode != "exhaustive" and isinstance(queries, pd.DataFrame)
             and "negative_text" in queries.columns):
         # Lucene BoostingQuery: demotion breaks block-max bounds, so the

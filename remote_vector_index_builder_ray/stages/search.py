@@ -870,7 +870,8 @@ class BM25Searcher:
             return len(terms)
         return self.msm or 1
 
-    def _score_constant(self, terms: list[str], k: int, after=None, deny=None):
+    def _score_constant(self, terms: list[str], k: int, after=None, deny=None,
+                        allow=None):
         """Constant-score union (Lucene MultiTermQuery CONSTANT_SCORE
         rewrite; OpenSearch terms/prefix/wildcard queries): every doc
         containing ANY of the terms scores 1.0; the engine's (score desc,
@@ -890,6 +891,7 @@ class BM25Searcher:
             from remote_vector_index_builder_ray.stages.merge import isin_sorted
 
             uniq = uniq[~isin_sorted(uniq, deny)]
+        uniq, _ = self._apply_allow(uniq, np.ones(len(uniq)), allow)
         if after is not None:
             uniq = uniq[self._after_mask(uniq, np.ones(len(uniq)), after)]
         uniq = uniq[:k]
@@ -1055,8 +1057,23 @@ class BM25Searcher:
         return uniq[sel], scores[sel]
 
     # -- scoring --------------------------------------------------------------
+    @staticmethod
+    def _apply_allow(uniq: np.ndarray, scores: np.ndarray, allow):
+        """Per-query ALLOW set (bool.filter on the indexed field,
+        ``filter_text``): keep only candidates in the sorted set. An EMPTY
+        set (every filter term absent from the index) matches nothing —
+        distinct from ``allow is None`` (no filter)."""
+        if allow is None or len(uniq) == 0:
+            return uniq, scores
+        if len(allow) == 0:
+            return uniq[:0], scores[:0]
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        keep = isin_sorted(uniq, allow)
+        return uniq[keep], scores[keep]
+
     def _score_exhaustive(self, terms: list[str], k: int, after=None, deny=None,
-                          demote=None):
+                          demote=None, allow=None):
         need = self._need(terms)
         if need > 1:
             n_present = sum(1 for t in terms if self._cache.get(t) is not None)
@@ -1091,6 +1108,7 @@ class BM25Searcher:
 
             keep = ~isin_sorted(uniq, deny)
             uniq, scores = uniq[keep], scores[keep]
+        uniq, scores = self._apply_allow(uniq, scores, allow)
         if demote is not None:
             # Lucene BoostingQuery: docs matching the negative query keep
             # matching but their score is multiplied by negative_boost.
@@ -1110,7 +1128,8 @@ class BM25Searcher:
         sel = topk_order(scores, uniq, k)
         return uniq[sel], scores[sel]
 
-    def _score_bmw(self, terms: list[str], k: int, after=None, deny=None):
+    def _score_bmw(self, terms: list[str], k: int, after=None, deny=None,
+                   allow=None):
         """Vectorized block-max pruning ("bmw", the default).
 
         The doc space splits into docid-range chunks with a precomputed
@@ -1203,6 +1222,7 @@ class BM25Searcher:
 
                 keep = ~isin_sorted(uniq, deny)
                 uniq, sc = uniq[keep], sc[keep]
+            uniq, sc = self._apply_allow(uniq, sc, allow)
             if after is not None:
                 keep = self._after_mask(uniq, sc, after)
                 uniq, sc = uniq[keep], sc[keep]
@@ -1408,6 +1428,30 @@ class BM25Searcher:
             ]
         else:
             denies = [None] * len(qids)
+        # bool.filter on the INDEXED field (optional filter_text column):
+        # the filter text analyzes to terms whose posting-docid union forms
+        # a per-query ALLOW set — OpenSearch filter-context semantics
+        # (candidates outside the set drop, scores unchanged). A filter
+        # whose terms are all absent from the index matches nothing.
+        if "filter_text" in cols:
+            if self.mode not in ("exhaustive", "bmw", "constant"):
+                raise ValueError(
+                    f"filter_text is not supported in {self.mode} mode"
+                )
+            filt_lists = [
+                sorted(set(analyze_text(t or "", self._analyzer)))
+                for t in batch["filter_text"].to_pylist()
+            ]
+            filt_load = sorted({t for lst in filt_lists for t in lst})
+            if filt_load:
+                self._load_terms(sorted(set(all_terms) | set(filt_load)))
+            # _deny_set is just "sorted posting union of these terms" —
+            # polarity (deny vs allow) is decided at the application site
+            allows = [
+                self._deny_set(lst) if lst else None for lst in filt_lists
+            ]
+        else:
+            allows = [None] * len(qids)
         # boosting query (optional negative_text column): docs matching the
         # negative query keep matching, score *= negative_boost
         if "negative_text" in cols:
@@ -1439,13 +1483,13 @@ class BM25Searcher:
         else:
             slops = [0] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop, demote in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
-            per_query_offsets, slops, demotes,
+            per_query_offsets, slops, demotes, allows,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
-                docids, scores = self._score_bmw(terms, k, after, deny)
+                docids, scores = self._score_bmw(terms, k, after, deny, allow)
             elif self.mode == "wand":
                 docids, scores = self._score_wand(terms, k)
             elif self.mode == "span_near":
@@ -1455,7 +1499,8 @@ class BM25Searcher:
             elif self.mode == "phrase":
                 docids, scores = self._score_phrase(terms, k, poffs)
             elif self.mode == "constant":
-                docids, scores = self._score_constant(terms, k, after, deny)
+                docids, scores = self._score_constant(terms, k, after, deny,
+                                                      allow)
             elif self.mode == "blended":
                 docids, scores = self._score_blended(groups, k)
             elif self.mode == "dismax":
@@ -1464,7 +1509,7 @@ class BM25Searcher:
                 docids, scores = self._score_collapse(terms, k, self.collapse_round6)
             else:
                 docids, scores = self._score_exhaustive(terms, k, after, deny,
-                                                        demote)
+                                                        demote, allow)
             n = len(docids)
             out_qid.extend([int(qid)] * n)
             out_rank.extend(range(1, n + 1))

@@ -200,3 +200,53 @@ def test_search_phrase_prefix_matches_brute_force(smoke_fixture, tmp_path_factor
     # the first two queries must actually match something
     assert (got["query_id"] == 0).any() and (got["query_id"] == 1).any()
     assert (got["score"] == 1.0).all()
+
+
+def test_search_match_bool_prefix_matches_brute_force(
+    smoke_fixture, smoke_index, smoke_oracle
+):
+    """match_bool_prefix: BM25 over all-but-last tokens + 1.0 constant for
+    docs matching any (first-50, term-order) expansion of the last token;
+    prefix-only docs score exactly 1.0. Verified against a brute-force
+    combination of the BM25 oracle and a token-prefix scan, including the
+    single-token (pure prefix) and no-expansion cases."""
+    from remote_vector_index_builder_ray import search_match_bool_prefix
+
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    doc_toks = [set(tokenize_text(t or "")) for t in src["text"]]
+    vocab = sorted({t for s in doc_toks for t in s})
+
+    cases = {
+        10: "w000123 w0002",      # full term + live prefix
+        11: "w0001",              # pure prefix
+        12: "the w000200 zzzno",  # full terms + dead prefix
+        13: "zzzno",              # dead prefix only
+    }
+    k = 25
+    q = pd.DataFrame({
+        "query_id": np.array(sorted(cases), dtype=np.int64),
+        "text": [cases[i] for i in sorted(cases)],
+        "k": np.full(len(cases), k, dtype=np.int32),
+    })
+    got = search_match_bool_prefix(smoke_index["index_dir"], q)
+
+    for qid, text in cases.items():
+        toks = tokenize_text(text)
+        *full, prefix = toks
+        exp_terms = [t for t in vocab if t.startswith(prefix)][:50]
+        scores = smoke_oracle.score_query(" ".join(full)) if full else {}
+        pmatch = {d for d, s in enumerate(doc_toks) if s & set(exp_terms)}
+        comb = dict(scores)
+        for d in pmatch:
+            comb[d] = comb.get(d, 0.0) + 1.0
+        exp = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        g = got[got["query_id"] == qid]
+        assert g["docid"].tolist() == [d for d, _ in exp], text
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), np.array([s for _, s in exp]),
+            rtol=0, atol=0,
+        )
+    # at least one pure-prefix doc (score exactly 1.0) appears for qid 11
+    assert (got[got["query_id"] == 11]["score"] == 1.0).any()

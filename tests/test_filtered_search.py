@@ -121,3 +121,40 @@ def test_allow_docids_where_mutually_exclusive(smoke_fixture, smoke_index):
         search(smoke_index["index_dir"], qdf,
                where=[("role", "=", "user")],
                allow_docids=np.array([1, 2], dtype=np.int64))
+
+
+def test_filter_text_allow_semantics(smoke_fixture, smoke_index, smoke_oracle):
+    """bool.filter on the indexed field (per-query filter_text column):
+    candidates must contain >= 1 filter term, survivors score bit-unchanged;
+    an all-absent filter matches nothing; an empty one filters nothing."""
+    import pandas as pd
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    has_the = {
+        d for d, t in enumerate(src["text"]) if "the" in set(tokenize_text(t or ""))
+    }
+    qdf = pd.DataFrame({
+        "query_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["w000123 w000200"] * 3,
+        "k": np.array([2000, 2000, 2000], dtype=np.int32),
+        "filter_text": ["the", "zz_absent", ""],
+    })
+    for mode in ("exhaustive", "bmw"):
+        got = search(smoke_index["index_dir"], qdf, mode=mode).to_pandas()
+        scores = smoke_oracle.score_query("w000123 w000200")
+        base = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        # q0: restricted to docs containing "the", scores unchanged
+        g0 = got[got["query_id"] == 0]
+        exp0 = [(d, s) for d, s in base if d in has_the]
+        assert g0["docid"].tolist() == [d for d, _ in exp0]
+        np.testing.assert_array_equal(
+            g0["score"].to_numpy(), np.array([s for _, s in exp0])
+        )
+        # q1: absent filter term -> no rows
+        assert len(got[got["query_id"] == 1]) == 0
+        # q2: empty filter -> identical to unfiltered
+        g2 = got[got["query_id"] == 2]
+        assert g2["docid"].tolist() == [d for d, _ in base]
