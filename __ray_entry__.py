@@ -2004,6 +2004,63 @@ def _pq_artifact_path(name: str) -> str:
     return os.path.join(ARTIFACT_ROOT, f"{name}_pq_topk.parquet")
 
 
+def _sq_artifact_path(name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{name}_sq_topk.parquet")
+
+
+def _ensure_sq_artifact(sf_dir: str) -> str:
+    """Run the deterministic SQ8 (+exact rerank) top-k and persist it; the
+    SQL twin joins it against a brute-force top-k computed in SQL for
+    per-query recall — same pattern as the PQ/IVF entries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import sq_topk
+
+    path = _sq_artifact_path(_sf_name(sf_dir))
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    res = sq_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10, rerank=8,
+    )
+    _write_atomic(pa.Table.from_pandas(res, preserve_index=False), path)
+    return path
+
+
+def _q_ann_sq_topk(sf_dir: str):
+    """Per-query recall@10 of the SQ8 (scalar-quantized + exact-rerank)
+    path vs brute force — the FAISS IndexScalarQuantizer/QT_8bit analog
+    (extras/ann.sq_topk: exact streaming min/max training, 8x rerank)."""
+    path = _ensure_sq_artifact(sf_dir)
+    res = pd.read_parquet(path)
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    bf = brute_force_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10,
+    )
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    rows = []
+    for qid, g in res.groupby("query_id"):
+        hits = sum((int(qid), int(v)) in bfset for v in g["vec_id"])
+        rows.append((int(qid), float(np.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "recall"]).astype(
+        {"query_id": np.int64, "recall": np.float64})
+
+
 def _ensure_pq_artifact(sf_dir: str) -> str:
     """Run the deterministic PQ+rerank top-k and persist it; the SQL twin
     joins it against a brute-force top-k computed in SQL for per-query
@@ -2378,6 +2435,190 @@ def _q_multimodal_features(sf_dir: str):
     )
 
 
+def _q_bm25_matrix_stats(sf_dir: str):
+    """OpenSearch matrix_stats agg (two-field case) over each query's full
+    match set: count, means, population variances, covariance and Pearson
+    correlation of (doc_len, turn_idx) — exact int64 moment partials, float
+    ops once at the driver (pipelines/aggs.matrix_stats_agg)."""
+    from remote_vector_index_builder_ray import matrix_stats_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = matrix_stats_agg(index_dir, pd.read_parquet(fx["queries"]),
+                           field_x="doc_len", field_y="turn_idx")
+    return out.astype({"query_id": "int64", "n_docs": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_bucket_script(sf_dir: str):
+    """OpenSearch bucket_script pipeline agg over the per-day date_histogram:
+    each bucket's percent of the query's total matched docs
+    (pipelines/aggs.bucket_script_date_histogram)."""
+    from remote_vector_index_builder_ray import bucket_script_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = bucket_script_date_histogram(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "pct_of_total": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_moving_fn(sf_dir: str):
+    """OpenSearch moving_fn pipeline agg (MovingFunctions.max/min/sum,
+    window=3 trailing PRESENT buckets incl. current) over the per-day
+    date_histogram (pipelines/aggs.moving_fn_date_histogram)."""
+    from remote_vector_index_builder_ray import moving_fn_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = moving_fn_date_histogram(index_dir, pd.read_parquet(fx["queries"]),
+                                   window=3)
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "mov_max": "int64", "mov_min": "int64",
+                       "mov_sum": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_count(sf_dir: str):
+    """OpenSearch _count API / track_total_hits: exact per-query match
+    count via the distributed match-set shard counts; zero-match queries
+    report 0 (pipelines/aggs.match_count)."""
+    from remote_vector_index_builder_ray import match_count
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = match_count(index_dir, pd.read_parquet(fx["queries"]))
+    return out.astype({"query_id": "int64",
+                       "total_hits": "int64"}).reset_index(drop=True)
+
+
+def _q_bm25_diversified_sampler(sf_dir: str):
+    """OpenSearch diversified_sampler agg: top shard_size=20 matched docs
+    per query with at most max_docs_per_value=3 per role — greedy
+    best-first under a per-key cap == within-key-rank filter then global
+    top (pipelines/aggs.diversified_sampler_agg)."""
+    from remote_vector_index_builder_ray import diversified_sampler_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = diversified_sampler_agg(index_dir, pd.read_parquet(fx["queries"]),
+                                  field="role", shard_size=20,
+                                  max_docs_per_value=3)
+    return out.astype({"query_id": "int64", "rank": "int32", "docid": "int64",
+                       "score": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_distance_feature(sf_dir: str):
+    """OpenSearch distance_feature query in a bool SHOULD: BM25 +
+    boost * pivot / (pivot + |ts - origin|), origin = newest turn, pivot =
+    one week (epoch-us; both derivable by the SQL twin)
+    (pipelines/query.distance_feature)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import distance_feature
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    ts = pd.concat(
+        [pq.read_table(p, columns=["ts"]).to_pandas() for p in fx["transcripts"]]
+    )["ts"].astype("datetime64[us]").astype(np.int64)
+    return distance_feature(
+        index_dir, pd.read_parquet(fx["queries"]), field="ts",
+        origin=float(ts.max()), pivot=float(7 * 86400 * 1_000_000),
+        boost=2.5,
+    )
+
+
+def _ensure_spanfirst_queries(sf_dir: str) -> str:
+    """Single-term span_first query set: each standard query's FIRST token
+    with a cycling position bound span_end in (1, 2, 3, 8), plus a stopword
+    and an absent-term case."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_spanfirst_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        q = pq.read_table(fx["queries"]).to_pandas().head(40)
+        ends = [1, 2, 3, 8]
+        texts, span_end = [], []
+        for i, t in zip(q["query_id"], q["text"]):
+            toks = tokenize_text(t or "")
+            texts.append(toks[0] if toks else "")
+            span_end.append(ends[int(i) % len(ends)])
+        q = q.assign(text=texts, span_end=np.array(span_end, dtype=np.int32))
+        extra = pd.DataFrame({
+            "query_id": np.array([9001, 9002], dtype=np.int64),
+            "text": ["the", "zzznomatch"],
+            "k": np.array([25, 10], dtype=np.int32),
+            "span_end": np.array([2, 3], dtype=np.int32),
+        })
+        q = pd.concat([q, extra], ignore_index=True)
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_span_first(sf_dir: str):
+    """Lucene/OpenSearch span_first (single-term inner span): docs whose
+    term occurs at a position strictly below span_end, scored
+    idf * tfnorm(count of qualifying positions) — SpanScorer freq with
+    width-0 spans (stages/search._score_span_first)."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_spanfirst_queries(sf_dir),
+                         mode="span_first")
+
+
+def _q_bm25_percentiles_bucket(sf_dir: str):
+    """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
+    25/50/75th percentiles of the per-day bucket doc counts, interpolation
+    written out explicitly so the SQL twin reproduces each float op
+    (pipelines/aggs.percentiles_bucket_date_histogram)."""
+    from remote_vector_index_builder_ray import percentiles_bucket_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = percentiles_bucket_date_histogram(
+        index_dir, pd.read_parquet(fx["queries"]), pcts=(25.0, 50.0, 75.0))
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_cum_cardinality(sf_dir: str):
+    """OpenSearch cumulative_cardinality pipeline agg: per day bucket, the
+    exact count of distinct conv_ids seen in any bucket up to it
+    (pipelines/aggs.cumulative_cardinality_agg)."""
+    from remote_vector_index_builder_ray import cumulative_cardinality_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = cumulative_cardinality_agg(index_dir, pd.read_parquet(fx["queries"]),
+                                     key_field="conv_id")
+    return out.reset_index(drop=True)
+
+
+def _ensure_mget_requests(sf_dir: str) -> str:
+    """Deterministic (query_id, docid) mget request set: 10 queries x 6
+    docids spread over [0, N + 50) so some ids are absent (found=false)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_mget_requests.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        n = sum(pq.ParquetFile(p).metadata.num_rows for p in fx["transcripts"])
+        rows = [(q, (q * 37 + i * 101) % (n + 50))
+                for q in range(10) for i in range(6)]
+        t = pa.table({
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "docid": pa.array([r[1] for r in rows], type=pa.int64()),
+        })
+        _write_atomic(t, path)
+    return path
+
+
+def _q_bm25_mget(sf_dir: str):
+    """OpenSearch _mget: stored-field fetch for explicit (query_id, docid)
+    requests via the broadcast semi-join docmeta filter; absent ids return
+    found=false with null fields (pipelines/query.mget)."""
+    from remote_vector_index_builder_ray import mget
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return mget(index_dir, pd.read_parquet(_ensure_mget_requests(sf_dir)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
@@ -2406,6 +2647,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_filter_terms": _q_bm25_filter_terms,
         "bm25_bool_prefix": _q_bm25_bool_prefix,
+        "bm25_matrix_stats": _q_bm25_matrix_stats,
+        "bm25_bucket_script": _q_bm25_bucket_script,
+        "bm25_moving_fn": _q_bm25_moving_fn,
+        "bm25_count": _q_bm25_count,
+        "bm25_diversified_sampler": _q_bm25_diversified_sampler,
+        "bm25_distance_feature": _q_bm25_distance_feature,
+        "bm25_span_first": _q_bm25_span_first,
+        "bm25_percentiles_bucket": _q_bm25_percentiles_bucket,
+        "bm25_cum_cardinality": _q_bm25_cum_cardinality,
+        "bm25_mget": _q_bm25_mget,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_top_metrics": _q_bm25_top_metrics,
@@ -2471,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_filtered": _q_ann_filtered,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_sq_topk": _q_ann_sq_topk,
         "ann_kmeans": _q_ann_kmeans,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
@@ -2982,6 +3234,26 @@ SELECT p.query_id,
        floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
 FROM pq p LEFT JOIN bf b ON p.query_id = b.query_id AND p.vec_id = b.vec_id
 GROUP BY p.query_id ORDER BY p.query_id
+""",
+        "ann_sq_topk": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+sq AS (SELECT query_id, vec_id FROM read_parquet('{_sq_artifact_path(sf)}'))
+SELECT s.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM sq s LEFT JOIN bf b ON s.query_id = b.query_id AND s.vec_id = b.vec_id
+GROUP BY s.query_id ORDER BY s.query_id
 """,
         "ann_ivf_topk": f"""
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5879,6 +6151,339 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # matrix_stats: exact int64 moments per query's match set, float ops in
+    # the engine's exact order (mean=s/n; var=s2/n-m^2; cov=sxy/n-mx*my)
+    out["bm25_matrix_stats"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+moms AS (
+    SELECT m.query_id, count(*)::BIGINT AS n,
+           sum(dl.dl)::BIGINT AS sx, sum(d.turn_idx)::BIGINT AS sy,
+           sum(dl.dl * dl.dl)::BIGINT AS sxx,
+           sum(d.turn_idx::BIGINT * d.turn_idx)::BIGINT AS syy,
+           sum(dl.dl * d.turn_idx)::BIGINT AS sxy
+    FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+    GROUP BY m.query_id
+),
+deriv AS (
+    SELECT query_id, n,
+           sx::DOUBLE / n AS mx, sy::DOUBLE / n AS my,
+           sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS vx,
+           syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n) AS vy,
+           sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n) AS cov
+    FROM moms
+)
+SELECT query_id, n AS n_docs,
+       floor(mx * 1000000 + 0.5) / 1000000 AS mean_x,
+       floor(my * 1000000 + 0.5) / 1000000 AS mean_y,
+       floor(vx * 1000000 + 0.5) / 1000000 AS var_x,
+       floor(vy * 1000000 + 0.5) / 1000000 AS var_y,
+       floor(cov * 1000000 + 0.5) / 1000000 AS covariance,
+       floor((CASE WHEN vx * vy > 0 THEN cov / sqrt(vx * vy) ELSE 0.0 END)
+             * 1000000 + 0.5) / 1000000 AS correlation
+FROM deriv
+ORDER BY query_id
+"""
+    # bucket_script: per-day bucket's percent of the query's total matches
+    out["bm25_bucket_script"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+h AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+tot AS (SELECT query_id, sum(n_docs)::DOUBLE AS total FROM h GROUP BY query_id)
+SELECT h.query_id, h.key, h.n_docs,
+       floor((h.n_docs::DOUBLE / tot.total * 100) * 1000000 + 0.5) / 1000000
+           AS pct_of_total
+FROM h JOIN tot USING (query_id)
+ORDER BY h.query_id, h.key
+"""
+    # moving_fn: trailing-3-present-bucket max/min/sum over the day histogram
+    out["bm25_moving_fn"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+h AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+)
+SELECT query_id, key, n_docs,
+       (max(n_docs) OVER w)::BIGINT AS mov_max,
+       (min(n_docs) OVER w)::BIGINT AS mov_min,
+       (sum(n_docs) OVER w)::BIGINT AS mov_sum
+FROM h
+WINDOW w AS (PARTITION BY query_id ORDER BY key
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY query_id, key
+"""
+    # _count / track_total_hits: exact match count, 0 for zero-match queries
+    out["bm25_count"] = f"""
+WITH {docs}, {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+c AS (SELECT query_id, count(*)::BIGINT AS n FROM m GROUP BY query_id)
+SELECT qq.query_id, COALESCE(c.n, 0)::BIGINT AS total_hits
+FROM (SELECT DISTINCT query_id FROM read_parquet('{_queries_path(sf)}')) qq
+LEFT JOIN c USING (query_id)
+ORDER BY qq.query_id
+"""
+    # diversified_sampler: within-role rank <= 3 on rounded scores, then the
+    # global top-20 (== greedy best-first under the per-key cap)
+    out["bm25_diversified_sampler"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+withkey AS (
+    SELECT sc.query_id, sc.docid, d.role AS key,
+           floor(sc.score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN docs d USING (docid)
+),
+rn AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, key
+                                 ORDER BY score DESC, docid) AS krn
+    FROM withkey
+),
+sel AS (
+    SELECT query_id, docid, key, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS rank
+    FROM rn WHERE krn <= 3
+)
+SELECT query_id, rank::INT AS rank, docid, key, score
+FROM sel WHERE rank <= 20
+ORDER BY query_id, rank
+"""
+    # distance_feature: BM25 + boost * pivot / (pivot + |ts - origin|),
+    # origin = newest turn, pivot = 1 week, boost = 2.5
+    out["bm25_distance_feature"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+tsv AS (SELECT docid, epoch_us(ts) AS v FROM docs),
+bounds AS (SELECT max(v)::DOUBLE AS origin FROM tsv),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+boosted AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           floor((sc.score + 2.5 * (604800000000.0
+                  / (604800000000.0 + abs(t.v::DOUBLE - b.origin))))
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN tsv t ON sc.docid = t.docid CROSS JOIN bounds b
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM boosted
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # span_first: single-term inner span at position < span_end (0-based;
+    # 1-based generate_subscripts pos <= span_end), freq = qualifying
+    # positions, scored idf * tfnorm(freq, dl)
+    spanfirst_q = _ensure_spanfirst_queries(ORACLE_SF_DIR)
+    out["bm25_span_first"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(len(ts))::DOUBLE / count(*) AS avgdl FROM docs),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+tp AS MATERIALIZED (
+    SELECT docid, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+    FROM docs
+),
+dl AS (SELECT docid, len(ts)::BIGINT AS dl FROM docs),
+q AS (
+    SELECT query_id, k, span_end::BIGINT AS span_end,
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1] AS term
+    FROM read_parquet('{spanfirst_q}')
+    WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) > 0
+),
+stf AS (
+    SELECT q.query_id, any_value(q.k) AS k, tp.docid, count(*)::BIGINT AS tf,
+           any_value(q.term) AS term
+    FROM q JOIN tp ON tp.term = q.term AND tp.pos <= q.span_end
+    GROUP BY q.query_id, tp.docid
+),
+scored AS (
+    SELECT stf.query_id, stf.k, stf.docid,
+           round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * stf.tf * (1.2 + 1)
+                 / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+    FROM stf
+    JOIN df USING (term)
+    JOIN dl ON stf.docid = dl.docid
+    CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # percentiles_bucket: explicit linear interpolation over the sorted
+    # per-day bucket counts (mirrors the engine's float op order exactly)
+    out["bm25_percentiles_bucket"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+h AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+arr AS (
+    SELECT query_id, list_sort(list(n_docs)) AS v, count(*)::BIGINT AS n
+    FROM h GROUP BY query_id
+),
+pcts AS (SELECT unnest([25.0, 50.0, 75.0]) AS pct),
+calc AS (
+    SELECT a.query_id, p.pct, a.v, a.n,
+           (a.n - 1) * (p.pct / 100.0) AS hh,
+           cast(floor((a.n - 1) * (p.pct / 100.0)) AS BIGINT) AS lo
+    FROM arr a CROSS JOIN pcts p
+)
+SELECT query_id, pct,
+       floor((v[lo + 1]::DOUBLE
+              + (hh - lo) * (v[least(lo + 2, n)]::DOUBLE - v[lo + 1]::DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS value
+FROM calc
+ORDER BY query_id, pct
+"""
+    # cumulative_cardinality: distinct conv_ids first seen on or before each
+    # present day bucket
+    out["bm25_cum_cardinality"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+md AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, d.conv_id
+    FROM m JOIN docs d USING (docid)
+),
+firsts AS (
+    SELECT query_id, conv_id, min(key) AS first_day FROM md GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT query_id, key FROM md)
+SELECT days.query_id, days.key, count(*)::BIGINT AS cum_cardinality
+FROM days JOIN firsts f
+  ON f.query_id = days.query_id AND f.first_day <= days.key
+GROUP BY days.query_id, days.key
+ORDER BY days.query_id, days.key
+"""
+    # _mget: stored-field fetch by explicit docid, found=false for misses
+    mget_q = _ensure_mget_requests(ORACLE_SF_DIR)
+    out["bm25_mget"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+)
+SELECT r.query_id, r.docid, d.conv_id, d.turn_idx::BIGINT AS turn_idx,
+       d.role, d.conv_id IS NOT NULL AS found
+FROM read_parquet('{mget_q}') r
+LEFT JOIN docs d USING (docid)
+ORDER BY r.query_id, r.docid
+"""
     return out
 
 
@@ -5896,6 +6501,7 @@ except Exception:  # noqa: BLE001 — oracle-scale testdata may be absent
 try:
     _ensure_ivf_artifact(ORACLE_SF_DIR)
     _ensure_pq_artifact(ORACLE_SF_DIR)
+    _ensure_sq_artifact(ORACLE_SF_DIR)
     _ensure_kmeans_artifact(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass

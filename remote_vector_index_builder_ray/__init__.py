@@ -66,6 +66,13 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     stats_bucket_date_histogram,
     top_metrics_agg,
     weighted_avg_agg,
+    matrix_stats_agg,
+    bucket_script_date_histogram,
+    moving_fn_date_histogram,
+    match_count,
+    diversified_sampler_agg,
+    percentiles_bucket_date_histogram,
+    cumulative_cardinality_agg,
 )
 from remote_vector_index_builder_ray.functions.metrics import rank_eval
 from remote_vector_index_builder_ray.pipelines.expand import (
@@ -90,6 +97,8 @@ from remote_vector_index_builder_ray.pipelines.reindex import reindex
 from remote_vector_index_builder_ray.pipelines.query import (
     explain,
     function_score,
+    distance_feature,
+    mget,
     highlight,
     hydrate,
     parse_simple_query_string,
@@ -173,6 +182,15 @@ __all__ = [
     "multi_terms_agg",
     "percentile_ranks_agg",
     "stats_bucket_date_histogram",
+    "matrix_stats_agg",
+    "bucket_script_date_histogram",
+    "moving_fn_date_histogram",
+    "match_count",
+    "percentiles_bucket_date_histogram",
+    "cumulative_cardinality_agg",
+    "mget",
+    "diversified_sampler_agg",
+    "distance_feature",
     "top_metrics_agg",
     "weighted_avg_agg",
     "delete_by_query",

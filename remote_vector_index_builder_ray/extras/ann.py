@@ -663,6 +663,16 @@ def pq_topk(
     short = _finalize_topk(partials, kk)
     if rerank is None:
         return short
+    return _exact_rerank(ds, qids, qm, short, k)
+
+
+def _exact_rerank(ds: ray.data.Dataset, qids: np.ndarray, qm: np.ndarray,
+                  short: pd.DataFrame, k: int) -> pd.DataFrame:
+    """FAISS refine stage shared by the compressed-index paths (PQ, SQ):
+    gather the shortlist's ORIGINAL vectors with one broadcast ``isin``
+    filter pass (shortlist is queries x rerank*k — tiny) and re-score
+    exactly; final ranking and 6-decimal rounding then match the
+    brute-force scorer on everything the shortlist caught."""
     wanted = np.unique(short["vec_id"].to_numpy(np.int64))
     wref = ray.put(wanted)
 
@@ -698,3 +708,98 @@ def pq_topk(
         }),
         k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized ANN (the FAISS SQ8 analog): dim float64 -> dim uint8
+# ---------------------------------------------------------------------------
+
+
+def train_sq_minmax(ds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) of the NORMALIZED corpus — the SQ8 training
+    stats (FAISS ScalarQuantizer QT_8bit's rangestat=minmax). Unlike k-means
+    this needs no sample: min/max partials are order-independent, so one
+    exact streaming pass over the full dataset reduces to two dim-length
+    vectors regardless of corpus size."""
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, "embedding"))
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).tolist()]),
+            "hi": pa.array([m.max(axis=0).tolist()]),
+        })
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    lo = np.stack([np.asarray(v, np.float64) for v in parts["lo"]]).min(axis=0)
+    hi = np.stack([np.asarray(v, np.float64) for v in parts["hi"]]).max(axis=0)
+    return lo, hi
+
+
+class SQScoreTopK:
+    """map_batches callable for the SQ8 scoring pass: quantize the batch's
+    (normalized) vectors to uint8 codes — code = round((x-lo)/(hi-lo)*255)
+    — and score every query against the RECONSTRUCTION
+    x̂ = lo + code/255*(hi-lo), which folds into one matmul per batch:
+    score(q, x) = (codes * step) @ q + q·lo. Batch-local top-k partials,
+    same reduce shape as CosineTopK."""
+
+    def __init__(self, queries_ref, params_ref, k: int):
+        self.qids, qm = ray.get(queries_ref)
+        self.qn = _normalize(qm)
+        lo, hi = ray.get(params_ref)
+        self.lo = lo
+        self.step = (hi - lo) / 255.0
+        self.qconst = self.qn @ lo  # (nq,)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        safe = np.where(self.step > 0, self.step, 1.0)
+        codes = np.clip(np.rint((mat - self.lo) / safe), 0, 255)
+        # one (n, dim) x (dim, nq) matmul scores the whole batch
+        s_all = (codes * self.step) @ self.qn.T + self.qconst  # (n, nq)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            s = s_all[:, qi]
+            k = min(self.k, len(s))
+            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.extend([int(self.qids[qi])] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def sq_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    rerank: int | None = 8,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via 8-bit scalar quantization (the FAISS
+    IndexScalarQuantizer/QT_8bit analog; reference builds compressed FAISS
+    indexes the same way): exact streaming min/max training, then one pass
+    that quantizes + scores every batch against the broadcast queries.
+    Compression: dim float64 -> dim bytes. ``rerank`` keeps a ``rerank*k``
+    shortlist that the shared FAISS-refine stage re-scores exactly;
+    ``rerank=None`` returns raw reconstruction scores."""
+    params = train_sq_minmax(ds)
+    pref = ray.put(params)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qref = ray.put((qids, qm))
+    kk = k if rerank is None else rerank * k
+    partials = ds.map_batches(
+        SQScoreTopK, fn_constructor_args=(qref, pref, kk),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    short = _finalize_topk(partials, kk)
+    if rerank is None:
+        return short
+    return _exact_rerank(ds, qids, qm, short, k)

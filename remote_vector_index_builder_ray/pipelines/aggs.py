@@ -2216,3 +2216,377 @@ def stats_bucket_date_histogram(
     return g.astype({"query_id": np.int64, "n_buckets": np.int64,
                      "min_docs": np.int64, "max_docs": np.int64,
                      "sum_docs": np.int64}).reset_index(drop=True)
+
+
+class _ProbeMatrix:
+    """`matrix_stats` partials: exact int64 moment sums per query —
+    (n, sum_x, sum_y, sum_x2, sum_y2, sum_xy) — so every float operation
+    happens ONCE at the driver in an order a SQL oracle reproduces bit-equal.
+    int64 bound: sums of x*y over the match set must stay under 2^63 (fields
+    here are small ints; at larger corpora widen to per-shard float128 or
+    split sums, as OpenSearch's double-based running moments would)."""
+
+    def __init__(self, shard_refs, stride, field_x: str, field_y: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field_x = field_x
+        self.field_y = field_y
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = batch[self.field_x].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = batch[self.field_y].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        qids, ns, sx, sy, sxx, syy, sxy = [], [], [], [], [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            xm, ym = x[mask], y[mask]
+            qids.append(qid)
+            ns.append(int(mask.sum()))
+            sx.append(int(xm.sum()))
+            sy.append(int(ym.sum()))
+            sxx.append(int((xm * xm).sum()))
+            syy.append(int((ym * ym).sum()))
+            sxy.append(int((xm * ym).sum()))
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "sx": pa.array(sx, type=pa.int64()),
+            "sy": pa.array(sy, type=pa.int64()),
+            "sxx": pa.array(sxx, type=pa.int64()),
+            "syy": pa.array(syy, type=pa.int64()),
+            "sxy": pa.array(sxy, type=pa.int64()),
+        })
+
+
+def matrix_stats_agg(
+    index_dir: str,
+    queries,
+    field_x: str = "doc_len",
+    field_y: str = "turn_idx",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `matrix_stats` aggregation over each query's full match
+    set, for the two-field case: count, per-field mean and population
+    variance, covariance and Pearson correlation between ``field_x`` and
+    ``field_y``. Exact int64 moment partials stream through the probe pool;
+    the driver does each float op once in SQL-reproducible order
+    (mean = s/n; var = s2/n - mean^2; cov = sxy/n - mx*my;
+    corr = cov/sqrt(vx*vy), 0.0 when either variance is 0). All floats
+    rounded half-up to 6 decimals. Queries with no matches are omitted."""
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeMatrix,
+        (field_x, field_y), ["docid", field_x, field_y],
+    )
+    cols = ["n_docs", "mean_x", "mean_y", "var_x", "var_y",
+            "covariance", "correlation"]
+    if partials.empty:
+        out = {"query_id": pd.Series(dtype=np.int64),
+               "n_docs": pd.Series(dtype=np.int64)}
+        out.update({c: pd.Series(dtype=np.float64) for c in cols[1:]})
+        return pd.DataFrame(out)
+    g = (
+        partials.groupby("query_id", sort=True)
+        .agg(n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+             sxx=("sxx", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"))
+        .reset_index()
+    )
+    n = g["n"].astype(np.float64)
+    mx = g["sx"].astype(np.float64) / n
+    my = g["sy"].astype(np.float64) / n
+    vx = g["sxx"].astype(np.float64) / n - mx * mx
+    vy = g["syy"].astype(np.float64) / n - my * my
+    cov = g["sxy"].astype(np.float64) / n - mx * my
+    prod = vx * vy
+    corr = np.where(prod > 0, cov / np.sqrt(prod), 0.0)
+    r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype(np.int64),
+        "n_docs": g["n"].astype(np.int64),
+        "mean_x": r6(mx), "mean_y": r6(my),
+        "var_x": r6(vx), "var_y": r6(vy),
+        "covariance": r6(cov), "correlation": r6(corr),
+    }).reset_index(drop=True)
+
+
+def bucket_script_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `bucket_script` sibling pipeline aggregation over a per-day
+    date_histogram parent: script = each bucket's percent of the query's
+    total matched docs (``_count / total * 100``). The parent's bucket frame
+    is driver-small (queries x days); one float division + multiply per
+    bucket in SQL-reproducible order, rounded half-up to 6 decimals."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        out["pct_of_total"] = pd.Series(dtype=np.float64)
+        return out
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    total = base.groupby("query_id", sort=False)["n_docs"].transform("sum")
+    pct = base["n_docs"].astype(np.float64) / total.astype(np.float64) * 100.0
+    base["pct_of_total"] = np.floor(pct * 1e6 + 0.5) / 1e6
+    return base
+
+
+def moving_fn_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    window: int = 3,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `moving_fn` pipeline aggregation (MovingFunctions.max /
+    min / sum) over a per-day date_histogram parent: per bucket the max,
+    min and sum of the trailing ``window`` PRESENT buckets (ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW — same window the engine's
+    moving_avg uses). Integer in, integer out — no float policy needed.
+    Returns (query_id, key, n_docs, mov_max, mov_min, mov_sum)."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        for c in ("mov_max", "mov_min", "mov_sum"):
+            out[c] = pd.Series(dtype=np.int64)
+        return out
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    g = base.groupby("query_id", sort=False)["n_docs"]
+    roll = g.rolling(window, min_periods=1)
+    base["mov_max"] = roll.max().to_numpy(np.int64)
+    base["mov_min"] = roll.min().to_numpy(np.int64)
+    base["mov_sum"] = roll.sum().to_numpy(np.int64)
+    return base
+
+
+def match_count(index_dir: str, queries, where=None) -> pd.DataFrame:
+    """OpenSearch `_count` API / `track_total_hits=true`: the exact match
+    count of each query (docs containing >= 1 analyzed term, after filters
+    and tombstones). Rides the distributed match-set shard production —
+    per-block counts reduce to one int per query; docids never land on the
+    driver. Queries matching nothing report 0 (as _count does).
+    Returns (query_id, total_hits), query_id-ascending."""
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    _, _, counts = _sharded_matches(index_dir, q, where=where)
+    qids = sorted(int(v) for v in q["query_id"])
+    return pd.DataFrame({
+        "query_id": pd.Series(qids, dtype=np.int64),
+        "total_hits": pd.Series([counts.get(i, 0) for i in qids],
+                                dtype=np.int64),
+    })
+
+
+class _ProbeDivTop:
+    """`diversified_sampler` partials: per (query, de-dup key) the batch's
+    top ``max_per_value`` matched docs by (round6 score desc, docid asc) —
+    a superset of each key's global top; queries x keys x max_per_value
+    rows leave each task."""
+
+    def __init__(self, shard_refs, stride, field: str, max_per_value: int):
+        self.matches = _ShardedScored(shard_refs, stride)
+        self.field = field
+        self.max_per_value = max_per_value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        qids, out_keys, docs, scores = [], [], [], []
+        for qid, (arr, sc) in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            d = ids[mask]
+            s = sc[np.searchsorted(arr, d)]
+            r = np.floor(s * 1e6 + 0.5) / 1e6
+            df = pd.DataFrame({"key": keys[mask], "docid": d, "score": r})
+            df = df.sort_values(["key", "score", "docid"],
+                                ascending=[True, False, True])
+            df = df.groupby("key", sort=False).head(self.max_per_value)
+            qids.extend([qid] * len(df))
+            out_keys.extend(df["key"].tolist())
+            docs.extend(df["docid"].tolist())
+            scores.extend(df["score"].tolist())
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "key": pa.array(out_keys, type=pa.string()),
+            "docid": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        })
+
+
+def diversified_sampler_agg(
+    index_dir: str,
+    queries,
+    field: str = "role",
+    shard_size: int = 20,
+    max_docs_per_value: int = 3,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `diversified_sampler` aggregation: each query's top
+    ``shard_size`` matched docs by relevance, with at most
+    ``max_docs_per_value`` docs per distinct value of the de-dup ``field``.
+    Greedy best-first selection under a per-key cap is equivalent to
+    "keep docs whose within-key rank <= cap, then take the top shard_size
+    overall" (a doc is skipped iff ``max_docs_per_value`` better same-key
+    docs exist, and all of those are themselves taken or cap-limited) —
+    which is exactly what the probe computes distributed: per-batch
+    per-(query,key) top-cap partials (a superset of the global per-key
+    top-cap), driver reduce re-applies the cap then ranks. Scores are
+    exhaustive BM25 rounded half-up to 6 decimals; order (score desc,
+    docid asc). Returns (query_id, rank, docid, key, score)."""
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    shard_refs, _, _ = _sharded_matches(index_dir, q, where=where, scored=True)
+    from remote_vector_index_builder_ray.state import fs
+
+    partials = (
+        ray.data.read_parquet(
+            **fs.for_ray_paths(_meta_files(index_dir)),
+            columns=["docid", field],
+        )
+        .map_batches(
+            _ProbeDivTop,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
+                                 max_docs_per_value),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "docid": pd.Series(dtype=np.int64),
+        "key": pd.Series(dtype=object),
+        "score": pd.Series(dtype=np.float64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    partials = partials.sort_values(["query_id", "key", "score", "docid"],
+                                    ascending=[True, True, False, True])
+    capped = partials.groupby(["query_id", "key"], sort=False).head(
+        max_docs_per_value)
+    capped = capped.sort_values(["query_id", "score", "docid"],
+                                ascending=[True, False, True])
+    capped["rank"] = capped.groupby("query_id").cumcount() + 1
+    out = capped[capped["rank"] <= shard_size]
+    return out[["query_id", "rank", "docid", "key", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
+def percentiles_bucket_date_histogram(
+    index_dir: str,
+    queries,
+    pcts=(25.0, 50.0, 75.0),
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `percentiles_bucket` sibling pipeline aggregation over a
+    per-day date_histogram parent: linear-interpolated percentiles of the
+    per-bucket doc counts. Interpolation is written out explicitly
+    (h = (n-1) * p/100; v[floor(h)] + frac * (v[floor(h)+1] - v[floor(h)]))
+    so a SQL oracle reproduces each float op in the same order — no reliance
+    on np.percentile/quantile_cont internals. Returns
+    (query_id, pct, value), value rounded half-up to 6 decimals."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "pct": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.float64)})
+    qids, out_p, out_v = [], [], []
+    for qid, g in base.groupby("query_id", sort=True):
+        v = np.sort(g["n_docs"].to_numpy(np.int64)).astype(np.float64)
+        n = len(v)
+        for p in pcts:
+            h = (n - 1) * (float(p) / 100.0)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            val = v[lo] + (h - lo) * (v[hi] - v[lo])
+            qids.append(int(qid))
+            out_p.append(float(p))
+            out_v.append(float(np.floor(val * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame({"query_id": pd.Series(qids, dtype=np.int64),
+                         "pct": pd.Series(out_p, dtype=np.float64),
+                         "value": pd.Series(out_v, dtype=np.float64)})
+
+
+class _ProbeDayKey:
+    """`cumulative_cardinality` partials: the batch's DISTINCT
+    (query, day, key_field) triplets — the same driver-size contract as
+    `_ProbeDistinct` (cardinality_agg): rows bound by the match set's
+    distinct (day, key) pairs, not by doc count."""
+
+    def __init__(self, shard_refs, stride, field: str, key_field: str):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+        self.key_field = key_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        days = batch[self.field].combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[D]").astype("datetime64[us]")
+        keys = batch[self.key_field].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        qids, out_d, out_k = [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            df = pd.DataFrame({"d": days[mask], "k": keys[mask]}).drop_duplicates()
+            qids.extend([qid] * len(df))
+            out_d.extend(df["d"].tolist())
+            out_k.extend(df["k"].tolist())
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "key": pa.array(out_d, type=pa.timestamp("us")),
+            "value": pa.array(out_k, type=pa.string()),
+        })
+
+
+def cumulative_cardinality_agg(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    key_field: str = "conv_id",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `cumulative_cardinality` pipeline aggregation over a
+    per-day date_histogram parent with a `cardinality(key_field)` metric:
+    per bucket, the number of DISTINCT key values seen in any bucket up to
+    and including it (exact, not HLL — the exact twin of this engine's
+    cardinality_agg). Only days present in the match set appear
+    (min_doc_count=1 parent semantics). Returns
+    (query_id, key, cum_cardinality)."""
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeDayKey,
+        (field, key_field), ["docid", field, key_field],
+    )
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "key": pd.Series(dtype="datetime64[us]"),
+                             "cum_cardinality": pd.Series(dtype=np.int64)})
+    uniq = partials.drop_duplicates(["query_id", "key", "value"])
+    firsts = (uniq.groupby(["query_id", "value"], sort=False)["key"]
+              .min().reset_index(name="first_day"))
+    days = uniq[["query_id", "key"]].drop_duplicates().sort_values(
+        ["query_id", "key"])
+    new = (firsts.groupby(["query_id", "first_day"], sort=False)
+           .size().reset_index(name="n_new")
+           .rename(columns={"first_day": "key"}))
+    out = days.merge(new, on=["query_id", "key"], how="left")
+    out["n_new"] = out["n_new"].fillna(0).astype(np.int64)
+    out["cum_cardinality"] = out.groupby("query_id", sort=False)["n_new"].cumsum()
+    return out[["query_id", "key", "cum_cardinality"]].astype(
+        {"query_id": np.int64, "cum_cardinality": np.int64}
+    ).reset_index(drop=True)

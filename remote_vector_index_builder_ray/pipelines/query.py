@@ -153,13 +153,13 @@ def search(
         # positional-postings loads, which duplicate across the pool — fewer,
         # bigger batches amortize the same term loads over more queries
         # (profiled at sf0.1: load 4.2 s vs score 0.26 s per batch)
-        batch_size = 64 if mode in ("phrase", "span_near") else 16
+        batch_size = 64 if mode in ("phrase", "span_near", "span_first") else 16
     if concurrency is None:
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
-    if mode in ("phrase", "span_near"):
+    if mode in ("phrase", "span_near", "span_first"):
         # fail fast on the DRIVER (an actor-side raise surfaces as an opaque
         # ActorDiedError): phrase/span search needs a positional index
         from remote_vector_index_builder_ray.config import EngineError
@@ -199,18 +199,18 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase", "span_near", "constant", "blended"):
+    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "constant", "blended"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
     if min_should_match is not None:
         if operator == "and":
             raise ValueError(
                 "min_should_match is redundant with operator='and' (pick one)"
             )
-        if mode in ("wand", "phrase", "span_near", "constant", "blended"):
+        if mode in ("wand", "phrase", "span_near", "span_first", "constant", "blended"):
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if (mode in ("wand", "phrase", "span_near", "blended")
+    if (mode in ("wand", "phrase", "span_near", "span_first", "blended")
             and isinstance(queries, pd.DataFrame)):
         if "after_score" in queries.columns:
             raise ValueError(f"search_after is not supported in {mode} mode")
@@ -673,6 +673,32 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def mget(index_dir: str, requests) -> pd.DataFrame:
+    """OpenSearch ``_mget``: fetch stored fields for explicit
+    (query_id, docid) requests — no scoring, no analysis. The request
+    frame is driver-small by contract (an id-lookup API); the docid set is
+    ``ray.put`` once and docmeta streams through the same broadcast
+    semi-join filter as :func:`hydrate` (pruned scan, no shuffle).
+    Requested docids absent from the index return ``found=false`` with
+    null fields, as _mget does. Returns (query_id, docid, conv_id,
+    turn_idx, role, found), ordered by (query_id, docid)."""
+    import numpy as np
+    import ray
+
+    req = requests.copy() if isinstance(requests, pd.DataFrame) else pd.read_parquet(requests)
+    ds = ray.data.from_pandas(req[["docid"]].drop_duplicates())
+    meta = hydrate(index_dir, ds)
+    out = req[["query_id", "docid"]].merge(
+        meta[["docid", "conv_id", "turn_idx", "role"]], on="docid", how="left"
+    )
+    out["found"] = out["conv_id"].notna()
+    # nullable Int64 so a miss is a NULL (as SQL's left join yields), not NaN
+    out["turn_idx"] = out["turn_idx"].astype("Int64")
+    out = out.sort_values(["query_id", "docid"]).reset_index(drop=True)
+    return out.astype({"query_id": np.int64, "docid": np.int64,
+                       "found": bool})
+
+
 def rescore_phrase(
     index_dir: str,
     queries,
@@ -1129,6 +1155,16 @@ class _ProbeFuncScore:
             scale = float(self.params["scale"])
             mult = 1.0 - np.abs(vals.astype(np.float64) - origin) / scale
             return score * np.maximum(mult, 0.0)
+        if self.modifier == "distance_feature":
+            # Lucene LongDistanceFeatureQuery in a bool SHOULD: the feature
+            # contribution ADDS to the match score —
+            # boost * pivot / (pivot + |v - origin|); v is the int64 field
+            # (timestamps as epoch-us), origin/pivot in the same unit
+            origin = float(self.params["origin"])
+            pivot = float(self.params["pivot"])
+            boost = float(self.params.get("boost", 1.0))
+            dist = np.abs(vals.astype(np.float64) - origin)
+            return score + boost * (pivot / (pivot + dist))
         raise ValueError(f"unknown modifier {self.modifier!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1232,6 +1268,34 @@ def function_score(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
          "score": np.float64}
     ).reset_index(drop=True)
+
+
+def distance_feature(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    origin: float = 0.0,
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``distance_feature`` query in a bool SHOULD next to the
+    match clause: every matching doc's BM25 score gains
+    ``boost * pivot / (pivot + |field - origin|)`` — recency/proximity
+    boosting on a numeric or timestamp field (timestamps compare as epoch
+    microseconds; pass origin/pivot in us). Exact: rides the scored
+    match-set shards + docmeta probe of :func:`function_score` (the feature
+    value is a doc value read at score time, as in Lucene), so the additive
+    re-ranking sees every matching doc, not a top-k oversample. Returns
+    (query_id, rank, docid, score), score rounded half-up to 6 decimals.
+
+    Reference analog: OpenSearch `distance_feature` (Lucene
+    LongPoint.newDistanceFeatureQuery); parity target per SURVEY.md §2."""
+    return function_score(
+        index_dir, queries, field=field, modifier="distance_feature",
+        params={"origin": origin, "pivot": pivot, "boost": boost},
+        where=where,
+    )
 
 
 def search_bool(

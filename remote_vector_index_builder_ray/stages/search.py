@@ -840,6 +840,34 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    def _score_span_first(self, terms: list[str], k: int, end: int):
+        """Lucene/OpenSearch span_first over a single-term inner span: a doc
+        matches when the term occurs at a position strictly below ``end``.
+        Lucene's SpanScorer accumulates sloppyFreq(matchWidth) per matching
+        span and a one-term span has width 0, so freq = the count of
+        qualifying positions; the doc scores idf * tfnorm(freq, dl) exactly
+        like a phrase/span query (stages/search._score_span_near)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(terms) != 1:
+            return empty
+        t = terms[0]
+        if self._cache.get(t) is None or self._pos_cache.get(t) is None:
+            return empty
+        dpp, pos, cdoc, cdl = self._pos_cache[t]
+        m = pos < end
+        if not m.any():
+            return empty
+        cand, stf = np.unique(dpp[m], return_counts=True)
+        dl = cdl[np.searchsorted(cdoc, cand)]
+        idf = _idf(self.N, self._cache[t].df)
+        scores = idf * tfnorm(
+            stf.astype(np.float64), dl.astype(np.float64),
+            self.avgdl, self.k1, self.b,
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
     def _deny_set(self, exclude_terms: list[str]) -> np.ndarray:
         """bool.must_not: the sorted union of the excluded terms' posting
         docids (per query — unlike tombstones/filters, which are per-actor).
@@ -1387,7 +1415,7 @@ class BM25Searcher:
         all_terms = sorted({t for terms in per_query_terms for t in terms})
         if all_terms:
             self._load_terms(all_terms)
-            if self.mode in ("phrase", "span_near"):
+            if self.mode in ("phrase", "span_near", "span_first"):
                 self._load_positions(all_terms)
         # search_after cursors (optional per-query columns): a row with
         # non-null after_score/after_docid returns only docs STRICTLY after
@@ -1482,10 +1510,19 @@ class BM25Searcher:
             slops = [int(s or 0) for s in batch["slop"].to_pylist()]
         else:
             slops = [0] * len(qids)
+        # span_first end bound (optional per-query int column, span_first
+        # mode): positions strictly below `span_end` qualify
+        if "span_end" in cols:
+            if self.mode != "span_first":
+                raise ValueError("span_end is only supported in span_first mode")
+            ends = [int(e) if e is not None else 1
+                    for e in batch["span_end"].to_pylist()]
+        else:
+            ends = [1] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
-            per_query_offsets, slops, demotes, allows,
+            per_query_offsets, slops, demotes, allows, ends,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -1494,6 +1531,8 @@ class BM25Searcher:
                 docids, scores = self._score_wand(terms, k)
             elif self.mode == "span_near":
                 docids, scores = self._score_span_near(terms, k, slop)
+            elif self.mode == "span_first":
+                docids, scores = self._score_span_first(terms, k, end)
             elif self.mode == "phrase" and slop > 0:
                 docids, scores = self._score_phrase_slop(terms, k, slop, poffs)
             elif self.mode == "phrase":
