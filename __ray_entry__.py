@@ -2619,6 +2619,52 @@ def _q_bm25_mget(sf_dir: str):
     return mget(index_dir, pd.read_parquet(_ensure_mget_requests(sf_dir)))
 
 
+def _q_bm25_scripted_metric(sf_dir: str):
+    """OpenSearch scripted_metric agg (map/combine/reduce): per query's
+    match set the int64 sum of the painless-analog map script
+    'doc_len * 2 + turn_idx' — vectorized per-batch map + combine, driver
+    reduce (pipelines/aggs.scripted_metric_agg); the SQL twin runs the
+    identical expression."""
+    from remote_vector_index_builder_ray import scripted_metric_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = scripted_metric_agg(index_dir, pd.read_parquet(fx["queries"]),
+                              script="doc_len * 2 + turn_idx",
+                              fields=("doc_len", "turn_idx"))
+    return out.reset_index(drop=True)
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII scrubbing over the documents table: emails -> <EMAIL> then
+    7+-digit runs -> <NUM> with per-doc match counts, all in RE2 semantics
+    (Arrow replace/count_substring_regex == DuckDB regexp_replace — masked
+    text is bit-identical). Docs with doc_id % 7 == 0 are deterministically
+    augmented with a synthetic email + phone BEFORE scrubbing (both engines
+    apply the same augmentation) so the masking is exercised, not vacuous
+    (extras/text.pii_scrub)."""
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.text import pii_scrub
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        m = ids % 7 == 0
+        txt = df["text"].fillna("").to_numpy(object)
+        suffix = np.array([f" user{i}@example.com call 5551234567"
+                           for i in ids], dtype=object)
+        df = df.copy()
+        df["text"] = np.where(m, txt + suffix, txt)
+        return df
+
+    ds = (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id", "text"])
+          .map_batches(augment, batch_format="pandas")
+          .map_batches(pii_scrub, batch_format="pyarrow", zero_copy_batch=True))
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_emails": "int64",
+                       "n_numbers": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
@@ -2657,6 +2703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_percentiles_bucket": _q_bm25_percentiles_bucket,
         "bm25_cum_cardinality": _q_bm25_cum_cardinality,
         "bm25_mget": _q_bm25_mget,
+        "bm25_scripted_metric": _q_bm25_scripted_metric,
+        "pii_scrub": _q_pii_scrub,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_top_metrics": _q_bm25_top_metrics,
@@ -6484,6 +6532,46 @@ FROM read_parquet('{mget_q}') r
 LEFT JOIN docs d USING (docid)
 ORDER BY r.query_id, r.docid
 """
+    # scripted_metric: the identical map expression, summed per match set
+    out["bm25_scripted_metric"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       sum(dl.dl * 2 + d.turn_idx)::BIGINT AS value
+FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+GROUP BY m.query_id
+ORDER BY m.query_id
+"""
+    # pii_scrub: RE2 masking, emails first then 7+-digit runs, identical
+    # deterministic augmentation on doc_id % 7 == 0
+    out["pii_scrub"] = """
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN COALESCE(text, '') || ' user' || doc_id
+                     || '@example.com call 5551234567'
+                ELSE COALESCE(text, '') END AS t
+    FROM documents
+),
+e AS (
+    SELECT doc_id, t,
+           regexp_replace(t, 'EMAILPAT', '<EMAIL>', 'g') AS te,
+           len(regexp_extract_all(t, 'EMAILPAT'))::BIGINT AS n_emails
+    FROM aug
+)
+SELECT doc_id,
+       regexp_replace(te, 'NUMPAT', '<NUM>', 'g') AS clean_text,
+       n_emails,
+       len(regexp_extract_all(te, 'NUMPAT'))::BIGINT AS n_numbers
+FROM e
+ORDER BY doc_id
+""".replace("EMAILPAT", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+").replace("NUMPAT", "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+")
     return out
 
 

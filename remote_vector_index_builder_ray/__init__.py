@@ -73,6 +73,7 @@ from remote_vector_index_builder_ray.pipelines.aggs import (
     diversified_sampler_agg,
     percentiles_bucket_date_histogram,
     cumulative_cardinality_agg,
+    scripted_metric_agg,
 )
 from remote_vector_index_builder_ray.functions.metrics import rank_eval
 from remote_vector_index_builder_ray.pipelines.expand import (
@@ -188,6 +189,7 @@ __all__ = [
     "match_count",
     "percentiles_bucket_date_histogram",
     "cumulative_cardinality_agg",
+    "scripted_metric_agg",
     "mget",
     "diversified_sampler_agg",
     "distance_feature",

@@ -447,3 +447,51 @@ def unigram_lm_scores(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(_LMScore, fn_constructor_args=(lm_ref,),
                           batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): regex masking with RE2 semantics
+# ---------------------------------------------------------------------------
+
+# RE2-only syntax (no lookaround, no \b needed): Arrow's
+# replace_substring_regex / count_substring_regex and DuckDB's
+# regexp_replace are ALL RE2, so the masked text is bit-identical across
+# the engine and the SQL oracle. Order matters: emails first (their local
+# parts contain digit runs), then digit runs over the email-masked text.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_NUMBER_PATTERN = r"[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"  # 7+ digit runs
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """Vectorized PII masking over a text column: emails -> <EMAIL>, then
+    7+-digit runs (phone/SSN/account-shaped) -> <NUM>; per-doc match counts
+    ride along for audit/filter stages. One output row per input row —
+    a pure map stage (no shuffle, no state), the canonical pre-training
+    text-hygiene transform."""
+    import pyarrow.compute as pc
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    n_email = pc.count_substring_regex(txt, PII_EMAIL_PATTERN)
+    masked = pc.replace_substring_regex(txt, PII_EMAIL_PATTERN, "<EMAIL>")
+    n_num = pc.count_substring_regex(masked, PII_NUMBER_PATTERN)
+    clean = pc.replace_substring_regex(masked, PII_NUMBER_PATTERN, "<NUM>")
+    return pa.table({
+        id_col: batch[id_col],
+        "clean_text": clean,
+        "n_emails": pc.cast(n_email, pa.int64()),
+        "n_numbers": pc.cast(n_num, pa.int64()),
+    })
+
+
+def pii_scrub_ds(ds: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    import functools
+
+    return ds.map_batches(
+        functools.partial(pii_scrub, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -2590,3 +2590,96 @@ def cumulative_cardinality_agg(
     return out[["query_id", "key", "cum_cardinality"]].astype(
         {"query_id": np.int64, "cum_cardinality": np.int64}
     ).reset_index(drop=True)
+
+
+def _compile_script(expr: str, fields: tuple):
+    """Compile the scripted_metric map script — a restricted painless
+    analog: integer arithmetic (+ - *) over whitelisted docmeta fields and
+    int literals. Validated via the Python AST (no names outside ``fields``,
+    no calls/attributes/divisions — int64-exact, SQL-transcribable
+    verbatim). Returns fn(cols: {field: int64 ndarray}) -> int64 ndarray."""
+    import ast
+    import operator as op
+
+    ops = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul}
+    tree = ast.parse(expr, mode="eval")
+
+    def ev(node, cols):
+        if isinstance(node, ast.Expression):
+            return ev(node.body, cols)
+        if isinstance(node, ast.BinOp) and type(node.op) in ops:
+            return ops[type(node.op)](ev(node.left, cols), ev(node.right, cols))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -ev(node.operand, cols)
+        if isinstance(node, ast.Name) and node.id in fields:
+            return cols[node.id]
+        if isinstance(node, ast.Constant) and isinstance(node.value, int):
+            return np.int64(node.value)
+        raise ValueError(f"scripted_metric: unsupported expression node "
+                         f"{ast.dump(node)} in {expr!r}")
+
+    ev(tree, {f: np.int64(0) for f in fields})  # validate eagerly
+    return lambda cols: ev(tree, cols)
+
+
+class _ProbeScripted:
+    """`scripted_metric` partials: map_script evaluated vectorized over the
+    batch's matched docs, combine_script = int64 sum — one row per query
+    leaves each task; reduce_script (the driver) sums the partials."""
+
+    def __init__(self, shard_refs, stride, script: str, fields: tuple):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.fields = fields
+        self.fn = _compile_script(script, fields)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {
+            f: batch[f].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            for f in self.fields
+        }
+        qids, vals, ns = [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            v = self.fn({f: c[mask] for f, c in cols.items()})
+            qids.append(qid)
+            vals.append(int(np.asarray(v, dtype=np.int64).sum()))
+            ns.append(int(mask.sum()))
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "v": pa.array(vals, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+        })
+
+
+def scripted_metric_agg(
+    index_dir: str,
+    queries,
+    script: str = "doc_len * 2 + turn_idx",
+    fields: tuple = ("doc_len", "turn_idx"),
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `scripted_metric` aggregation (map -> combine -> reduce)
+    with a restricted painless-analog map script: integer arithmetic over
+    whitelisted docmeta fields, combine = per-task int64 sum, reduce =
+    driver sum. The script string is SQL-transcribable verbatim, so the
+    oracle runs the IDENTICAL expression. Returns
+    (query_id, n_docs, value), query_id-ascending; no-match queries are
+    omitted (their reduce state is empty)."""
+    partials = _probe_partials(
+        index_dir, queries, where, _ProbeScripted,
+        (script, tuple(fields)), ["docid", *fields],
+    )
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "n_docs": pd.Series(dtype=np.int64),
+                             "value": pd.Series(dtype=np.int64)})
+    g = (partials.groupby("query_id", sort=True)
+         .agg(n_docs=("n", "sum"), value=("v", "sum")).reset_index())
+    return g.astype({"query_id": np.int64, "n_docs": np.int64,
+                     "value": np.int64}).reset_index(drop=True)

@@ -348,3 +348,65 @@ def test_sq_topk_recall_and_determinism():
     jr = raw.merge(bf, on=["query_id", "vec_id"], suffixes=("_sq", "_bf"))
     assert len(jr) > 0
     np.testing.assert_allclose(jr["cosine_sq"], jr["cosine_bf"], atol=0.02)
+
+
+def test_scripted_metric_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import scripted_metric_agg
+
+    df = _src(smoke_fixture)
+    got = scripted_metric_agg(smoke_index["index_dir"], QUERIES,
+                              script="doc_len * 2 + turn_idx",
+                              fields=("doc_len", "turn_idx"))
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if m.empty:
+            continue
+        rows.append((int(q.query_id), len(m),
+                     int((m["doc_len"] * 2 + m["turn_idx"]).sum())))
+    exp = pd.DataFrame(rows, columns=["query_id", "n_docs", "value"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_scripted_metric_rejects_unsafe_script(smoke_index):
+    from remote_vector_index_builder_ray.pipelines.aggs import _compile_script
+
+    for bad in ("__import__('os')", "doc_len / 2", "open('x')",
+                "unknown_field + 1", "doc_len ** 2"):
+        with pytest.raises(ValueError):
+            _compile_script(bad, ("doc_len", "turn_idx"))
+    # the happy path compiles and is vectorized-int64 exact
+    fn = _compile_script("doc_len * 2 + turn_idx - 1", ("doc_len", "turn_idx"))
+    out = fn({"doc_len": np.array([3, 4], dtype=np.int64),
+              "turn_idx": np.array([10, 0], dtype=np.int64)})
+    np.testing.assert_array_equal(out, [15, 7])
+
+
+def test_pii_scrub_masks_and_counts():
+    import pyarrow as pa
+
+    from remote_vector_index_builder_ray.extras.text import pii_scrub
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [
+            "contact a.user+x@sub.example.org or b@x.io now",
+            "call 5551234567 ref 12345678901",
+            "short 123456 stays, 1234567 goes",
+            None,
+        ],
+    })
+    got = pii_scrub(t).to_pandas()
+    assert got["clean_text"][0] == "contact <EMAIL> or <EMAIL> now"
+    assert got["n_emails"].tolist() == [2, 0, 0, 0]
+    assert got["clean_text"][1] == "call <NUM> ref <NUM>"
+    assert got["n_numbers"].tolist() == [0, 2, 1, 0]
+    assert got["clean_text"][2] == "short 123456 stays, <NUM> goes"
+    assert got["clean_text"][3] == ""
+    # email local parts with digits are masked as EMAIL before the digit
+    # pass (order matters)
+    t2 = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                   "text": ["mail 12345678@example.com end"]})
+    g2 = pii_scrub(t2).to_pandas()
+    assert g2["clean_text"][0] == "mail <EMAIL> end"
+    assert g2["n_emails"][0] == 1 and g2["n_numbers"][0] == 0
