@@ -2665,6 +2665,51 @@ def _q_pii_scrub(sf_dir: str):
                        "n_numbers": "int64"})
 
 
+_COMPLETION_PREFIXES = ["a", "th", "w0001", "w000", "zz"]
+_STRATA_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _q_bm25_suggest_completion(sf_dir: str):
+    """OpenSearch completion suggester: top-5 dictionary expansions per
+    prefix ranked by popularity (df desc, term asc), via the cached term
+    dictionary (pipelines/expand.suggest_completion)."""
+    from remote_vector_index_builder_ray.pipelines.expand import suggest_completion
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    out = suggest_completion(index_dir, sorted(_COMPLETION_PREFIXES), size=5)
+    return out.astype({"rank": "int32", "df": "int64"}).reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-source sampling (training-data corpus mixing):
+    keep iff (doc_id * 1000003 + 12345) % 100 < rate*100; sources absent
+    from the rate table drop entirely (extras/text.stratified_sample)."""
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.text import stratified_sample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source"])
+    out = stratified_sample(ds, _STRATA_RATES).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                            "source": pd.Series(dtype=object)})
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64"})
+
+
+def _q_dedup_apply(sf_dir: str):
+    """End-to-end near-dup removal: survivors = cluster minima + unclustered
+    docs; the drop set broadcasts once and the corpus streams through a
+    vectorized anti-join filter (extras/dedup.dedup_apply)."""
+    from remote_vector_index_builder_ray.extras.dedup import dedup_apply
+
+    out = dedup_apply(_read(sf_dir, "documents"), shingle_k=3,
+                      threshold=0.2).to_pandas()
+    return (out[["doc_id"]].sort_values("doc_id")
+            .reset_index(drop=True).astype({"doc_id": "int64"}))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
@@ -2705,6 +2750,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_mget": _q_bm25_mget,
         "bm25_scripted_metric": _q_bm25_scripted_metric,
         "pii_scrub": _q_pii_scrub,
+        "bm25_suggest_completion": _q_bm25_suggest_completion,
+        "stratified_sample": _q_stratified_sample,
+        "dedup_apply_docs": _q_dedup_apply,
         "bm25_weighted_avg": _q_bm25_weighted_avg,
         "bm25_percentile_ranks": _q_bm25_percentile_ranks,
         "bm25_top_metrics": _q_bm25_top_metrics,
@@ -6572,6 +6620,40 @@ SELECT doc_id,
 FROM e
 ORDER BY doc_id
 """.replace("EMAILPAT", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+").replace("NUMPAT", "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+")
+    # completion suggester: top-5 prefix expansions by (df desc, term asc)
+    out["bm25_suggest_completion"] = f"""
+WITH {docs}, {_TOKS},
+tm AS MATERIALIZED (
+    SELECT docid, term FROM (SELECT DISTINCT docid, term FROM toks)
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+p AS (SELECT unnest(['a', 'th', 'w0001', 'w000', 'zz']) AS prefix),
+exp AS (
+    SELECT p.prefix, d.term, d.df,
+           row_number() OVER (PARTITION BY p.prefix
+                              ORDER BY d.df DESC, d.term) AS rn
+    FROM p JOIN df d ON starts_with(d.term, p.prefix)
+)
+SELECT prefix, rn::INT AS rank, term, df
+FROM exp WHERE rn <= 5
+ORDER BY prefix, rank
+"""
+    # stratified sampling: identical deterministic keep rule per source
+    out["stratified_sample"] = """
+SELECT doc_id, source
+FROM documents
+WHERE (doc_id * 1000003 + 12345) % 100 <
+      (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE 0 END)
+ORDER BY doc_id
+"""
+    # dedup_apply: survivors = everything minus clustered non-minima
+    out["dedup_apply_docs"] = f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+    SELECT doc_id FROM ({cluster_sql}) c WHERE doc_id <> cluster_id
+)
+ORDER BY d.doc_id
+"""
     return out
 
 

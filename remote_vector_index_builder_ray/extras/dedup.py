@@ -602,3 +602,47 @@ def dedup_clusters(
         "doc_id": pd.Series(nodes, dtype=np.int64),
         "cluster_id": pd.Series([find(int(n)) for n in nodes], dtype=np.int64),
     })
+
+
+def dedup_apply(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> ray.data.Dataset:
+    """END-TO-END near-dup removal: cluster (``dedup_clusters``) then keep
+    one doc per cluster — the cluster minimum — plus every unclustered doc.
+    The drop set (clustered docs other than their cluster min) is
+    queries-x-pairs small by the near-dup contract; it broadcasts via
+    ``ray.put`` once and the corpus streams through a vectorized anti-join
+    filter — no shuffle touches the full dataset. Returns the surviving
+    rows as a Dataset (all input columns)."""
+    import ray as _ray
+
+    clusters = dedup_clusters(ds, shingle_k=shingle_k, threshold=threshold,
+                              text_col=text_col, id_col=id_col,
+                              max_shingle_df=max_shingle_df)
+    if len(clusters):
+        drop = np.sort(clusters.loc[
+            clusters[id_col] != clusters["cluster_id"], id_col
+        ].to_numpy(np.int64))
+    else:
+        drop = np.empty(0, dtype=np.int64)
+    dref = _ray.put(drop)
+
+    class KeepSurvivors:
+        def __init__(self, ref):
+            self.drop = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+            ids = batch[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~isin_sorted(ids, self.drop)))
+
+    return ds.map_batches(KeepSurvivors, fn_constructor_args=(dref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))

@@ -495,3 +495,35 @@ def pii_scrub_ds(ds: ray.data.Dataset, text_col: str = "text",
         functools.partial(pii_scrub, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (training-data source mixing)
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    rates: dict,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling — the corpus-mixing step of a
+    training-data pipeline ("keep 80% of wiki, 25% of web, ..."). A doc is
+    kept iff ``(doc_id * 1000003 + 12345) % 100 < rates[stratum] * 100`` —
+    content-determined (stable across runs, block layouts and cluster
+    sizes; Ray's random_sample is neither) and SQL-transcribable verbatim.
+    Strata absent from ``rates`` are DROPPED (explicit mixing contract).
+    Pure streaming filter: no shuffle, no state, rates ride the closure."""
+    pct = {k: int(round(v * 100)) for k, v in rates.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        strata = batch[stratum_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bound = np.array([pct.get(s, 0) for s in strata], dtype=np.int64)
+        h = (ids * 1000003 + 12345) % 100
+        return batch.filter(pa.array(h < bound))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

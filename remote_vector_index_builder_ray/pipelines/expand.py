@@ -756,3 +756,40 @@ def search_match_bool_prefix(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
          "score": np.float64}
     ).reset_index(drop=True)
+
+
+def suggest_completion(
+    index_dir: str,
+    prefixes: list[str],
+    size: int = 5,
+) -> pd.DataFrame:
+    """OpenSearch completion suggester (suggest-as-you-type): for each
+    prefix, the top ``size`` dictionary terms starting with it, ranked by
+    popularity (df desc, term asc — OpenSearch completion weight analog:
+    more frequent terms first). Rides the cached term dictionary
+    (``_get_dict``): each lookup is a binary-search prefix slice + one
+    partial sort, no storage read after the first warm. Returns
+    (prefix, rank, term, df); prefixes with no expansions yield no rows."""
+    import numpy as np
+
+    td = _get_dict(index_dir)
+    out_p, out_r, out_t, out_d = [], [], [], []
+    for p in prefixes:
+        if not p:
+            continue
+        lo, hi = td.prefix_range(p)
+        if hi <= lo:
+            continue
+        terms = td.terms[lo:hi]
+        dfv = td.df[lo:hi]
+        order = np.lexsort((terms, -dfv))[:size]
+        out_p.extend([p] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_t.extend(terms[order].tolist())
+        out_d.extend(dfv[order].tolist())
+    return pd.DataFrame({
+        "prefix": pd.Series(out_p, dtype=object),
+        "rank": pd.Series(out_r, dtype=np.int32),
+        "term": pd.Series(out_t, dtype=object),
+        "df": pd.Series(out_d, dtype=np.int64),
+    })

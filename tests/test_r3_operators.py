@@ -410,3 +410,79 @@ def test_pii_scrub_masks_and_counts():
     g2 = pii_scrub(t2).to_pandas()
     assert g2["clean_text"][0] == "mail <EMAIL> end"
     assert g2["n_emails"][0] == 1 and g2["n_numbers"][0] == 0
+
+
+def test_suggest_completion_df_ranked(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray.pipelines.expand import suggest_completion
+
+    df = _src(smoke_fixture)
+    got = suggest_completion(smoke_index["index_dir"], ["w0001", "the", "zzz"],
+                             size=5)
+    from collections import Counter
+    dfc = Counter()
+    for s in df["toks"]:
+        dfc.update(s)
+    for prefix in ("w0001", "the"):
+        cand = sorted((t for t in dfc if t.startswith(prefix)),
+                      key=lambda t: (-dfc[t], t))[:5]
+        g = got[got["prefix"] == prefix]
+        assert g["term"].tolist() == cand
+        assert g["df"].tolist() == [dfc[t] for t in cand]
+        assert g["rank"].tolist() == list(range(1, len(cand) + 1))
+    assert len(got[got["prefix"] == "zzz"]) == 0
+
+
+def test_stratified_sample_deterministic(smoke_fixture):
+    import pyarrow as pa
+    import ray
+
+    from remote_vector_index_builder_ray.extras.text import stratified_sample
+
+    n = 1000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "source": pa.array(["a" if i % 2 == 0 else "b" for i in range(n)]),
+    })
+    ds = ray.data.from_arrow(t)
+    out = stratified_sample(ds, {"a": 0.5}, stratum_col="source").to_pandas()
+    ids = out["doc_id"].to_numpy(np.int64)
+    # every kept row satisfies the keep rule and is stratum 'a'
+    assert (out["source"] == "a").all()
+    assert (((ids * 1000003 + 12345) % 100) < 50).all()
+    # the complement really was dropped
+    exp = [i for i in range(0, n, 2) if (i * 1000003 + 12345) % 100 < 50]
+    assert sorted(ids.tolist()) == exp
+    # rate is roughly honored (quasi-uniform LCG residues)
+    assert 0.35 < len(exp) / (n / 2) < 0.65
+    # repartition stability: same result from a different block layout
+    out2 = stratified_sample(ds.repartition(7), {"a": 0.5}).to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == exp
+
+
+def test_dedup_apply_keeps_cluster_minima():
+    import pyarrow as pa
+    import ray
+
+    from remote_vector_index_builder_ray.extras.dedup import (
+        dedup_apply,
+        dedup_clusters,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon zeta",   # dup of 0
+        2: "alpha beta gamma delta epsilon eta",    # near-dup of 0
+        3: "completely different text about rivers",
+        4: "another unrelated document entirely here",
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[i] for i in sorted(texts)],
+    })
+    ds = ray.data.from_arrow(t)
+    clusters = dedup_clusters(ds, shingle_k=3, threshold=0.2)
+    assert set(clusters["doc_id"]) >= {0, 1, 2}
+    out = dedup_apply(ds, shingle_k=3, threshold=0.2).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3, 4]
+    # survivors keep all input columns
+    assert "text" in out.columns
