@@ -2008,6 +2008,102 @@ def _sq_artifact_path(name: str) -> str:
     return os.path.join(ARTIFACT_ROOT, f"{name}_sq_topk.parquet")
 
 
+def _ivfpq_artifact_path(name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{name}_ivfpq_topk.parquet")
+
+
+def _bq_artifact_path(name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{name}_bq_topk.parquet")
+
+
+def _ensure_ivfpq_artifact(sf_dir: str) -> str:
+    """Persisted IVF-PQ (+exact rerank) top-k — the reference's FAISS
+    index family; recall twin joins vs SQL brute force."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import ivfpq_topk
+
+    path = _ivfpq_artifact_path(_sf_name(sf_dir))
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    res = ivfpq_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10, n_centroids=16, nprobe=8,
+        m=16, pq_centroids=64, rerank=16,
+    )
+    _write_atomic(pa.Table.from_pandas(res, preserve_index=False), path)
+    return path
+
+
+def _ensure_bq_artifact(sf_dir: str) -> str:
+    """Persisted binary-quantization (+exact rerank) top-k; recall twin
+    joins vs SQL brute force."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import bq_topk
+
+    path = _bq_artifact_path(_sf_name(sf_dir))
+    if os.path.exists(path):
+        return path
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    res = bq_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10, rerank=16,
+    )
+    _write_atomic(pa.Table.from_pandas(res, preserve_index=False), path)
+    return path
+
+
+def _recall_vs_brute(sf_dir: str, artifact_path: str) -> "pd.DataFrame":
+    """Shared recall@10 computation for the compressed-ANN entries."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
+
+    res = pd.read_parquet(artifact_path)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    bf = brute_force_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10,
+    )
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    rows = []
+    for qid, g in res.groupby("query_id"):
+        hits = sum((int(qid), int(v)) in bfset for v in g["vec_id"])
+        rows.append((int(qid), float(np.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "recall"]).astype(
+        {"query_id": np.int64, "recall": np.float64})
+
+
+def _q_ann_ivfpq_topk(sf_dir: str):
+    """Per-query recall@10 of the combined IVF-PQ path (coarse probe +
+    ADC + exact rerank) vs brute force — the reference's FAISS IVF-PQ
+    analog (extras/ann.ivfpq_topk)."""
+    return _recall_vs_brute(sf_dir, _ensure_ivfpq_artifact(sf_dir))
+
+
+def _q_ann_bq_topk(sf_dir: str):
+    """Per-query recall@10 of the binary-quantization path (1-bit codes,
+    midpoint thresholds, exact rerank) vs brute force — the OpenSearch
+    k-NN BQ analog (extras/ann.bq_topk)."""
+    return _recall_vs_brute(sf_dir, _ensure_bq_artifact(sf_dir))
+
+
 def _ensure_sq_artifact(sf_dir: str) -> str:
     """Run the deterministic SQ8 (+exact rerank) top-k and persist it; the
     SQL twin joins it against a brute-force top-k computed in SQL for
@@ -2819,6 +2915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": _q_ann_filtered,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "ann_bq_topk": _q_ann_bq_topk,
         "ann_kmeans": _q_ann_kmeans,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
@@ -3350,6 +3448,46 @@ SELECT s.query_id,
        floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
 FROM sq s LEFT JOIN bf b ON s.query_id = b.query_id AND s.vec_id = b.vec_id
 GROUP BY s.query_id ORDER BY s.query_id
+""",
+        "ann_ivfpq_topk": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+a AS (SELECT query_id, vec_id FROM read_parquet('{_ivfpq_artifact_path(sf)}'))
+SELECT a.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM a LEFT JOIN bf b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+GROUP BY a.query_id ORDER BY a.query_id
+""",
+        "ann_bq_topk": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+a AS (SELECT query_id, vec_id FROM read_parquet('{_bq_artifact_path(sf)}'))
+SELECT a.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM a LEFT JOIN bf b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+GROUP BY a.query_id ORDER BY a.query_id
 """,
         "ann_ivf_topk": f"""
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6672,6 +6810,8 @@ try:
     _ensure_ivf_artifact(ORACLE_SF_DIR)
     _ensure_pq_artifact(ORACLE_SF_DIR)
     _ensure_sq_artifact(ORACLE_SF_DIR)
+    _ensure_ivfpq_artifact(ORACLE_SF_DIR)
+    _ensure_bq_artifact(ORACLE_SF_DIR)
     _ensure_kmeans_artifact(ORACLE_SF_DIR)
 except Exception:  # noqa: BLE001
     pass

@@ -587,7 +587,7 @@ class PQScoreTopK:
     would split encode/score into two stages with the codes parquet in
     between (the FAISS write_index/read_index analog)."""
 
-    def __init__(self, queries_ref, books_ref, k: int):
+    def __init__(self, queries_ref, books_ref, k: int, probe_ref=None):
         q = ray.get(queries_ref)
         self.qids, qm = q
         qn = _normalize(qm)
@@ -598,6 +598,9 @@ class PQScoreTopK:
         for mi in range(m):
             self.lut[:, mi, :] = qn[:, mi * sub:(mi + 1) * sub] @ self.books[mi].T
         self.k = k
+        # IVF mode: per-query probe-bucket lists (same restriction contract
+        # as CosineTopK)
+        self.probe = ray.get(probe_ref) if probe_ref is not None else None
 
     def _encode(self, mat: np.ndarray) -> np.ndarray:
         m, ncent, sub = self.books.shape
@@ -611,16 +614,28 @@ class PQScoreTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _normalize(_batch_matrix(batch, "embedding"))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = (
+            batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if self.probe is not None
+            else None
+        )
         codes = self._encode(mat)
         nq = self.lut.shape[0]
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):
             # gather LUT values per subspace, sum across subspaces
             s = np.take_along_axis(self.lut[qi], codes.T, axis=1).sum(axis=0)
+            cid = ids
+            if buckets is not None:
+                cand = np.flatnonzero(np.isin(buckets, self.probe[qi]))
+                if not len(cand):
+                    continue
+                s = s[cand]
+                cid = ids[cand]
             k = min(self.k, len(s))
             idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
             out_q.extend([int(self.qids[qi])] * len(idx))
-            out_id.extend(ids[idx].tolist())
+            out_id.extend(cid[idx].tolist())
             out_s.extend(s[idx].tolist())
         return pa.table({
             "query_id": pa.array(out_q, type=pa.int64()),
@@ -797,6 +812,122 @@ def sq_topk(
     kk = k if rerank is None else rerank * k
     partials = ds.map_batches(
         SQScoreTopK, fn_constructor_args=(qref, pref, kk),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    short = _finalize_topk(partials, kk)
+    if rerank is None:
+        return short
+    return _exact_rerank(ds, qids, qm, short, k)
+
+
+def ivfpq_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    pq_centroids: int = 16,
+    rerank: int | None = 8,
+) -> pd.DataFrame:
+    """IVF + PQ combined — the reference's actual FAISS index family
+    (IVF-PQ; ``core/.../ivf_pq_build_cagra_config.py``): a coarse-centroid
+    probe restricts each query to ``nprobe`` buckets and ADC scores only
+    those candidates. Codes quantize the RAW vectors rather than the
+    per-bucket residuals (FAISS encodes residuals; documented
+    simplification — the shared exact rerank makes final scores exact
+    either way). Both stages are the existing distributed kernels:
+    ``IVFAssign`` adds the bucket column, ``PQScoreTopK`` gains the same
+    per-query probe restriction ``CosineTopK`` has."""
+    cent = train_centroids(ds, n_centroids)
+    cent_ref = ray.put(cent)
+    books = train_pq_codebooks(ds, m=m, n_centroids=pq_centroids)
+    bref = ray.put(books)
+    assigned = ds.map_batches(
+        IVFAssign, fn_constructor_args=(cent_ref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    )
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = _normalize(qm)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    qref = ray.put((qids, qm))
+    pref = ray.put(probe.astype(np.int64))
+    kk = k if rerank is None else rerank * k
+    partials = assigned.map_batches(
+        PQScoreTopK, fn_constructor_args=(qref, bref, kk, pref),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    short = _finalize_topk(partials, kk)
+    if rerank is None or short.empty:
+        return short
+    return _exact_rerank(ds, qids, qm, short, k)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit; the OpenSearch k-NN BQ / FAISS QT_1bit analog)
+# ---------------------------------------------------------------------------
+
+
+class BQScoreTopK:
+    """map_batches callable for the 1-bit pass: bit_d = x_d > midpoint_d
+    (midpoints from the exact streaming min/max — order-independent, so
+    bits are deterministic), scored against the two-level reconstruction
+    c0_d = (3*lo+hi)/4, c1_d = (lo+3*hi)/4: score = (bits*(c1-c0)) @ q
+    + q·c0 — one matmul per batch, 64x compression before the rerank."""
+
+    def __init__(self, queries_ref, params_ref, k: int):
+        self.qids, qm = ray.get(queries_ref)
+        self.qn = _normalize(qm)
+        lo, hi = ray.get(params_ref)
+        self.mid = (lo + hi) / 2.0
+        c0 = (3.0 * lo + hi) / 4.0
+        self.span = (lo + 3.0 * hi) / 4.0 - c0  # c1 - c0
+        self.qconst = self.qn @ c0
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, "embedding"))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (mat > self.mid).astype(np.float64)
+        s_all = (bits * self.span) @ self.qn.T + self.qconst
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            s = s_all[:, qi]
+            k = min(self.k, len(s))
+            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.extend([int(self.qids[qi])] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def bq_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    rerank: int | None = 16,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via binary (1-bit) quantization — the
+    OpenSearch k-NN binary-quantization analog: dim float64 -> dim bits,
+    midpoint thresholds from the exact streaming min/max, coarse scoring
+    against the two-level reconstruction, then the shared FAISS-refine
+    exact rerank on a ``rerank*k`` shortlist (1-bit codes are coarse, so
+    the default shortlist is wider than SQ8's)."""
+    params = train_sq_minmax(ds)
+    pref = ray.put(params)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qref = ray.put((qids, qm))
+    kk = k if rerank is None else rerank * k
+    partials = ds.map_batches(
+        BQScoreTopK, fn_constructor_args=(qref, pref, kk),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     ).to_pandas()
     short = _finalize_topk(partials, kk)

@@ -486,3 +486,71 @@ def test_dedup_apply_keeps_cluster_minima():
     assert sorted(out["doc_id"].tolist()) == [0, 3, 4]
     # survivors keep all input columns
     assert "text" in out.columns
+
+
+def test_ivfpq_topk_recall_and_determinism():
+    """IVF-PQ combined: coarse probe restricts candidates, ADC scores only
+    probed buckets, exact rerank recovers true scores — deterministic and
+    high-recall on spread data."""
+    import pyarrow as pa
+    import ray
+
+    from remote_vector_index_builder_ray.extras import ann
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    q = vecs[:4].astype(np.float64)
+    a = ann.ivfpq_topk(ds, np.arange(4), q, k=5, n_centroids=8, nprobe=4,
+                       m=8, pq_centroids=32, rerank=8)
+    b = ann.ivfpq_topk(ds, np.arange(4), q, k=5, n_centroids=8, nprobe=4,
+                       m=8, pq_centroids=32, rerank=8)
+    pd.testing.assert_frame_equal(a, b)
+    bf = ann.brute_force_topk(ds, np.arange(4), q, k=5)
+    inter = len(set(map(tuple, a[["query_id", "vec_id"]].values))
+                & set(map(tuple, bf[["query_id", "vec_id"]].values)))
+    assert inter / len(bf) >= 0.6  # half the buckets probed
+    ja = a.merge(bf, on=["query_id", "vec_id"], suffixes=("_a", "_bf"))
+    np.testing.assert_array_equal(ja["cosine_a"].to_numpy(),
+                                  ja["cosine_bf"].to_numpy())
+    # probing ALL buckets makes IVF-PQ-with-rerank exact on recovered pairs
+    full = ann.ivfpq_topk(ds, np.arange(4), q, k=5, n_centroids=8, nprobe=8,
+                          m=8, pq_centroids=32, rerank=16)
+    inter_full = len(set(map(tuple, full[["query_id", "vec_id"]].values))
+                     & set(map(tuple, bf[["query_id", "vec_id"]].values)))
+    assert inter_full >= inter
+
+
+def test_bq_topk_recall_and_determinism():
+    """Binary quantization: deterministic bits (midpoint thresholds from
+    exact min/max), wide-shortlist rerank recovers most of the true top-k
+    even at 1 bit/dim."""
+    import pyarrow as pa
+    import ray
+
+    from remote_vector_index_builder_ray.extras import ann
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((300, 32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    q = vecs[:4].astype(np.float64)
+    a = ann.bq_topk(ds, np.arange(4), q, k=5, rerank=16)
+    b = ann.bq_topk(ds, np.arange(4), q, k=5, rerank=16)
+    pd.testing.assert_frame_equal(a, b)
+    bf = ann.brute_force_topk(ds, np.arange(4), q, k=5)
+    inter = len(set(map(tuple, a[["query_id", "vec_id"]].values))
+                & set(map(tuple, bf[["query_id", "vec_id"]].values)))
+    assert inter / len(bf) >= 0.5  # 1-bit codes are coarse; rerank recovers
+    ja = a.merge(bf, on=["query_id", "vec_id"], suffixes=("_a", "_bf"))
+    np.testing.assert_array_equal(ja["cosine_a"].to_numpy(),
+                                  ja["cosine_bf"].to_numpy())
