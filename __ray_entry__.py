@@ -1580,6 +1580,55 @@ def _q_bm25_percentiles(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_boxplot(sf_dir: str):
+    """OpenSearch boxplot aggregation of doc_len over each query's full
+    match set — nearest-rank discrete quartiles (pipelines/aggs.
+    boxplot_agg; OpenSearch's TDigest is approximate, ours is exact)."""
+    from remote_vector_index_builder_ray import boxplot_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = boxplot_agg(index_dir, pd.read_parquet(fx["queries"]),
+                      field="doc_len")
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_mad(sf_dir: str):
+    """OpenSearch median_absolute_deviation aggregation of doc_len over
+    each query's full match set — exact discrete MAD from the value
+    histogram (pipelines/aggs.mad_agg)."""
+    from remote_vector_index_builder_ray import mad_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = mad_agg(index_dir, pd.read_parquet(fx["queries"]), field="doc_len")
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_t_test(sf_dir: str):
+    """OpenSearch t_test aggregation (heteroscedastic / Welch's unpaired t)
+    of doc_len between the user and assistant populations of each query's
+    match set (pipelines/aggs.t_test_agg)."""
+    from remote_vector_index_builder_ray import t_test_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = t_test_agg(index_dir, pd.read_parquet(fx["queries"]),
+                     field="doc_len",
+                     pred_a=(("role", "=", "user"),),
+                     pred_b=(("role", "=", "assistant"),))
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_rate(sf_dir: str):
+    """OpenSearch rate aggregation (unit=day) under a fixed_interval=7d
+    date_histogram over each query's match set: per-day doc and doc_len-sum
+    rates per epoch-anchored week bucket (pipelines/aggs.rate_agg)."""
+    from remote_vector_index_builder_ray import rate_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = rate_agg(index_dir, pd.read_parquet(fx["queries"]),
+                   field="ts", metric_field="doc_len")
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_top_hits(sf_dir: str):
     """OpenSearch top_hits sub-aggregation under a terms(role) bucket: the
     2 best BM25 hits per (query, role) (pipelines/aggs.top_hits_agg)."""
@@ -1749,6 +1798,29 @@ def _q_bm25_func_score(sf_dir: str):
     fx, index_dir, _ = _ensure_index(sf_dir)
     return function_score(index_dir, pd.read_parquet(fx["queries"]),
                           field="doc_len", modifier="log1p")
+
+
+def _q_bm25_random_score(sf_dir: str):
+    """OpenSearch function_score random_score(seed=7, boost_mode=multiply):
+    deterministic per-doc pseudo-random multiplier in [0,1) from an
+    explicit docid LCG (pipelines/query.random_score) — the reproducible
+    result-sampling idiom."""
+    from remote_vector_index_builder_ray import random_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return random_score(index_dir, pd.read_parquet(fx["queries"]), seed=7)
+
+
+def _q_bm25_script_score(sf_dir: str):
+    """OpenSearch script_score: every match re-scored by the sandboxed
+    script `_score * (1.0 + v / 256.0)` with v = doc_len (pipelines/query.
+    script_score; the AST-validated expression runs verbatim in the SQL
+    twin)."""
+    from remote_vector_index_builder_ray import script_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return script_score(index_dir, pd.read_parquet(fx["queries"]),
+                        expr="_score * (1.0 + v / 256.0)", field="doc_len")
 
 
 def _q_bm25_decay(sf_dir: str):
@@ -2877,6 +2949,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_string_stats": _q_bm25_string_stats,
         "bm25_cardinality": _q_bm25_cardinality,
         "bm25_percentiles": _q_bm25_percentiles,
+        "bm25_boxplot": _q_bm25_boxplot,
+        "bm25_mad": _q_bm25_mad,
+        "bm25_t_test": _q_bm25_t_test,
+        "bm25_rate": _q_bm25_rate,
         "bm25_top_hits": _q_bm25_top_hits,
         "bm25_sig_terms": _q_bm25_sig_terms,
         "bm25_multi_match": _q_bm25_multi_match,
@@ -2884,6 +2960,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_cross_fields": _q_bm25_cross_fields,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_func_score": _q_bm25_func_score,
+        "bm25_random_score": _q_bm25_random_score,
+        "bm25_script_score": _q_bm25_script_score,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -4870,6 +4948,165 @@ FROM tgt t JOIN cum c ON c.query_id = t.query_id AND c.cc >= t.need
 GROUP BY t.query_id, t.percent
 ORDER BY t.query_id, t.percent
 """
+    # boxplot: min / nearest-rank quartiles / max of doc_len over the match
+    # set — same cumulative-count trick as percentiles
+    out["bm25_boxplot"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+counts AS (
+    SELECT m.query_id, dl.dl AS value, count(*)::BIGINT AS c
+    FROM m JOIN dl USING (docid) GROUP BY 1, 2
+),
+tot AS (SELECT query_id, sum(c)::BIGINT AS n FROM counts GROUP BY query_id),
+cum AS (
+    SELECT query_id, value,
+           sum(c) OVER (PARTITION BY query_id ORDER BY value) AS cc
+    FROM counts
+),
+pcts AS (SELECT unnest([25, 50, 75]) AS percent),
+tgt AS (
+    SELECT query_id, percent, ceil(n * percent / 100.0) AS need
+    FROM tot CROSS JOIN pcts
+),
+quart AS (
+    SELECT t.query_id, t.percent, min(c.value)::BIGINT AS value
+    FROM tgt t JOIN cum c ON c.query_id = t.query_id AND c.cc >= t.need
+    GROUP BY t.query_id, t.percent
+),
+ext AS (
+    SELECT query_id, min(value)::BIGINT AS vmin, max(value)::BIGINT AS vmax
+    FROM counts GROUP BY query_id
+)
+SELECT e.query_id, e.vmin AS "min",
+       max(CASE WHEN q1.percent = 25 THEN q1.value END)::BIGINT AS q1,
+       max(CASE WHEN q1.percent = 50 THEN q1.value END)::BIGINT AS q2,
+       max(CASE WHEN q1.percent = 75 THEN q1.value END)::BIGINT AS q3,
+       e.vmax AS "max"
+FROM ext e JOIN quart q1 USING (query_id)
+GROUP BY e.query_id, e.vmin, e.vmax
+ORDER BY e.query_id
+"""
+    # median_absolute_deviation: nearest-rank median of |v - median(v)|,
+    # the deviation histogram folded from the value histogram
+    out["bm25_mad"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+counts AS MATERIALIZED (
+    SELECT m.query_id, dl.dl AS value, count(*)::BIGINT AS c
+    FROM m JOIN dl USING (docid) GROUP BY 1, 2
+),
+tot AS (SELECT query_id, sum(c)::BIGINT AS n FROM counts GROUP BY query_id),
+cum AS (
+    SELECT query_id, value,
+           sum(c) OVER (PARTITION BY query_id ORDER BY value) AS cc
+    FROM counts
+),
+med AS (
+    SELECT t.query_id, min(c.value)::BIGINT AS med
+    FROM tot t JOIN cum c ON c.query_id = t.query_id
+                         AND c.cc >= ceil(t.n * 50 / 100.0)
+    GROUP BY t.query_id
+),
+dev AS (
+    SELECT c.query_id, abs(c.value - m.med) AS d, sum(c.c)::BIGINT AS c
+    FROM counts c JOIN med m USING (query_id) GROUP BY 1, 2
+),
+dtot AS (SELECT query_id, sum(c)::BIGINT AS n FROM dev GROUP BY query_id),
+dcum AS (
+    SELECT query_id, d,
+           sum(c) OVER (PARTITION BY query_id ORDER BY d) AS cc
+    FROM dev
+),
+dmed AS (
+    SELECT t.query_id, min(c.d)::BIGINT AS mad
+    FROM dtot t JOIN dcum c ON c.query_id = t.query_id
+                           AND c.cc >= ceil(t.n * 50 / 100.0)
+    GROUP BY t.query_id
+)
+SELECT m.query_id, m.med AS median, d.mad
+FROM med m JOIN dmed d USING (query_id)
+ORDER BY m.query_id
+"""
+    # t_test (Welch's unpaired, heteroscedastic): doc_len of role=user vs
+    # role=assistant within the match set; float derivation textually
+    # mirrors the engine — m = s/n; var = (s2 - n*m*m)/(n-1);
+    # t = (ma - mb)/sqrt(va/na + vb/nb); round half-up 6dp
+    out["bm25_t_test"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+pop AS (
+    SELECT m.query_id,
+           CASE WHEN d.role = 'user' THEN 0 ELSE 1 END AS grp,
+           dl.dl AS v
+    FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+    WHERE d.role IN ('user', 'assistant')
+),
+st AS (
+    SELECT query_id, grp, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+           sum(v * v)::BIGINT AS s2
+    FROM pop GROUP BY 1, 2
+),
+piv AS (
+    SELECT a.query_id, a.n AS n_a, b.n AS n_b,
+           a.s::DOUBLE / a.n AS ma, b.s::DOUBLE / b.n AS mb,
+           (a.s2::DOUBLE - a.n * (a.s::DOUBLE / a.n) * (a.s::DOUBLE / a.n)) / (a.n - 1) AS va,
+           (b.s2::DOUBLE - b.n * (b.s::DOUBLE / b.n) * (b.s::DOUBLE / b.n)) / (b.n - 1) AS vb
+    FROM st a JOIN st b ON a.query_id = b.query_id AND a.grp = 0 AND b.grp = 1
+    WHERE a.n >= 2 AND b.n >= 2
+)
+SELECT query_id, n_a, n_b,
+       floor(((ma - mb) / sqrt(va / n_a + vb / n_b)) * 1000000 + 0.5)
+           / 1000000 AS t
+FROM piv
+WHERE sqrt(va / n_a + vb / n_b) <> 0
+ORDER BY query_id
+"""
+    # rate (unit=day) under a fixed_interval=7d date_histogram: per-day doc
+    # and doc_len-sum rates per epoch-anchored 7-day bucket
+    out["bm25_rate"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id,
+       make_timestamp((epoch_us(d.ts) // 604800000000::BIGINT)
+                      * 604800000000::BIGINT) AS key,
+       floor((count(*)::DOUBLE / 7) * 1000000 + 0.5) / 1000000 AS rate_docs,
+       floor((sum(dl.dl)::DOUBLE / 7) * 1000000 + 0.5) / 1000000 AS rate_sum
+FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+GROUP BY 1, 2
+ORDER BY m.query_id, key
+"""
     # top_hits under terms(role): 2 best BM25 hits per (query, role) by
     # (half-up-rounded score desc, docid asc)
     out["bm25_top_hits"] = f"""
@@ -5202,6 +5439,87 @@ scored AS (
 boosted AS (
     SELECT sc.query_id, sc.k, sc.docid,
            floor(sc.score * ln(1 + dl.dl) * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN dl ON sc.docid = dl.docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM boosted
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # random_score(seed=7): BM25 x explicit-LCG multiplier in [0,1) —
+    # ((docid % 2^31) * 1103515245 + 7) % 2^31 / 2^31, exact BIGINT math
+    out["bm25_random_score"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+boosted AS (
+    SELECT query_id, k, docid,
+           floor(score * ((((docid % 2147483648) * 1103515245 + 7) % 2147483648)
+                          / 2147483648.0) * 1000000 + 0.5) / 1000000 AS score
+    FROM scored
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM boosted
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # script_score: the engine's AST-validated expression transcribed
+    # verbatim — _score * (1.0 + v / 256.0) with v = doc_len
+    out["bm25_script_score"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+boosted AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           floor((sc.score * (1.0 + dl.dl / 256.0)) * 1000000 + 0.5) / 1000000 AS score
     FROM scored sc JOIN dl ON sc.docid = dl.docid
 ),
 ranked AS (

@@ -234,6 +234,11 @@ class _ProbeAgg:
         keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
         if self.interval == "day":
             keys = keys.astype("datetime64[D]").astype("datetime64[us]")
+        elif self.interval == "7d":
+            # OpenSearch fixed_interval=7d: epoch-anchored 7-day windows
+            # (1970-01-01 is day 0, so floor(days/7)*7 == the bucket start)
+            days = keys.astype("datetime64[D]").astype(np.int64)
+            keys = ((days // 7) * 7).astype("datetime64[D]").astype("datetime64[us]")
         elif self.interval == "histogram":
             # value-count histogram partials (percentiles_agg): the raw
             # integer value IS the bucket key
@@ -311,15 +316,19 @@ class _ProbeAgg:
         )
 
 
-def _run_agg(
+def _run_agg_partials(
     index_dir: str,
     queries,
     field: str,
-    interval: str | None,
+    interval,
     metric_field: str | None,
     where,
     ranges=None,
 ) -> pd.DataFrame:
+    """The bucket-agg probe run, un-reduced: per-task (query_id, key, n, s)
+    partials as a driver-small pandas frame (queries × buckets ×
+    read-tasks rows). `_run_agg` reduces these to counts/avg; rate_agg and
+    other bucket-metric shapes reduce them differently."""
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
@@ -331,7 +340,7 @@ def _run_agg(
         if rel.endswith(".parquet")
     ]
     cols = ["docid", field] + ([metric_field] if metric_field else [])
-    partials = (
+    return (
         ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=cols)
         .map_batches(
             _ProbeAgg,
@@ -341,8 +350,21 @@ def _run_agg(
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
-        .to_pandas()  # queries x buckets x read-tasks rows: driver-small
+        .to_pandas()
     )
+
+
+def _run_agg(
+    index_dir: str,
+    queries,
+    field: str,
+    interval: str | None,
+    metric_field: str | None,
+    where,
+    ranges=None,
+) -> pd.DataFrame:
+    partials = _run_agg_partials(index_dir, queries, field, interval,
+                                 metric_field, where, ranges)
     if partials.empty:
         out = pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
                             "key": pd.Series(dtype=object),
@@ -991,20 +1013,13 @@ def cardinality_agg(
 # ---------------------------------------------------------------------------
 
 
-def percentiles_agg(
-    index_dir: str,
-    queries,
-    field: str = "doc_len",
-    percents: tuple = (25, 50, 75, 95, 99),
-    where=None,
-) -> pd.DataFrame:
-    """OpenSearch `percentiles` aggregation over each query's full match
-    set, with NEAREST-RANK semantics (the value at index ceil(p/100 * n) of
-    the sorted values — discrete, no interpolation, so the result is
-    bit-stable and SQL-checkable; OpenSearch's t-digest is approximate).
-    Partials are per-batch (value -> count) histograms — tiny for bounded
-    integer fields like doc_len — merged driver-side. Returns
-    (query_id, percent, value)."""
+def _value_histograms(index_dir: str, queries, field: str, where) -> pd.DataFrame:
+    """Exact per-query (value -> count) histogram of an integer docmeta
+    field over the match set: per-batch histogram partials (``_ProbeAgg``
+    op "histogram") merged driver-side. The driver holds queries × distinct
+    values rows — tiny for bounded integer fields like doc_len, independent
+    of corpus size. Shared by percentiles / boxplot / MAD, which are all
+    pure functions of this histogram."""
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
@@ -1027,29 +1042,284 @@ def percentiles_agg(
         )
         .to_pandas()
     )
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "key": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    return (
+        partials.groupby(["query_id", "key"], sort=True)["n"].sum().reset_index()
+    )
+
+
+def _nearest_rank(v: np.ndarray, cum: np.ndarray, p: int) -> int:
+    """Nearest-rank percentile from a sorted value histogram: the value at
+    1-based index ceil(n * p / 100) of the expanded sorted list — pure
+    integer math, bit-stable across engines."""
+    n = int(cum[-1])
+    target = -(-n * int(p) // 100)  # ceil(n*p/100)
+    return int(v[int(np.searchsorted(cum, target, side="left"))])
+
+
+def percentiles_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    percents: tuple = (25, 50, 75, 95, 99),
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `percentiles` aggregation over each query's full match
+    set, with NEAREST-RANK semantics (the value at index ceil(p/100 * n) of
+    the sorted values — discrete, no interpolation, so the result is
+    bit-stable and SQL-checkable; OpenSearch's t-digest is approximate).
+    Partials are per-batch (value -> count) histograms — tiny for bounded
+    integer fields like doc_len — merged driver-side. Returns
+    (query_id, percent, value)."""
+    hist = _value_histograms(index_dir, queries, field, where)
     cols = {
         "query_id": pd.Series(dtype=np.int64),
         "percent": pd.Series(dtype=np.int64),
         "value": pd.Series(dtype=np.int64),
     }
-    if partials.empty:
+    if hist.empty:
         return pd.DataFrame(cols)
-    hist = (
-        partials.groupby(["query_id", "key"], sort=True)["n"].sum().reset_index()
-    )
     rows = []
     for qid, g in hist.groupby("query_id", sort=True):
         v = g["key"].to_numpy(np.int64)      # sorted by the groupby
-        c = g["n"].to_numpy(np.int64)
-        cum = np.cumsum(c)
-        n = int(cum[-1])
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
         for p in percents:
-            target = -(-n * int(p) // 100)   # ceil(n*p/100), integer math
-            i = int(np.searchsorted(cum, target, side="left"))
-            rows.append((int(qid), int(p), int(v[i])))
+            rows.append((int(qid), int(p), _nearest_rank(v, cum, p)))
     return pd.DataFrame(rows, columns=["query_id", "percent", "value"]).astype(
         {"query_id": np.int64, "percent": np.int64, "value": np.int64}
     )
+
+
+def boxplot_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `boxplot` aggregation over each query's full match set:
+    (query_id, min, q1, q2, q3, max) of an integer docmeta field. Quartiles
+    use NEAREST-RANK semantics (value at 1-based index ceil(n*p/100) —
+    discrete and bit-stable; OpenSearch's TDigest quartiles are
+    approximate, documented divergence). Rides the same exact
+    (value -> count) histogram partials as :func:`percentiles_agg`, so the
+    driver never sees per-doc rows."""
+    hist = _value_histograms(index_dir, queries, field, where)
+    cols = ["query_id", "min", "q1", "q2", "q3", "max"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    rows = []
+    for qid, g in hist.groupby("query_id", sort=True):
+        v = g["key"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        rows.append((int(qid), int(v[0]),
+                     _nearest_rank(v, cum, 25), _nearest_rank(v, cum, 50),
+                     _nearest_rank(v, cum, 75), int(v[-1])))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {c: np.int64 for c in cols}
+    )
+
+
+def mad_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `median_absolute_deviation` aggregation over each query's
+    full match set: median(|v - median(v)|) of an integer docmeta field,
+    both medians NEAREST-RANK (OpenSearch's TDigest MAD is approximate;
+    this is the exact discrete analog). Computed entirely from the
+    per-query (value -> count) histogram: the deviation histogram folds
+    |v - med| driver-side, so one distributed pass serves both medians.
+    Returns (query_id, median, mad), both int64."""
+    hist = _value_histograms(index_dir, queries, field, where)
+    cols = {"query_id": pd.Series(dtype=np.int64),
+            "median": pd.Series(dtype=np.int64),
+            "mad": pd.Series(dtype=np.int64)}
+    if hist.empty:
+        return pd.DataFrame(cols)
+    rows = []
+    for qid, g in hist.groupby("query_id", sort=True):
+        v = g["key"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        med = _nearest_rank(v, np.cumsum(c), 50)
+        dev = pd.DataFrame({"d": np.abs(v - med), "n": c})
+        dg = dev.groupby("d", sort=True)["n"].sum()
+        dv = dg.index.to_numpy(np.int64)
+        mad = _nearest_rank(dv, np.cumsum(dg.to_numpy(np.int64)), 50)
+        rows.append((int(qid), med, mad))
+    return pd.DataFrame(rows, columns=list(cols)).astype(
+        {k: np.int64 for k in cols}
+    )
+
+
+class _ProbeTTest:
+    """Per-batch t_test partials: (query_id, grp, n, s, s2) of the metric
+    field under each of the two population predicates, restricted to the
+    query's match set — the same exact-integer moment contract as
+    `_ProbeStats` (doc_len < 2^21 keeps s2 in int64)."""
+
+    def __init__(self, shard_refs, stride, field: str, pred_a, pred_b):
+        self.matches = _ShardedMatches(shard_refs, stride)
+        self.field = field
+        self.preds = (pred_a, pred_b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = (
+            batch[self.field].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        pmasks = [_eval_predicate(batch, p) for p in self.preds]
+        qids, grps, ns, ss, ss2 = [], [], [], [], []
+        for qid, arr in self.matches.for_batch(ids).items():
+            hit = isin_sorted(ids, arr)
+            if not hit.any():
+                continue
+            for grp, pm in enumerate(pmasks):
+                v = vals[hit & pm]
+                if len(v) == 0:
+                    continue
+                qids.append(qid)
+                grps.append(grp)
+                ns.append(len(v))
+                ss.append(int(v.sum()))
+                ss2.append(int((v * v).sum()))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "grp": pa.array(grps, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+                "s": pa.array(ss, type=pa.int64()),
+                "s2": pa.array(ss2, type=pa.int64()),
+            }
+        )
+
+
+def t_test_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    pred_a=(("role", "=", "user"),),
+    pred_b=(("role", "=", "assistant"),),
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `t_test` aggregation (type=heteroscedastic, Welch's
+    unpaired t) between two filter-defined populations of each query's
+    match set, over an integer docmeta field. Per-batch partials carry
+    exact integer (n, sum, sum-of-squares) per population; the t statistic
+    is computed driver-side with every float op written out explicitly —
+    m = s/n; var = (s2 - n*m*m)/(n-1); t = (m_a - m_b)/sqrt(var_a/n_a +
+    var_b/n_b) — so a SQL oracle reproduces it bit-for-bit. Populations
+    with n < 2 are skipped (variance undefined). Returns
+    (query_id, n_a, n_b, t), t rounded half-up to 6 decimals."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    pred_fields = sorted({f for f, _, _ in tuple(pred_a) + tuple(pred_b)})
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files),
+                              columns=["docid", field] + pred_fields)
+        .map_batches(
+            _ProbeTTest,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
+                                 tuple(pred_a), tuple(pred_b)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {"query_id": pd.Series(dtype=np.int64),
+            "n_a": pd.Series(dtype=np.int64),
+            "n_b": pd.Series(dtype=np.int64),
+            "t": pd.Series(dtype=np.float64)}
+    if partials.empty:
+        return pd.DataFrame(cols)
+    g = (
+        partials.groupby(["query_id", "grp"], sort=True)
+        .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+        .reset_index()
+        .pivot(index="query_id", columns="grp", values=["n", "s", "s2"])
+    )
+    rows = []
+    for qid in g.index:
+        try:
+            # pivot leaves NaN (not a KeyError) when one population has no
+            # partials at all for this query — treat either as "population
+            # empty" and skip.
+            raw_na = g.loc[qid, ("n", 0)]
+            raw_nb = g.loc[qid, ("n", 1)]
+            if pd.isna(raw_na) or pd.isna(raw_nb):
+                continue
+            na, nb = int(raw_na), int(raw_nb)
+        except KeyError:
+            continue
+        if not (na >= 2 and nb >= 2):
+            continue
+        sa, sb = float(g.loc[qid, ("s", 0)]), float(g.loc[qid, ("s", 1)])
+        s2a, s2b = float(g.loc[qid, ("s2", 0)]), float(g.loc[qid, ("s2", 1)])
+        ma = sa / na
+        mb = sb / nb
+        va = (s2a - na * ma * ma) / (na - 1)
+        vb = (s2b - nb * mb * mb) / (nb - 1)
+        denom = np.sqrt(va / na + vb / nb)
+        if denom == 0.0:
+            continue
+        t = (ma - mb) / denom
+        rows.append((int(qid), na, nb, float(np.floor(t * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=list(cols)) if rows else pd.DataFrame(cols)
+
+
+def rate_agg(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    metric_field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `rate` aggregation (unit=day) nested in a
+    fixed_interval=7d date_histogram over each query's match set: per
+    epoch-anchored 7-day bucket, the per-day rate of matching docs
+    (n_docs / 7) and of the summed metric field (sum / 7) — OpenSearch's
+    fixed-interval rate scaling (interval_in_units division; calendar
+    intervals would divide by the actual bucket length). Buckets anchor at
+    the unix epoch exactly like OpenSearch fixed_interval. Returns
+    (query_id, key, rate_docs, rate_sum), rates rounded half-up to 6
+    decimals, ordered by (query_id, key)."""
+    partials = _run_agg_partials(index_dir, queries, field, "7d",
+                                 metric_field, where)
+    cols = {"query_id": pd.Series(dtype=np.int64),
+            "key": pd.Series(dtype="datetime64[us]"),
+            "rate_docs": pd.Series(dtype=np.float64),
+            "rate_sum": pd.Series(dtype=np.float64)}
+    if partials.empty:
+        return pd.DataFrame(cols)
+    g = (
+        partials.groupby(["query_id", "key"], sort=True)
+        .agg(n=("n", "sum"), s=("s", "sum"))
+        .reset_index()
+    )
+    rd = g["n"].astype(np.float64) / 7.0
+    rs = g["s"].astype(np.float64) / 7.0
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype(np.int64),
+        "key": g["key"].astype("datetime64[us]"),
+        "rate_docs": np.floor(rd * 1e6 + 0.5) / 1e6,
+        "rate_sum": np.floor(rs * 1e6 + 0.5) / 1e6,
+    })
 
 
 # ---------------------------------------------------------------------------

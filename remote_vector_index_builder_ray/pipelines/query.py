@@ -8,6 +8,7 @@ term-sharded on disk and each actor reads only the files its terms touch.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -95,6 +96,8 @@ def search(
     negative_boost: float = 0.5,
     unit_idf: bool = False,
     allow_docids=None,
+    span_pre: int = 1,
+    span_post: int = 1,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -153,13 +156,13 @@ def search(
         # positional-postings loads, which duplicate across the pool — fewer,
         # bigger batches amortize the same term loads over more queries
         # (profiled at sf0.1: load 4.2 s vs score 0.26 s per batch)
-        batch_size = 64 if mode in ("phrase", "span_near", "span_first") else 16
+        batch_size = 64 if mode in ("phrase", "span_near", "span_first", "span_not") else 16
     if concurrency is None:
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
-    if mode in ("phrase", "span_near", "span_first"):
+    if mode in ("phrase", "span_near", "span_first", "span_not"):
         # fail fast on the DRIVER (an actor-side raise surfaces as an opaque
         # ActorDiedError): phrase/span search needs a positional index
         from remote_vector_index_builder_ray.config import EngineError
@@ -199,18 +202,18 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "constant", "blended"):
+    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
     if min_should_match is not None:
         if operator == "and":
             raise ValueError(
                 "min_should_match is redundant with operator='and' (pick one)"
             )
-        if mode in ("wand", "phrase", "span_near", "span_first", "constant", "blended"):
+        if mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended"):
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if (mode in ("wand", "phrase", "span_near", "span_first", "blended")
+    if (mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "blended")
             and isinstance(queries, pd.DataFrame)):
         if "after_score" in queries.columns:
             raise ValueError(f"search_after is not supported in {mode} mode")
@@ -255,6 +258,8 @@ def search(
             "collapse_round6": collapse_round6,
             "negative_boost": negative_boost,
             "unit_idf": unit_idf,
+            "span_pre": span_pre,
+            "span_post": span_post,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -1124,6 +1129,45 @@ def search_cross_fields(
     ).reset_index(drop=True)
 
 
+def _compile_score_script(expr: str):
+    """Compile a script_score expression — a restricted painless analog:
+    float arithmetic (+ - * /), ``sqrt``/``log``/``min``/``max`` calls, and
+    the names ``_score`` (the BM25 score) and ``v`` (the doc's field
+    value). Validated via the Python AST (no other names, calls or
+    attributes), so the expression is SQL-transcribable verbatim and never
+    evaluates user strings at batch time. Returns
+    fn(score: float64 ndarray, v: float64 ndarray) -> float64 ndarray."""
+    import ast
+    import operator as op
+
+    ops = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+           ast.Div: op.truediv}
+    fns = {"sqrt": np.sqrt, "log": np.log, "min": np.minimum,
+           "max": np.maximum}
+    tree = ast.parse(expr, mode="eval")
+
+    def ev(node, env):
+        if isinstance(node, ast.Expression):
+            return ev(node.body, env)
+        if isinstance(node, ast.BinOp) and type(node.op) in ops:
+            return ops[type(node.op)](ev(node.left, env), ev(node.right, env))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -ev(node.operand, env)
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in fns and not node.keywords):
+            return fns[node.func.id](*(ev(a, env) for a in node.args))
+        if isinstance(node, ast.Name) and node.id in env:
+            return env[node.id]
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return np.float64(node.value)
+        raise ValueError(f"script_score: unsupported expression node "
+                         f"{ast.dump(node)} in {expr!r}")
+
+    zero = np.float64(0.0)
+    ev(tree, {"_score": zero, "v": zero})  # validate eagerly
+    return lambda score, v: ev(tree, {"_score": score, "v": v})
+
+
 class _ProbeFuncScore:
     """Per-batch combiner for function_score: probe the scored match sets,
     apply the score function with the batch's field values, keep the
@@ -1138,10 +1182,27 @@ class _ProbeFuncScore:
         self.modifier = modifier
         self.params = params
         self.k = k
+        if modifier == "script":
+            self._script = _compile_score_script(params["expr"])
 
     def _apply(self, score, vals):
         import numpy as np
 
+        if self.modifier == "random_score":
+            # OpenSearch function_score random_score(seed, field): a
+            # deterministic per-doc hash mapped to [0, 1), multiplied into
+            # the score (boost_mode=multiply). The hash is an explicit LCG
+            # over the docid so a SQL oracle reproduces it exactly:
+            # ((docid % 2^31) * 1103515245 + seed) % 2^31 / 2^31.
+            seed = int(self.params.get("seed", 0))
+            h = ((vals.astype(np.int64) % 2147483648) * 1103515245 + seed) % 2147483648
+            return score * (h.astype(np.float64) / 2147483648.0)
+        if self.modifier == "script":
+            # OpenSearch script_score: a sandboxed arithmetic expression
+            # over _score and the doc value (compiled once per actor in
+            # __init__ via _compile_score_script — no eval of user strings
+            # at batch time)
+            return self._script(score, vals.astype(np.float64))
         if self.modifier == "log1p":
             # field_value_factor(modifier=log1p, boost_mode=multiply).
             # Computed as log(1 + v) — textually the same expression the SQL
@@ -1173,7 +1234,10 @@ class _ProbeFuncScore:
         from remote_vector_index_builder_ray.stages.merge import isin_sorted
 
         ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
-        vals = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        if self.field == "docid":  # random_score hashes the docid itself
+            vals = ids
+        else:
+            vals = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
         if vals.dtype.kind == "M":  # timestamps: epoch microseconds
             vals = vals.astype("datetime64[us]").astype(np.int64)
         qids, docs, scores = [], [], []
@@ -1239,7 +1303,10 @@ def function_score(
         if rel.endswith(".parquet")
     ]
     partials = (
-        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        ray.data.read_parquet(
+            **fs.for_ray_paths(meta_files),
+            columns=["docid"] if field == "docid" else ["docid", field],
+        )
         .map_batches(
             _ProbeFuncScore,
             fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
@@ -1296,6 +1363,40 @@ def distance_feature(
         params={"origin": origin, "pivot": pivot, "boost": boost},
         where=where,
     )
+
+
+def random_score(index_dir: str, queries, seed: int = 0, where=None) -> pd.DataFrame:
+    """OpenSearch ``function_score`` with ``random_score(seed)``
+    (boost_mode=multiply): every matching doc's BM25 score is multiplied by
+    a deterministic per-doc pseudo-random multiplier in [0, 1) — the
+    reproducible-shuffle idiom for sampling search results. The multiplier
+    is an explicit LCG over the docid (see ``_ProbeFuncScore._apply``) so
+    any engine reproduces it; OpenSearch's seeded mode is equally
+    deterministic but uses a different internal hash (documented
+    divergence). Returns (query_id, rank, docid, score)."""
+    return function_score(index_dir, queries, field="docid",
+                          modifier="random_score", params={"seed": seed},
+                          where=where)
+
+
+def script_score(
+    index_dir: str,
+    queries,
+    expr: str = "_score * (1.0 + v / 256.0)",
+    field: str = "doc_len",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``script_score`` query: every matching doc is re-scored by
+    a script over ``_score`` (the BM25 score) and ``v`` (the doc's
+    ``field`` value — Lucene's doc-values read at score time). The script
+    is a restricted painless analog compiled once per actor
+    (:func:`_compile_score_script`): float + - * /, sqrt/log/min/max, no
+    other names — so the same expression runs verbatim in a SQL oracle.
+    Exact over the full match set (scored match-set shards + docmeta
+    probe, as :func:`function_score`). Returns
+    (query_id, rank, docid, score), score rounded half-up to 6 decimals."""
+    return function_score(index_dir, queries, field=field, modifier="script",
+                          params={"expr": expr}, where=where)
 
 
 def search_bool(

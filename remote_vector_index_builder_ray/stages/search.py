@@ -200,7 +200,8 @@ class BM25Searcher:
                  tie_breaker: float = 0.0,
                  collapse_round6: bool = False,
                  negative_boost: float = 0.5,
-                 unit_idf: bool = False):
+                 unit_idf: bool = False,
+                 span_pre: int = 1, span_post: int = 1):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -262,6 +263,10 @@ class BM25Searcher:
         # building block cross_fields multi_match re-weights with a BLENDED
         # idf on the combine side (pipelines/query.search_cross_fields)
         self.unit_idf = bool(unit_idf)
+        # span_not exclusion window (occurrences of the exclude span within
+        # [p - pre, p + post] of an include occurrence kill it)
+        self.span_pre = int(span_pre)
+        self.span_post = int(span_post)
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -868,6 +873,79 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    def _score_span_or(self, terms: list[str], k: int):
+        """Lucene/OpenSearch span_or over single-term inner spans: the union
+        of the clauses' spans. Single-term spans never overlap, so per doc
+        freq = the sum of the matching clauses' term frequencies — postings
+        only, no positional reads. Scored as the span query's summed-idf
+        BM25 saturation (the same SpanScorer shape as ``_score_span_near``);
+        clauses absent from the index contribute nothing (SpanOrQuery drops
+        empty clauses), and the idf sums over present clauses only."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        idf_sum = 0.0
+        parts = []
+        for t in sorted(set(terms)):
+            tp = self._cache.get(t)
+            if tp is None:
+                continue
+            idf_sum += _idf(self.N, tp.df)
+            parts.append(tp.decode_all())
+        if not parts:
+            return empty
+        alldocs = np.concatenate([p[0] for p in parts])
+        alltf = np.concatenate([p[1] for p in parts])
+        alldl = np.concatenate([p[2] for p in parts])
+        cand, inv = np.unique(alldocs, return_inverse=True)
+        stf = np.zeros(len(cand), dtype=np.float64)
+        np.add.at(stf, inv, alltf.astype(np.float64))
+        dl = np.zeros(len(cand), dtype=np.float64)
+        dl[inv] = alldl  # every clause stores the same per-doc length
+        scores = idf_sum * tfnorm(stf, dl, self.avgdl, self.k1, self.b)
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
+    def _score_span_not(self, terms: list[str], k: int, exclude: str | None):
+        """Lucene/OpenSearch span_not(include, exclude, pre, post) with
+        single-term include/exclude spans: an occurrence of ``include`` at
+        position p survives unless ``exclude`` occurs within
+        [p - pre, p + post] in the same doc; freq = surviving-occurrence
+        count, scored idf * tfnorm(freq, dl) (width-0 SpanScorer, as
+        ``_score_span_first``). A missing exclude term excludes nothing —
+        span_not degenerates to the inner span. Vectorized via the packed
+        (docid << 21 | position) key space (``_POS_PACK`` invariant), one
+        searchsorted pair per occurrence."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(terms) != 1:
+            return empty
+        t = terms[0]
+        if self._cache.get(t) is None or self._pos_cache.get(t) is None:
+            return empty
+        dpp, pos, cdoc, cdl = self._pos_cache[t]
+        keep = np.ones(len(dpp), dtype=bool)
+        if exclude is not None and self._pos_cache.get(exclude) is not None:
+            dppb, posb, _, _ = self._pos_cache[exclude]
+            K = self._POS_PACK
+            keyb = dppb * K + posb  # docid-major, position-minor: sorted
+            lo = np.searchsorted(keyb, dpp * K + np.maximum(pos - self.span_pre, 0))
+            hi = np.searchsorted(
+                keyb, dpp * K + np.minimum(pos + self.span_post, K - 1),
+                side="right",
+            )
+            keep = hi <= lo  # no exclude occurrence inside the window
+        if not keep.any():
+            return empty
+        cand, stf = np.unique(dpp[keep], return_counts=True)
+        dl = cdl[np.searchsorted(cdoc, cand)]
+        idf = _idf(self.N, self._cache[t].df)
+        scores = idf * tfnorm(
+            stf.astype(np.float64), dl.astype(np.float64),
+            self.avgdl, self.k1, self.b,
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
     def _deny_set(self, exclude_terms: list[str]) -> np.ndarray:
         """bool.must_not: the sorted union of the excluded terms' posting
         docids (per query — unlike tombstones/filters, which are per-actor).
@@ -1412,10 +1490,25 @@ class BM25Searcher:
             per_query_terms = [
                 sorted(set(analyze_text(t or "", self._analyzer))) for t in texts
             ]
-        all_terms = sorted({t for terms in per_query_terms for t in terms})
+        # span_not exclude spans (optional per-query span_exclude column):
+        # the single-term span whose occurrences void nearby include spans
+        cols0 = batch.column_names
+        if "span_exclude" in cols0:
+            if self.mode != "span_not":
+                raise ValueError("span_exclude is only supported in span_not mode")
+            excl_spans = []
+            for t in batch["span_exclude"].to_pylist():
+                toks = analyze_text(t or "", self._analyzer)
+                excl_spans.append(toks[0] if toks else None)
+        else:
+            excl_spans = [None] * len(qids)
+        all_terms = sorted(
+            {t for terms in per_query_terms for t in terms}
+            | {t for t in excl_spans if t is not None}
+        )
         if all_terms:
             self._load_terms(all_terms)
-            if self.mode in ("phrase", "span_near", "span_first"):
+            if self.mode in ("phrase", "span_near", "span_first", "span_not"):
                 self._load_positions(all_terms)
         # search_after cursors (optional per-query columns): a row with
         # non-null after_score/after_docid returns only docs STRICTLY after
@@ -1520,9 +1613,9 @@ class BM25Searcher:
         else:
             ends = [1] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
-            per_query_offsets, slops, demotes, allows, ends,
+            per_query_offsets, slops, demotes, allows, ends, excl_spans,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -1533,6 +1626,10 @@ class BM25Searcher:
                 docids, scores = self._score_span_near(terms, k, slop)
             elif self.mode == "span_first":
                 docids, scores = self._score_span_first(terms, k, end)
+            elif self.mode == "span_or":
+                docids, scores = self._score_span_or(terms, k)
+            elif self.mode == "span_not":
+                docids, scores = self._score_span_not(terms, k, espan)
             elif self.mode == "phrase" and slop > 0:
                 docids, scores = self._score_phrase_slop(terms, k, slop, poffs)
             elif self.mode == "phrase":

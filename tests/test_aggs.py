@@ -705,3 +705,97 @@ def test_stats_bucket_matches_brute_force(smoke_fixture, smoke_index):
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                   check_dtype=False)
+
+
+def test_boxplot_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import boxplot_agg
+
+    df = _src(smoke_fixture)
+    got = boxplot_agg(smoke_index["index_dir"], QUERIES, field="doc_len")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        vals = np.sort(_match(df, q.text)["doc_len"].to_numpy(np.int64))
+        n = len(vals)
+        if n == 0:
+            continue
+        nr = lambda p: int(vals[-(-n * p // 100) - 1])  # noqa: E731
+        rows.append((int(q.query_id), int(vals[0]), nr(25), nr(50), nr(75),
+                     int(vals[-1])))
+    exp = pd.DataFrame(rows, columns=["query_id", "min", "q1", "q2", "q3",
+                                      "max"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_mad_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import mad_agg
+
+    df = _src(smoke_fixture)
+    got = mad_agg(smoke_index["index_dir"], QUERIES, field="doc_len")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        vals = np.sort(_match(df, q.text)["doc_len"].to_numpy(np.int64))
+        n = len(vals)
+        if n == 0:
+            continue
+        med = int(vals[-(-n * 50 // 100) - 1])
+        dev = np.sort(np.abs(vals - med))
+        mad = int(dev[-(-n * 50 // 100) - 1])
+        rows.append((int(q.query_id), med, mad))
+    exp = pd.DataFrame(rows, columns=["query_id", "median", "mad"])
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)
+
+
+def test_t_test_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import t_test_agg
+
+    df = _src(smoke_fixture)
+    got = t_test_agg(smoke_index["index_dir"], QUERIES, field="doc_len")
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        a = m[m["role"] == "user"]["doc_len"].to_numpy(np.float64)
+        b = m[m["role"] == "assistant"]["doc_len"].to_numpy(np.float64)
+        if len(a) < 2 or len(b) < 2:
+            continue
+        # Welch's t via ddof=1 variances — an INDEPENDENT derivation of the
+        # same statistic (the engine computes from integer moment partials)
+        se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        if se == 0:
+            continue
+        rows.append((int(q.query_id), len(a), len(b),
+                     (a.mean() - b.mean()) / se))
+    exp = pd.DataFrame(rows, columns=["query_id", "n_a", "n_b", "t"])
+    assert len(exp) > 0
+    merged = got.merge(exp, on="query_id", suffixes=("", "_exp"))
+    assert len(merged) == len(exp) == len(got)
+    assert (merged["n_a"] == merged["n_a_exp"]).all()
+    assert (merged["n_b"] == merged["n_b_exp"]).all()
+    np.testing.assert_allclose(merged["t"], merged["t_exp"], atol=1e-6)
+
+
+def test_rate_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import rate_agg
+
+    df = _src(smoke_fixture)
+    got = rate_agg(smoke_index["index_dir"], QUERIES)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text).copy()
+        if m.empty:
+            continue
+        days = m["ts"].values.astype("datetime64[D]").astype(np.int64)
+        m["wk"] = ((days // 7) * 7).astype("datetime64[D]").astype("datetime64[us]")
+        for key, g in m.groupby("wk"):
+            rows.append((int(q.query_id), key,
+                         np.floor(len(g) / 7 * 1e6 + 0.5) / 1e6,
+                         np.floor(int(g["doc_len"].sum()) / 7 * 1e6 + 0.5) / 1e6))
+    exp = (pd.DataFrame(rows, columns=["query_id", "key", "rate_docs",
+                                       "rate_sum"])
+           .sort_values(["query_id", "key"]).reset_index(drop=True))
+    assert len(exp) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False)

@@ -70,3 +70,69 @@ def test_linear_decay_on_ts(smoke_fixture, smoke_index, smoke_oracle):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), gold)
     # the decay must actually change the ranking vs plain BM25 somewhere
     assert len(got) > 0
+
+
+def test_random_score_deterministic(smoke_fixture, smoke_index, smoke_oracle):
+    from remote_vector_index_builder_ray import random_score
+
+    df = _src(smoke_fixture)
+    got = random_score(smoke_index["index_dir"], QUERIES, seed=7)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        recs = []
+        for d_, s in smoke_oracle.score_query(q.text or "").items():
+            h = ((int(d_) % 2147483648) * 1103515245 + 7) % 2147483648
+            out = s * (h / 2147483648.0)
+            recs.append((int(d_), float(np.floor(out * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d_, s) in enumerate(recs[: int(q.k)], 1):
+            rows.append((int(q.query_id), rank, d_, s))
+    gold = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), gold)
+    # two runs, same seed -> identical; different seed -> different ranking
+    again = random_score(smoke_index["index_dir"], QUERIES, seed=7)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  again.reset_index(drop=True))
+    other = random_score(smoke_index["index_dir"], QUERIES, seed=99)
+    assert not other["score"].equals(got["score"])
+    assert len(got) > 0
+
+
+def test_script_score_expression(smoke_fixture, smoke_index, smoke_oracle):
+    from remote_vector_index_builder_ray import script_score
+
+    df = _src(smoke_fixture)
+    got = script_score(smoke_index["index_dir"], QUERIES,
+                       expr="_score * (1.0 + v / 256.0)", field="doc_len")
+    vals = df.set_index("docid")["doc_len"]
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        recs = []
+        for d_, s in smoke_oracle.score_query(q.text or "").items():
+            out = s * (1.0 + float(vals.loc[d_]) / 256.0)
+            recs.append((int(d_), float(np.floor(out * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d_, s) in enumerate(recs[: int(q.k)], 1):
+            rows.append((int(q.query_id), rank, d_, s))
+    gold = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), gold)
+    assert len(got) > 0
+
+
+def test_script_score_rejects_unsafe_expressions():
+    import pytest
+
+    from remote_vector_index_builder_ray.pipelines.query import (
+        _compile_score_script,
+    )
+
+    for bad in ("__import__('os')", "v.x", "open('f')", "foo(v)", "name"):
+        with pytest.raises(ValueError):
+            _compile_score_script(bad)
+    fn = _compile_score_script("min(_score, 2.0) + sqrt(v)")
+    out = fn(np.array([1.0, 9.0]), np.array([4.0, 16.0]))
+    np.testing.assert_allclose(out, [3.0, 6.0])
