@@ -567,7 +567,8 @@ def _topk_rounded(index_dir: str, queries_path: str, search_fn=None, **search_kw
     if search_fn is None:
         search_fn = search
         search_kw.setdefault("mode", "bmw")
-    q = pq.read_table(queries_path).to_pandas()
+    q = (queries_path if isinstance(queries_path, pd.DataFrame)
+         else pq.read_table(queries_path).to_pandas())
     k_by_query = dict(zip(q["query_id"], q["k"]))
     q2 = q.assign(k=(q["k"] * 2).astype("int32"))
     res = search_fn(index_dir, q2, **search_kw).to_pandas()
@@ -2731,6 +2732,138 @@ def _q_bm25_span_first(sf_dir: str):
                          mode="span_first")
 
 
+def _q_bm25_span_or(sf_dir: str):
+    """Lucene/OpenSearch span_or over single-term inner spans: the union of
+    the clauses' spans. Single-term spans never overlap, so per-doc freq is
+    the sum of the matching clauses' tfs — postings only, no positional
+    reads — scored (Σ idf over present clauses) * tfnorm(freq, dl)
+    (stages/search._score_span_or). Same query set as the exact phrase."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_phrase_queries(sf_dir),
+                         mode="span_or")
+
+
+def _q_bm25_rank_feature(sf_dir: str):
+    """OpenSearch rank_feature query (saturation, the default function) in a
+    bool SHOULD: every match's BM25 score gains
+    boost * dl / (dl + pivot) with pivot=40, boost=1.5 — Lucene
+    FeatureQuery over doc_len as the feature field (pipelines/query.
+    rank_feature, riding the scored-match-set + docmeta probe)."""
+    from remote_vector_index_builder_ray import rank_feature
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return rank_feature(index_dir, pd.read_parquet(fx["queries"]),
+                        field="doc_len", function="saturation",
+                        pivot=40.0, boost=1.5)
+
+
+def _q_bm25_normalize(sf_dir: str):
+    """OpenSearch normalize pipeline agg over the per-day date_histogram of
+    each query's match set: percent_of_sum (n / Σn) and rescale_0_1
+    ((n - min)/(max - min); constant-count queries rescale to 0) per bucket
+    (pipelines/aggs.normalize_date_histogram)."""
+    from remote_vector_index_builder_ray import normalize_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = normalize_date_histogram(index_dir, pd.read_parquet(fx["queries"]),
+                                   field="ts")
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_terms_enum(sf_dir: str):
+    """OpenSearch _terms_enum API: the first 50 indexed terms with prefix
+    'w0042', term-ascending, each with its summed doc frequency — a
+    dictionary-only walk over the term-sorted termstats shards with the
+    prefix range pushed into the scan (pipelines/expand.terms_enum)."""
+    from remote_vector_index_builder_ray import terms_enum
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return terms_enum(index_dir, prefix="w0042", size=50)
+
+
+def _q_bm25_sliced(sf_dir: str):
+    """OpenSearch sliced scroll (slice id/max): each query keeps only its
+    slice of the match set — docid % 3 == query_id % 3 — scores unchanged,
+    ranked within the slice (stages/search slice columns; OpenSearch slices
+    scrolls by a hash of _id, this engine's _id IS the docid)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    q["slice_id"] = (q["query_id"] % 3).astype(np.int32)
+    q["slice_max"] = np.int32(3)
+    return _topk_rounded(index_dir, q, mode="exhaustive")
+
+
+def _q_bm25_terms_set(sf_dir: str):
+    """OpenSearch terms_set query (Lucene CoveringQuery): a doc matches when
+    it contains at least 1 + (dl % 2) of the query's distinct terms — the
+    minimum_should_match_script analog, a per-DOC threshold (vs the
+    per-query min_should_match scalar) — and scores the BM25 sum of its
+    matching clauses (stages/search._score_terms_set)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="terms_set",
+                         msm_script="1 + v % 2")
+
+
+def _q_bm25_term_boosts(sf_dir: str):
+    """OpenSearch query_string per-term boosts (caret syntax term^2.5):
+    boosted terms' BM25 contributions multiply by their boost, unboosted
+    terms weigh 1.0 (pipelines/query.search_term_boosts — Lucene BoostQuery
+    around each term query)."""
+    from remote_vector_index_builder_ray import search_term_boosts
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_boost_queries(sf_dir),
+                         search_fn=search_term_boosts)
+
+
+def _q_bm25_hybrid_norm(sf_dir: str):
+    """Hybrid search via min-max score normalization (the OpenSearch
+    normalization processor, technique=min_max, weighted arithmetic mean
+    0.7 * bm25 + 0.3 * phrase): each leg normalizes per query over its full
+    match set — (s - min)/(max - min), single-score legs normalize to 1 —
+    then fuses (pipelines/query.search_hybrid_norm / minmax_fuse)."""
+    from remote_vector_index_builder_ray import search_hybrid_norm
+
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return search_hybrid_norm(index_dir, _ensure_phrase_queries(sf_dir),
+                              modes=("bmw", "phrase"), weights=(0.7, 0.3),
+                              k=10)
+
+
+def _ensure_boost_queries(sf_dir: str) -> str:
+    """Caret-boosted query set derived from the standard queries: tokens
+    deduped keep-first (so 'last boost wins' never bites either engine),
+    token j of query i carries boost cycle[(i + j) % 4] with
+    cycle = (none, ^2, ^0.5, ^3). Persisted so the DuckDB twin parses the
+    exact same caret markup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_boost_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        q = pq.read_table(fx["queries"]).to_pandas()
+        cycle = (None, "2", "0.5", "3")
+        texts = []
+        for i, t in zip(q["query_id"], q["text"]):
+            seen, toks = set(), []
+            for tok in tokenize_text(t or ""):
+                if tok not in seen:
+                    seen.add(tok)
+                    toks.append(tok)
+            chunks = []
+            for j, tok in enumerate(toks):
+                b = cycle[(int(i) + j) % len(cycle)]
+                chunks.append(tok if b is None else f"{tok}^{b}")
+            texts.append(" ".join(chunks))
+        q = q.assign(text=texts)
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
 def _q_bm25_percentiles_bucket(sf_dir: str):
     """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
     25/50/75th percentiles of the per-day bucket doc counts, interpolation
@@ -2962,6 +3095,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_func_score": _q_bm25_func_score,
         "bm25_random_score": _q_bm25_random_score,
         "bm25_script_score": _q_bm25_script_score,
+        "bm25_rank_feature": _q_bm25_rank_feature,
+        "bm25_term_boosts": _q_bm25_term_boosts,
+        "bm25_terms_set": _q_bm25_terms_set,
+        "bm25_sliced": _q_bm25_sliced,
+        "bm25_span_or": _q_bm25_span_or,
+        "bm25_normalize": _q_bm25_normalize,
+        "bm25_terms_enum": _q_bm25_terms_enum,
+        "bm25_hybrid_norm": _q_bm25_hybrid_norm,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -3050,6 +3191,7 @@ def _docs_cte(sf: str) -> str:
 def oracle_sql() -> dict[str, str]:
     sf = "sf0.01"  # the driver's correctness scale
     docs = _docs_cte(sf)
+    phrase_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_phrase_queries.parquet")
     media_pq = os.path.join(ARTIFACT_ROOT, "media200.parquet")
     video_pq = os.path.join(ARTIFACT_ROOT, "video100.parquet")
     simhash_pq = os.path.join(ARTIFACT_ROOT, "sf0.01_simhash.parquet")
@@ -5529,6 +5671,355 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # rank_feature (saturation): BM25 + 1.5 * dl / (dl + 40.0) — additive
+    # FeatureQuery contribution, the same float ops as _ProbeFuncScore._apply
+    out["bm25_rank_feature"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+boosted AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           floor((sc.score + 1.5 * (dl.dl / (dl.dl + 40.0))) * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN dl ON sc.docid = dl.docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM boosted
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # per-term caret boosts: contribution = (boost * idf) * tfnorm; the SQL
+    # parses the exact caret markup the engine parses (tokens are unique per
+    # query by construction, so boost assignment is unambiguous)
+    boost_q = _ensure_boost_queries(ORACLE_SF_DIR)
+    out["bm25_term_boosts"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+chunks AS (
+    SELECT query_id, k, unnest(string_split(text, ' ')) AS chunk
+    FROM read_parquet('{boost_q}')
+),
+q AS (
+    SELECT query_id, k,
+           regexp_extract(chunk, '^([a-z0-9_]+)', 1) AS term,
+           CASE WHEN chunk LIKE '%^%'
+                THEN regexp_extract(chunk, '\\^(\\d+(?:\\.\\d+)?)$', 1)::DOUBLE
+                ELSE 1.0 END AS w
+    FROM chunks WHERE len(chunk) > 0
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum((q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)))
+               * (tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, k,
+           floor(score * 1000000 + 0.5) / 1000000 AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # terms_set (CoveringQuery): a doc qualifies when its distinct-matched
+    # count >= 1 + (dl % 2); score = BM25 sum over the matching clauses
+    out["bm25_terms_set"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           count(*)::BIGINT AS hits,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+kept AS (
+    SELECT sc.query_id, sc.k, sc.docid,
+           floor(sc.score * 1000000 + 0.5) / 1000000 AS score
+    FROM scored sc JOIN dl ON sc.docid = dl.docid
+    WHERE sc.hits >= greatest(1 + (dl.dl % 2), 1)
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM kept
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # sliced scroll: candidates restricted to docid % 3 == query_id % 3,
+    # scores unchanged, ranked within the slice
+    out["bm25_sliced"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           floor(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+               * 1000000 + 0.5) / 1000000 AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    WHERE tf.docid % 3 = q.query_id % 3
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # span_or: freq = Σ tfs over the query's distinct PRESENT terms, scored
+    # (Σ idf over present terms) * tfnorm(freq, dl)
+    out["bm25_span_or"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{phrase_pq}')
+),
+qidf AS (
+    SELECT q.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+    FROM q JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY q.query_id
+),
+stf AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid, sum(tf.tf)::BIGINT AS freq
+    FROM q JOIN tf USING (term)
+    GROUP BY q.query_id, tf.docid
+),
+scored AS (
+    SELECT stf.query_id, stf.k, stf.docid,
+           floor(qidf.idf_sum
+                 * (freq * (1.2 + 1) / (freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM stf
+    JOIN qidf USING (query_id)
+    JOIN dl ON stf.docid = dl.docid
+    CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # normalize pipeline agg over the per-day date_histogram:
+    # percent_of_sum = n/Σn; rescale_0_1 = (n-min)/(max-min), 0 when max==min
+    out["bm25_normalize"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+w AS (
+    SELECT query_id, key, n_docs,
+           sum(n_docs) OVER (PARTITION BY query_id) AS tot,
+           min(n_docs) OVER (PARTITION BY query_id) AS lo,
+           max(n_docs) OVER (PARTITION BY query_id) AS hi
+    FROM hist
+)
+SELECT query_id, key, n_docs,
+       floor(n_docs::DOUBLE / tot::DOUBLE * 1000000 + 0.5) / 1000000 AS percent_of_sum,
+       CASE WHEN hi > lo
+            THEN floor((n_docs::DOUBLE - lo::DOUBLE) / (hi::DOUBLE - lo::DOUBLE) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS rescale_0_1
+FROM w
+ORDER BY query_id, key
+"""
+    # terms_enum: the first 50 dictionary terms with prefix 'w0042', with df
+    out["bm25_terms_enum"] = f"""
+WITH {docs}, {_TOKS}
+SELECT term, count(DISTINCT docid)::BIGINT AS df
+FROM toks WHERE term LIKE 'w0042%'
+GROUP BY term ORDER BY term LIMIT 50
+"""
+    # hybrid min-max normalization: each leg min-max-normalizes per query
+    # over its 6-rounded full match set (single-score legs -> 1.0), fused
+    # 0.7 * bm25 + 0.3 * phrase
+    out["bm25_hybrid_norm"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+toks AS MATERIALIZED (SELECT docid, unnest(ts) AS term FROM docs),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS MATERIALIZED (
+    SELECT query_id, k, regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{phrase_pq}')
+),
+qd AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM q),
+bm_scored AS (
+    SELECT qd.query_id, tf.docid,
+           round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+    FROM qd JOIN tf USING (term) JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid CROSS JOIN stats s
+    GROUP BY qd.query_id, tf.docid
+),
+bm_norm AS (
+    SELECT query_id, docid,
+           CASE WHEN max(score) OVER (PARTITION BY query_id)
+                     > min(score) OVER (PARTITION BY query_id)
+                THEN (score - min(score) OVER (PARTITION BY query_id))
+                     / (max(score) OVER (PARTITION BY query_id)
+                        - min(score) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS ns
+    FROM bm_scored
+),
+qidf AS (
+    SELECT qt.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum,
+           count(*)::BIGINT AS n_found
+    FROM (SELECT query_id, unnest(p) AS term FROM q) qt
+    JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qt.query_id
+),
+qok AS (
+    SELECT q.query_id, q.p, qidf.idf_sum
+    FROM q JOIN qidf USING (query_id)
+    WHERE qidf.n_found = len(q.p) AND len(q.p) > 0
+),
+cand AS (
+    SELECT DISTINCT qk.query_id, t.docid
+    FROM qok qk JOIN tf t ON t.term = qk.p[1]
+),
+ptf AS (
+    SELECT c.query_id, c.docid,
+           len([i FOR i IN range(1, len(d.ts) - len(qk.p) + 2)
+                IF d.ts[i:i + len(qk.p) - 1] = qk.p])::BIGINT AS ptf
+    FROM cand c
+    JOIN qok qk USING (query_id)
+    JOIN docs d ON d.docid = c.docid
+    WHERE len(d.ts) >= len(qk.p)
+),
+ph_scored AS (
+    SELECT p.query_id, p.docid,
+           round(qk.idf_sum * (p.ptf * (1.2 + 1)
+               / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+    FROM ptf p JOIN qok qk USING (query_id)
+    JOIN dl ON dl.docid = p.docid CROSS JOIN stats s
+    WHERE p.ptf > 0
+),
+ph_norm AS (
+    SELECT query_id, docid,
+           CASE WHEN max(score) OVER (PARTITION BY query_id)
+                     > min(score) OVER (PARTITION BY query_id)
+                THEN (score - min(score) OVER (PARTITION BY query_id))
+                     / (max(score) OVER (PARTITION BY query_id)
+                        - min(score) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS ns
+    FROM ph_scored
+),
+fused AS (
+    SELECT coalesce(b.query_id, p.query_id) AS query_id,
+           coalesce(b.docid, p.docid) AS docid,
+           floor((coalesce(0.7 * b.ns, 0) + coalesce(0.3 * p.ns, 0))
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM bm_norm b FULL OUTER JOIN ph_norm p
+      ON b.query_id = p.query_id AND b.docid = p.docid
+),
+ranked AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM fused
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
     # function_score linear decay on ts: BM25 x max(0, 1 - |ts-origin|/scale),

@@ -2488,6 +2488,41 @@ def stats_bucket_date_histogram(
                      "sum_docs": np.int64}).reset_index(drop=True)
 
 
+def normalize_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `normalize` pipeline aggregation over a per-day
+    date_histogram parent: per query, each bucket's doc count rescaled by
+    `percent_of_sum` (n / Σn over the query's buckets) and by
+    `rescale_0_1` ((n - min) / (max - min); a query whose buckets all hold
+    the same count rescales to 0, matching OpenSearch's 0/0 → 0). Both
+    methods reduce the parent's driver-small bucket stream — the heavy
+    probe work is the shared date_histogram pass. Returns
+    (query_id, key, n_docs, percent_of_sum, rescale_0_1), floats rounded
+    half-up to 6 decimals, ordered (query_id, key)."""
+    h = date_histogram(index_dir, queries, field=field, where=where)
+    if h.empty:
+        out = h.copy()
+        out["percent_of_sum"] = pd.Series(dtype=np.float64)
+        out["rescale_0_1"] = pd.Series(dtype=np.float64)
+        return out
+    h = h.sort_values(["query_id", "key"]).reset_index(drop=True)
+    g = h.groupby("query_id", sort=False)["n_docs"]
+    n = h["n_docs"].astype(np.float64)
+    tot = g.transform("sum").astype(np.float64)
+    lo = g.transform("min").astype(np.float64)
+    hi = g.transform("max").astype(np.float64)
+    pct = n / tot
+    span = hi - lo
+    resc = np.where(span > 0, (n - lo) / np.where(span > 0, span, 1.0), 0.0)
+    h["percent_of_sum"] = np.floor(pct.to_numpy() * 1e6 + 0.5) / 1e6
+    h["rescale_0_1"] = np.floor(resc * 1e6 + 0.5) / 1e6
+    return h
+
+
 class _ProbeMatrix:
     """`matrix_stats` partials: exact int64 moment sums per query —
     (n, sum_x, sum_y, sum_x2, sum_y2, sum_xy) — so every float operation

@@ -225,6 +225,45 @@ def _get_dict(index_dir: str) -> _TermDict:
     return td
 
 
+def terms_enum(index_dir: str, prefix: str = "", size: int = 20) -> "pd.DataFrame":
+    """OpenSearch ``_terms_enum`` API: the first ``size`` indexed terms with
+    the given prefix, in term order, each with its summed doc frequency
+    (a superset of OpenSearch's term-only response — the df is already in
+    the dictionary row). Reads only the term-sorted termstats shards with
+    the prefix range pushed into the parquet scan (row-group pruning — the
+    same read path as :func:`_dictionary_terms`), summing df across live
+    generations. Like Lucene's TermsEnum, the walk is dictionary-only: a
+    term whose remaining docs are all tombstoned still enumerates.
+
+    Returns (term, df), term-ascending, at most ``size`` rows."""
+    import pandas as pd
+
+    filters = None
+    if prefix:
+        filters = [("term", ">=", prefix)]
+        ub = _prefix_upper_bound(prefix)
+        if ub is not None:
+            filters.append(("term", "<", ub))
+    tabs = []
+    for d in termstats_dirs(index_dir):
+        for rel in fs.listdir(d, recursive=True):
+            if not rel.endswith(".parquet"):
+                continue
+            t = fs.read_table(fs.join(d, rel), columns=["term", "df"],
+                              filters=filters)
+            if t.num_rows:
+                tabs.append(t.to_pandas())
+    if not tabs:
+        return pd.DataFrame({"term": pd.Series(dtype=str),
+                             "df": pd.Series(dtype="int64")})
+    out = (
+        pd.concat(tabs, ignore_index=True)
+        .groupby("term", sort=True)["df"].sum().reset_index()
+        .head(size)
+    )
+    return out.astype({"df": "int64"}).reset_index(drop=True)
+
+
 def expand_prefix(index_dir: str, prefix: str) -> list[str]:
     """Dictionary terms starting with ``prefix`` (sorted)."""
     if not prefix:

@@ -98,6 +98,7 @@ def search(
     allow_docids=None,
     span_pre: int = 1,
     span_post: int = 1,
+    msm_script: str | None = None,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -202,8 +203,29 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended"):
+    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended", "terms_set"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
+    if mode == "terms_set":
+        # terms_set (Lucene CoveringQuery): per-doc required-match count from
+        # a sandboxed integer script — compile on the DRIVER so a bad
+        # expression fails fast, not as an opaque ActorDiedError
+        if msm_script is None:
+            raise ValueError("mode='terms_set' requires msm_script")
+        if min_should_match is not None:
+            raise ValueError(
+                "min_should_match is redundant with terms_set's msm_script"
+            )
+        from remote_vector_index_builder_ray.stages.search import _compile_int_script
+
+        _compile_int_script(msm_script)
+    elif msm_script is not None:
+        raise ValueError("msm_script requires mode='terms_set'")
+    if (isinstance(queries, pd.DataFrame)
+            and ("slice_id" in queries.columns or "slice_max" in queries.columns)
+            and mode not in ("exhaustive", "constant")):
+        # sliced scroll drops candidates arbitrarily — block-max/WAND
+        # pruning bounds no longer hold (driver-side fail-fast)
+        raise ValueError(f"slice is not supported in {mode} mode")
     if min_should_match is not None:
         if operator == "and":
             raise ValueError(
@@ -260,6 +282,7 @@ def search(
             "unit_idf": unit_idf,
             "span_pre": span_pre,
             "span_post": span_post,
+            "msm_script": msm_script,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -949,6 +972,123 @@ def search_hybrid(
     return rrf_fuse(legs, k=k, c=c, k_by_query=k_by_query)
 
 
+def minmax_fuse(
+    legs: list[pd.DataFrame],
+    weights: tuple,
+    k: int = 10,
+    k_by_query: dict | None = None,
+) -> pd.DataFrame:
+    """Min-max score-normalization fusion (the OpenSearch hybrid-search
+    normalization processor, technique=min_max, combination=weighted
+    arithmetic mean): per leg and per query, scores rescale to
+    (s - min) / (max - min) over that query's retrieved set — a
+    single-score leg (max == min) normalizes to 1.0, OpenSearch's
+    single-result convention — then fuse as Σ w_i * norm_i; docs absent
+    from a leg contribute 0 for it. Inputs are each leg's (query_id,
+    docid, score) over its FULL match set with 6-decimal-rounded scores
+    (the cross-engine float policy), so both engines normalize identical
+    rationals. Returns (query_id, rank, docid, score), fused score
+    rounded half-up to 6 decimals, (score desc, docid asc)."""
+    parts = []
+    for w, r in zip(weights, legs):
+        if r is None or r.empty or "docid" not in r.columns:
+            continue
+        g = r[["query_id", "docid", "score"]].copy()
+        grp = g.groupby("query_id", sort=False)["score"]
+        lo = grp.transform("min").astype(np.float64)
+        hi = grp.transform("max").astype(np.float64)
+        span = (hi - lo).to_numpy()
+        s = g["score"].to_numpy(dtype=np.float64)
+        norm = np.where(span > 0, (s - lo.to_numpy()) / np.where(span > 0, span, 1.0), 1.0)
+        g["s"] = float(w) * norm
+        parts.append(g[["query_id", "docid", "s"]])
+    if not parts:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int32),
+                             "docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    allm = pd.concat(parts, ignore_index=True)
+    tot = allm.groupby(["query_id", "docid"], sort=False)["s"].sum().reset_index()
+    tot["score"] = np.floor(tot["s"].to_numpy() * 1e6 + 0.5) / 1e6
+    tot = tot.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    tot["rank"] = (tot.groupby("query_id").cumcount() + 1).astype(np.int32)
+    tot["k"] = tot["query_id"].map(k_by_query).fillna(k) if k_by_query else k
+    tot = tot[tot["rank"] <= tot["k"]]
+    return tot[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
+def search_hybrid_norm(
+    index_dir: str,
+    queries,
+    modes: tuple = ("bmw", "phrase"),
+    weights: tuple = (0.7, 0.3),
+    k: int = 10,
+) -> pd.DataFrame:
+    """Hybrid search via score normalization (the OpenSearch
+    normalization-processor alternative to :func:`search_hybrid`'s RRF):
+    each mode's leg runs as a normal streaming search over its full match
+    set, per-query min-max-normalizes, and fuses as a weighted arithmetic
+    mean (:func:`minmax_fuse`). Fusion is queries x matches driver-side;
+    the heavy scoring stays in the actor pools."""
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)} \
+        if "k" in q.columns else None
+    legs = []
+    for mode in modes:
+        res = search(index_dir, q.assign(k=np.int32(2**31 - 1)),
+                     mode=mode).to_pandas()
+        if "docid" not in res.columns or res.empty:
+            legs.append(None)
+            continue
+        res["score"] = res["score"].round(6)
+        legs.append(res[["query_id", "docid", "score"]])
+    return minmax_fuse(legs, weights, k=k, k_by_query=k_by_query)
+
+
+def search_term_boosts(
+    index_dir: str,
+    queries,
+    where=None,
+) -> pd.DataFrame:
+    """Per-term query boosts — OpenSearch ``query_string`` caret syntax
+    (``error^2.5 handler^0.5 plain``): each whitespace chunk may carry a
+    trailing ``^float`` boost that multiplies that term's BM25 contribution
+    (Lucene BoostQuery around the term query; unboosted terms weigh 1.0).
+    The caret markup is parsed on the driver, each chunk analyzed with the
+    INDEX analyzer, and the searcher receives pre-analyzed ``terms`` +
+    aligned ``weights`` list columns — scoring stays in the exhaustive
+    actor pool, contribution order term-ascending as everywhere. A chunk
+    analyzing to several tokens gives each its boost; a repeated term's
+    last boost wins. Returns a Dataset of (query_id, rank, docid, score)."""
+    import re
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    an = load_analyzer(index_dir)
+    caret = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+    terms_col, weights_col = [], []
+    for text in q["text"].fillna(""):
+        terms, weights = [], []
+        for chunk in str(text).split():
+            m = caret.match(chunk)
+            body, w = (m.group(1), float(m.group(2))) if m else (chunk, 1.0)
+            for tok in analyze_text(body, an):
+                terms.append(tok)
+                weights.append(w)
+        terms_col.append(terms)
+        weights_col.append(weights)
+    q2 = q.assign(terms=terms_col, weights=weights_col).drop(columns=["text"])
+    return search(index_dir, q2, mode="exhaustive", where=where)
+
+
 def search_multi_match(
     index_dirs: dict[str, str],
     queries,
@@ -1216,6 +1356,28 @@ class _ProbeFuncScore:
             scale = float(self.params["scale"])
             mult = 1.0 - np.abs(vals.astype(np.float64) - origin) / scale
             return score * np.maximum(mult, 0.0)
+        if self.modifier == "rank_feature":
+            # OpenSearch rank_feature query in a bool SHOULD: the feature
+            # contribution ADDS to the match score. Three Lucene
+            # FeatureQuery shapes over a non-negative numeric field v:
+            #   saturation: boost * v / (v + pivot)
+            #   log:        boost * log(1 + v / scaling)   (written as
+            #               log(1 + x) — the SQL twin runs ln(1 + x))
+            #   sigmoid:    boost * v^2 / (v^2 + pivot^2)  (exponent fixed
+            #               at 2, spelled v*v so every float op is explicit)
+            fn = self.params.get("function", "saturation")
+            boost = float(self.params.get("boost", 1.0))
+            v = vals.astype(np.float64)
+            if fn == "saturation":
+                pivot = float(self.params["pivot"])
+                return score + boost * (v / (v + pivot))
+            if fn == "log":
+                scaling = float(self.params["scaling"])
+                return score + boost * np.log(1.0 + v / scaling)
+            if fn == "sigmoid":
+                pivot = float(self.params["pivot"])
+                return score + boost * ((v * v) / (v * v + pivot * pivot))
+            raise ValueError(f"unknown rank_feature function {fn!r}")
         if self.modifier == "distance_feature":
             # Lucene LongDistanceFeatureQuery in a bool SHOULD: the feature
             # contribution ADDS to the match score —
@@ -1361,6 +1523,38 @@ def distance_feature(
     return function_score(
         index_dir, queries, field=field, modifier="distance_feature",
         params={"origin": origin, "pivot": pivot, "boost": boost},
+        where=where,
+    )
+
+
+def rank_feature(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    function: str = "saturation",
+    pivot: float = 1.0,
+    scaling: float = 1.0,
+    boost: float = 1.0,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``rank_feature`` query in a bool SHOULD next to the match
+    clause: every matching doc's BM25 score gains a bounded contribution
+    from a non-negative numeric field — ``saturation`` (the OpenSearch
+    default, ``boost * v / (v + pivot)``), ``log``
+    (``boost * log(1 + v / scaling)``) or ``sigmoid``
+    (``boost * v^2 / (v^2 + pivot^2)``, exponent fixed at 2 so the float
+    math is explicit both sides). Exact over the full match set — rides
+    :func:`function_score`'s scored match-set shards + docmeta probe, the
+    doc-values-at-score-time shape. Returns (query_id, rank, docid, score),
+    score rounded half-up to 6 decimals.
+
+    Reference analog: OpenSearch `rank_feature` (Lucene FeatureQuery);
+    parity target per SURVEY.md §2 — OpenSearch stores the feature in a
+    dedicated rank_feature field type, this engine reads it from docmeta."""
+    return function_score(
+        index_dir, queries, field=field, modifier="rank_feature",
+        params={"function": function, "pivot": pivot, "scaling": scaling,
+                "boost": boost},
         where=where,
     )
 

@@ -34,6 +34,58 @@ from remote_vector_index_builder_ray.functions.tokenizer import (
     tokenize_text,
 )
 
+def _compile_int_script(expr: str):
+    """Compile a sandboxed INTEGER script over ``v`` (the doc's length) into
+    a vectorized numpy function — the terms_set query's
+    ``minimum_should_match_script`` analog. Allowed: int literals, ``v``,
+    ``+ - * // %``, ``min``/``max`` calls. AST-validated once per actor;
+    nothing is eval'd per batch, and the same closed-form expression runs
+    verbatim in a SQL oracle. Raises ValueError on any other syntax."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+
+    def ev(node):
+        if isinstance(node, ast.Constant):
+            if not isinstance(node.value, int) or isinstance(node.value, bool):
+                raise ValueError(f"non-integer literal {node.value!r}")
+            c = int(node.value)
+            return lambda v: np.int64(c)
+        if isinstance(node, ast.Name):
+            if node.id != "v":
+                raise ValueError(f"unknown name {node.id!r}")
+            return lambda v: v
+        if isinstance(node, ast.BinOp):
+            lf, rf = ev(node.left), ev(node.right)
+            if isinstance(node.op, ast.Add):
+                return lambda v: lf(v) + rf(v)
+            if isinstance(node.op, ast.Sub):
+                return lambda v: lf(v) - rf(v)
+            if isinstance(node.op, ast.Mult):
+                return lambda v: lf(v) * rf(v)
+            if isinstance(node.op, ast.FloorDiv):
+                return lambda v: lf(v) // rf(v)
+            if isinstance(node.op, ast.Mod):
+                return lambda v: lf(v) % rf(v)
+            raise ValueError(f"unsupported operator {type(node.op).__name__}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in ("min", "max"):
+                raise ValueError("only min()/max() calls are allowed")
+            args = [ev(a) for a in node.args]
+            red = np.minimum if node.func.id == "min" else np.maximum
+            def call(v, _args=args, _red=red):
+                out = _args[0](v)
+                for a in _args[1:]:
+                    out = _red(out, a(v))
+                return out
+            return call
+        raise ValueError(f"unsupported syntax {type(node).__name__}")
+
+    f = ev(tree.body)
+    f(np.asarray([1, 2], dtype=np.int64))  # validate eagerly, on the driver
+    return f
+
+
 RESULT_SCHEMA = pa.schema(
     [
         ("query_id", pa.int64()),
@@ -201,7 +253,8 @@ class BM25Searcher:
                  collapse_round6: bool = False,
                  negative_boost: float = 0.5,
                  unit_idf: bool = False,
-                 span_pre: int = 1, span_post: int = 1):
+                 span_pre: int = 1, span_post: int = 1,
+                 msm_script: str | None = None):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -267,6 +320,15 @@ class BM25Searcher:
         # [p - pre, p + post] of an include occurrence kill it)
         self.span_pre = int(span_pre)
         self.span_post = int(span_post)
+        # terms_set mode: per-doc required-match count from a sandboxed
+        # integer script over v = the doc's length (OpenSearch terms_set
+        # minimum_should_match_script; compiled ONCE per actor, never eval'd
+        # per batch)
+        self._msm_fn = (
+            _compile_int_script(msm_script) if msm_script is not None else None
+        )
+        if mode == "terms_set" and self._msm_fn is None:
+            raise ValueError("terms_set mode requires msm_script")
         man = _fs.read_json(_fs.join(index_dir, "manifest.json"))
         # Global corpus stats: the base stats plus every LIVE generation
         # (pipelines/incremental.append_index); scoring with global (N, avgdl)
@@ -976,8 +1038,52 @@ class BM25Searcher:
             return len(terms)
         return self.msm or 1
 
+    def _score_terms_set(self, terms: list[str], k: int, deny=None, allow=None):
+        """OpenSearch ``terms_set`` query (Lucene CoveringQuery): a doc
+        matches when it contains at least ``required(doc)`` of the query's
+        distinct terms, where the required count comes from the per-actor
+        ``msm_script`` over v = the doc's length (OpenSearch's
+        minimum_should_match_script; a field-driven per-doc threshold,
+        unlike the per-query scalar ``min_should_match``). Matching docs
+        score the BM25 sum of ALL their matching clauses, accumulated
+        term-ascending like the exhaustive scorer. A required count above
+        the query's present-term count matches nothing for that doc; below
+        1 it clamps to 1 (CoveringQuery's minimumNumberMatch floor)."""
+        doc_parts, contrib_parts, dl_parts = [], [], []
+        for t in sorted(set(terms)):
+            tp = self._cache.get(t)
+            if tp is None:
+                continue
+            w = _idf(self.N, tp.df)
+            docids, _, dl = tp.decode_all()
+            doc_parts.append(docids)
+            dl_parts.append(dl)
+            contrib_parts.append(w * tp.tfnorms(self.avgdl, self.k1, self.b))
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        all_doc = np.concatenate(doc_parts)
+        uniq, inv = np.unique(all_doc, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_parts))
+        hits = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(hits, inv, 1)
+        dl_u = np.zeros(len(uniq), dtype=np.int64)
+        dl_u[inv] = np.concatenate(dl_parts)  # same doc -> same dl
+        required = np.maximum(self._msm_fn(dl_u), 1)
+        keep = hits >= required
+        uniq, scores = uniq[keep], scores[keep]
+        uniq, scores = self._drop_tombstoned(uniq, scores)
+        if deny is not None and len(deny):
+            from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+            m = ~isin_sorted(uniq, deny)
+            uniq, scores = uniq[m], scores[m]
+        uniq, scores = self._apply_allow(uniq, scores, allow)
+        sel = topk_order(scores, uniq, k)
+        return uniq[sel], scores[sel]
+
     def _score_constant(self, terms: list[str], k: int, after=None, deny=None,
-                        allow=None):
+                        allow=None, slicing=None):
         """Constant-score union (Lucene MultiTermQuery CONSTANT_SCORE
         rewrite; OpenSearch terms/prefix/wildcard queries): every doc
         containing ANY of the terms scores 1.0; the engine's (score desc,
@@ -998,6 +1104,9 @@ class BM25Searcher:
 
             uniq = uniq[~isin_sorted(uniq, deny)]
         uniq, _ = self._apply_allow(uniq, np.ones(len(uniq)), allow)
+        if slicing is not None:
+            sid, smax = slicing  # sliced scroll — see _score_exhaustive
+            uniq = uniq[(uniq % smax) == sid]
         if after is not None:
             uniq = uniq[self._after_mask(uniq, np.ones(len(uniq)), after)]
         uniq = uniq[:k]
@@ -1179,7 +1288,7 @@ class BM25Searcher:
         return uniq[keep], scores[keep]
 
     def _score_exhaustive(self, terms: list[str], k: int, after=None, deny=None,
-                          demote=None, allow=None):
+                          demote=None, allow=None, slicing=None, weights=None):
         need = self._need(terms)
         if need > 1:
             n_present = sum(1 for t in terms if self._cache.get(t) is not None)
@@ -1191,6 +1300,10 @@ class BM25Searcher:
             if tp is None:
                 continue
             w = 1.0 if self.unit_idf else _idf(self.N, tp.df)
+            if weights is not None:
+                # per-term query boost (OpenSearch query_string term^boost):
+                # the clause's contribution is multiplied by its boost
+                w *= float(weights.get(t, 1.0))
             docids, _, _ = tp.decode_all()
             doc_parts.append(docids)
             contrib_parts.append(w * tp.tfnorms(self.avgdl, self.k1, self.b))
@@ -1215,6 +1328,15 @@ class BM25Searcher:
             keep = ~isin_sorted(uniq, deny)
             uniq, scores = uniq[keep], scores[keep]
         uniq, scores = self._apply_allow(uniq, scores, allow)
+        if slicing is not None:
+            # sliced scroll (OpenSearch slice{id,max}): this slice keeps the
+            # docs with docid % max == id — a disjoint, exhaustive partition
+            # of the match set (OpenSearch slices on a hash of _id; docids
+            # are this engine's _id). Scores are unchanged; applied before
+            # top-k, so each slice ranks its own partition completely.
+            sid, smax = slicing
+            keep = (uniq % smax) == sid
+            uniq, scores = uniq[keep], scores[keep]
         if demote is not None:
             # Lucene BoostingQuery: docs matching the negative query keep
             # matching but their score is multiplied by negative_boost.
@@ -1473,6 +1595,18 @@ class BM25Searcher:
                 per_query_terms = [list(lst or []) for lst in lists]
             else:
                 per_query_terms = [sorted(set(lst or [])) for lst in lists]
+            if "weights" in batch.column_names:
+                # per-term query boosts (OpenSearch query_string term^boost):
+                # a list<double> column aligned element-wise with `terms`;
+                # the dict survives the distinct-sort above
+                if self.mode != "exhaustive":
+                    raise ValueError(
+                        f"weights is not supported in {self.mode} mode"
+                    )
+                weight_maps = [
+                    dict(zip(lst or [], ws or [])) or None
+                    for lst, ws in zip(lists, batch["weights"].to_pylist())
+                ]
         elif self.mode in ("phrase", "span_near"):
             # phrase/span semantics: token ORDER matters, duplicates kept;
             # under a filtering analyzer the pre-filter token indices ride
@@ -1612,10 +1746,27 @@ class BM25Searcher:
                     for e in batch["span_end"].to_pylist()]
         else:
             ends = [1] * len(qids)
+        # sliced scroll (optional per-query int columns slice_id/slice_max):
+        # this slice keeps docid % slice_max == slice_id candidates
+        if "slice_id" in cols and "slice_max" in cols:
+            if self.mode not in ("exhaustive", "constant"):
+                # slicing drops candidates arbitrarily — block-max pruning
+                # bounds no longer hold, so bmw/wand are out
+                raise ValueError(f"slice is not supported in {self.mode} mode")
+            slicings = [
+                None if i is None or m is None else (int(i), int(m))
+                for i, m in zip(batch["slice_id"].to_pylist(),
+                                batch["slice_max"].to_pylist())
+            ]
+        else:
+            slicings = [None] * len(qids)
+        if "weights" not in cols or "terms" not in cols:
+            weight_maps = [None] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan, slc, wmap in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
             per_query_offsets, slops, demotes, allows, ends, excl_spans,
+            slicings, weight_maps,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -1636,16 +1787,19 @@ class BM25Searcher:
                 docids, scores = self._score_phrase(terms, k, poffs)
             elif self.mode == "constant":
                 docids, scores = self._score_constant(terms, k, after, deny,
-                                                      allow)
+                                                      allow, slc)
             elif self.mode == "blended":
                 docids, scores = self._score_blended(groups, k)
             elif self.mode == "dismax":
                 docids, scores = self._score_dismax(terms, k)
             elif self.mode == "collapse":
                 docids, scores = self._score_collapse(terms, k, self.collapse_round6)
+            elif self.mode == "terms_set":
+                docids, scores = self._score_terms_set(terms, k, deny, allow)
             else:
                 docids, scores = self._score_exhaustive(terms, k, after, deny,
-                                                        demote, allow)
+                                                        demote, allow, slc,
+                                                        wmap)
             n = len(docids)
             out_qid.extend([int(qid)] * n)
             out_rank.extend(range(1, n + 1))

@@ -1,0 +1,304 @@
+"""Round-3 second operator batch: span_or, terms_set (per-doc msm script),
+sliced scroll, per-term caret boosts, rank_feature, the normalize pipeline
+agg, terms_enum and min-max hybrid fusion — each verified against a
+pandas/python brute force over the raw fixture."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from remote_vector_index_builder_ray import (
+    minmax_fuse,
+    normalize_date_histogram,
+    rank_feature,
+    search,
+    search_hybrid_norm,
+    search_term_boosts,
+    terms_enum,
+)
+from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+K1, B = 1.2, 0.75
+R6 = lambda v: np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5) / 1e6  # noqa: E731
+
+
+def _src(smoke_fixture) -> pd.DataFrame:
+    df = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df["docid"] = np.arange(len(df), dtype=np.int64)
+    df["toklist"] = [tokenize_text(t or "") for t in df["text"]]
+    df["doc_len"] = [len(t) for t in df["toklist"]]
+    return df
+
+
+def _stats(df):
+    n = len(df)
+    avgdl = df["doc_len"].sum() / n
+    from collections import Counter
+
+    dfc = Counter()
+    for toks in df["toklist"]:
+        dfc.update(set(toks))
+    return n, avgdl, dfc
+
+
+def _idf(n, df_):
+    return np.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+
+
+def _tfnorm(tf, dl, avgdl):
+    return tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def _bm25_rows(df, terms, n, avgdl, dfc, weights=None):
+    """(docid -> score) dict: BM25 sum over the distinct terms, ascending
+    term accumulation order, optional per-term weight multipliers."""
+    out = {}
+    for t in sorted(set(terms)):
+        if dfc.get(t, 0) == 0:
+            continue
+        w = _idf(n, dfc[t])
+        if weights:
+            w = w * float(weights.get(t, 1.0))
+        for docid, toks, dl in zip(df["docid"], df["toklist"], df["doc_len"]):
+            tf = toks.count(t)
+            if tf:
+                out[docid] = out.get(docid, 0.0) + w * _tfnorm(tf, dl, avgdl)
+    return out
+
+
+QUERIES = pd.DataFrame({
+    "query_id": np.arange(4, dtype=np.int64),
+    "text": ["w000123", "the w000200", "zz_absent", "w000050 w000051"],
+    "k": np.full(4, 12, dtype=np.int32),
+})
+
+
+def test_span_or_matches_brute_force(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    got = search(smoke_index["index_dir"], QUERIES, mode="span_or").to_pandas()
+    for q in QUERIES.itertuples(index=False):
+        terms = sorted(set(tokenize_text(q.text or "")))
+        present = [t for t in terms if dfc.get(t, 0) > 0]
+        idf_sum = sum(_idf(n, dfc[t]) for t in present)
+        rows = []
+        for docid, toks, dl in zip(df["docid"], df["toklist"], df["doc_len"]):
+            freq = sum(toks.count(t) for t in present)
+            if freq:
+                rows.append((docid, idf_sum * _tfnorm(freq, dl, avgdl)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        exp = rows[: int(q.k)]
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   [r[1] for r in exp], atol=1e-9)
+
+
+def test_terms_set_per_doc_threshold(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    got = search(smoke_index["index_dir"], QUERIES, mode="terms_set",
+                 msm_script="1 + v % 2").to_pandas()
+    for q in QUERIES.itertuples(index=False):
+        terms = sorted(set(tokenize_text(q.text or "")))
+        present = [t for t in terms if dfc.get(t, 0) > 0]
+        rows = []
+        for docid, toks, dl in zip(df["docid"], df["toklist"], df["doc_len"]):
+            hit = [t for t in present if t in toks]
+            required = max(1 + dl % 2, 1)
+            if len(hit) < required:
+                continue
+            s = sum(_idf(n, dfc[t]) * _tfnorm(toks.count(t), dl, avgdl)
+                    for t in hit)
+            rows.append((docid, s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        exp = rows[: int(q.k)]
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   [r[1] for r in exp], atol=1e-9)
+
+
+def test_terms_set_requires_script(smoke_index):
+    with pytest.raises(ValueError, match="msm_script"):
+        search(smoke_index["index_dir"], QUERIES, mode="terms_set")
+    with pytest.raises(ValueError):
+        search(smoke_index["index_dir"], QUERIES, mode="terms_set",
+               msm_script="__import__('os')")
+    with pytest.raises(ValueError):
+        search(smoke_index["index_dir"], QUERIES, mode="bmw",
+               msm_script="1 + v % 2")
+
+
+def test_sliced_scroll_partitions_match_set(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    big = QUERIES.assign(k=np.int32(10_000))
+    parts = []
+    for sid in range(3):
+        q = big.assign(slice_id=np.int32(sid), slice_max=np.int32(3))
+        r = search(smoke_index["index_dir"], q, mode="exhaustive").to_pandas()
+        assert (r["docid"] % 3 == sid).all()
+        parts.append(r)
+    union = pd.concat(parts)
+    # slices are disjoint and exhaustive: their union is the full match set
+    full = search(smoke_index["index_dir"], big, mode="exhaustive").to_pandas()
+    got = union.sort_values(["query_id", "docid"]).reset_index(drop=True)
+    exp = full.sort_values(["query_id", "docid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["query_id", "docid", "score"]],
+                                  exp[["query_id", "docid", "score"]])
+
+
+def test_slice_rejected_in_bmw(smoke_index):
+    q = QUERIES.assign(slice_id=np.int32(0), slice_max=np.int32(3))
+    with pytest.raises(ValueError, match="slice"):
+        search(smoke_index["index_dir"], q, mode="bmw")
+
+
+def test_term_boosts_scale_contributions(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    q = pd.DataFrame({
+        "query_id": np.array([0, 1], dtype=np.int64),
+        "text": ["the^2 w000123", "w000050^0.5 w000051^3"],
+        "k": np.full(2, 15, dtype=np.int32),
+    })
+    got = search_term_boosts(smoke_index["index_dir"], q).to_pandas()
+    for row in q.itertuples(index=False):
+        weights = {}
+        terms = []
+        for chunk in row.text.split():
+            body, _, b = chunk.partition("^")
+            for tok in tokenize_text(body):
+                terms.append(tok)
+                weights[tok] = float(b) if b else 1.0
+        scores = _bm25_rows(df, terms, n, avgdl, dfc, weights=weights)
+        exp = sorted(scores.items(), key=lambda r: (-r[1], r[0]))[: int(row.k)]
+        g = got[got["query_id"] == row.query_id].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   [r[1] for r in exp], atol=1e-9)
+
+
+def test_rank_feature_saturation_adds(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    got = rank_feature(smoke_index["index_dir"], QUERIES, field="doc_len",
+                       function="saturation", pivot=40.0, boost=1.5)
+    for q in QUERIES.itertuples(index=False):
+        scores = _bm25_rows(df, tokenize_text(q.text or ""), n, avgdl, dfc)
+        dl_by = dict(zip(df["docid"], df["doc_len"]))
+        boosted = {
+            d: s + 1.5 * (float(dl_by[d]) / (float(dl_by[d]) + 40.0))
+            for d, s in scores.items()
+        }
+        exp = sorted(((d, float(R6(s))) for d, s in boosted.items()),
+                     key=lambda r: (-r[1], r[0]))[: int(q.k)]
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   [r[1] for r in exp], atol=1e-9)
+
+
+def test_rank_feature_log_and_sigmoid(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    q1 = QUERIES.head(2)
+    for fn, extra in (("log", {"scaling": 8.0}), ("sigmoid", {"pivot": 30.0})):
+        got = rank_feature(smoke_index["index_dir"], q1, field="doc_len",
+                           function=fn, boost=2.0, **extra)
+        scores = _bm25_rows(df, tokenize_text(q1["text"].iloc[0]), n, avgdl, dfc)
+        dl_by = dict(zip(df["docid"], df["doc_len"]))
+        if fn == "log":
+            f = lambda v: 2.0 * np.log(1.0 + v / 8.0)  # noqa: E731
+        else:
+            f = lambda v: 2.0 * ((v * v) / (v * v + 30.0 * 30.0))  # noqa: E731
+        boosted = {d: s + f(float(dl_by[d])) for d, s in scores.items()}
+        exp = sorted(((d, float(R6(s))) for d, s in boosted.items()),
+                     key=lambda r: (-r[1], r[0]))[:12]
+        g = got[got["query_id"] == 0].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+
+
+def test_normalize_agg_matches_brute_force(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    got = normalize_date_histogram(smoke_index["index_dir"], QUERIES, field="ts")
+    for q in QUERIES.itertuples(index=False):
+        terms = set(tokenize_text(q.text or ""))
+        m = df[[bool(terms & set(t)) for t in df["toklist"]]]
+        g = got[got["query_id"] == q.query_id]
+        if m.empty:
+            assert g.empty
+            continue
+        hist = (
+            m.assign(key=m["ts"].dt.floor("D"))
+            .groupby("key").size().sort_index()
+        )
+        nn = hist.to_numpy(dtype=np.float64)
+        pct = nn / nn.sum()
+        span = nn.max() - nn.min()
+        resc = (nn - nn.min()) / span if span > 0 else np.zeros_like(nn)
+        assert g["key"].tolist() == hist.index.tolist()
+        np.testing.assert_allclose(g["percent_of_sum"].to_numpy(), R6(pct),
+                                   atol=1e-9)
+        np.testing.assert_allclose(g["rescale_0_1"].to_numpy(), R6(resc),
+                                   atol=1e-9)
+
+
+def test_terms_enum_prefix_walk(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    got = terms_enum(smoke_index["index_dir"], prefix="w0001", size=10)
+    from collections import Counter
+
+    dfc = Counter()
+    for toks in df["toklist"]:
+        dfc.update(set(toks))
+    exp = sorted(
+        ((t, c) for t, c in dfc.items() if t.startswith("w0001")))[:10]
+    assert list(zip(got["term"], got["df"])) == [(t, c) for t, c in exp]
+    # absent prefix -> empty frame with the right columns
+    empty = terms_enum(smoke_index["index_dir"], prefix="zzq", size=5)
+    assert empty.empty and list(empty.columns) == ["term", "df"]
+
+
+def test_minmax_fuse_normalizes_per_leg():
+    a = pd.DataFrame({"query_id": [0, 0, 0], "docid": [1, 2, 3],
+                      "score": [10.0, 5.0, 0.0]})
+    b = pd.DataFrame({"query_id": [0], "docid": [2], "score": [7.0]})
+    out = minmax_fuse([a, b], weights=(0.7, 0.3), k=10)
+    by = dict(zip(out["docid"], out["score"]))
+    # leg a normalizes 10->1, 5->0.5, 0->0; leg b is single-score -> 1.0
+    assert by[1] == pytest.approx(0.7)
+    assert by[2] == pytest.approx(0.7 * 0.5 + 0.3)
+    assert by[3] == pytest.approx(0.0)
+    # doc1: 0.7*1.0 = 0.7 beats doc2: 0.7*0.5 + 0.3*1.0 = 0.65
+    assert out.sort_values("rank")["docid"].tolist() == [1, 2, 3]
+
+
+def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    idx = str(tmp_path_factory.mktemp("pos_hn") / "idx")
+    build_index(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                            index_dir=idx, num_partitions=2, positions=True,
+                            num_buckets=32))
+    df = _src(smoke_fixture)
+    two = None
+    for toks in df["toklist"]:
+        if len(toks) >= 2:
+            two = f"{toks[0]} {toks[1]}"
+            break
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": [two], "k": np.array([5], dtype=np.int32)})
+    out = search_hybrid_norm(idx, q, modes=("bmw", "phrase"),
+                             weights=(0.7, 0.3), k=5)
+    assert not out.empty
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+    # every fused score is a weighted mean of [0,1] normals
+    assert (out["score"] <= 1.0 + 1e-9).all() and (out["score"] >= 0).all()
+    # the doc containing the exact phrase must lead: it tops both legs
+    lead = out.iloc[0]["docid"]
+    assert two.split()[0] in df.loc[df["docid"] == lead, "toklist"].iloc[0]
