@@ -2864,6 +2864,39 @@ def _ensure_boost_queries(sf_dir: str) -> str:
     return path
 
 
+def _q_bm25_exists(sf_dir: str):
+    """OpenSearch exists query in a bool filter: only docs whose `tool`
+    field has a value stay candidates ('' is the docmeta missing sentinel,
+    as in missing_agg — OpenSearch's absent-field analog); scores unchanged
+    (filter context — pipelines/query.resolve_filter_docids pushdown)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], where=[("tool", "!=", "")])
+
+
+def _q_bm25_extended_stats_bucket(sf_dir: str):
+    """OpenSearch extended_stats_bucket pipeline agg over the per-day
+    date_histogram: stats_bucket plus sum_of_squares, population variance
+    (Σn²/B - avg², clamped at 0) and std_deviation
+    (pipelines/aggs.extended_stats_bucket_date_histogram)."""
+    from remote_vector_index_builder_ray import extended_stats_bucket_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = extended_stats_bucket_date_histogram(
+        index_dir, pd.read_parquet(fx["queries"]), field="ts")
+    return out.reset_index(drop=True)
+
+
+def _q_duplicate_ngrams(sf_dir: str):
+    """Per-document cross-corpus duplicate-n-gram fraction (RefinedWeb/
+    Gopher-style contamination signal): of each doc's distinct 3-token
+    shingles, the fraction shared with at least one other document — two
+    shingle-hash shuffles, text never moves
+    (extras/dedup.duplicate_ngram_fraction)."""
+    from remote_vector_index_builder_ray.extras.dedup import duplicate_ngram_fraction
+
+    return duplicate_ngram_fraction(_read(sf_dir, "documents"), shingle_k=3)
+
+
 def _q_bm25_percentiles_bucket(sf_dir: str):
     """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
     25/50/75th percentiles of the per-day bucket doc counts, interpolation
@@ -3103,6 +3136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_normalize": _q_bm25_normalize,
         "bm25_terms_enum": _q_bm25_terms_enum,
         "bm25_hybrid_norm": _q_bm25_hybrid_norm,
+        "bm25_exists": _q_bm25_exists,
+        "bm25_extended_stats_bucket": _q_bm25_extended_stats_bucket,
+        "duplicate_ngram_fraction": _q_duplicate_ngrams,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -6021,6 +6057,113 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
+"""
+    # exists query: candidates restricted to docs with a tool value ('' is
+    # the missing sentinel), scores unchanged (filter context)
+    out["bm25_exists"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, tool, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+allowed AS (SELECT docid FROM docs WHERE tool IS NOT NULL AND tool != ''),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc JOIN allowed USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # extended_stats_bucket over the per-day date_histogram bucket counts:
+    # exact int sums, then avg / variance / std in the engine's float order
+    out["bm25_extended_stats_bucket"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+agg AS (
+    SELECT query_id, count(*)::BIGINT AS n_buckets,
+           min(n_docs)::BIGINT AS min_docs, max(n_docs)::BIGINT AS max_docs,
+           sum(n_docs)::BIGINT AS sum_docs,
+           sum(n_docs * n_docs)::BIGINT AS sum_sq
+    FROM hist GROUP BY query_id
+),
+f AS (
+    SELECT query_id, n_buckets, min_docs, max_docs, sum_docs, sum_sq,
+           sum_docs::DOUBLE / n_buckets::DOUBLE AS avg_raw,
+           greatest(sum_sq::DOUBLE / n_buckets::DOUBLE
+                    - (sum_docs::DOUBLE / n_buckets::DOUBLE)
+                      * (sum_docs::DOUBLE / n_buckets::DOUBLE), 0.0) AS var_raw
+    FROM agg
+)
+SELECT query_id, n_buckets, min_docs, max_docs, sum_docs, sum_sq,
+       floor(avg_raw * 1000000 + 0.5) / 1000000 AS avg_docs,
+       floor(var_raw * 1000000 + 0.5) / 1000000 AS variance,
+       floor(sqrt(var_raw) * 1000000 + 0.5) / 1000000 AS std_dev
+FROM f
+ORDER BY query_id
+"""
+    # duplicate_ngram_fraction: per doc, the share of its DISTINCT 3-token
+    # shingles that occur in >= 2 docs (docs shorter than 3 tokens shingle
+    # as their whole token stream — same convention as the Jaccard oracles)
+    out["duplicate_ngram_fraction"] = """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+),
+s AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+             ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        END)) AS shingle
+    FROM t
+),
+dfc AS (SELECT shingle, count(*)::BIGINT AS c FROM s GROUP BY shingle),
+perdoc AS (
+    SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN dfc.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+    FROM s JOIN dfc USING (shingle)
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_dup,
+       floor(n_dup::DOUBLE / n_shingles::DOUBLE * 1000000 + 0.5) / 1000000 AS dup_fraction
+FROM perdoc ORDER BY doc_id
 """
     # function_score linear decay on ts: BM25 x max(0, 1 - |ts-origin|/scale),
     # origin = newest turn, scale = corpus span (epoch microseconds)

@@ -393,6 +393,78 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def duplicate_ngram_fraction(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Per-document cross-corpus duplicate-n-gram fraction — the
+    RefinedWeb/Gopher-style contamination signal: of a doc's DISTINCT
+    k-token shingles, the fraction that also occur in at least one OTHER
+    document. Two shuffles, both over 8-byte shingle hashes (text never
+    moves): (1) emit per-doc-distinct (shingle, doc) rows, groupby shingle
+    marks each row shared/unique (a group with >= 2 docs is shared), (2)
+    groupby doc reduces (n_shingles, n_dup). A doc shorter than
+    ``shingle_k`` tokens contributes its whole token stream as one shingle
+    (``_shingle_hashes_batch``); zero-token docs emit nothing and are
+    absent from the result. Returns (doc_id, n_shingles, n_dup,
+    dup_fraction), fraction rounded half-up to 6 decimals, doc_id-ascending.
+
+    Scale note: unlike the pair-emitting near-dup paths this never leaves
+    the per-(doc, shingle) cardinality — no m² blowup on boilerplate
+    shingles — so it needs no ``max_shingle_df`` cap."""
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        tokens, doc_index, n_tokens = tokenize_column(batch[text_col])
+        tok_h = _token_hashes(tokens)
+        sh_v, sh_d = _shingle_hashes_batch(tok_h, n_tokens, shingle_k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sh_v, sh_d))
+        v, d = sh_v[order], sh_d[order]
+        keep = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            keep[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+        return pa.table(
+            {
+                id_col: pa.array(ids[d[keep]], type=pa.int64()),
+                "shingle": pa.array(v[keep], type=pa.uint64()),
+            }
+        )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {id_col: ids,
+             "dup": np.full(len(ids), int(len(ids) >= 2), dtype=np.int64)}
+        )
+
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = (
+        sh.groupby("shingle")
+        .map_groups(mark, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_shingles"),
+            ray.data.aggregate.Sum("dup", alias_name="n_dup"),
+        )
+        .to_pandas()
+    )
+    cols = {id_col: pd.Series(dtype=np.int64),
+            "n_shingles": pd.Series(dtype=np.int64),
+            "n_dup": pd.Series(dtype=np.int64),
+            "dup_fraction": pd.Series(dtype=np.float64)}
+    if per_doc.empty:
+        return pd.DataFrame(cols)
+    per_doc = per_doc.sort_values(id_col).reset_index(drop=True)
+    frac = per_doc["n_dup"].to_numpy(np.float64) / per_doc["n_shingles"].to_numpy(np.float64)
+    per_doc["dup_fraction"] = np.floor(frac * 1e6 + 0.5) / 1e6
+    return per_doc[[id_col, "n_shingles", "n_dup", "dup_fraction"]].astype(
+        {id_col: np.int64, "n_shingles": np.int64, "n_dup": np.int64,
+         "dup_fraction": np.float64}
+    )
+
+
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """64-bit simhash over the token multiset (vectorized bit-vote; per-token
     hashes via the dictionary-encoded vocab, not a Python loop)."""

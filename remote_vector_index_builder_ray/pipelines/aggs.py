@@ -2488,6 +2488,52 @@ def stats_bucket_date_histogram(
                      "sum_docs": np.int64}).reset_index(drop=True)
 
 
+def extended_stats_bucket_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `extended_stats_bucket` sibling pipeline aggregation over
+    the per-day date_histogram of each query's match set: stats_bucket plus
+    sum_of_squares, population variance (Σn²/B - avg², the OpenSearch
+    running-moment formula, clamped at 0 against float cancellation) and
+    std_deviation — every float op written once, driver-side, in an order a
+    SQL oracle reproduces. Returns (query_id, n_buckets, min_docs,
+    max_docs, sum_docs, sum_sq, avg_docs, variance, std_dev), floats
+    rounded half-up to 6 decimals."""
+    h = date_histogram(index_dir, queries, field=field, where=where)
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "n_buckets": pd.Series(dtype=np.int64),
+        "min_docs": pd.Series(dtype=np.int64),
+        "max_docs": pd.Series(dtype=np.int64),
+        "sum_docs": pd.Series(dtype=np.int64),
+        "sum_sq": pd.Series(dtype=np.int64),
+        "avg_docs": pd.Series(dtype=np.float64),
+        "variance": pd.Series(dtype=np.float64),
+        "std_dev": pd.Series(dtype=np.float64),
+    }
+    if h.empty:
+        return pd.DataFrame(cols)
+    h = h.assign(sq=h["n_docs"].astype(np.int64) ** 2)
+    g = (
+        h.groupby("query_id", sort=True)
+        .agg(n_buckets=("n_docs", "size"), min_docs=("n_docs", "min"),
+             max_docs=("n_docs", "max"), sum_docs=("n_docs", "sum"),
+             sum_sq=("sq", "sum"))
+        .reset_index()
+    )
+    b = g["n_buckets"].to_numpy(np.float64)
+    avg = g["sum_docs"].to_numpy(np.float64) / b
+    var = np.maximum(g["sum_sq"].to_numpy(np.float64) / b - avg * avg, 0.0)
+    std = np.sqrt(var)
+    g["avg_docs"] = np.floor(avg * 1e6 + 0.5) / 1e6
+    g["variance"] = np.floor(var * 1e6 + 0.5) / 1e6
+    g["std_dev"] = np.floor(std * 1e6 + 0.5) / 1e6
+    return g.astype({k: v.dtype for k, v in cols.items()}).reset_index(drop=True)
+
+
 def normalize_date_histogram(
     index_dir: str,
     queries,

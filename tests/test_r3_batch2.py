@@ -278,6 +278,96 @@ def test_minmax_fuse_normalizes_per_leg():
     assert out.sort_values("rank")["docid"].tolist() == [1, 2, 3]
 
 
+def test_extended_stats_bucket_matches_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import extended_stats_bucket_date_histogram
+
+    df = _src(smoke_fixture)
+    got = extended_stats_bucket_date_histogram(smoke_index["index_dir"],
+                                               QUERIES, field="ts")
+    for q in QUERIES.itertuples(index=False):
+        terms = set(tokenize_text(q.text or ""))
+        m = df[[bool(terms & set(t)) for t in df["toklist"]]]
+        g = got[got["query_id"] == q.query_id]
+        if m.empty:
+            assert g.empty
+            continue
+        hist = m.assign(key=m["ts"].dt.floor("D")).groupby("key").size()
+        nn = hist.to_numpy(dtype=np.int64)
+        b = float(len(nn))
+        avg = float(nn.sum()) / b
+        var = max(float((nn.astype(np.int64) ** 2).sum()) / b - avg * avg, 0.0)
+        row = g.iloc[0]
+        assert row["n_buckets"] == len(nn)
+        assert row["min_docs"] == nn.min() and row["max_docs"] == nn.max()
+        assert row["sum_docs"] == nn.sum()
+        assert row["avg_docs"] == pytest.approx(float(R6(avg)), abs=1e-9)
+        assert row["variance"] == pytest.approx(float(R6(var)), abs=1e-9)
+        assert row["std_dev"] == pytest.approx(float(R6(np.sqrt(var))), abs=1e-9)
+
+
+def test_duplicate_ngram_fraction_brute_force():
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.dedup import duplicate_ngram_fraction
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "alpha beta gamma delta",     # shares 'alpha beta gamma' with 1
+            "alpha beta gamma epsilon",   # shares with 0
+            "zeta eta theta",             # unique single shingle... shared? no
+            "zeta eta theta",             # exact dup of 2 -> all shared
+            "short one",                  # < 3 tokens: whole-doc shingle
+            "",                           # zero tokens: absent from output
+        ],
+    })
+    got = duplicate_ngram_fraction(ray.data.from_pandas(docs), shingle_k=3)
+    # brute force with string shingles
+    def shingles(text):
+        ts = text.lower().split()
+        if not ts:
+            return set()
+        if len(ts) < 3:
+            return {" ".join(ts)}
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    sh = {int(r.doc_id): shingles(r.text) for r in docs.itertuples(index=False)}
+    from collections import Counter
+
+    c = Counter()
+    for s in sh.values():
+        c.update(s)
+    rows = []
+    for d, s in sh.items():
+        if not s:
+            continue
+        dup = sum(1 for x in s if c[x] >= 2)
+        rows.append((d, len(s), dup, float(R6(dup / len(s)))))
+    exp = pd.DataFrame(rows, columns=["doc_id", "n_shingles", "n_dup",
+                                      "dup_fraction"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        exp.astype({"doc_id": np.int64, "n_shingles": np.int64,
+                    "n_dup": np.int64}),
+    )
+
+
+def test_exists_filter_context(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    got = search(smoke_index["index_dir"], QUERIES, mode="exhaustive",
+                 where=[("tool", "!=", "")]).to_pandas()
+    has_tool = set(df.loc[df["tool"].fillna("") != "", "docid"])
+    for q in QUERIES.itertuples(index=False):
+        scores = _bm25_rows(df, tokenize_text(q.text or ""), n, avgdl, dfc)
+        exp = sorted(((d, s) for d, s in scores.items() if d in has_tool),
+                     key=lambda r: (-r[1], r[0]))[: int(q.k)]
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   [r[1] for r in exp], atol=1e-9)
+
+
 def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
     from remote_vector_index_builder_ray import BuildConfig, build_index
 
