@@ -2897,6 +2897,69 @@ def _q_duplicate_ngrams(sf_dir: str):
     return duplicate_ngram_fraction(_read(sf_dir, "documents"), shingle_k=3)
 
 
+def _ensure_interval_queries(sf_dir: str) -> str:
+    """Two-token interval query set: the first two tokens of each phrase
+    query with max_gaps cycling (0, 1, 2, 4), plus an absent-term case."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_interval_queries.parquet")
+    if not os.path.exists(path):
+        q = pq.read_table(_ensure_phrase_queries(sf_dir)).to_pandas()
+        gaps_cycle = (0, 1, 2, 4)
+        texts, gaps = [], []
+        for i, t in zip(q["query_id"], q["text"]):
+            toks = tokenize_text(t or "")
+            texts.append(" ".join(toks[:2]))
+            gaps.append(gaps_cycle[int(i) % len(gaps_cycle)])
+        q = q.assign(text=texts, max_gaps=np.array(gaps, dtype=np.int32))
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_intervals(sf_dir: str):
+    """OpenSearch intervals query (match rule, ordered=true, max_gaps): an
+    interval is a t2 occurrence with a t1 occurrence before it within the
+    gap bound, one interval per end position; freq = interval count, scored
+    (idf1+idf2) * tfnorm (stages/search._score_intervals — the span_not
+    packed-key machinery, polarity flipped)."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_interval_queries(sf_dir),
+                         mode="intervals")
+
+
+def _q_bm25_vw_histogram(sf_dir: str):
+    """OpenSearch variable_width_histogram (deterministic variant): the
+    sorted distinct doc_len values of each query's match set split at the
+    3 widest value gaps into 4 buckets; per bucket the doc count, min, max
+    and the centroid key (pipelines/aggs.variable_width_histogram_agg —
+    OpenSearch's streaming clustering is order-dependent, this rule is a
+    pure function of the value histogram)."""
+    from remote_vector_index_builder_ray import variable_width_histogram_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = variable_width_histogram_agg(index_dir,
+                                       pd.read_parquet(fx["queries"]),
+                                       field="doc_len", buckets=4)
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_moving_percentiles(sf_dir: str):
+    """OpenSearch moving_percentiles pipeline agg: trailing-7-bucket median
+    (explicit linear interpolation) of the per-day doc counts
+    (pipelines/aggs.moving_percentiles_date_histogram)."""
+    from remote_vector_index_builder_ray import moving_percentiles_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = moving_percentiles_date_histogram(
+        index_dir, pd.read_parquet(fx["queries"]), window=7, pct=50.0,
+        field="ts")
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_percentiles_bucket(sf_dir: str):
     """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
     25/50/75th percentiles of the per-day bucket doc counts, interpolation
@@ -3139,6 +3202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_exists": _q_bm25_exists,
         "bm25_extended_stats_bucket": _q_bm25_extended_stats_bucket,
         "duplicate_ngram_fraction": _q_duplicate_ngrams,
+        "bm25_intervals": _q_bm25_intervals,
+        "bm25_vw_histogram": _q_bm25_vw_histogram,
+        "bm25_moving_percentiles": _q_bm25_moving_percentiles,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -6164,6 +6230,154 @@ perdoc AS (
 SELECT doc_id, n_shingles, n_dup,
        floor(n_dup::DOUBLE / n_shingles::DOUBLE * 1000000 + 0.5) / 1000000 AS dup_fraction
 FROM perdoc ORDER BY doc_id
+"""
+    # intervals (ordered, max_gaps): freq = t2 end-positions with a t1
+    # occurrence in [p2-g-1, p2-1]; scored (idf1+idf2) * tfnorm(freq, dl)
+    interval_q = _ensure_interval_queries(ORACLE_SF_DIR)
+    out["bm25_intervals"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+toks AS MATERIALIZED (SELECT docid, unnest(ts) AS term FROM docs),
+tp AS MATERIALIZED (
+    SELECT docid, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+    FROM docs
+),
+dl AS MATERIALIZED (SELECT docid, len(ts)::BIGINT AS dl FROM docs),
+df AS MATERIALIZED (SELECT term, count(DISTINCT docid)::BIGINT AS df FROM toks GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k, max_gaps::BIGINT AS g,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS p
+    FROM read_parquet('{interval_q}')
+    WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 2
+),
+qt AS (
+    SELECT q.query_id, q.k, q.g, q.p[1] AS t1, q.p[2] AS t2,
+           ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+           + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)) AS idf_sum
+    FROM q
+    JOIN df d1 ON d1.term = q.p[1]
+    JOIN df d2 ON d2.term = q.p[2]
+    CROSS JOIN stats s
+),
+hits AS (
+    SELECT qt.query_id, any_value(qt.k) AS k, any_value(qt.idf_sum) AS idf_sum,
+           b.docid, count(*)::BIGINT AS freq
+    FROM qt
+    JOIN tp b ON b.term = qt.t2
+    WHERE EXISTS (
+        SELECT 1 FROM tp a
+        WHERE a.docid = b.docid AND a.term = qt.t1
+          AND a.pos BETWEEN b.pos - qt.g - 1 AND b.pos - 1
+    )
+    GROUP BY qt.query_id, b.docid
+),
+scored AS (
+    SELECT h.query_id, h.k, h.docid,
+           floor(h.idf_sum
+                 * (h.freq * (1.2 + 1) / (h.freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM hits h JOIN dl ON h.docid = dl.docid CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # variable_width_histogram: split sorted distinct doc_len values at the
+    # 3 widest gaps (tie -> lower boundary), centroid = sum(v*c)/n
+    out["bm25_vw_histogram"] = f"""
+WITH {docs}, {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+vals AS (
+    SELECT m.query_id, dl.dl AS v, count(*)::BIGINT AS c
+    FROM m JOIN dl USING (docid) GROUP BY m.query_id, dl.dl
+),
+ord AS (
+    SELECT query_id, v, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY v) AS i
+    FROM vals
+),
+gaps AS (
+    SELECT query_id, i,
+           v - lag(v) OVER (PARTITION BY query_id ORDER BY i) AS gap
+    FROM ord
+),
+cut AS (
+    SELECT query_id, i,
+           row_number() OVER (PARTITION BY query_id ORDER BY gap DESC, i) AS r
+    FROM gaps WHERE gap IS NOT NULL
+),
+edges AS (SELECT query_id, i FROM cut WHERE r <= 3),
+b AS (
+    SELECT o.query_id, o.v, o.c,
+           (SELECT count(*) FROM edges e
+            WHERE e.query_id = o.query_id AND e.i <= o.i)::BIGINT AS bucket
+    FROM ord o
+),
+agg AS (
+    SELECT query_id, bucket, min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+           sum(c)::BIGINT AS n_docs, sum(v * c)::BIGINT AS sv
+    FROM b GROUP BY query_id, bucket
+)
+SELECT query_id, bucket,
+       floor(sv::DOUBLE / n_docs::DOUBLE * 1000000 + 0.5) / 1000000 AS key,
+       min_v, max_v, n_docs
+FROM agg
+ORDER BY query_id, bucket
+"""
+    # moving_percentiles: trailing-7 median of the day-histogram counts,
+    # explicit linear interpolation over the sorted window
+    out["bm25_moving_percentiles"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+w AS (
+    SELECT query_id, key, n_docs,
+           list_sort(list(n_docs) OVER (PARTITION BY query_id ORDER BY key
+                                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS ls
+    FROM hist
+),
+f AS (
+    SELECT query_id, key, n_docs, ls, len(ls) AS n,
+           (len(ls) - 1) * (50.0 / 100.0) AS h,
+           floor((len(ls) - 1) * (50.0 / 100.0))::BIGINT AS lo
+    FROM w
+)
+SELECT query_id, key, n_docs,
+       floor((ls[lo + 1]::DOUBLE
+              + (h - lo::DOUBLE) * (ls[least(lo + 2, n)]::DOUBLE - ls[lo + 1]::DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS moving_pct
+FROM f
+ORDER BY query_id, key
 """
     # function_score linear decay on ts: BM25 x max(0, 1 - |ts-origin|/scale),
     # origin = newest turn, scale = corpus span (epoch microseconds)

@@ -2870,6 +2870,97 @@ def percentiles_bucket_date_histogram(
                          "value": pd.Series(out_v, dtype=np.float64)})
 
 
+def variable_width_histogram_agg(
+    index_dir: str,
+    queries,
+    field: str = "doc_len",
+    buckets: int = 4,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `variable_width_histogram` with DETERMINISTIC bucketing:
+    the sorted distinct values of ``field`` over each query's match set are
+    split at the ``buckets - 1`` widest value gaps (ties break toward the
+    LOWER boundary value), so unlike OpenSearch's order-dependent streaming
+    clustering the result is a pure function of the value histogram and a
+    SQL oracle reproduces it. Per bucket: doc count, min, max and the
+    OpenSearch centroid key (Σ value·count / count — exact int64 sums, one
+    float division). Rides the shared `_value_histograms` probe (driver
+    rows = queries × distinct values, corpus-size-independent). Returns
+    (query_id, bucket, key, min_v, max_v, n_docs), bucket-ascending, key
+    rounded half-up to 6 decimals."""
+    hist = _value_histograms(index_dir, queries, field, where)
+    cols = {"query_id": pd.Series(dtype=np.int64),
+            "bucket": pd.Series(dtype=np.int64),
+            "key": pd.Series(dtype=np.float64),
+            "min_v": pd.Series(dtype=np.int64),
+            "max_v": pd.Series(dtype=np.int64),
+            "n_docs": pd.Series(dtype=np.int64)}
+    if hist.empty:
+        return pd.DataFrame(cols)
+    rows = []
+    for qid, g in hist.groupby("query_id", sort=True):
+        v = g["key"].to_numpy(np.int64)   # sorted ascending by construction
+        c = g["n"].to_numpy(np.int64)
+        if len(v) <= 1:
+            edges = np.empty(0, np.int64)
+        else:
+            gaps = v[1:] - v[:-1]
+            # widest gaps first, ties toward the lower boundary value:
+            # lexsort secondary key = position ascending
+            order = np.lexsort((np.arange(len(gaps)), -gaps))
+            cut = np.sort(order[: max(buckets - 1, 0)])
+            edges = cut  # gap i separates v[i] from v[i+1]
+        bounds = np.concatenate([[0], edges + 1, [len(v)]])
+        for b in range(len(bounds) - 1):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            vv, cc = v[lo:hi], c[lo:hi]
+            n = int(cc.sum())
+            key = float((vv * cc).sum()) / float(n)
+            rows.append((int(qid), b, float(np.floor(key * 1e6 + 0.5) / 1e6),
+                         int(vv[0]), int(vv[-1]), n))
+    return pd.DataFrame(rows, columns=list(cols)).astype(
+        {k: s.dtype for k, s in cols.items()})
+
+
+def moving_percentiles_date_histogram(
+    index_dir: str,
+    queries,
+    window: int = 7,
+    pct: float = 50.0,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `moving_percentiles` pipeline aggregation over a per-day
+    date_histogram parent: for each bucket, the linear-interpolated
+    ``pct`` percentile of the TRAILING ``window`` buckets' doc counts
+    (window includes the current bucket; shorter at the head — OpenSearch's
+    moving-window semantics over the response buckets). Interpolation is
+    the explicit percentiles_bucket formula, never a library quantile.
+    Returns (query_id, key, n_docs, moving_pct), value rounded half-up to
+    6 decimals, ordered (query_id, key)."""
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    if base.empty:
+        out = base.copy()
+        out["moving_pct"] = pd.Series(dtype=np.float64)
+        return out
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    out_v = np.empty(len(base), dtype=np.float64)
+    pos = 0
+    for _, g in base.groupby("query_id", sort=False):
+        counts = g["n_docs"].to_numpy(np.int64)
+        for i in range(len(counts)):
+            w = np.sort(counts[max(0, i - window + 1): i + 1]).astype(np.float64)
+            n = len(w)
+            h = (n - 1) * (float(pct) / 100.0)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            val = w[lo] + (h - lo) * (w[hi] - w[lo])
+            out_v[pos] = np.floor(val * 1e6 + 0.5) / 1e6
+            pos += 1
+    base["moving_pct"] = out_v
+    return base
+
+
 class _ProbeDayKey:
     """`cumulative_cardinality` partials: the batch's DISTINCT
     (query, day, key_field) triplets — the same driver-size contract as

@@ -1038,6 +1038,45 @@ class BM25Searcher:
             return len(terms)
         return self.msm or 1
 
+    def _score_intervals(self, terms: list[str], k: int, max_gaps: int):
+        """OpenSearch ``intervals`` query, ``match`` rule with
+        ``ordered=true, max_gaps=N`` over a two-term source: an interval is
+        an occurrence of the SECOND term at position p2 with an occurrence
+        of the first term at p1 < p2 and gap p2 - p1 - 1 <= max_gaps; each
+        p2 anchors at most one interval (the Lucene minimal-interval
+        convention — intervals sharing an end position collapse). freq =
+        interval count per doc, scored (Σ idf) * tfnorm(freq, dl) like the
+        other positional queries. Vectorized via the packed
+        (docid << 21 | position) key space, one searchsorted pair per t2
+        occurrence (the ``_score_span_not`` machinery with the polarity
+        flipped and an asymmetric, ordered window)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(terms) < 2:
+            return empty  # an interval needs both endpoints
+        t1, t2 = terms[0], terms[1]  # two-term source (extras ignored)
+        if (self._cache.get(t1) is None or self._pos_cache.get(t1) is None
+                or self._cache.get(t2) is None or self._pos_cache.get(t2) is None):
+            return empty
+        dpp1, pos1, _, _ = self._pos_cache[t1]
+        dpp2, pos2, cdoc2, cdl2 = self._pos_cache[t2]
+        K = self._POS_PACK
+        key1 = dpp1 * K + pos1  # docid-major, position-minor: sorted
+        lo = np.searchsorted(key1, dpp2 * K + np.maximum(pos2 - max_gaps - 1, 0))
+        hi = np.searchsorted(key1, dpp2 * K + (pos2 - 1), side="right")
+        keep = hi > lo  # some t1 occurrence inside the ordered window
+        if not keep.any():
+            return empty
+        cand, stf = np.unique(dpp2[keep], return_counts=True)
+        dl = cdl2[np.searchsorted(cdoc2, cand)]
+        idf_sum = _idf(self.N, self._cache[t1].df) + _idf(self.N, self._cache[t2].df)
+        scores = idf_sum * tfnorm(
+            stf.astype(np.float64), dl.astype(np.float64),
+            self.avgdl, self.k1, self.b,
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
     def _score_terms_set(self, terms: list[str], k: int, deny=None, allow=None):
         """OpenSearch ``terms_set`` query (Lucene CoveringQuery): a doc
         matches when it contains at least ``required(doc)`` of the query's
@@ -1607,8 +1646,8 @@ class BM25Searcher:
                     dict(zip(lst or [], ws or [])) or None
                     for lst, ws in zip(lists, batch["weights"].to_pylist())
                 ]
-        elif self.mode in ("phrase", "span_near"):
-            # phrase/span semantics: token ORDER matters, duplicates kept;
+        elif self.mode in ("phrase", "span_near", "intervals"):
+            # phrase/span/interval semantics: token ORDER matters, duplicates kept;
             # under a filtering analyzer the pre-filter token indices ride
             # along so the matcher demands the index's position gaps
             from remote_vector_index_builder_ray.functions.tokenizer import (
@@ -1642,7 +1681,7 @@ class BM25Searcher:
         )
         if all_terms:
             self._load_terms(all_terms)
-            if self.mode in ("phrase", "span_near", "span_first", "span_not"):
+            if self.mode in ("phrase", "span_near", "span_first", "span_not", "intervals"):
                 self._load_positions(all_terms)
         # search_after cursors (optional per-query columns): a row with
         # non-null after_score/after_docid returns only docs STRICTLY after
@@ -1737,6 +1776,14 @@ class BM25Searcher:
             slops = [int(s or 0) for s in batch["slop"].to_pylist()]
         else:
             slops = [0] * len(qids)
+        # intervals max_gaps bound (optional per-query int column)
+        if "max_gaps" in cols:
+            if self.mode != "intervals":
+                raise ValueError("max_gaps is only supported in intervals mode")
+            gapss = [int(g) if g is not None else 0
+                     for g in batch["max_gaps"].to_pylist()]
+        else:
+            gapss = [0] * len(qids)
         # span_first end bound (optional per-query int column, span_first
         # mode): positions strictly below `span_end` qualify
         if "span_end" in cols:
@@ -1763,10 +1810,10 @@ class BM25Searcher:
         if "weights" not in cols or "terms" not in cols:
             weight_maps = [None] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan, slc, wmap in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan, slc, wmap, gaps in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
             per_query_offsets, slops, demotes, allows, ends, excl_spans,
-            slicings, weight_maps,
+            slicings, weight_maps, gapss,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -1779,6 +1826,8 @@ class BM25Searcher:
                 docids, scores = self._score_span_first(terms, k, end)
             elif self.mode == "span_or":
                 docids, scores = self._score_span_or(terms, k)
+            elif self.mode == "intervals":
+                docids, scores = self._score_intervals(terms, k, gaps)
             elif self.mode == "span_not":
                 docids, scores = self._score_span_not(terms, k, espan)
             elif self.mode == "phrase" and slop > 0:

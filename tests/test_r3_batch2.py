@@ -368,6 +368,115 @@ def test_exists_filter_context(smoke_fixture, smoke_index):
                                    [r[1] for r in exp], atol=1e-9)
 
 
+def test_variable_width_histogram_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import variable_width_histogram_agg
+
+    df = _src(smoke_fixture)
+    got = variable_width_histogram_agg(smoke_index["index_dir"], QUERIES,
+                                       field="doc_len", buckets=4)
+    for q in QUERIES.itertuples(index=False):
+        terms = set(tokenize_text(q.text or ""))
+        m = df[[bool(terms & set(t)) for t in df["toklist"]]]
+        g = got[got["query_id"] == q.query_id].sort_values("bucket")
+        if m.empty:
+            assert g.empty
+            continue
+        from collections import Counter
+
+        hist = sorted(Counter(m["doc_len"]).items())
+        v = np.array([x for x, _ in hist], dtype=np.int64)
+        c = np.array([x for _, x in hist], dtype=np.int64)
+        if len(v) > 1:
+            gaps = v[1:] - v[:-1]
+            order = np.lexsort((np.arange(len(gaps)), -gaps))
+            edges = np.sort(order[:3])
+        else:
+            edges = np.empty(0, np.int64)
+        bounds = np.concatenate([[0], edges + 1, [len(v)]])
+        exp = []
+        for b in range(len(bounds) - 1):
+            vv, cc = v[bounds[b]:bounds[b + 1]], c[bounds[b]:bounds[b + 1]]
+            n = int(cc.sum())
+            exp.append((b, float(R6((vv * cc).sum() / n)), int(vv[0]),
+                        int(vv[-1]), n))
+        assert list(zip(g["bucket"], g["key"], g["min_v"], g["max_v"],
+                        g["n_docs"])) == exp
+        # buckets partition the match set
+        assert g["n_docs"].sum() == len(m)
+
+
+def test_moving_percentiles_brute_force(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import (
+        date_histogram,
+        moving_percentiles_date_histogram,
+    )
+
+    got = moving_percentiles_date_histogram(smoke_index["index_dir"],
+                                            QUERIES, window=7, pct=50.0)
+    base = date_histogram(smoke_index["index_dir"], QUERIES, field="ts")
+    base = base.sort_values(["query_id", "key"]).reset_index(drop=True)
+    assert len(got) == len(base)
+    for qid, g in base.groupby("query_id"):
+        counts = g["n_docs"].to_numpy(np.int64)
+        gg = got[got["query_id"] == qid].sort_values("key")
+        for i in range(len(counts)):
+            w = np.sort(counts[max(0, i - 6): i + 1]).astype(np.float64)
+            n = len(w)
+            h = (n - 1) * 0.5
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            val = w[lo] + (h - lo) * (w[hi] - w[lo])
+            assert gg["moving_pct"].iloc[i] == pytest.approx(float(R6(val)),
+                                                             abs=1e-9)
+
+
+def test_intervals_ordered_max_gaps(smoke_fixture, tmp_path_factory):
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    idx = str(tmp_path_factory.mktemp("pos_iv") / "idx")
+    build_index(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                            index_dir=idx, num_partitions=2, positions=True,
+                            num_buckets=32))
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    # pick a real adjacent pair from the corpus
+    pair = None
+    for toks in df["toklist"]:
+        if len(toks) >= 2:
+            pair = (toks[0], toks[1])
+            break
+    for gaps in (0, 2):
+        q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                          "text": [f"{pair[0]} {pair[1]}"],
+                          "k": np.array([50], dtype=np.int32),
+                          "max_gaps": np.array([gaps], dtype=np.int32)})
+        got = search(idx, q, mode="intervals").to_pandas()
+        idf_sum = _idf(n, dfc[pair[0]]) + _idf(n, dfc[pair[1]])
+        rows = []
+        for docid, toks, dl in zip(df["docid"], df["toklist"], df["doc_len"]):
+            p1 = [i for i, t in enumerate(toks) if t == pair[0]]
+            freq = 0
+            for p2, t in enumerate(toks):
+                if t != pair[1]:
+                    continue
+                if any(p2 - gaps - 1 <= a <= p2 - 1 for a in p1):
+                    freq += 1
+            if freq:
+                rows.append((docid, idf_sum * _tfnorm(freq, dl, avgdl)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        exp = rows[:50]
+        g = got.sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   [r[1] for r in exp], atol=1e-9)
+    # single-token / absent-term queries return empty, no crash
+    edge = pd.DataFrame({"query_id": np.array([0, 1], dtype=np.int64),
+                         "text": ["onlyone", "zzq absent_t"],
+                         "k": np.array([5, 5], dtype=np.int32),
+                         "max_gaps": np.array([1, 1], dtype=np.int32)})
+    assert len(search(idx, edge, mode="intervals").to_pandas()) == 0
+
+
 def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
     from remote_vector_index_builder_ray import BuildConfig, build_index
 
