@@ -2960,6 +2960,69 @@ def _q_bm25_moving_percentiles(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _ensure_jsonl_transcripts(sf_dir: str) -> list[str]:
+    """JSONL mirror of the fixture transcripts (one .jsonl per parquet,
+    ts as ISO-8601 'T' strings) — the LLM-training interchange format the
+    JSONL source reads. Deterministic: row order is the parquet's."""
+    import pyarrow.parquet as pq
+
+    name = _sf_name(sf_dir)
+    root = os.path.join(ARTIFACT_ROOT, f"{name}_jsonl")
+    fx = _fx.ensure_fixture(name)
+    paths = []
+    os.makedirs(root, exist_ok=True)
+    for i, p in enumerate(fx["transcripts"]):
+        out = os.path.join(root, f"part-{i:04d}.jsonl")
+        paths.append(out)
+        if os.path.exists(out):
+            continue
+        df = pq.read_table(p).to_pandas()
+        df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+        tmp = out + ".tmp"
+        df.to_json(tmp, orient="records", lines=True, date_format="iso")
+        os.replace(tmp, out)
+    return paths
+
+
+def _q_corpus_stats_jsonl(sf_dir: str):
+    """Corpus stats computed over the JSONL source (sources/jsonl.
+    read_transcripts_jsonl: ray.data.read_json + vectorized schema cast +
+    validation): distributed per-batch (n, token-count) partials, one
+    float division at the driver — proves the engine ingests the
+    newline-delimited-JSON interchange format end-to-end."""
+    import pyarrow as pa
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_column
+    from remote_vector_index_builder_ray.sources.jsonl import read_transcripts_jsonl
+
+    ds = read_transcripts_jsonl(_ensure_jsonl_transcripts(sf_dir))
+
+    def part(batch: pa.Table) -> pa.Table:
+        _, _, doc_len = tokenize_column(batch["text"])
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                         "tl": pa.array([int(doc_len.sum())], type=pa.int64())})
+
+    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(p["n"].sum())
+    tl = int(p["tl"].sum())
+    avgdl = float(np.floor(tl / n * 1e6 + 0.5) / 1e6) if n else 0.0
+    return pd.DataFrame({"n_docs": pd.Series([n], dtype=np.int64),
+                         "total_len": pd.Series([tl], dtype=np.int64),
+                         "avgdl": pd.Series([avgdl], dtype=np.float64)})
+
+
+def _q_benchmark_decontamination(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any distinct
+    3-token shingle with the deterministic benchmark holdout
+    (doc_id % 97 == 0) — benchmark shingle hashes broadcast once, the
+    corpus streams through one membership pass
+    (extras/dedup.benchmark_decontaminate)."""
+    from remote_vector_index_builder_ray.extras.dedup import benchmark_decontaminate
+
+    return benchmark_decontaminate(_read(sf_dir, "documents"),
+                                   benchmark_mod=97, shingle_k=3)
+
+
 def _q_bm25_percentiles_bucket(sf_dir: str):
     """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
     25/50/75th percentiles of the per-day bucket doc counts, interpolation
@@ -3205,6 +3268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_intervals": _q_bm25_intervals,
         "bm25_vw_histogram": _q_bm25_vw_histogram,
         "bm25_moving_percentiles": _q_bm25_moving_percentiles,
+        "corpus_stats_jsonl": _q_corpus_stats_jsonl,
+        "benchmark_decontamination": _q_benchmark_decontamination,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -6378,6 +6443,47 @@ SELECT query_id, key, n_docs,
              * 1000000 + 0.5) / 1000000 AS moving_pct
 FROM f
 ORDER BY query_id, key
+"""
+    # corpus stats over the JSONL mirror — proves the JSON-lines ingest path
+    jsonl_glob = os.path.join(ARTIFACT_ROOT, f"{sf}_jsonl", "*.jsonl")
+    out["corpus_stats_jsonl"] = f"""
+WITH t AS (
+    SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_json('{jsonl_glob}', format='newline_delimited',
+                   columns={{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER',
+                             'role': 'VARCHAR', 'text': 'VARCHAR',
+                             'tool': 'VARCHAR', 'ts': 'VARCHAR'}})
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(len(ts))::BIGINT AS total_len,
+       floor(sum(len(ts))::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS avgdl
+FROM t
+"""
+    # benchmark decontamination: corpus docs sharing any distinct 3-shingle
+    # with the doc_id %% 97 == 0 holdout
+    out["benchmark_decontamination"] = """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+),
+s AS MATERIALIZED (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+             ELSE [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        END)) AS shingle
+    FROM t
+),
+bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, shingle FROM s WHERE doc_id % 97 != 0),
+perdoc AS (
+    SELECT c.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_shared
+    FROM corp c LEFT JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       (CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM perdoc ORDER BY doc_id
 """
     # function_score linear decay on ts: BM25 x max(0, 1 - |ts-origin|/scale),
     # origin = newest turn, scale = corpus span (epoch microseconds)

@@ -465,6 +465,91 @@ def duplicate_ngram_fraction(
     )
 
 
+def benchmark_decontaminate(
+    ds: ray.data.Dataset,
+    benchmark_mod: int = 97,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Benchmark decontamination (the Lee/GPT-3-style eval-overlap check):
+    flag every corpus document sharing at least one distinct ``shingle_k``-
+    token shingle with the BENCHMARK subset (here the deterministic holdout
+    ``doc_id % benchmark_mod == 0`` — in production, the eval sets). The
+    benchmark's distinct shingle hashes are collected once and broadcast
+    via ``ray.put`` (eval sets are tiny relative to the corpus — the
+    classic small-side broadcast, never a shuffle join); the corpus then
+    streams through one map_batches pass counting per-doc matches with a
+    sorted-array membership test. Returns, for every NON-benchmark doc
+    with at least one shingle: (doc_id, n_shingles, n_shared,
+    contaminated[0/1]), doc_id-ascending. A doc shorter than ``shingle_k``
+    tokens shingles as its whole token stream (``_shingle_hashes_batch``)."""
+
+    def doc_shingles(batch: pa.Table, keep_benchmark: bool):
+        ids_all = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (ids_all % benchmark_mod == 0) == keep_benchmark
+        if not sel.any():
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        sub = batch.filter(pa.array(sel))
+        tokens, _, n_tokens = tokenize_column(sub[text_col])
+        tok_h = _token_hashes(tokens)
+        sh_v, sh_d = _shingle_hashes_batch(tok_h, n_tokens, shingle_k)
+        ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sh_v, sh_d))
+        v, d = sh_v[order], sh_d[order]
+        keep = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            keep[1:] = (v[1:] != v[:-1]) | (d[1:] != d[:-1])
+        return ids[d[keep]], v[keep]
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        _, v = doc_shingles(batch, keep_benchmark=True)
+        return pa.table({"shingle": pa.array(np.unique(v), type=pa.uint64())})
+
+    bench = ds.map_batches(bench_rows, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    bench_set = np.unique(bench["shingle"].to_numpy()) if len(bench) else np.empty(0, np.uint64)
+    bench_ref = ray.put(bench_set)
+
+    class _Check:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)  # one object-store copy per node
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, v = doc_shingles(batch, keep_benchmark=False)
+            if len(d) == 0:
+                return pa.table({id_col: pa.array([], type=pa.int64()),
+                                 "n_shingles": pa.array([], type=pa.int64()),
+                                 "n_shared": pa.array([], type=pa.int64())})
+            idx = np.searchsorted(self.bench, v)
+            idx = np.clip(idx, 0, max(len(self.bench) - 1, 0))
+            hit = (self.bench[idx] == v) if len(self.bench) else np.zeros(len(v), bool)
+            uniq, inv = np.unique(d, return_inverse=True)
+            n_sh = np.zeros(len(uniq), np.int64)
+            np.add.at(n_sh, inv, 1)
+            n_hit = np.zeros(len(uniq), np.int64)
+            np.add.at(n_hit, inv, hit.astype(np.int64))
+            return pa.table({id_col: pa.array(uniq, type=pa.int64()),
+                             "n_shingles": pa.array(n_sh, type=pa.int64()),
+                             "n_shared": pa.array(n_hit, type=pa.int64())})
+
+    out = (
+        ds.map_batches(_Check, fn_constructor_args=(bench_ref,),
+                       batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 8))
+        .to_pandas()
+    )
+    cols = {id_col: pd.Series(dtype=np.int64),
+            "n_shingles": pd.Series(dtype=np.int64),
+            "n_shared": pd.Series(dtype=np.int64),
+            "contaminated": pd.Series(dtype=np.int64)}
+    if out.empty:
+        return pd.DataFrame(cols)
+    out = out.sort_values(id_col).reset_index(drop=True)
+    out["contaminated"] = (out["n_shared"] > 0).astype(np.int64)
+    return out.astype({k: s.dtype for k, s in cols.items()})
+
+
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """64-bit simhash over the token multiset (vectorized bit-vote; per-token
     hashes via the dictionary-encoded vocab, not a Python loop)."""

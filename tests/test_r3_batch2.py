@@ -477,6 +477,62 @@ def test_intervals_ordered_max_gaps(smoke_fixture, tmp_path_factory):
     assert len(search(idx, edge, mode="intervals").to_pandas()) == 0
 
 
+def test_jsonl_source_roundtrip(smoke_fixture, tmp_path):
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.sources.jsonl import read_transcripts_jsonl
+
+    src = pd.concat([pq.read_table(p).to_pandas()
+                     for p in smoke_fixture["transcripts"]])
+    j = src.copy()
+    j["ts"] = j["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+    path = str(tmp_path / "t.jsonl")
+    j.to_json(path, orient="records", lines=True)
+    ds = read_transcripts_jsonl([path])
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["turn_idx"].dtype == np.int32
+    assert str(got["ts"].dtype) == "datetime64[us]"
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_jsonl_source_rejects_missing_column(tmp_path):
+    from remote_vector_index_builder_ray.config import SchemaValidationError
+    from remote_vector_index_builder_ray.sources.jsonl import read_transcripts_jsonl
+
+    path = str(tmp_path / "bad.jsonl")
+    pd.DataFrame({"conv_id": ["a"], "text": ["x"]}).to_json(
+        path, orient="records", lines=True)
+    with pytest.raises((SchemaValidationError, Exception)):
+        read_transcripts_jsonl([path]).to_pandas()
+
+
+def test_benchmark_decontaminate_brute_force():
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.dedup import benchmark_decontaminate
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3, 4, 5], dtype=np.int64),
+        "text": [
+            "alpha beta gamma delta",   # benchmark (0 % 3 == 0)
+            "alpha beta gamma zzz",     # shares 'alpha beta gamma' -> contaminated
+            "unrelated words here now",
+            "omega psi chi",            # benchmark
+            "omega psi chi tau",        # shares 'omega psi chi' -> contaminated
+            "",                         # zero tokens: absent
+        ],
+    })
+    got = benchmark_decontaminate(ray.data.from_pandas(docs),
+                                  benchmark_mod=3, shingle_k=3)
+    by = got.set_index("doc_id")
+    assert set(by.index) == {1, 2, 4}
+    assert by.loc[1, "contaminated"] == 1 and by.loc[1, "n_shared"] == 1
+    assert by.loc[2, "contaminated"] == 0 and by.loc[2, "n_shared"] == 0
+    assert by.loc[4, "contaminated"] == 1 and by.loc[4, "n_shared"] == 1
+    assert by.loc[1, "n_shingles"] == 2 and by.loc[2, "n_shingles"] == 2
+
+
 def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
     from remote_vector_index_builder_ray import BuildConfig, build_index
 
