@@ -3023,6 +3023,38 @@ def _q_benchmark_decontamination(sf_dir: str):
                                    benchmark_mod=97, shingle_k=3)
 
 
+def _q_bm25_collapse_hits(sf_dir: str):
+    """OpenSearch collapse with inner_hits(size=3): the top-k conversations
+    per query by best turn, each returning its 3 best turns (score desc,
+    docid asc within the conversation), flattened conversation-major —
+    rank numbers the flattened rows (stages/search._score_collapse
+    inner path, collapse_round6 ordering)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    res = search(index_dir, pq.read_table(fx["queries"]).to_pandas(),
+                 mode="collapse", collapse_round6=True,
+                 collapse_inner=3).to_pandas()
+    res["score"] = res["score"].round(6)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64", "score": "float64"}
+    )
+
+
+def _q_quality_filter(sf_dir: str):
+    """Gopher-style quality filter decision over the documents table: per
+    doc (n_words, mean_word_len, stop_count, keep) with the rule
+    10<=n_words<=100000 AND 3<=mean_word_len<=12 (6dp) AND stop_count>=2
+    (extras/text.gopher_quality_filter — the filter composes as ds.filter
+    on keep; the decision row is the checkable artifact)."""
+    from remote_vector_index_builder_ray.extras.text import gopher_quality_filter_ds
+
+    out = gopher_quality_filter_ds(_read(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bm25_percentiles_bucket(sf_dir: str):
     """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
     25/50/75th percentiles of the per-day bucket doc counts, interpolation
@@ -3270,6 +3302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_moving_percentiles": _q_bm25_moving_percentiles,
         "corpus_stats_jsonl": _q_corpus_stats_jsonl,
         "benchmark_decontamination": _q_benchmark_decontamination,
+        "bm25_collapse_hits": _q_bm25_collapse_hits,
+        "quality_filter": _q_quality_filter,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -4931,6 +4965,86 @@ ranked AS (
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
+"""
+    # collapse with inner_hits(3): top-k convs by best turn (round6 desc,
+    # leader docid asc), each returning its 3 best turns, flattened
+    # conv-major; rank numbers the flattened rows
+    out["bm25_collapse_hits"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+rows_ AS (
+    SELECT sc.query_id, sc.docid, round(sc.score, 6) AS score, sc.k, d.conv_id,
+           row_number() OVER (PARTITION BY sc.query_id, d.conv_id
+                              ORDER BY round(sc.score, 6) DESC, sc.docid) AS rc
+    FROM scored sc JOIN docs d USING (docid)
+),
+leaders AS (
+    SELECT query_id, conv_id, score AS lead_score, docid AS lead_docid, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS conv_rank
+    FROM rows_ WHERE rc = 1
+),
+flat AS (
+    SELECT r.query_id, r.docid, r.score,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY l.conv_rank, r.rc) AS rank
+    FROM rows_ r
+    JOIN leaders l ON l.query_id = r.query_id AND l.conv_id = r.conv_id
+    WHERE l.conv_rank <= l.k AND r.rc <= 3
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM flat
+ORDER BY query_id, rank
+"""
+    # Gopher-style quality filter decision: the rule thresholds compare on
+    # the 6dp-rounded mean word length, identically both sides
+    from remote_vector_index_builder_ray.extras.text import STOPWORDS_SMALL
+
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS_SMALL)
+    out["quality_filter"] = f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM t),
+perdoc AS (
+    SELECT t.doc_id, len(t.ts)::BIGINT AS n_words,
+           coalesce(sum(len(k.term)), 0)::BIGINT AS chars,
+           coalesce(sum(CASE WHEN k.term IN ({stop_sql}) THEN 1 ELSE 0 END), 0)::BIGINT AS stop_count
+    FROM t LEFT JOIN tok k USING (doc_id)
+    GROUP BY t.doc_id, len(t.ts)
+),
+f AS (
+    SELECT doc_id, n_words, stop_count,
+           floor(chars::DOUBLE / greatest(n_words, 1)::DOUBLE * 1000000 + 0.5) / 1000000 AS mean_word_len
+    FROM perdoc
+)
+SELECT doc_id, n_words, mean_word_len, stop_count,
+       (CASE WHEN n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 12.0
+              AND stop_count >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM f
+ORDER BY doc_id
 """
     # dis_max: max term contribution + 0.3 * residual sum
     out["bm25_dismax"] = f"""

@@ -118,6 +118,57 @@ _ROLL_MOD = (1 << 31) - 1
 _ROLL_BASE = 1000003
 
 
+def gopher_quality_filter(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style quality FILTER decision (Rae et al. 2021 §A1.1, the
+    rule shapes without the language-model bits): per doc
+      n_words          token count
+      mean_word_len    total token chars / n_words (round-half-up, 6dp)
+      stop_count       hits in STOPWORDS_SMALL
+      keep             1 iff 10 <= n_words <= 100000
+                         AND 3.0 <= mean_word_len <= 12.0   (on the 6dp value)
+                         AND stop_count >= 2
+    All comparisons run on the ROUNDED mean so a SQL oracle decides
+    identically at the thresholds. Vectorized: one tokenize pass, Arrow
+    utf8_length for the char counts; pure map stage (filtering composes as
+    a downstream ``ds.filter`` on ``keep``)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    tokens, doc_index, n_tokens = tokenize_column(batch[text_col])
+    lens = pc.utf8_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = np.zeros(n, dtype=np.int64)
+    np.add.at(chars, doc_index, lens)
+    toks_np = np.asarray(tokens.to_pylist(), dtype=object)
+    is_stop = np.isin(toks_np, np.array(STOPWORDS_SMALL, dtype=object))
+    stop_count = np.zeros(n, dtype=np.int64)
+    np.add.at(stop_count, doc_index, is_stop.astype(np.int64))
+    nw = n_tokens.astype(np.int64)
+    mean_len = np.floor(
+        chars.astype(np.float64) / np.maximum(nw, 1).astype(np.float64) * 1e6 + 0.5
+    ) / 1e6
+    keep = (
+        (nw >= 10) & (nw <= 100_000)
+        & (mean_len >= 3.0) & (mean_len <= 12.0)
+        & (stop_count >= 2)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(nw, type=pa.int64()),
+            "mean_word_len": pa.array(mean_len, type=pa.float64()),
+            "stop_count": pa.array(stop_count, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.int64()),
+        }
+    )
+
+
+def gopher_quality_filter_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(gopher_quality_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _rolling_fp(tokens: list[str]) -> int:
     """Polynomial rolling hash over whitespace tokens; per-token value
     (codepoint(first char) * 131 + char length) is chosen to be expressible

@@ -93,6 +93,7 @@ def search(
     min_should_match: int | None = None,
     tie_breaker: float = 0.0,
     collapse_round6: bool = False,
+    collapse_inner: int = 0,
     negative_boost: float = 0.5,
     unit_idf: bool = False,
     allow_docids=None,
@@ -278,6 +279,7 @@ def search(
             "min_should_match": min_should_match,
             "tie_breaker": tie_breaker,
             "collapse_round6": collapse_round6,
+            "collapse_inner": collapse_inner,
             "negative_boost": negative_boost,
             "unit_idf": unit_idf,
             "span_pre": span_pre,

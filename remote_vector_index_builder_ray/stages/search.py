@@ -251,6 +251,7 @@ class BM25Searcher:
                  min_should_match: int | None = None,
                  tie_breaker: float = 0.0,
                  collapse_round6: bool = False,
+                 collapse_inner: int = 0,
                  negative_boost: float = 0.5,
                  unit_idf: bool = False,
                  span_pre: int = 1, span_post: int = 1,
@@ -310,6 +311,7 @@ class BM25Searcher:
         self.msm = None if min_should_match is None else int(min_should_match)
         self.tie_breaker = float(tie_breaker)  # mode="dismax" only
         self.collapse_round6 = bool(collapse_round6)  # mode="collapse" only
+        self.collapse_inner = int(collapse_inner)  # collapse inner_hits
         self.negative_boost = float(negative_boost)  # boosting query only
         # unit_idf (exhaustive mode only): score with idf == 1.0 so a
         # SINGLE-term query returns the raw per-doc tf saturation — the
@@ -1218,12 +1220,18 @@ class BM25Searcher:
             self._conv_off = np.sort(np.concatenate(offs))
         return self._conv_off
 
-    def _score_collapse(self, terms: list[str], k: int, round6: bool = False):
+    def _score_collapse(self, terms: list[str], k: int, round6: bool = False,
+                        inner: int = 0):
         """Field collapsing on the conversation (OpenSearch collapse): the
         top-k CONVERSATIONS by their best-scoring turn; one hit (the best
         turn) per conversation. Needs every match's score, so it rides the
         exhaustive scorer. ``round6`` orders by 6-decimal-rounded scores —
-        the driver's cross-engine float policy — instead of raw float64."""
+        the driver's cross-engine float policy — instead of raw float64.
+
+        ``inner`` > 0 is OpenSearch collapse ``inner_hits``: each of the
+        top-k conversations returns its best ``inner`` turns (score desc,
+        docid asc within the conversation), flattened conversation-major —
+        rank then numbers the flattened rows."""
         docids, scores = self._score_exhaustive(terms, k=1 << 62)
         if len(docids) == 0:
             return docids, scores
@@ -1232,7 +1240,15 @@ class BM25Searcher:
         d, s = docids[order], scores[order]
         conv = np.searchsorted(self._conv_starts(), d, side="right") - 1
         first = np.sort(np.unique(conv, return_index=True)[1])[:k]
-        return d[first], s[first]
+        if inner <= 0:
+            return d[first], s[first]
+        out_d, out_s = [], []
+        for lead in first:  # conv-rank order == leader position order
+            m = np.flatnonzero(conv == conv[lead])[:inner]
+            out_d.extend(d[m].tolist())
+            out_s.extend(s[m].tolist())
+        return (np.asarray(out_d, dtype=np.int64),
+                np.asarray(out_s, dtype=np.float64))
 
     def _score_blended(self, groups: list[list[str]], k: int):
         """Lucene SynonymQuery blended scoring: each synonym group scores as
@@ -1842,7 +1858,8 @@ class BM25Searcher:
             elif self.mode == "dismax":
                 docids, scores = self._score_dismax(terms, k)
             elif self.mode == "collapse":
-                docids, scores = self._score_collapse(terms, k, self.collapse_round6)
+                docids, scores = self._score_collapse(terms, k, self.collapse_round6,
+                                                      self.collapse_inner)
             elif self.mode == "terms_set":
                 docids, scores = self._score_terms_set(terms, k, deny, allow)
             else:

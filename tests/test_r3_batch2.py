@@ -533,6 +533,64 @@ def test_benchmark_decontaminate_brute_force():
     assert by.loc[1, "n_shingles"] == 2 and by.loc[2, "n_shingles"] == 2
 
 
+def test_gopher_quality_filter_brute_force():
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.text import (
+        STOPWORDS_SMALL,
+        gopher_quality_filter_ds,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "the cat and the dog sat on a mat with food today",  # keep
+            "tiny",                                               # too short
+            "the and " + " ".join(["verylongtokenoverlimit"] * 12),  # mean too high
+            "",
+        ],
+    })
+    got = gopher_quality_filter_ds(ray.data.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for r in got.itertuples(index=False):
+        toks = docs.loc[docs["doc_id"] == r.doc_id, "text"].iloc[0].lower().split()
+        assert r.n_words == len(toks)
+        mean = float(R6(sum(map(len, toks)) / max(len(toks), 1)))
+        assert r.mean_word_len == pytest.approx(mean, abs=1e-9)
+        assert r.stop_count == sum(1 for t in toks if t in STOPWORDS_SMALL)
+        exp_keep = int(10 <= len(toks) <= 100000 and 3.0 <= mean <= 12.0
+                       and r.stop_count >= 2)
+        assert r.keep == exp_keep
+    assert got["keep"].tolist() == [1, 0, 0, 0]
+
+
+def test_collapse_inner_hits(smoke_fixture, smoke_index):
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    q = QUERIES.head(2)
+    got = search(smoke_index["index_dir"], q, mode="collapse",
+                 collapse_round6=True, collapse_inner=3).to_pandas()
+    conv_by_doc = dict(zip(df["docid"], df["conv_id"]))
+    for row in q.itertuples(index=False):
+        scores = _bm25_rows(df, tokenize_text(row.text or ""), n, avgdl, dfc)
+        items = sorted(((d, float(R6(s))) for d, s in scores.items()),
+                       key=lambda r: (-r[1], r[0]))
+        # conv ranking by first occurrence; up to 3 rows per conv
+        seen, conv_rank = {}, []
+        per_conv = {}
+        for d, s in items:
+            c = conv_by_doc[d]
+            if c not in seen:
+                seen[c] = len(seen)
+                conv_rank.append(c)
+                per_conv[c] = []
+            if len(per_conv[c]) < 3:
+                per_conv[c].append(d)
+        exp = [d for c in conv_rank[: int(row.k)] for d in per_conv[c]]
+        g = got[got["query_id"] == row.query_id].sort_values("rank")
+        assert g["docid"].tolist() == exp
+
+
 def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
     from remote_vector_index_builder_ray import BuildConfig, build_index
 
