@@ -2073,6 +2073,32 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(_read(sf_dir, "embeddings"), qdf["vec_id"].to_numpy(), qm, k=10)
 
 
+def _q_ann_hnsw(sf_dir: str):
+    """Sharded small-world graph ANN (the reference's CAGRA->HNSW family,
+    extras/graph_ann): deterministic NSW build per vec_id%4 shard in
+    parallel map_groups tasks, beam search per shard via a load-once actor
+    pool, k-bounded driver merge. Approximate — no SQL twin (rows-only
+    driver check); recall@10 >= 0.9 vs the exact brute force is gated in
+    pytest (test_graph_ann_recall_and_determinism) and the build is
+    bit-deterministic (rebuild => identical top-k)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.graph_ann import (
+        build_graph_index,
+        graph_topk,
+    )
+
+    name = _sf_name(sf_dir)
+    idx = os.path.join(ARTIFACT_ROOT, f"{name}_hnsw")
+    if not os.path.exists(os.path.join(idx, "graph_manifest.json")):
+        build_graph_index(_read(sf_dir, "embeddings"), idx, n_shards=4,
+                          m=12, ef_construction=48)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    q = emb[emb["vec_id"] < 16].sort_values("vec_id").rename(
+        columns={"vec_id": "query_id"})
+    return graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=64)
+
+
 def _pq_artifact_path(name: str) -> str:
     return os.path.join(ARTIFACT_ROOT, f"{name}_pq_topk.parquet")
 
@@ -3336,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "ann_hnsw_topk": _q_ann_hnsw,
         "ann_bq_topk": _q_ann_bq_topk,
         "ann_kmeans": _q_ann_kmeans,
         "embedding_near_dup": _q_embedding_near_dup,

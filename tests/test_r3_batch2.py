@@ -591,6 +591,39 @@ def test_collapse_inner_hits(smoke_fixture, smoke_index):
         assert g["docid"].tolist() == exp
 
 
+def test_graph_ann_recall_and_determinism(tmp_path):
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.graph_ann import (
+        build_graph_index,
+        graph_recall,
+        graph_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((5, 16)) * 3
+    assign = rng.integers(0, 5, 300)
+    m = centers[assign] + rng.standard_normal((300, 16)) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64),
+                       "embedding": [r.astype(np.float32).tolist() for r in m]})
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "g1")
+    man = build_graph_index(ds, idx, n_shards=3, m=8, ef_construction=32)
+    assert man["n_vectors"] == 300 and len(man["shards"]) == 3
+    q = df.head(8).rename(columns={"vec_id": "query_id"})
+    rec = graph_recall(ds, idx, q, k=10, ef=48)
+    assert rec["recall"].mean() >= 0.9
+    # deterministic: rebuild -> identical results
+    idx2 = str(tmp_path / "g2")
+    build_graph_index(ds, idx2, n_shards=3, m=8, ef_construction=32)
+    a = graph_topk(idx, q, k=10, ef=48)
+    b = graph_topk(idx2, q, k=10, ef=48)
+    pd.testing.assert_frame_equal(a, b)
+    # a query vector that IS an indexed vector finds itself at rank 1
+    assert (a[a["rank"] == 1]["vec_id"].to_numpy()
+            == q["query_id"].to_numpy()).all()
+
+
 def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
     from remote_vector_index_builder_ray import BuildConfig, build_index
 
