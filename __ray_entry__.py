@@ -3081,6 +3081,66 @@ def _q_quality_filter(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bm25_script_filter(sf_dir: str):
+    """OpenSearch bool.filter with a script query: candidates restricted to
+    docs whose doc_len makes `v % 7` non-zero — the script evaluates once
+    over the docmeta stream (vectorized, compiled on the driver), matching
+    docids broadcast as the allow-list (pipelines/query.
+    resolve_script_docids / search_script_filter)."""
+    from remote_vector_index_builder_ray import search_script_filter
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"],
+                         search_fn=search_script_filter,
+                         expr="v % 7", field="doc_len", mode="bmw")
+
+
+def _q_bm25_pinned(sf_dir: str):
+    """OpenSearch pinned query: per query the two pinned docids
+    (query_id*37 % N, (query_id*61 + 13) % N) rank first in that order with
+    the synthetic descending score 1e6 - position; organic BM25 hits follow
+    deduplicated, k-bounded (pipelines/query.search_pinned)."""
+    import json
+
+    from remote_vector_index_builder_ray import search_pinned
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    n = int(json.load(open(os.path.join(index_dir, "stats.json")))["N"])
+    q = pd.read_parquet(fx["queries"])
+    q["pinned_ids"] = [
+        [int(qid * 37 % n), int((qid * 61 + 13) % n)] for qid in q["query_id"]
+    ]
+    return search_pinned(index_dir, q)
+
+
+def _q_bm25_date_histogram_empty(sf_dir: str):
+    """OpenSearch date_histogram with min_doc_count=0: every day between
+    each query's first and last matched day, gap days filled with 0
+    (pipelines/aggs.date_histogram_empty_buckets)."""
+    from remote_vector_index_builder_ray import date_histogram_empty_buckets
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = date_histogram_empty_buckets(index_dir,
+                                       pd.read_parquet(fx["queries"]),
+                                       field="ts")
+    return out.reset_index(drop=True)
+
+
+def _q_ann_range_search(sf_dir: str):
+    """FAISS range_search analog: every vector within cosine >= 0.3 of each
+    query (threshold-bounded, no k) — decision on the 6dp-rounded
+    similarity both sides (extras/ann.range_search)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import range_search
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 8].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    return range_search(_read(sf_dir, "embeddings"),
+                        qdf["vec_id"].to_numpy(), qm, threshold=0.3)
+
+
 def _q_bm25_percentiles_bucket(sf_dir: str):
     """OpenSearch percentiles_bucket pipeline agg: linear-interpolated
     25/50/75th percentiles of the per-day bucket doc counts, interpolation
@@ -3330,6 +3390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_decontamination": _q_benchmark_decontamination,
         "bm25_collapse_hits": _q_bm25_collapse_hits,
         "quality_filter": _q_quality_filter,
+        "bm25_script_filter": _q_bm25_script_filter,
+        "bm25_pinned": _q_bm25_pinned,
+        "bm25_date_histogram_empty": _q_bm25_date_histogram_empty,
+        "ann_range_search": _q_ann_range_search,
         "bm25_decay": _q_bm25_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
@@ -6625,6 +6689,140 @@ perdoc AS (
 SELECT doc_id, n_shingles, n_shared,
        (CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
 FROM perdoc ORDER BY doc_id
+"""
+    # script query in filter context: allow docs where (dl % 7) != 0
+    out["bm25_script_filter"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+allowed AS (SELECT docid FROM dl WHERE (dl % 7) != 0),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc JOIN allowed USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # pinned query: two synthetic pins rank first (score 1e6 - pos), then
+    # the organic BM25 hits deduplicated, k-bounded
+    out["bm25_pinned"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+qq AS (SELECT query_id, k FROM read_parquet('{_queries_path(sf)}')),
+pins0 AS (
+    SELECT qq.query_id, qq.k, p.pos::BIGINT AS pos,
+           CASE p.pos WHEN 1 THEN (qq.query_id * 37) % s.n_docs
+                      ELSE (qq.query_id * 61 + 13) % s.n_docs END AS docid
+    FROM qq CROSS JOIN stats s CROSS JOIN (VALUES (1), (2)) AS p(pos)
+),
+pins AS (
+    SELECT query_id, k, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY pos) AS pos
+    FROM (
+        SELECT *, first_value(docid) OVER (PARTITION BY query_id ORDER BY pos) AS d1
+        FROM pins0
+    ) WHERE pos = 1 OR docid != d1
+),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+npins AS (SELECT query_id, count(*)::BIGINT AS np FROM pins GROUP BY query_id),
+organic AS (
+    SELECT sc.query_id, sc.k, sc.docid, sc.score,
+           n.np + row_number() OVER (PARTITION BY sc.query_id
+                                     ORDER BY sc.score DESC, sc.docid) AS rank
+    FROM scored sc
+    JOIN npins n USING (query_id)
+    ANTI JOIN pins p ON p.query_id = sc.query_id AND p.docid = sc.docid
+),
+unioned AS (
+    SELECT query_id, pos AS rank, docid, (1000000.0 - (pos - 1)) AS score, k FROM pins
+    UNION ALL
+    SELECT query_id, rank, docid, score, k FROM organic
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM unioned WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # date_histogram min_doc_count=0: generate every day in each query's
+    # matched range, gaps filled with 0
+    out["bm25_date_histogram_empty"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+bounds AS (SELECT query_id, min(key) AS lo, max(key) AS hi FROM hist GROUP BY query_id),
+days AS (
+    SELECT query_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS key
+    FROM bounds
+)
+SELECT d.query_id, d.key, coalesce(h.n_docs, 0)::BIGINT AS n_docs
+FROM days d LEFT JOIN hist h ON h.query_id = d.query_id AND h.key = d.key
+ORDER BY d.query_id, d.key
+"""
+    # range_search: all vectors with 6dp-rounded cosine >= 0.3 per query
+    out["ann_range_search"] = """
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS score
+    FROM q CROSS JOIN e
+)
+SELECT query_id, vec_id, score FROM sims WHERE score >= 0.3
+ORDER BY query_id, score DESC, vec_id
 """
     # function_score linear decay on ts: BM25 x max(0, 1 - |ts-origin|/scale),
     # origin = newest turn, scale = corpus span (epoch microseconds)

@@ -142,6 +142,52 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 
 
+def range_search(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    threshold: float = 0.8,
+) -> pd.DataFrame:
+    """FAISS ``range_search`` analog: ALL vectors within a cosine radius of
+    each query (no k bound — the result is threshold-bounded). The decision
+    compares the 6dp-rounded similarity against the threshold so a SQL
+    oracle admits identical edge cases. One streaming pass: queries
+    broadcast once, per-batch matmul + mask, only matching (query, vec,
+    score) rows leave each task. Returns (query_id, vec_id, score),
+    ordered (query_id, score desc, vec_id)."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    ref = ray.put((qids, qm))
+
+    class _Range:
+        def __init__(self, r, thr):
+            self.qids, self.qm = ray.get(r)
+            self.thr = float(thr)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, "embedding"))
+            sims = np.floor(self.qm @ m.T * 1e6 + 0.5) / 1e6
+            qi, vi = np.nonzero(sims >= self.thr)
+            return pa.table({
+                "query_id": pa.array(self.qids[qi], type=pa.int64()),
+                "vec_id": pa.array(ids[vi], type=pa.int64()),
+                "score": pa.array(sims[qi, vi], type=pa.float64()),
+            })
+
+    out = ds.map_batches(
+        _Range, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    cols = {"query_id": pd.Series(dtype=np.int64),
+            "vec_id": pd.Series(dtype=np.int64),
+            "score": pd.Series(dtype=np.float64)}
+    if out.empty:
+        return pd.DataFrame(cols)
+    return out.sort_values(["query_id", "score", "vec_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
 def _bounded_sample(ds: ray.data.Dataset, sample_mod: int,
                     max_train_rows: int | None) -> ray.data.Dataset:
     """Deterministic modulo trainset sample, BOUNDED: vectors with

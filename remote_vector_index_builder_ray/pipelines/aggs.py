@@ -2870,6 +2870,33 @@ def percentiles_bucket_date_histogram(
                          "value": pd.Series(out_v, dtype=np.float64)})
 
 
+def date_histogram_empty_buckets(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch date_histogram with ``min_doc_count=0``: per query, EVERY
+    day between its first and last matched day appears, gap days with
+    n_docs = 0 (the engine's base histogram is min_doc_count=1; OpenSearch
+    fills the response range — this is that fill, a driver-side reindex of
+    the driver-small bucket stream). Returns (query_id, key, n_docs),
+    ordered (query_id, key)."""
+    h = date_histogram(index_dir, queries, field=field, where=where)
+    if h.empty:
+        return h
+    out = []
+    for qid, g in h.groupby("query_id", sort=True):
+        g = g.set_index("key").sort_index()
+        full = pd.date_range(g.index.min(), g.index.max(), freq="D")
+        r = g["n_docs"].reindex(full, fill_value=0).rename_axis("key").reset_index()
+        r.insert(0, "query_id", np.int64(qid))
+        out.append(r)
+    res = pd.concat(out, ignore_index=True)
+    res["key"] = res["key"].astype("datetime64[us]")
+    return res.astype({"query_id": np.int64, "n_docs": np.int64})
+
+
 def variable_width_histogram_agg(
     index_dir: str,
     queries,

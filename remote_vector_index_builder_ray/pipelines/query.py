@@ -1595,6 +1595,100 @@ def script_score(
                           params={"expr": expr}, where=where)
 
 
+def resolve_script_docids(index_dir: str, expr: str, field: str = "doc_len"):
+    """OpenSearch ``script`` query (filter context): the allow-set of docids
+    whose ``field`` value makes the sandboxed integer script non-zero.
+    Unlike :func:`resolve_filter_docids` a script can't push into the
+    parquet scan, so the docmeta stream evaluates it vectorized per batch
+    (numpy, compiled once on the driver) and only matching docids leave
+    each task; the sorted set broadcasts once via ``ray.put`` — the same
+    selective-filter contract as ``where``."""
+    import ray
+
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.stages.search import _compile_int_script
+    from remote_vector_index_builder_ray.state import fs
+
+    fn = _compile_int_script(expr)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = batch[field].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = fn(vals) != 0
+        return pa.table({"docid": pa.array(ids[mask], type=pa.int64())})
+
+    df = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files),
+                              columns=["docid", field])
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    ids = df["docid"].to_numpy() if "docid" in df.columns else np.empty(0)
+    return ray.put(np.sort(ids.astype(np.int64)))
+
+
+def search_script_filter(
+    index_dir: str,
+    queries,
+    expr: str = "v % 7",
+    field: str = "doc_len",
+    mode: str = "bmw",
+) -> ray.data.Dataset:
+    """OpenSearch bool.filter with a ``script`` query: candidates restricted
+    to docs whose ``field`` makes ``expr`` non-zero; scores unchanged
+    (filter context). The script evaluates once over the docmeta stream
+    (:func:`resolve_script_docids`); the search then runs normally with the
+    broadcast allow-list."""
+    import ray
+
+    allow = ray.get(resolve_script_docids(index_dir, expr, field))
+    return search(index_dir, queries, mode=mode, allow_docids=allow)
+
+
+def search_pinned(
+    index_dir: str,
+    queries,
+    mode: str = "exhaustive",
+) -> pd.DataFrame:
+    """OpenSearch ``pinned`` query: each query's ``pinned_ids`` (a
+    list<int64> column) rank FIRST, in the given order, above every organic
+    hit; organic results (the normal BM25 search on ``text``) follow with
+    pinned docs deduplicated out. Pinned rows carry the synthetic
+    descending score 1e6 - position (OpenSearch pins with a huge constant
+    score the same way); organic rows keep their 6dp-rounded BM25 scores.
+    Total rows per query capped at k. Pinned ids need not match the query
+    text — a pin is unconditional, as in OpenSearch."""
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    organic = search(index_dir, q[["query_id", "text", "k"]].assign(
+        k=(q["k"] * 2).astype(np.int32)), mode=mode).to_pandas()
+    organic["score"] = organic["score"].round(6)
+    rows = []
+    for r in q.itertuples(index=False):
+        pins = [int(x) for x in (r.pinned_ids or [])]
+        seen = set()
+        pins = [p for p in pins if not (p in seen or seen.add(p))]
+        k = int(r.k)
+        for pos, p in enumerate(pins[:k]):
+            rows.append((int(r.query_id), pos + 1, p, float(1e6 - pos)))
+        org = organic[organic["query_id"] == r.query_id]
+        org = org[~org["docid"].isin(pins)].sort_values(
+            ["score", "docid"], ascending=[False, True])
+        n_pin = min(len(pins), k)
+        for j, (d, s) in enumerate(zip(org["docid"], org["score"])):
+            if n_pin + j + 1 > k:
+                break
+            rows.append((int(r.query_id), n_pin + j + 1, int(d), float(s)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64})
+
+
 def search_bool(
     index_dir: str,
     queries,

@@ -624,6 +624,89 @@ def test_graph_ann_recall_and_determinism(tmp_path):
             == q["query_id"].to_numpy()).all()
 
 
+def test_script_filter_matches_predicate(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import search_script_filter
+
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    got = search_script_filter(smoke_index["index_dir"], QUERIES,
+                               expr="v % 7", field="doc_len",
+                               mode="exhaustive").to_pandas()
+    ok = set(df.loc[df["doc_len"] % 7 != 0, "docid"])
+    for q in QUERIES.itertuples(index=False):
+        scores = _bm25_rows(df, tokenize_text(q.text or ""), n, avgdl, dfc)
+        exp = sorted(((d, s) for d, s in scores.items() if d in ok),
+                     key=lambda r: (-r[1], r[0]))[: int(q.k)]
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert g["docid"].tolist() == [r[0] for r in exp]
+
+
+def test_pinned_query_order_and_dedup(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import search_pinned
+
+    df = _src(smoke_fixture)
+    n, avgdl, dfc = _stats(df)
+    q = QUERIES.head(2).copy()
+    # second query pins a doc that also matches organically
+    scores1 = _bm25_rows(df, tokenize_text(q["text"].iloc[1]), n, avgdl, dfc)
+    top_doc = sorted(scores1.items(), key=lambda r: (-r[1], r[0]))[0][0]
+    q["pinned_ids"] = [[5, 9], [top_doc, 7]]
+    got = search_pinned(smoke_index["index_dir"], q)
+    g0 = got[got["query_id"] == q["query_id"].iloc[0]].sort_values("rank")
+    assert g0["docid"].tolist()[:2] == [5, 9]
+    assert g0["score"].tolist()[:2] == [1e6, 1e6 - 1]
+    g1 = got[got["query_id"] == q["query_id"].iloc[1]].sort_values("rank")
+    assert g1["docid"].tolist()[:2] == [top_doc, 7]
+    # the pinned organic top must not appear twice
+    assert g1["docid"].tolist().count(top_doc) == 1
+    assert len(g1) <= int(q["k"].iloc[1])
+
+
+def test_date_histogram_empty_buckets_fills_gaps(smoke_fixture, smoke_index):
+    from remote_vector_index_builder_ray import (
+        date_histogram,
+        date_histogram_empty_buckets,
+    )
+
+    base = date_histogram(smoke_index["index_dir"], QUERIES, field="ts")
+    got = date_histogram_empty_buckets(smoke_index["index_dir"], QUERIES,
+                                       field="ts")
+    for qid, g in got.groupby("query_id"):
+        keys = g["key"].tolist()
+        assert keys == list(pd.date_range(keys[0], keys[-1], freq="D"))
+        b = base[base["query_id"] == qid]
+        merged = g.merge(b, on=["query_id", "key"], how="left",
+                         suffixes=("", "_b"))
+        exp = merged["n_docs_b"].fillna(0).astype(np.int64)
+        assert (merged["n_docs"] == exp).all()
+        assert (g["n_docs"].sum() == b["n_docs"].sum())
+
+
+def test_range_search_threshold(smoke_fixture):
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.ann import range_search
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((120, 8))
+    m[1] = m[0] * 2.0          # same direction -> cosine 1
+    m[2] = m[0] + rng.standard_normal(8) * 0.05
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": [r.astype(np.float32).tolist() for r in m]})
+    got = range_search(ray.data.from_pandas(df), np.array([0]),
+                       m[:1].astype(np.float64), threshold=0.9)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.floor(mn @ mn[0] * 1e6 + 0.5) / 1e6
+    exp_ids = sorted(np.flatnonzero(sims >= 0.9).tolist())
+    assert sorted(got["vec_id"].tolist()) == exp_ids
+    assert {0, 1, 2} <= set(got["vec_id"])
+    # ordered (score desc, vec_id asc)
+    s = got["score"].to_numpy()
+    assert all(s[i] > s[i + 1] or (s[i] == s[i + 1]
+               and got["vec_id"].iloc[i] < got["vec_id"].iloc[i + 1])
+               for i in range(len(got) - 1))
+
+
 def test_hybrid_norm_end_to_end(smoke_fixture, tmp_path_factory):
     from remote_vector_index_builder_ray import BuildConfig, build_index
 
