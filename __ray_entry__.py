@@ -3288,10 +3288,34 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_has_child(sf_dir: str):
+    """OpenSearch ``has_child`` (score_mode=max): the top-10 CONVERSATIONS per
+    query, ranked by their best-matching turn's 6-rounded BM25 score
+    (pipelines/join.has_child — scored match sets shard by docid range off
+    the driver; docmeta streams once through a per-(query, conv) combiner)."""
+    from remote_vector_index_builder_ray.pipelines.join import has_child
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return has_child(index_dir, pd.read_parquet(fx["queries"]), k=10)
+
+
+def _q_bm25_has_parent(sf_dir: str):
+    """OpenSearch ``has_parent`` (score=true): children of each query's top-3
+    matching PARENT docs (a conversation's opening turn, turn_idx==0), each
+    carrying the parent's score (pipelines/join.has_parent — parents via
+    filter-context search, children via broadcast-semi-join hydration)."""
+    from remote_vector_index_builder_ray.pipelines.join import has_parent
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return has_parent(index_dir, pd.read_parquet(fx["queries"]), k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
         "bm25_topk": _q_bm25_topk,
+        "bm25_has_child": _q_bm25_has_child,
+        "bm25_has_parent": _q_bm25_has_parent,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5623,6 +5647,87 @@ ORDER BY m.query_id, key
 """
     # top_hits under terms(role): 2 best BM25 hits per (query, role) by
     # (half-up-rounded score desc, docid asc)
+    # has_child / has_parent: the conversation hierarchy IS the join field —
+    # scores group by conv_id (child query) or flow parent -> children
+    out["bm25_has_child"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+conv AS (
+    SELECT sc.query_id, d.conv_id,
+           max(floor(sc.score * 1000000 + 0.5) / 1000000) AS score,
+           count(*)::BIGINT AS n_matching
+    FROM scored sc JOIN docs d USING (docid)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, conv_id, score, n_matching,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, conv_id) AS rank
+    FROM conv
+)
+SELECT query_id, rank::INT AS rank, conv_id, score, n_matching
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+    out["bm25_has_parent"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+parents AS (
+    SELECT sc.query_id, d.conv_id,
+           floor(sc.score * 1000000 + 0.5) / 1000000 AS score,
+           row_number() OVER (PARTITION BY sc.query_id
+                              ORDER BY floor(sc.score * 1000000 + 0.5) / 1000000 DESC,
+                                       sc.docid) AS rank
+    FROM scored sc JOIN docs d USING (docid)
+    WHERE d.turn_idx = 0
+),
+top_parents AS (SELECT query_id, conv_id, score FROM parents WHERE rank <= 3)
+SELECT p.query_id, d.conv_id, d.turn_idx::INT AS turn_idx, d.docid, p.score
+FROM top_parents p JOIN docs d ON d.conv_id = p.conv_id AND d.turn_idx > 0
+ORDER BY p.query_id, p.score DESC, d.conv_id, d.turn_idx
+"""
     out["bm25_top_hits"] = f"""
 WITH docs AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
