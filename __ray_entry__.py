@@ -3288,6 +3288,34 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Lucene ClassicSimilarity (TF-IDF) top-k: idf_c^2 * sqrt(tf) / sqrt(dl)
+    per term, idf_c = 1 + ln(N/(df+1)) — the OpenSearch index-level
+    `similarity: classic` setting (stages/search.py similarity modules,
+    exhaustive scorer)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="classic")
+
+
+def _q_lmd_topk(sf_dir: str):
+    """LM Dirichlet smoothing top-k (mu=2000): per-term contribution
+    max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))), p = cf/total_len — the
+    OpenSearch `similarity: LMDirichlet` setting."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="lm_dirichlet")
+
+
+def _q_lmjm_topk(sf_dir: str):
+    """LM Jelinek-Mercer smoothing top-k (lambda=0.1): per-term contribution
+    ln(1 + ((1-lambda)*tf/dl)/(lambda*p)) — the OpenSearch
+    `similarity: LMJelinekMercer` setting."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="lm_jelinek_mercer")
+
+
 def _q_bm25_has_child(sf_dir: str):
     """OpenSearch ``has_child`` (score_mode=max): the top-10 CONVERSATIONS per
     query, ranked by their best-matching turn's 6-rounded BM25 score
@@ -3316,6 +3344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_has_child": _q_bm25_has_child,
         "bm25_has_parent": _q_bm25_has_parent,
+        "tfidf_topk": _q_tfidf_topk,
+        "lmd_topk": _q_lmd_topk,
+        "lmjm_topk": _q_lmjm_topk,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5647,6 +5678,54 @@ ORDER BY m.query_id, key
 """
     # top_hits under terms(role): 2 best BM25 hits per (query, role) by
     # (half-up-rounded score desc, docid asc)
+    # alternative similarity modules: same scored-rank shell as bm25_topk
+    # with the per-(term, doc) contribution swapped (functions/bm25.sim_contrib)
+    def _sim_sql(contrib: str) -> str:
+        return f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum({contrib}) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+
+    out["tfidf_topk"] = _sim_sql(
+        "(1 + ln(s.n_docs / (df.df + 1.0))) * (1 + ln(s.n_docs / (df.df + 1.0)))"
+        " * sqrt(tf.tf) / sqrt(greatest(dl.dl, 1))"
+    )
+    out["lmd_topk"] = _sim_sql(
+        "greatest(0, ln(1 + tf.tf / (2000.0 * (df.cf / s.total_len)))"
+        " + ln(2000.0) - ln(dl.dl + 2000.0))"
+    )
+    out["lmjm_topk"] = _sim_sql(
+        "ln(1 + ((1 - 0.1) * tf.tf / greatest(dl.dl, 1))"
+        " / (0.1 * (df.cf / s.total_len)))"
+    )
     # has_child / has_parent: the conversation hierarchy IS the join field —
     # scores group by conv_id (child query) or flow parent -> children
     out["bm25_has_child"] = f"""

@@ -31,6 +31,54 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) ->
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+# ---------------------------------------------------------------------------
+# Alternative similarity modules (OpenSearch index-level `similarity`
+# settings). Each is a per-(term, doc) contribution summed over the query's
+# unique terms in ascending-term order, like BM25 — formulas follow Lucene's
+# ClassicSimilarity / LMDirichletSimilarity / LMJelinekMercerSimilarity
+# (negative LM scores floor at 0 per Lucene). Exhaustive mode only: the
+# stored block maxes are BM25 bounds, so WAND/BMW pruning doesn't apply.
+# ---------------------------------------------------------------------------
+
+LM_MU = 2000.0  # LMDirichletSimilarity default mu
+LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity recommended lambda (short queries)
+
+SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer")
+
+
+def sim_contrib(
+    similarity: str,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    df: int,
+    cf: int,
+    N: int,
+    total_len: int,
+) -> np.ndarray:
+    """Per-posting float64 contribution of one term under ``similarity``.
+
+    - classic: idf_c^2 * sqrt(tf) / sqrt(dl), idf_c = 1 + ln(N / (df + 1))
+      (Lucene ClassicSimilarity with queryNorm == 1)
+    - lm_dirichlet: max(0, ln(1 + tf / (mu * p)) + ln(mu / (dl + mu))),
+      p = cf / total_len
+    - lm_jelinek_mercer: ln(1 + ((1 - lambda) * tf / dl) / (lambda * p))
+    """
+    tfs = tfs.astype(np.float64, copy=False)
+    dls = dls.astype(np.float64, copy=False)
+    if similarity == "classic":
+        w = 1.0 + math.log(N / (df + 1.0))
+        return (w * w) * np.sqrt(tfs) / np.sqrt(np.maximum(dls, 1.0))
+    p = cf / float(total_len)
+    if similarity == "lm_dirichlet":
+        v = np.log1p(tfs / (LM_MU * p)) + math.log(LM_MU) - np.log(dls + LM_MU)
+        return np.maximum(v, 0.0)
+    if similarity == "lm_jelinek_mercer":
+        return np.log1p(
+            ((1.0 - LM_LAMBDA) * tfs / np.maximum(dls, 1.0)) / (LM_LAMBDA * p)
+        )
+    raise ValueError(f"unknown similarity {similarity!r}")
+
+
 def topk_order(scores: np.ndarray, docids: np.ndarray, k: int):
     """Indices of the top-k by (score desc, docid asc).
 

@@ -100,6 +100,7 @@ def search(
     span_pre: int = 1,
     span_post: int = 1,
     msm_script: str | None = None,
+    similarity: str = "bm25",
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -258,6 +259,11 @@ def search(
         )
     if unit_idf and mode != "exhaustive":
         raise ValueError("unit_idf requires mode='exhaustive'")
+    if similarity != "bm25" and mode != "exhaustive":
+        raise ValueError(
+            "alternative similarities require mode='exhaustive' (stored "
+            "block maxes are BM25 bounds; see functions/bm25.sim_contrib)"
+        )
     # allow_docids: an EXPLICIT docid allow-list with the same filter-context
     # semantics as `where` (candidates restricted, scores unchanged) — used
     # by rescore_phrase to bound its phrase leg to the rescore windows
@@ -285,6 +291,7 @@ def search(
             "span_pre": span_pre,
             "span_post": span_post,
             "msm_script": msm_script,
+            "similarity": similarity,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

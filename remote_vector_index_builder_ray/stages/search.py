@@ -255,7 +255,8 @@ class BM25Searcher:
                  negative_boost: float = 0.5,
                  unit_idf: bool = False,
                  span_pre: int = 1, span_post: int = 1,
-                 msm_script: str | None = None):
+                 msm_script: str | None = None,
+                 similarity: str = "bm25"):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -318,6 +319,17 @@ class BM25Searcher:
         # building block cross_fields multi_match re-weights with a BLENDED
         # idf on the combine side (pipelines/query.search_cross_fields)
         self.unit_idf = bool(unit_idf)
+        # alternative similarity module (OpenSearch index `similarity`
+        # setting): swaps the per-(term, doc) contribution formula
+        # (functions/bm25.sim_contrib). Exhaustive mode only — stored block
+        # maxes are BM25 upper bounds and don't bound other similarities.
+        from remote_vector_index_builder_ray.functions.bm25 import SIMILARITIES
+
+        if similarity not in SIMILARITIES:
+            raise ValueError(f"similarity must be one of {SIMILARITIES}")
+        if similarity != "bm25" and mode != "exhaustive":
+            raise ValueError("non-BM25 similarities require mode='exhaustive'")
+        self.similarity = similarity
         # span_not exclusion window (occurrences of the exclude span within
         # [p - pre, p + post] of an include occurrence kill it)
         self.span_pre = int(span_pre)
@@ -349,6 +361,7 @@ class BM25Searcher:
             N += int(g["n_docs"])
             total_len += int(g["total_len"])
         self.N = N
+        self.total_len = total_len  # LM similarities: p(t|C) = cf / total_len
         self.avgdl = total_len / N if N else 0.0
         # Postings sources in docid (generation) order. Per source:
         # (postings_dir, num_buckets, present-file set, maxtn scale). The
@@ -1353,6 +1366,17 @@ class BM25Searcher:
         for t in terms:  # ascending term order fixes float addition order
             tp = self._cache.get(t)
             if tp is None:
+                continue
+            if self.similarity != "bm25":
+                from remote_vector_index_builder_ray.functions.bm25 import sim_contrib
+
+                docids, tfs, dls = tp.decode_all()
+                contrib = sim_contrib(self.similarity, tfs, dls, tp.df, tp.cf,
+                                      self.N, self.total_len)
+                if weights is not None:
+                    contrib = contrib * float(weights.get(t, 1.0))
+                doc_parts.append(docids)
+                contrib_parts.append(contrib)
                 continue
             w = 1.0 if self.unit_idf else _idf(self.N, tp.df)
             if weights is not None:
