@@ -3288,6 +3288,27 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_substring_dup(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2022): per doc, positional 8-token
+    windows that are NOT the corpus-wide first occurrence (min (doc_id, pos))
+    of that window (extras/dedup.substring_dup_stats — window hashes shuffle,
+    never text; the per-doc result streams). dup_fraction rounds half-up to
+    6 decimals."""
+    from remote_vector_index_builder_ray.extras.dedup import substring_dup_stats
+
+    out = substring_dup_stats(_read(sf_dir, "documents"), window=8).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_windows": pd.Series(dtype=np.int64),
+                             "dup_windows": pd.Series(dtype=np.int64),
+                             "dup_fraction": pd.Series(dtype=np.float64)})
+    out["dup_fraction"] = np.floor(
+        out["dup_windows"] / out["n_windows"] * 1e6 + 0.5) / 1e6
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64, "n_windows": np.int64,
+                     "dup_windows": np.int64, "dup_fraction": np.float64}))
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Lucene ClassicSimilarity (TF-IDF) top-k: idf_c^2 * sqrt(tf) / sqrt(dl)
     per term, idf_c = 1 + ln(N/(df+1)) — the OpenSearch index-level
@@ -3347,6 +3368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "lmd_topk": _q_lmd_topk,
         "lmjm_topk": _q_lmjm_topk,
+        "substring_dup_docs": _q_substring_dup,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5714,6 +5736,30 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    out["substring_dup_docs"] = """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM documents
+),
+w AS MATERIALIZED (
+    SELECT doc_id, r.i AS pos, array_to_string(ts[r.i:r.i+7], ' ') AS win
+    FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) r
+    WHERE len(ts) >= 8
+),
+marked AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+    FROM w
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_windows,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_windows
+    FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_windows, dup_windows,
+       floor(dup_windows::DOUBLE / n_windows * 1000000 + 0.5) / 1000000 AS dup_fraction
+FROM agg ORDER BY doc_id
+"""
     out["tfidf_topk"] = _sim_sql(
         "(1 + ln(s.n_docs / (df.df + 1.0))) * (1 + ln(s.n_docs / (df.df + 1.0)))"
         " * sqrt(tf.tf) / sqrt(greatest(dl.dl, 1))"

@@ -803,3 +803,135 @@ def dedup_apply(
     return ds.map_batches(KeepSurvivors, fn_constructor_args=(dref,),
                           batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (window) deduplication — Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": positional k-token windows,
+# every occurrence after the corpus-wide FIRST (min (doc_id, pos)) counts as
+# duplicated text. Unlike duplicate_ngram_fraction (distinct-shingle,
+# is-it-shared-anywhere), this attributes a canonical copy and charges
+# within-doc repeats too — the signal used to CUT duplicated spans.
+# ---------------------------------------------------------------------------
+
+_PKEY_POS_BITS = 20  # pos packs into the low bits: supports docs to 1M tokens
+
+
+def _window_hashes_batch(
+    tok_h: np.ndarray, doc_len: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Positional k-token window hashes for a whole batch: returns
+    (vals: uint64, doc_index: int64, pos: int64). Docs shorter than ``k``
+    contribute nothing (they have no k-window). Same vectorized polynomial
+    combine as ``_shingle_hashes_batch``, windows straddling doc boundaries
+    masked out."""
+    doc_len = np.asarray(doc_len, dtype=np.int64)
+    n = int(len(tok_h))
+    if n < k:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    bounds = np.concatenate([[0], np.cumsum(doc_len)]).astype(np.int64)
+    doc_index = np.repeat(np.arange(len(doc_len), dtype=np.int64), doc_len)
+    m = n - k + 1
+    h = tok_h[:m].copy()
+    for j in range(1, k):
+        h = h * _POLY + tok_h[j : m + j]
+    pos = np.arange(n, dtype=np.int64) - bounds[doc_index]
+    valid = pos[:m] + k <= doc_len[doc_index[:m]]
+    return h[valid], doc_index[:m][valid], pos[:m][valid]
+
+
+def substring_dup_stats(
+    ds: ray.data.Dataset,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document exact-substring duplication stats: of a doc's positional
+    ``window``-token windows, how many are NOT the corpus-wide first
+    occurrence of that window (first = min (doc_id, pos)). Returns a Dataset
+    of (doc_id, n_windows, dup_windows); docs shorter than ``window`` have
+    no rows (callers coalesce to 0).
+
+    Scale shape (100 TB): window hashes (8 bytes) shuffle, never text, and
+    the result STREAMS (no driver materialization). (1) one
+    groupby(window-hash) Min(pkey) reduction finds each window's first
+    occurrence — pkey packs (doc_id << 20 | pos); (2) the group
+    representatives (one row per DISTINCT window) union with the per-doc
+    window counts (no shuffle to compute: max(len - k + 1, 0)) and reduce
+    by doc in a single groupby. dup = n_windows - non_dup. Collision
+    caveat: two distinct windows sharing a 64-bit polynomial hash merge
+    (one true first occurrence charged as dup) — at 10^12 windows expect
+    ~0.03 merged pairs; acceptable for a cut/score signal.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+
+    def emit_occurrences(batch: pa.Table) -> pa.Table:
+        tokens, _doc_index, n_tokens = tokenize_column(batch[text_col])
+        tok_h = _token_hashes(tokens)
+        vals, didx, pos = _window_hashes_batch(tok_h, n_tokens, window)
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(pos) and int(pos.max()) >= (1 << _PKEY_POS_BITS):
+            raise ValueError(
+                f"doc position {int(pos.max())} overflows the pkey packing "
+                f"({_PKEY_POS_BITS} bits); raise _PKEY_POS_BITS for long docs"
+            )
+        pkey = (ids[didx] << _PKEY_POS_BITS) | pos
+        return pa.table({
+            "whash": pa.array(vals.view(np.int64), type=pa.int64()),
+            "pkey": pa.array(pkey, type=pa.int64()),
+        })
+
+    def emit_n_windows(batch: pa.Table) -> pa.Table:
+        _tokens, _doc_index, n_tokens = tokenize_column(batch[text_col])
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nw = np.maximum(np.asarray(n_tokens, np.int64) - window + 1, 0)
+        keep = nw > 0
+        return pa.table({
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "n_windows": pa.array(nw[keep], type=pa.int64()),
+            "non_dup": pa.array(np.zeros(int(keep.sum()), np.int64),
+                                type=pa.int64()),
+        })
+
+    occ = ds.map_batches(emit_occurrences, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    # shuffle 1: one row per DISTINCT window survives, carrying its first
+    # occurrence's packed (doc, pos) key
+    firsts = occ.groupby("whash").aggregate(Min("pkey"))
+
+    def first_doc(batch: pa.Table) -> pa.Table:
+        pk = batch["min(pkey)"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(pk)
+        return pa.table({
+            id_col: pa.array(pk >> _PKEY_POS_BITS, type=pa.int64()),
+            "n_windows": pa.array(np.zeros(n, np.int64), type=pa.int64()),
+            "non_dup": pa.array(np.ones(n, np.int64), type=pa.int64()),
+        })
+
+    # shuffle 2: group representatives (one per distinct window) union the
+    # per-doc window counts, reduced by doc in ONE groupby — the per-doc
+    # result stays a streaming Dataset
+    reps = firsts.map_batches(first_doc, batch_format="pyarrow")
+    nws = ds.map_batches(emit_n_windows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    per_doc = nws.union(reps).groupby(id_col).aggregate(
+        Sum("n_windows"), Sum("non_dup")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nw = batch["sum(n_windows)"].combine_chunks().to_numpy(zero_copy_only=False)
+        nd = batch["sum(non_dup)"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
+            "n_windows": pa.array(nw.astype(np.int64), type=pa.int64()),
+            "dup_windows": pa.array((nw - nd).astype(np.int64), type=pa.int64()),
+        })
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
