@@ -3288,6 +3288,15 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_pit(sf_dir: str):
+    """Point-in-time search (OpenSearch PIT): the base+generation index
+    queried with pit_gens=0 — the appended generation is invisible and the
+    scoring stats freeze at the base state, so results equal a search of the
+    base index as it stood (oracle: BM25 over part_a alone, its own stats)."""
+    fx, index_dir = _ensure_inc_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw", pit_gens=0)
+
+
 def _q_substring_dup(sf_dir: str):
     """Exact substring dedup (Lee et al. 2022): per doc, positional 8-token
     windows that are NOT the corpus-wide first occurrence (min (doc_id, pos))
@@ -3369,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmd_topk": _q_lmd_topk,
         "lmjm_topk": _q_lmjm_topk,
         "substring_dup_docs": _q_substring_dup,
+        "bm25_pit": _q_bm25_pit,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5736,6 +5746,46 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    # PIT: the oracle is a from-scratch BM25 over the base half (part_a) with
+    # part_a's OWN stats — exactly the index state the PIT pins
+    part_a_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_split", "part_a.parquet")
+    out["bm25_pit"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{part_a_pq}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     out["substring_dup_docs"] = """
 WITH t AS MATERIALIZED (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts

@@ -101,6 +101,7 @@ def search(
     span_post: int = 1,
     msm_script: str | None = None,
     similarity: str = "bm25",
+    pit_gens: int | None = None,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -292,6 +293,7 @@ def search(
             "span_post": span_post,
             "msm_script": msm_script,
             "similarity": similarity,
+            "pit_gens": pit_gens,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -256,7 +256,8 @@ class BM25Searcher:
                  unit_idf: bool = False,
                  span_pre: int = 1, span_post: int = 1,
                  msm_script: str | None = None,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25",
+                 pit_gens: int | None = None):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -356,6 +357,19 @@ class BM25Searcher:
             g for g in man.get("generations", [])
             if not g.get("compacted") and g["dir"] not in folded
         ]
+        # point-in-time view (OpenSearch PIT): pin the first `pit_gens`
+        # generations — docs appended after the PIT are invisible and the
+        # scoring stats (N, total_len, avgdl) freeze at that state, so PIT
+        # results equal the index as it stood. Deletes are NOT pinned
+        # (documented divergence: tombstones apply live; a PIT over an
+        # un-deleted index is exact).
+        if pit_gens is not None:
+            if pit_gens < 0 or pit_gens > len(gens):
+                raise ValueError(
+                    f"pit_gens={pit_gens} out of range (0..{len(gens)} live "
+                    "generations)"
+                )
+            gens = gens[:pit_gens]
         N, total_len = int(st["N"]), int(st["total_len"])
         for g in gens:
             N += int(g["n_docs"])

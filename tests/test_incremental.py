@@ -148,3 +148,38 @@ def test_append_requires_completed_base(tmp_path_factory):
     empty = str(tmp_path_factory.mktemp("noidx") / "missing")
     with pytest.raises(IndexStateError):
         append_index(empty, ["whatever.parquet"])
+
+
+def test_pit_pins_generation_set(inc_index, split_corpus, smoke_fixture):
+    """pit_gens=0 makes the appended generation invisible AND freezes stats:
+    results equal a from-scratch oracle over part A alone; pit_gens=1 (all
+    gens) equals the default view; out-of-range pit_gens fails fast."""
+    import pandas as pd
+
+    from remote_vector_index_builder_ray.oracle import oracle_from_transcripts
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(10)
+    got = (
+        search(inc_index["index_dir"], qdf, mode="bmw", pit_gens=0)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    src_a = pa.concat_tables([pq.read_table(p) for p in split_corpus["a"]]).to_pandas()
+    want = (
+        oracle_from_transcripts(src_a).run_queries(qdf)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["query_id", "rank", "docid", "score"]], want)
+
+    full = (
+        search(inc_index["index_dir"], qdf, mode="bmw", pit_gens=1).to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    default = (
+        search(inc_index["index_dir"], qdf, mode="bmw").to_pandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, default)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="pit_gens"):
+        search(inc_index["index_dir"], qdf, mode="bmw", pit_gens=2).to_pandas()
