@@ -3288,6 +3288,18 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_sig_text(sf_dir: str):
+    """OpenSearch significant_text (filter_duplicate_text=true): JLH-scored
+    over-represented terms with each DISTINCT text counted once per query
+    foreground (canonical copy = min docid per (query, exact text)) —
+    pipelines/aggs.significant_text_agg."""
+    from remote_vector_index_builder_ray.pipelines.aggs import significant_text_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return significant_text_agg(index_dir, pd.read_parquet(fx["queries"]),
+                                size=10).reset_index(drop=True)
+
+
 def _q_bm25_pit(sf_dir: str):
     """Point-in-time search (OpenSearch PIT): the base+generation index
     queried with pit_gens=0 — the appended generation is invisible and the
@@ -3379,6 +3391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmjm_topk": _q_lmjm_topk,
         "substring_dup_docs": _q_substring_dup,
         "bm25_pit": _q_bm25_pit,
+        "bm25_sig_text": _q_bm25_sig_text,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5746,6 +5759,45 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    # significant_text (filter_duplicate_text): sig_terms with the foreground
+    # deduped to one doc per (query, exact text) — canonical copy = min docid
+    out["bm25_sig_text"] = f"""
+WITH {docs}, {_TOKS},
+tset AS MATERIALIZED (SELECT DISTINCT docid, term FROM toks),
+bg AS MATERIALIZED (SELECT term, count(*)::BIGINT AS bg FROM tset GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+md AS (
+    SELECT m.query_id, min(m.docid) AS docid
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, d.text
+),
+fgt AS (SELECT query_id, count(*)::DOUBLE AS f FROM md GROUP BY query_id),
+fg AS (
+    SELECT md.query_id, ts.term, count(*)::BIGINT AS fg
+    FROM md JOIN tset ts USING (docid) GROUP BY 1, 2
+),
+scored AS (
+    SELECT fg.query_id, fg.term, fg.fg, bg.bg,
+           floor(((fg.fg / fgt.f) - (bg.bg / nn.n))
+                 * ((fg.fg / fgt.f) / (bg.bg / nn.n)) * 1000000 + 0.5) / 1000000 AS score
+    FROM fg JOIN bg USING (term) JOIN fgt USING (query_id) CROSS JOIN nn
+),
+ranked AS (
+    SELECT query_id, term, fg, bg, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, term) AS r
+    FROM scored
+)
+SELECT query_id, term, fg AS fg_docs, bg AS bg_docs, score
+FROM ranked WHERE r <= 10
+ORDER BY query_id, r
+"""
     # PIT: the oracle is a from-scratch BM25 over the base half (part_a) with
     # part_a's OWN stats — exactly the index state the PIT pins
     part_a_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_split", "part_a.parquet")

@@ -1598,6 +1598,24 @@ def significant_terms_agg(
         counts = {qid: len(a) for qid, a in matches.items()}
     else:
         shard_refs, qid_list, counts = _sharded_matches(index_dir, queries, where=where)
+    return _sig_probe_reduce(index_dir, shard_refs, qid_list, counts, size)
+
+
+def _sig_probe_reduce(
+    index_dir: str,
+    shard_refs: dict,
+    qid_list,
+    counts: dict,
+    size: int,
+) -> pd.DataFrame:
+    """Shared significant_terms/significant_text tail: stream docmeta once
+    through the per-batch foreground term counter, reduce (query, term)
+    partials, JLH-score vs the cached background dictionary, top ``size``."""
+    from remote_vector_index_builder_ray.functions.tokenizer import load_analyzer
+    from remote_vector_index_builder_ray.pipelines.expand import _get_dict
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
     analyzer = load_analyzer(index_dir)
     meta_files = [
         fs.join(d, rel)
@@ -1653,6 +1671,114 @@ def significant_terms_agg(
                           ascending=[True, False, True])
     out = out.groupby("query_id", sort=True).head(size).reset_index(drop=True)
     return out
+
+
+class _DedupTextProbe:
+    """filter_duplicate_text pass: per batch, for each query's matched docs,
+    the batch-local min docid per exact-text hash — (qt-key, docid) partials.
+    Only matched rows leave the task, keyed by (query, text-hash) string so
+    a single-column groupby can reduce them."""
+
+    def __init__(self, shard_refs, stride):
+        self.matches = _ShardedMatches(shard_refs, stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        by_query = self.matches.for_batch(ids)
+        empty = pa.table({"qt": pa.array([], type=pa.string()),
+                          "docid": pa.array([], type=pa.int64())})
+        if not by_query:
+            return empty
+        # hash ONLY rows matched by >= 1 query (vectorized 64-bit content
+        # hash; equal texts hash equal — the dedup key for this run)
+        union = np.zeros(len(ids), dtype=bool)
+        masks = {}
+        for qid, arr in by_query.items():
+            m = isin_sorted(ids, arr)
+            if m.any():
+                masks[qid] = m
+                union |= m
+        if not masks:
+            return empty
+        texts = batch["text"].combine_chunks().to_numpy(zero_copy_only=False)
+        th = np.zeros(len(ids), dtype=np.uint64)
+        th[union] = pd.util.hash_array(texts[union].astype(object))
+        qts, docs = [], []
+        for qid, mask in masks.items():
+            d = ids[mask]
+            h = th[mask]
+            g = pd.DataFrame({"h": h, "docid": d}).groupby("h", sort=False)["docid"].min()
+            qts.extend(f"{qid}|{k}" for k in g.index)
+            docs.extend(int(v) for v in g.to_numpy())
+        return pa.table({"qt": pa.array(qts, type=pa.string()),
+                         "docid": pa.array(docs, type=pa.int64())})
+
+
+def significant_text_agg(
+    index_dir: str,
+    queries,
+    size: int = 10,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `significant_text` aggregation with
+    ``filter_duplicate_text=true``: significant_terms re-analyzed from the
+    text field, counting each DISTINCT text once per query foreground (the
+    canonical copy = min docid per (query, exact text)). Same JLH scoring,
+    background and output shape as :func:`significant_terms_agg`.
+
+    Scale shape: the duplicate filter is a (query, text-hash) -> min(docid)
+    groupby over MATCHED rows only (16-byte hash + docid move, never text);
+    the deduped match set is re-sharded by docid range with the same
+    in-place ``_pack_block`` packing as ``_sharded_matches`` — the driver
+    never holds a docid list."""
+    from ray.data.aggregate import Min
+
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs0, _, _ = _sharded_matches(index_dir, queries, where=where)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    deduped = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", "text"])
+        .map_batches(
+            _DedupTextProbe,
+            fn_constructor_args=(shard_refs0, _MATCH_SHARD_STRIDE),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .groupby("qt")
+        .aggregate(Min("docid"))
+    )
+
+    def _unkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "docid": pa.array([], type=pa.int64())})
+        qt = batch["qt"].to_pylist()
+        qids = np.fromiter((int(s.split("|", 1)[0]) for s in qt),
+                           dtype=np.int64, count=len(qt))
+        d = batch["min(docid)"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"query_id": pa.array(qids, type=pa.int64()),
+                         "docid": pa.array(d.astype(np.int64), type=pa.int64())})
+
+    blocks = deduped.map_batches(_unkey, batch_format="pyarrow").to_arrow_refs()
+    futures = [_pack_block.remote(r, _MATCH_SHARD_STRIDE, False) for r in blocks]
+    shard_refs: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for dir_map, cnt in ray.get(futures):
+        for sid, ref in dir_map.items():
+            shard_refs.setdefault(sid, []).append(ref)
+        for qid, c in cnt.items():
+            counts[qid] = counts.get(qid, 0) + c
+    return _sig_probe_reduce(index_dir, shard_refs, sorted(counts), counts, size)
 
 
 def pipeline_date_histogram(

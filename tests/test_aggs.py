@@ -799,3 +799,42 @@ def test_rate_matches_brute_force(smoke_fixture, smoke_index):
     assert len(exp) > 0
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                   check_dtype=False)
+
+
+def test_significant_text_filter_duplicate_text(smoke_fixture, smoke_index):
+    """significant_text (filter_duplicate_text=true): each distinct TEXT
+    counts once per query foreground — canonical copy = min docid per
+    (query, exact text). Brute-forced from the raw corpus."""
+    from collections import Counter
+
+    from remote_vector_index_builder_ray.pipelines.aggs import significant_text_agg
+
+    df = _src(smoke_fixture)
+    N = float(len(df))
+    size = 10
+    got = significant_text_agg(smoke_index["index_dir"], QUERIES, size=size)
+    bg = Counter()
+    for toks in df["toks"]:
+        bg.update(toks)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        m = m.sort_values("docid").drop_duplicates("text", keep="first")
+        fg = Counter()
+        for toks in m["toks"]:
+            fg.update(toks)
+        fgt = float(len(m))
+        recs = []
+        for t, c in fg.items():
+            fr, br = c / fgt, bg[t] / N
+            recs.append((t, c, bg[t], float(np.floor((fr - br) * (fr / br) * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[3], r[0]))
+        for t, c, b_, s in recs[:size]:
+            rows.append((int(q.query_id), t, int(c), int(b_), s))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "term", "fg_docs", "bg_docs", "score"]
+    ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
+              "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
