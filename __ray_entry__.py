@@ -3288,6 +3288,25 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_stemmed(sf_dir: str):
+    """Index + query analyzed with the minimal_english stemmer (Lucene
+    EnglishMinimalStemFilter: final 's' drops unless len<3 or '-ss'/'-us') —
+    'runs' and 'run' share a postings list. AnalyzerConfig(stemmer=...) is
+    persisted in stats.json so searchers analyze queries identically."""
+    from remote_vector_index_builder_ray import BuildConfig
+    from remote_vector_index_builder_ray.config import AnalyzerConfig
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_stem")
+    _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"], index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])),
+        analyzer=AnalyzerConfig(stemmer="minimal_english"),
+    ))
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw")
+
+
 def _q_bm25_sig_text(sf_dir: str):
     """OpenSearch significant_text (filter_duplicate_text=true): JLH-scored
     over-represented terms with each DISTINCT text counted once per query
@@ -3392,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_docs": _q_substring_dup,
         "bm25_pit": _q_bm25_pit,
         "bm25_sig_text": _q_bm25_sig_text,
+        "bm25_stemmed": _q_bm25_stemmed,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5759,6 +5779,52 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    # minimal_english stemmer: the bm25_topk shell with every token (docs AND
+    # queries) run through Lucene EnglishMinimalStemFilter's rule
+    _stem = ("CASE WHEN length({x}) >= 3 AND {x} LIKE '%s' "
+             "AND substr({x}, length({x}) - 1, 1) NOT IN ('s', 'u') "
+             "THEN substr({x}, 1, length({x}) - 1) ELSE {x} END")
+    out["bm25_stemmed"] = f"""
+WITH {docs},
+toks AS MATERIALIZED (
+    SELECT docid, {_stem.format(x='t.tok')} AS term
+    FROM (
+        SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM docs
+    ) t
+),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct([{_stem.format(x='qt')}
+                                 FOR qt IN regexp_extract_all(lower(text), '[a-z0-9_]+')])) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     # significant_text (filter_duplicate_text): sig_terms with the foreground
     # deduped to one doc per (query, exact text) — canonical copy = min docid
     out["bm25_sig_text"] = f"""

@@ -56,12 +56,23 @@ class AnalyzerConfig:
     stopwords: tuple = ()
     min_token_len: int = 1
     max_token_len: int = 1 << 30
+    # token filter applied LAST in the chain (Lucene filter order):
+    # "minimal_english" = Lucene EnglishMinimalStemFilter (plural stripping:
+    # a final 's' drops unless the token is < 3 chars or ends in 'ss'/'us')
+    stemmer: str = ""
+
+    def __post_init__(self):
+        if self.stemmer not in ("", "minimal_english"):
+            raise EngineError(
+                f"unknown stemmer {self.stemmer!r} (supported: minimal_english)"
+            )
 
     def is_default(self) -> bool:
         return (
             not self.stopwords
             and self.min_token_len <= 1
             and self.max_token_len >= (1 << 30)
+            and not self.stemmer
         )
 
 

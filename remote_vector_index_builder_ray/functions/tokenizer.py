@@ -104,6 +104,38 @@ def _token_filter_mask(tokens: pa.Array, analyzer) -> np.ndarray | None:
     return mask
 
 
+def _stem_minimal_english_array(tokens: pa.Array) -> pa.Array:
+    """Vectorized Lucene EnglishMinimalStemFilter: strip a final 's' unless
+    the token is shorter than 3 chars or its second-to-last char is 's'/'u'
+    (i.e. '-ss' and '-us' endings keep the s)."""
+    import pyarrow.compute as pc
+
+    long_enough = pc.greater_equal(pc.utf8_length(tokens), 3)
+    ends_s = pc.ends_with(tokens, pattern="s")
+    keep_s = pc.or_(pc.ends_with(tokens, pattern="ss"),
+                    pc.ends_with(tokens, pattern="us"))
+    do = pc.and_(pc.and_(long_enough, ends_s), pc.invert(keep_s))
+    stripped = pc.utf8_slice_codeunits(tokens, start=0, stop=-1)
+    return pc.if_else(do, stripped, tokens)
+
+
+def _stem_minimal_english(t: str) -> str:
+    """Scalar twin of ``_stem_minimal_english_array`` (query side + oracles)."""
+    if len(t) >= 3 and t.endswith("s") and t[-2] not in ("s", "u"):
+        return t[:-1]
+    return t
+
+
+def _stem_tokens(tokens: pa.Array, analyzer) -> pa.Array:
+    if analyzer is None or not getattr(analyzer, "stemmer", ""):
+        return tokens
+    if analyzer.stemmer == "minimal_english":
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        return _stem_minimal_english_array(tokens)
+    raise ValueError(f"unknown stemmer {analyzer.stemmer!r}")
+
+
 def analyze_column(col: pa.Array | pa.ChunkedArray, analyzer=None,
                    with_positions: bool = False):
     """``tokenize_column`` + the analyzer's stopword/length filters; same
@@ -120,12 +152,14 @@ def analyze_column(col: pa.Array | pa.ChunkedArray, analyzer=None,
         row_start = np.concatenate([[0], np.cumsum(doc_len[:-1], dtype=np.int64)])
         positions = np.arange(len(tokens), dtype=np.int64) - row_start[doc_index]
     if mask is None:
+        tokens = _stem_tokens(tokens, analyzer)  # stemmer chains LAST
         return (tokens, doc_index, doc_len, positions) if with_positions \
             else (tokens, doc_index, doc_len)
     tokens = tokens.filter(pa.array(mask))
     doc_index = doc_index[mask]
     n = len(col)
     doc_len = np.bincount(doc_index, minlength=n).astype(np.int32)
+    tokens = _stem_tokens(tokens, analyzer)
     if with_positions:
         return tokens, doc_index, doc_len, positions[mask]
     return tokens, doc_index, doc_len
@@ -139,7 +173,10 @@ def analyze_text(text: str, analyzer=None) -> list[str]:
         return toks
     sw = set(analyzer.stopwords)
     lo, hi = analyzer.min_token_len, analyzer.max_token_len
-    return [t for t in toks if lo <= len(t) <= hi and t not in sw]
+    kept = [t for t in toks if lo <= len(t) <= hi and t not in sw]
+    if getattr(analyzer, "stemmer", "") == "minimal_english":
+        kept = [_stem_minimal_english(t) for t in kept]
+    return kept
 
 
 def analyze_text_positions(text: str, analyzer=None) -> tuple[list[str], list[int]]:
@@ -156,6 +193,8 @@ def analyze_text_positions(text: str, analyzer=None) -> tuple[list[str], list[in
     lo, hi = analyzer.min_token_len, analyzer.max_token_len
     kept = [(t, i) for i, t in enumerate(toks)
             if lo <= len(t) <= hi and t not in sw]
+    if getattr(analyzer, "stemmer", "") == "minimal_english":
+        kept = [(_stem_minimal_english(t), i) for t, i in kept]
     return [t for t, _ in kept], [i for _, i in kept]
 
 
@@ -174,5 +213,6 @@ def load_analyzer(index_dir: str):
         stopwords=tuple(a.get("stopwords", ())),
         min_token_len=int(a.get("min_token_len", 1)),
         max_token_len=int(a.get("max_token_len", 1 << 30)),
+        stemmer=str(a.get("stemmer", "")),
     )
     return None if cfg.is_default() else cfg

@@ -264,6 +264,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
                 "stopwords": list(cfg.analyzer.stopwords),
                 "min_token_len": cfg.analyzer.min_token_len,
                 "max_token_len": cfg.analyzer.max_token_len,
+                "stemmer": cfg.analyzer.stemmer,
             }
         man.save()
     num_buckets = int(man.data["num_buckets"])
@@ -435,6 +436,7 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
             "stopwords": list(analyzer.stopwords),
             "min_token_len": analyzer.min_token_len,
             "max_token_len": analyzer.max_token_len,
+            "stemmer": analyzer.stemmer,
         }
     fs.write_json_atomic(fs.join(cfg.index_dir, "stats.json"), stats)
     man.data["stats"] = stats

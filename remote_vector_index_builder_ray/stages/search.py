@@ -279,6 +279,7 @@ class BM25Searcher:
                 stopwords=tuple(a.get("stopwords", ())),
                 min_token_len=int(a.get("min_token_len", 1)),
                 max_token_len=int(a.get("max_token_len", 1 << 30)),
+                stemmer=str(a.get("stemmer", "")),
             )
         else:
             self._analyzer = None

@@ -239,3 +239,78 @@ def test_gap_is_required_not_elastic(smoke_fixture, an_pos_index, tmp_path_facto
     gap = set(res[res["query_id"] == 1]["docid"])
     assert adj == {1}, "adjacent phrase must only match the gapless doc"
     assert gap == {0, 2}, "gapped phrase matches any doc with the gap shape"
+
+
+# --- minimal_english stemmer (Lucene EnglishMinimalStemFilter) --------------
+
+STEM_AN = AnalyzerConfig(stemmer="minimal_english")
+
+
+def test_minimal_english_stem_rules():
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        _stem_minimal_english,
+    )
+
+    cases = {
+        "runs": "run", "cats": "cat", "was": "wa",       # plural strip
+        "is": "is", "as": "as", "us": "us",              # < 3 chars keep
+        "pass": "pass", "glass": "glass",                # -ss keeps
+        "bonus": "bonus", "census": "census",            # -us keeps
+        "run": "run", "the": "the",                      # no trailing s
+    }
+    for raw, want in cases.items():
+        assert _stem_minimal_english(raw) == want, raw
+    assert analyze_text("Runs pass bonus cats", STEM_AN) == [
+        "run", "pass", "bonus", "cat"
+    ]
+
+
+def test_stem_column_matches_scalar(smoke_fixture):
+    import pyarrow as pa
+
+    df = pq.read_table(smoke_fixture["transcripts"][0]).to_pandas().head(200)
+    col = pa.array(df["text"].tolist(), type=pa.string())
+    tokens, _doc_index, doc_len = analyze_column(col, STEM_AN)
+    toks = tokens.to_pylist()
+    off = 0
+    for i, t in enumerate(df["text"]):
+        exp = analyze_text(t or "", STEM_AN)
+        n = int(doc_len[i])
+        assert toks[off:off + n] == exp
+        off += n
+
+
+@pytest.fixture(scope="module")
+def stem_index(smoke_fixture, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("stem") / "idx")
+    build_index(BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=idx,
+        num_partitions=2, analyzer=STEM_AN,
+    ))
+    return idx
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw"])
+def test_stemmed_rank_identity(smoke_fixture, stem_index, mode):
+    """Index + query both stem, so 'runs' finds 'run' docs; scores equal an
+    analyzer-aware oracle bit-for-bit."""
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    )
+    oracle = oracle_from_transcripts(src, analyzer=STEM_AN)
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas()
+    gold = oracle.run_queries(qdf)
+    res = (
+        search(stem_index, smoke_fixture["queries"], mode=mode)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(res) == len(gold) > 0
+    np.testing.assert_array_equal(res["docid"].to_numpy(), gold["docid"].to_numpy())
+    np.testing.assert_array_equal(res["score"].to_numpy(), gold["score"].to_numpy())
+
+
+def test_unknown_stemmer_rejected():
+    from remote_vector_index_builder_ray.config import EngineError
+
+    with pytest.raises(EngineError, match="stemmer"):
+        AnalyzerConfig(stemmer="porter2")
