@@ -3288,6 +3288,28 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_scroll(sf_dir: str):
+    """Deep pagination via the real scroll loop (pipelines/query.scroll):
+    three strictly-after cursor pages of 10, unioned, rounded and cut to the
+    first 20 — the oversample-then-round robustness of bm25_page2 applied to
+    a whole scroll session. page = which 10-row page a hit lands on."""
+    from remote_vector_index_builder_ray.pipelines.query import scroll
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    raw = scroll(index_dir, q, page_size=10, n_pages=3)
+    raw["score"] = raw["score"].round(6)
+    raw = raw.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    raw["rank"] = raw.groupby("query_id").cumcount() + 1
+    out = raw[raw["rank"] <= 20].copy()
+    out["page"] = ((out["rank"] - 1) // 10 + 1).astype(np.int32)
+    return out[["query_id", "page", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "page": np.int32, "rank": np.int32,
+         "docid": np.int64, "score": np.float64}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_stemmed(sf_dir: str):
     """Index + query analyzed with the minimal_english stemmer (Lucene
     EnglishMinimalStemFilter: final 's' drops unless len<3 or '-ss'/'-us') —
@@ -3412,6 +3434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pit": _q_bm25_pit,
         "bm25_sig_text": _q_bm25_sig_text,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_scroll": _q_bm25_scroll,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5779,6 +5802,40 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    # scroll: the bm25_topk shell at k=20 with a 10-row page number
+    out["bm25_scroll"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, ((rank - 1) // 10 + 1)::INT AS page, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= 20
+ORDER BY query_id, rank
+"""
     # minimal_english stemmer: the bm25_topk shell with every token (docs AND
     # queries) run through Lucene EnglishMinimalStemFilter's rule
     _stem = ("CASE WHEN length({x}) >= 3 AND {x} LIKE '%s' "

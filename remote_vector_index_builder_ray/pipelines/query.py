@@ -712,6 +712,65 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def scroll(
+    index_dir: str,
+    queries,
+    page_size: int = 10,
+    n_pages: int = 3,
+    mode: str = "bmw",
+    **search_kw,
+) -> pd.DataFrame:
+    """OpenSearch scroll / point-in-time pagination: page 1 at k=page_size,
+    then repeated STRICTLY-AFTER cursor fetches (the search_after machinery).
+    Each round ships only its own page's rows — deep pages never re-fetch or
+    re-rank earlier hits, which is the scale property scroll exists for (a
+    from=9990&size=10 offset search re-ships 10k rows per shard; this ships
+    10). A query whose page comes back short is exhausted and drops out of
+    later rounds. Returns (query_id, page, rank, docid, score) with rank
+    global across pages and raw float64 scores (callers round for display).
+    """
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    q = q.assign(k=np.int32(page_size))
+    if "after_score" in q.columns or "after_docid" in q.columns:
+        raise ValueError("scroll manages its own cursors; drop after_* columns")
+    pages = []
+    cur = q
+    for page in range(1, n_pages + 1):
+        res = search(index_dir, cur, mode=mode, **search_kw).to_pandas()
+        if res.empty or "query_id" not in res.columns:
+            break
+        res = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        res["page"] = np.int32(page)
+        res["rank"] = (res["rank"].astype(np.int64)
+                       + (page - 1) * page_size).astype(np.int32)
+        pages.append(res)
+        if page == n_pages:
+            break
+        sizes = res.groupby("query_id").size()
+        alive = sizes[sizes == page_size].index
+        if len(alive) == 0:
+            break
+        last = res.groupby("query_id").tail(1)
+        cur = (
+            q[q["query_id"].isin(alive)]
+            .drop(columns=[c for c in ("after_score", "after_docid") if c in q.columns])
+            .merge(
+                last[["query_id", "score", "docid"]].rename(
+                    columns={"score": "after_score", "docid": "after_docid"}
+                ),
+                on="query_id",
+                how="inner",
+            )
+        )
+    cols = {"query_id": np.int64, "page": np.int32, "rank": np.int32,
+            "docid": np.int64, "score": np.float64}
+    if not pages:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out = pd.concat(pages, ignore_index=True)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return out[["query_id", "page", "rank", "docid", "score"]].astype(cols)
+
+
 def mget(index_dir: str, requests) -> pd.DataFrame:
     """OpenSearch ``_mget``: fetch stored fields for explicit
     (query_id, docid) requests — no scoring, no analysis. The request

@@ -68,3 +68,41 @@ def test_search_after_rejected_in_wand(smoke_fixture, smoke_index):
     q["after_docid"] = 0
     with pytest.raises(ValueError, match="not supported"):
         search(smoke_index["index_dir"], q, mode="wand")
+
+
+def test_scroll_pages_equal_oracle_topk(smoke_index, smoke_fixture, smoke_oracle):
+    """scroll(page_size=5, n_pages=3) re-assembles the oracle's top-15 per
+    query exactly (raw scores bit-equal), with correct page/rank numbering
+    and no hit shipped twice."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.query import scroll
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(10)
+    got = scroll(smoke_index["index_dir"], qdf, page_size=5, n_pages=3)
+    assert not got.duplicated(["query_id", "docid"]).any()
+    assert ((got["rank"] - 1) // 5 + 1 == got["page"]).all()
+    want = smoke_oracle.run_queries(qdf.assign(k=np.int32(15)))
+    got_cmp = got[["query_id", "rank", "docid", "score"]].reset_index(drop=True)
+    want_cmp = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_cmp, want_cmp)
+
+
+def test_scroll_exhausted_query_drops_out(smoke_index, smoke_fixture, smoke_oracle):
+    """A query with fewer matches than one page stops scrolling after its
+    short page; others keep paging."""
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray.pipelines.query import scroll
+
+    q = pd.DataFrame({
+        "query_id": np.array([0, 1], dtype=np.int64),
+        "text": ["zz_absent_term", "the"],
+        "k": np.array([5, 5], dtype=np.int32),
+    })
+    got = scroll(smoke_index["index_dir"], q, page_size=5, n_pages=2)
+    assert 0 not in set(got["query_id"])
+    assert (got[got["query_id"] == 1].groupby("page").size() == 5).all()
