@@ -3288,6 +3288,35 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_named(sf_dir: str):
+    """Named queries (_name / matched_queries): the bm25_topk page with each
+    hit annotated by which named clauses it also matches — 'first_term' (the
+    query's own first token) and 'stopword_the' (the term 'the'). Membership
+    = one constant-score pass per clause over the hit set
+    (pipelines/query.search_named)."""
+    from remote_vector_index_builder_ray.pipelines.query import search_named
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    q2 = q.assign(
+        k=(q["k"] * 2).astype("int32"),
+        first_term=q["text"].str.lower().str.extract(r"([a-z0-9_]+)", expand=False).fillna(""),
+        the_term="the",
+    )
+    res = search_named(index_dir, q2,
+                       named={"first_term": "first_term", "stopword_the": "the_term"})
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res["k"] = res["query_id"].map(k_by_query)
+    res = res[res["rank"] <= res["k"]]
+    return res[["query_id", "rank", "docid", "score", "matched_queries"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64",
+         "score": "float64", "matched_queries": object}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_scroll(sf_dir: str):
     """Deep pagination via the real scroll loop (pipelines/query.scroll):
     three strictly-after cursor pages of 10, unioned, rounded and cut to the
@@ -3435,6 +3464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sig_text": _q_bm25_sig_text,
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_scroll": _q_bm25_scroll,
+        "bm25_named": _q_bm25_named,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5802,6 +5832,56 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    # named queries: the bm25_topk shell + per-clause EXISTS membership over
+    # the hit docids ('first_term' = the query's first token, 'stopword_the'
+    # = the literal term 'the'); matched_queries joins the names sorted
+    out["bm25_named"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+qt AS MATERIALIZED (
+    SELECT query_id, k,
+           regexp_extract(lower(text), '[a-z0-9_]+') AS first_term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score,
+       concat_ws(',',
+           CASE WHEN qt.first_term IS NOT NULL AND qt.first_term <> '' AND EXISTS (
+               SELECT 1 FROM tf WHERE tf.docid = r.docid AND tf.term = qt.first_term
+           ) THEN 'first_term' END,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM tf WHERE tf.docid = r.docid AND tf.term = 'the'
+           ) THEN 'stopword_the' END
+       ) AS matched_queries
+FROM ranked r JOIN qt USING (query_id)
+WHERE r.rank <= r.k
+ORDER BY r.query_id, r.rank
+"""
     # scroll: the bm25_topk shell at k=20 with a 10-row page number
     out["bm25_scroll"] = f"""
 WITH {docs}, {_TOKS},

@@ -712,6 +712,51 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def search_named(
+    index_dir: str,
+    queries,
+    named: dict[str, str],
+    mode: str = "bmw",
+    **search_kw,
+) -> pd.DataFrame:
+    """Named queries (OpenSearch ``_name`` / ``matched_queries``): the normal
+    top-k on the ``text`` column, each hit annotated with which named clauses
+    it also matches. ``named`` maps clause name -> queries column holding
+    that clause's text (a clause matches a doc containing >= 1 of its
+    analyzed terms, the bool-should shape).
+
+    Membership is resolved by ONE constant-score pass per clause restricted
+    to the hit set (``allow_docids`` — queries x k docids, broadcast once):
+    no rescoring, no extra postings decode beyond the clause terms. Returns
+    (query_id, rank, docid, score, matched_queries) with matched_queries a
+    comma-joined sorted name list ('' = main query only)."""
+    import numpy as _np
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    res = search(index_dir, q, mode=mode, **search_kw).to_pandas()
+    cols = {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+            "score": np.float64, "matched_queries": object}
+    if res.empty or "docid" not in res.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    allow = _np.unique(res["docid"].to_numpy(_np.int64))
+    matched: dict[tuple[int, int], list[str]] = {}
+    for name in sorted(named):
+        col = named[name]
+        qq = q[["query_id"]].assign(
+            text=q[col].astype(str), k=_np.int32(2**31 - 1)
+        )
+        m = search(index_dir, qq, mode="constant", allow_docids=allow).to_pandas()
+        if m.empty or "docid" not in m.columns:
+            continue
+        for qid, docid in zip(m["query_id"].to_numpy(), m["docid"].to_numpy()):
+            matched.setdefault((int(qid), int(docid)), []).append(name)
+    res["matched_queries"] = [
+        ",".join(matched.get((int(r.query_id), int(r.docid)), []))
+        for r in res.itertuples(index=False)
+    ]
+    return res[list(cols)].astype(cols)
+
+
 def scroll(
     index_dir: str,
     queries,

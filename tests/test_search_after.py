@@ -106,3 +106,38 @@ def test_scroll_exhausted_query_drops_out(smoke_index, smoke_fixture, smoke_orac
     got = scroll(smoke_index["index_dir"], q, page_size=5, n_pages=2)
     assert 0 not in set(got["query_id"])
     assert (got[got["query_id"] == 1].groupby("page").size() == 5).all()
+
+
+def test_search_named_matched_queries(smoke_index, smoke_fixture, smoke_oracle):
+    """matched_queries annotation: hits carry the sorted names of the named
+    clauses whose terms they contain; ranks/scores equal the plain search."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import analyze_text
+    from remote_vector_index_builder_ray.pipelines.query import search, search_named
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(6)
+    qdf = qdf.assign(clause_a="the", clause_b=qdf["text"])
+    got = search_named(smoke_index["index_dir"], qdf,
+                       named={"a_the": "clause_a", "b_self": "clause_b"})
+    plain = search(smoke_index["index_dir"], qdf, mode="bmw").to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "docid", "score"]].reset_index(drop=True),
+        plain.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    # brute-force membership from the raw corpus
+    src = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    toks_by_doc = {i: set(analyze_text(t or "", None)) for i, t in enumerate(src["text"])}
+    text_by_qid = dict(zip(qdf["query_id"], qdf["text"]))
+    for r in got.itertuples(index=False):
+        names = []
+        if "the" in toks_by_doc[int(r.docid)]:
+            names.append("a_the")
+        if set(analyze_text(text_by_qid[int(r.query_id)] or "", None)) & toks_by_doc[int(r.docid)]:
+            names.append("b_self")
+        assert r.matched_queries == ",".join(names), (r.query_id, r.docid)
+        # every hit matched the main query == clause_b, so b_self is always on
+        assert "b_self" in r.matched_queries
