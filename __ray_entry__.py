@@ -3288,6 +3288,40 @@ def _q_dedup_apply(sf_dir: str):
             .reset_index(drop=True).astype({"doc_id": "int64"}))
 
 
+def _q_bm25_terms_by_metric(sf_dir: str):
+    """terms(role) agg ORDERED BY a sub-aggregation (order: avg_doc_len desc,
+    ties key asc), top 3 buckets per query with explicit bucket rank
+    (pipelines/aggs.terms_agg_ordered)."""
+    from remote_vector_index_builder_ray.pipelines.aggs import terms_agg_ordered
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return terms_agg_ordered(index_dir, pd.read_parquet(fx["queries"]),
+                             field="role", metric_field="doc_len",
+                             size=3).reset_index(drop=True)
+
+
+def _q_bm25_script_fields(sf_dir: str):
+    """script_fields: each hit carries doc_len * 2 + turn_idx computed from
+    doc-values by the sandboxed int-script compiler over the hydrated hit set
+    (pipelines/query.search_script_fields)."""
+    from remote_vector_index_builder_ray.pipelines.query import search_script_fields
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    q2 = q.assign(k=(q["k"] * 2).astype("int32"))
+    res = search_script_fields(index_dir, q2, script="doc_len * 2 + turn_idx",
+                               fields=("turn_idx", "doc_len"))
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["query_id", "score", "docid"], ascending=[True, False, True])
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    res = res[res["rank"] <= res["query_id"].map(k_by_query)]
+    return res[["query_id", "rank", "docid", "score", "script_val"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64",
+         "score": "float64", "script_val": "int64"}
+    ).reset_index(drop=True)
+
+
 def _q_bm25_named(sf_dir: str):
     """Named queries (_name / matched_queries): the bm25_topk page with each
     hit annotated by which named clauses it also matches — 'first_term' (the
@@ -3465,6 +3499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_scroll": _q_bm25_scroll,
         "bm25_named": _q_bm25_named,
+        "bm25_terms_by_metric": _q_bm25_terms_by_metric,
+        "bm25_script_fields": _q_bm25_script_fields,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5832,6 +5868,73 @@ FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
 
+    # terms agg ordered by sub-aggregation: the facets reduce, permuted by
+    # (avg_doc_len desc, key asc) with an explicit bucket rank, top 3
+    out["bm25_terms_by_metric"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+agg AS (
+    SELECT m.query_id, d.role AS key, count(*)::BIGINT AS n_docs,
+           floor((sum(dl.dl)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS avg_doc_len
+    FROM m JOIN docs d USING (docid) JOIN dl USING (docid)
+    GROUP BY m.query_id, d.role
+),
+ranked AS (
+    SELECT query_id, key, n_docs, avg_doc_len,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY avg_doc_len DESC, key) AS rank
+    FROM agg
+)
+SELECT query_id, rank::INT AS rank, key, n_docs, avg_doc_len
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+    # script_fields: the bm25_topk shell + a per-hit computed doc-value field
+    out["bm25_script_fields"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score,
+       (dl.dl * 2 + d.turn_idx)::BIGINT AS script_val
+FROM ranked r JOIN docs d ON r.docid = d.docid JOIN dl ON r.docid = dl.docid
+WHERE r.rank <= r.k
+ORDER BY r.query_id, r.rank
+"""
     # named queries: the bm25_topk shell + per-clause EXISTS membership over
     # the hit docids ('first_term' = the query's first token, 'stopword_the'
     # = the literal term 'the'); matched_queries joins the names sorted

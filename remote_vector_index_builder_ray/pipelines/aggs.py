@@ -399,6 +399,32 @@ def terms_agg(
     return _run_agg(index_dir, queries, field, None, metric_field, where)
 
 
+def terms_agg_ordered(
+    index_dir: str,
+    queries,
+    field: str = "role",
+    metric_field: str = "doc_len",
+    size: int = 5,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `terms` aggregation ORDERED BY A SUB-AGGREGATION
+    (``order: {"avg_<metric>": "desc"}``): the top ``size`` buckets per query
+    by the bucket's avg metric (desc; ties by key asc), with an explicit
+    bucket rank. Same single streaming probe as :func:`terms_agg` — ordering
+    is a driver-side permutation of the (queries x buckets) reduce."""
+    base = _run_agg(index_dir, queries, field, None, metric_field, where)
+    mcol = f"avg_{metric_field}"
+    if base.empty:
+        out = base.copy()
+        out["rank"] = pd.Series(dtype=np.int32)
+        return out[["query_id", "rank", "key", "n_docs", mcol]]
+    base = base.sort_values(["query_id", mcol, "key"],
+                            ascending=[True, False, True])
+    base["rank"] = (base.groupby("query_id").cumcount() + 1).astype(np.int32)
+    out = base[base["rank"] <= size].reset_index(drop=True)
+    return out[["query_id", "rank", "key", "n_docs", mcol]]
+
+
 def date_histogram(
     index_dir: str,
     queries,

@@ -712,6 +712,37 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def search_script_fields(
+    index_dir: str,
+    queries,
+    script: str,
+    fields: tuple = ("turn_idx", "doc_len"),
+    name: str = "script_val",
+    mode: str = "bmw",
+    **search_kw,
+) -> pd.DataFrame:
+    """OpenSearch ``script_fields``: each hit carries a computed response
+    field evaluated from docmeta doc-values by the sandboxed painless-analog
+    int-script compiler (pipelines/aggs._compile_script — int +,-,* over
+    whitelisted fields, AST-validated, SQL-transcribable verbatim). Hits are
+    queries x k and doc-values arrive via the broadcast-semi-join hydrate —
+    the computation never rescans the corpus. Returns
+    (query_id, rank, docid, score, <name>)."""
+    from remote_vector_index_builder_ray.pipelines.aggs import _compile_script
+
+    fn = _compile_script(script, fields)  # validates eagerly on the driver
+    res = search(index_dir, queries, mode=mode, **search_kw).to_pandas()
+    cols = {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+            "score": np.float64, name: np.int64}
+    if res.empty or "docid" not in res.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    hyd = hydrate(index_dir, ray.data.from_pandas(res.reset_index(drop=True)))
+    vals = fn({f: hyd[f].to_numpy(np.int64) for f in fields})
+    hyd[name] = np.asarray(vals, dtype=np.int64)
+    hyd = hyd.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return hyd[list(cols)].astype(cols)
+
+
 def search_named(
     index_dir: str,
     queries,

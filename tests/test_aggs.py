@@ -838,3 +838,25 @@ def test_significant_text_filter_duplicate_text(smoke_fixture, smoke_index):
     ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
               "score": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_terms_agg_ordered_by_metric(smoke_fixture, smoke_index):
+    """terms agg ordered by sub-aggregation: buckets ranked by avg metric
+    desc (ties key asc), explicit rank, top-size cut."""
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        terms_agg,
+        terms_agg_ordered,
+    )
+
+    base = terms_agg(smoke_index["index_dir"], QUERIES, field="role",
+                     metric_field="doc_len")
+    got = terms_agg_ordered(smoke_index["index_dir"], QUERIES, field="role",
+                            metric_field="doc_len", size=2)
+    want = base.sort_values(["query_id", "avg_doc_len", "key"],
+                            ascending=[True, False, True]).copy()
+    want["rank"] = (want.groupby("query_id").cumcount() + 1).astype(np.int32)
+    want = want[want["rank"] <= 2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[["query_id", "rank", "key", "n_docs", "avg_doc_len"]],
+    )

@@ -141,3 +141,34 @@ def test_search_named_matched_queries(smoke_index, smoke_fixture, smoke_oracle):
         assert r.matched_queries == ",".join(names), (r.query_id, r.docid)
         # every hit matched the main query == clause_b, so b_self is always on
         assert "b_self" in r.matched_queries
+
+
+def test_search_script_fields(smoke_index, smoke_fixture):
+    """script_fields: per-hit computed doc-value field equals the hydrated
+    sources' arithmetic; ranks/scores equal the plain search."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.query import (
+        hydrate,
+        search,
+        search_script_fields,
+    )
+    import ray.data
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(5)
+    got = search_script_fields(smoke_index["index_dir"], qdf,
+                               script="doc_len * 2 + turn_idx")
+    plain = search(smoke_index["index_dir"], qdf, mode="bmw").to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "docid", "score"]].reset_index(drop=True),
+        plain.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    meta = hydrate(smoke_index["index_dir"],
+                   ray.data.from_pandas(plain.reset_index(drop=True)))
+    meta = meta.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        got["script_val"].to_numpy(),
+        (meta["doc_len"].to_numpy(np.int64) * 2 + meta["turn_idx"].to_numpy(np.int64)),
+    )
