@@ -1922,6 +1922,36 @@ def _ensure_upd_index(sf_dir: str):
     return fx, index_dir, upd_pq
 
 
+def _ensure_ubq_index(sf_dir: str):
+    """Dedicated index for update_by_query: every doc containing the term
+    'w000050' is re-written with ' zzubq' appended (the ctx._source painless
+    shape) — matched set resolved by the engine itself, so the SQL twin
+    derives the same update set from the corpus (no artifact needed)."""
+    from remote_vector_index_builder_ray import BuildConfig
+    from remote_vector_index_builder_ray.pipelines.incremental import update_by_query
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_ubq")
+    man = _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"], index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])),
+    ))
+    if not man.get("generations"):  # idempotent across driver runs
+        update_by_query(index_dir, "w000050", " zzubq",
+                        os.path.join(ARTIFACT_ROOT, f"{name}_ubq_rows"))
+    return fx, index_dir
+
+
+def _q_bm25_update_by_query(sf_dir: str):
+    """OpenSearch _update_by_query: matched docs (term 'w000050') re-written
+    in place — old versions tombstoned, new versions appended as a sort-mode
+    generation; top-k over the updated index
+    (pipelines/incremental.update_by_query)."""
+    fx, index_dir = _ensure_ubq_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw")
+
+
 def _q_bm25_update(sf_dir: str):
     """OpenSearch bulk update: 20 turns re-written (' zzupdated' appended).
     Old versions tombstone out of the candidate set; new versions live at
@@ -3501,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_named": _q_bm25_named,
         "bm25_terms_by_metric": _q_bm25_terms_by_metric,
         "bm25_script_fields": _q_bm25_script_fields,
+        "bm25_update_by_query": _q_bm25_update_by_query,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -4394,6 +4425,59 @@ upd AS MATERIALIZED (
     FROM read_parquet('{upd_pq}')
 ),
 dead AS (SELECT b.docid FROM base b JOIN upd u USING (conv_id, turn_idx)),
+docs AS MATERIALIZED (
+    SELECT docid, text FROM base UNION ALL SELECT docid, text FROM upd
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, sc.docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc WHERE sc.docid NOT IN (SELECT docid FROM dead)
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # update_by_query: docs containing 'w000050' get ' zzubq' appended — the
+    # update set derives from the corpus itself (engine and SQL agree on it)
+    out["bm25_update_by_query"] = f"""
+WITH base AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+nb AS (SELECT count(*)::BIGINT AS n FROM base),
+hit AS MATERIALIZED (
+    SELECT * FROM base
+    WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'w000050')
+),
+upd AS MATERIALIZED (
+    SELECT (SELECT n FROM nb) + row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text || ' zzubq' AS text
+    FROM hit
+),
+dead AS (SELECT docid FROM hit),
 docs AS MATERIALIZED (
     SELECT docid, text FROM base UNION ALL SELECT docid, text FROM upd
 ), {_TOKS},

@@ -377,6 +377,84 @@ def update_docs(
             "inserted": int(len(keys)) - n_updated, "manifest": man}
 
 
+def update_by_query(
+    index_dir: str,
+    query_text: str,
+    append_text: str,
+    out_dir: str,
+    num_partitions: int | None = None,
+) -> dict:
+    """OpenSearch ``_update_by_query``: every doc matching ``query_text``
+    (OR over its analyzed terms, the match-query shape) is re-written with
+    ``append_text`` appended to its text (the ``ctx._source.text += ...``
+    painless shape) — old versions tombstone, new versions append as a
+    generation (docid_mode='sort'), exactly :func:`update_docs` semantics.
+
+    Streaming shape: matched docids broadcast once (sorted allow-list); the
+    docmeta stream filters + transforms VECTORIZED and writes the new-version
+    parquet shards to ``out_dir`` without a driver round-trip. The follow-up
+    :func:`update_docs` key probe is then bounded by the match count — like
+    OpenSearch, an unselective update_by_query is an O(matches) reindex by
+    design."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": [query_text],
+                      "k": np.array([2**31 - 1], dtype=np.int32)})
+    m = search(index_dir, q, mode="constant").to_pandas()
+    if m.empty or "docid" not in m.columns:
+        return {"updated": 0, "inserted": 0, "manifest": None}
+    allow = ray.put(np.sort(m["docid"].to_numpy(np.int64)))
+
+    class _Rewrite:
+        def __init__(self, r, suffix):
+            self.allow = ray.get(r)
+            self.suffix = suffix
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+            ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+            hit = batch.filter(pa.array(isin_sorted(ids, self.allow)))
+            if hit.num_rows == 0:
+                return hit.select(
+                    ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+            new_text = pc.binary_join_element_wise(
+                hit["text"].combine_chunks().cast(pa.string()),
+                pa.array([self.suffix] * hit.num_rows, type=pa.string()), "",
+            )
+            out = hit.select(["conv_id", "turn_idx", "role", "tool", "ts"])
+            return out.append_column("text", new_text).select(
+                ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files))
+        .map_batches(_Rewrite, fn_constructor_args=(allow, append_text),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 8))
+        .write_parquet(out_dir)
+    )
+    import os as _os
+
+    files = [fs.join(out_dir, n) for n in sorted(_os.listdir(out_dir))
+             if n.endswith(".parquet")]
+    return update_docs(index_dir, files, num_partitions=num_partitions)
+
+
 def index_stats(index_dir: str) -> "pd.DataFrame":
     """OpenSearch _stats/_count analog: one row of whole-index statistics —
     (n_docs, total_len, avgdl6, n_terms, total_postings, total_tf).

@@ -119,3 +119,51 @@ def test_update_docs_upsert(smoke_fixture, tmp_path_factory, mode):
     upd_hits = set(res[res["query_id"] == 0]["docid"])
     assert upd_hits and upd_hits.isdisjoint(dead)
     assert all(h >= n for h in upd_hits)
+
+
+def test_update_by_query_matches_rebuilt_oracle(smoke_fixture, tmp_path_factory):
+    """_update_by_query: docs containing the target term get the suffix
+    appended; results equal a from-scratch oracle over (unmatched base +
+    patched versions at fresh docids), with old versions gone."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+    from remote_vector_index_builder_ray.functions.tokenizer import analyze_text
+    from remote_vector_index_builder_ray.oracle import BM25Oracle
+    from remote_vector_index_builder_ray.pipelines.incremental import update_by_query
+
+    idx = str(tmp_path_factory.mktemp("ubq") / "idx")
+    build_index(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                            index_dir=idx, num_partitions=2))
+    term = "w000003"
+    out = update_by_query(idx, term, " zzubq",
+                          str(tmp_path_factory.mktemp("ubq_rows")))
+    assert out["updated"] > 0 and out["inserted"] == 0
+
+    src = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    src = src.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    hit = src["text"].map(lambda t: term in analyze_text(t or "", None))
+    assert int(hit.sum()) == out["updated"]
+    patched = src[hit].sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    docids = list(src.index[~hit]) + list(range(len(src), len(src) + len(patched)))
+    # stats span all versions (tombstones still count in N/avgdl)
+    oracle = BM25Oracle(
+        list(src.index) + list(range(len(src), len(src) + len(patched))),
+        list(src["text"]) + [t + " zzubq" for t in patched["text"]],
+    )
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(10)
+    want_rows = []
+    live = set(docids)
+    for q in qdf.itertuples(index=False):
+        items = [(d, s) for d, s in oracle.score_query(q.text).items() if d in live]
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, s) in enumerate(items[: int(q.k)], start=1):
+            want_rows.append((int(q.query_id), rank, d, s))
+    want = pd.DataFrame(want_rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64})
+    got = (search(idx, qdf, mode="bmw").to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["query_id", "rank", "docid", "score"]],
+                                  want.sort_values(["query_id", "rank"]).reset_index(drop=True))
