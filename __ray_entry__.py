@@ -2103,6 +2103,21 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(_read(sf_dir, "embeddings"), qdf["vec_id"].to_numpy(), qm, k=10)
 
 
+def _q_ann_matryoshka(sf_dir: str):
+    """Matryoshka-truncation ANN (MRL): exact cosine top-10 in the FIRST-16-
+    dims truncated + renormalized space — dim/d of the matmul FLOPs per
+    batch (extras/ann.matryoshka_topk)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.ann import matryoshka_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    return matryoshka_topk(_read(sf_dir, "embeddings"),
+                           qdf["vec_id"].to_numpy(), qm, dim=16, k=10)
+
+
 def _q_ann_hnsw(sf_dir: str):
     """Sharded small-world graph ANN (the reference's CAGRA->HNSW family,
     extras/graph_ann): deterministic NSW build per vec_id%4 shard in
@@ -3662,6 +3677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_features": _q_text_features,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ann_topk": _q_ann_topk,
+        "ann_matryoshka_topk": _q_ann_matryoshka,
         "ann_filtered": _q_ann_filtered,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,
@@ -3915,6 +3931,22 @@ WITH t AS (
 )
 SELECT content_hash, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
 FROM t GROUP BY content_hash ORDER BY content_hash
+""",
+        "ann_matryoshka_topk": """
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv[1:16], e.v[1:16]) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
 """,
         "ann_topk": """
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -137,6 +137,50 @@ def brute_force_topk(
     return _finalize_topk(partials, k)
 
 
+def matryoshka_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    dim: int,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Matryoshka-truncation ANN (MRL, Kusupati et al. 2022 — the practice
+    OpenSearch k-NN exposes as index-time dimension reduction): both corpus
+    vectors and queries truncate to their FIRST ``dim`` dims and renormalize;
+    exact cosine top-k runs in the truncated space — dim/d of the matmul
+    FLOPs and bytes per batch. Same broadcast/partial/reduce shape as
+    :func:`brute_force_topk`; ranking on 6dp-rounded scores so a SQL twin
+    (list slicing + norm) admits identical edge cases."""
+    qm = np.asarray(query_matrix, dtype=np.float64)[:, :dim]
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm))
+
+    class _TruncCosineTopK(CosineTopK):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, "embedding")[:, :dim]
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = self.qn @ _normalize(m).T
+            out_q, out_id, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                kk = min(self.k, len(s))
+                idx = (np.argpartition(-s, kk - 1)[:kk]
+                       if len(s) > kk else np.arange(len(s)))
+                out_q.extend([int(self.qids[qi])] * len(idx))
+                out_id.extend(ids[idx].tolist())
+                out_s.extend(s[idx].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        _TruncCosineTopK, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).to_pandas()
+    return _finalize_topk(partials, k)
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

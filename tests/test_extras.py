@@ -636,3 +636,36 @@ def test_embedding_near_dup_distributed_verify_equals_exact():
     got = lsh.set_index(["vec_id_a", "vec_id_b"])["cosine"]
     want = exact.set_index(["vec_id_a", "vec_id_b"])["cosine"]
     pd.testing.assert_series_equal(got.sort_index(), want.sort_index())
+
+
+def test_matryoshka_topk_equals_truncated_brute_force():
+    """Truncate-then-renormalize cosine top-k equals a numpy brute force in
+    the truncated space; ranking on 6dp-rounded scores, vec_id tiebreak."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.ann import matryoshka_topk
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    qdf = emb[emb["vec_id"] < 4].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    dim, k = 8, 5
+    got = matryoshka_topk(
+        ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        qdf["vec_id"].to_numpy(), qm, dim=dim, k=k)
+
+    M = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])[:, :dim]
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    Qn = qm[:, :dim] / np.maximum(np.linalg.norm(qm[:, :dim], axis=1, keepdims=True), 1e-12)
+    sims = np.floor(Qn @ Mn.T * 1e6 + 0.5) / 1e6
+    ids = emb["vec_id"].to_numpy(np.int64)
+    rows = []
+    for qi, qid in enumerate(qdf["vec_id"]):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        for rank, j in enumerate(order, start=1):
+            rows.append((int(qid), rank, int(ids[j]), sims[qi][j]))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "vec_id": np.int64, "cosine": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
