@@ -1854,6 +1854,32 @@ def _q_bm25_composite(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_composite_after(sf_dir: str):
+    """composite aggregation `after`-key pagination: the next 5 buckets per
+    query STRICTLY after the composite key ('assistant', 2026-03-01) in key
+    order — the OpenSearch after/size paging contract
+    (pipelines/aggs.composite_agg(size, after))."""
+    from remote_vector_index_builder_ray import composite_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = composite_agg(index_dir, pd.read_parquet(fx["queries"]),
+                        term_field="role", date_field="ts",
+                        size=5, after=("assistant", "2026-03-01"))
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_filters_other(sf_dir: str):
+    """filters aggregation with other_bucket=true: the named predicate
+    buckets plus the OpenSearch `_other_` bucket (matched docs satisfying
+    no named filter) (pipelines/aggs.filters_agg(other_bucket=True))."""
+    from remote_vector_index_builder_ray import filters_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = filters_agg(index_dir, pd.read_parquet(fx["queries"]),
+                      _FILTERS_SPEC, other_bucket=True)
+    return out.reset_index(drop=True)
+
+
 def _dbq_term(sf_dir: str) -> str:
     """Deterministic delete_by_query victim term: the first token of the
     12th doc in (conv_id, turn_idx) order — the SQL twin derives the same
@@ -3547,6 +3573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_terms_by_metric": _q_bm25_terms_by_metric,
         "bm25_script_fields": _q_bm25_script_fields,
         "bm25_update_by_query": _q_bm25_update_by_query,
+        "bm25_composite_after": _q_bm25_composite_after,
+        "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
@@ -5658,6 +5686,13 @@ SELECT query_id, 'tooled', count(*)::BIGINT FROM flags WHERE f_tooled GROUP BY q
     out["bm25_filters"] = (
         _filters_flags + _filters_singles + "\nORDER BY query_id, key"
     )
+    out["bm25_filters_other"] = (
+        _filters_flags + _filters_singles + """
+UNION ALL
+SELECT query_id, '_other_', count(*)::BIGINT FROM flags
+WHERE NOT f_user AND NOT f_long AND NOT f_tooled GROUP BY query_id
+ORDER BY query_id, key"""
+    )
     out["bm25_adjacency"] = (
         _filters_flags + _filters_singles + """
 UNION ALL
@@ -7647,6 +7682,36 @@ SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
 ORDER BY m.query_id, key_term, key_day
+"""
+    out["bm25_composite_after"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+buckets AS (
+    SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
+           count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
+),
+paged AS (
+    SELECT query_id, key_term, key_day, n_docs,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY key_term, key_day) AS rn
+    FROM buckets
+    WHERE key_term > 'assistant'
+       OR (key_term = 'assistant' AND key_day > TIMESTAMP '2026-03-01')
+)
+SELECT query_id, key_term, key_day, n_docs
+FROM paged WHERE rn <= 5
+ORDER BY query_id, key_term, key_day
 """
     # weighted_avg: sum(doc_len*turn_idx)/sum(turn_idx) per match set;
     # integer sums, one rounded float64 division (engine combiner mirror)

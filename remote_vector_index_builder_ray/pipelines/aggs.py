@@ -683,10 +683,12 @@ class _ProbeFilters:
     adjacency mode, 'a&b' intersection keys for every name pair (OpenSearch
     adjacency_matrix bucket naming, pair names sorted)."""
 
-    def __init__(self, shard_refs, stride, filters: dict, adjacency: bool):
+    def __init__(self, shard_refs, stride, filters: dict, adjacency: bool,
+                 other_bucket: bool = False):
         self.matches = _ShardedMatches(shard_refs, stride)
         self.filters = filters
         self.adjacency = adjacency
+        self.other_bucket = other_bucket
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from remote_vector_index_builder_ray.stages.merge import isin_sorted
@@ -701,6 +703,13 @@ class _ProbeFilters:
                 for b in names[i + 1:]:
                     keys.append(f"{a}&{b}")
                     masks.append(fmasks[a] & fmasks[b])
+        if self.other_bucket:
+            # OpenSearch other_bucket: matched docs satisfying NO named filter
+            none = np.ones(len(ids), dtype=bool)
+            for n in names:
+                none &= ~fmasks[n]
+            keys.append("_other_")
+            masks.append(none)
         qids, out_keys, ns = [], [], []
         for qid, arr in self.matches.for_batch(ids).items():
             hit = isin_sorted(ids, arr)
@@ -727,12 +736,15 @@ def filters_agg(
     filters: dict,
     adjacency: bool = False,
     where=None,
+    other_bucket: bool = False,
 ) -> pd.DataFrame:
     """OpenSearch `filters` aggregation (and, with ``adjacency=True``, the
     `adjacency_matrix` aggregation) over each query's full match set:
     (query_id, key, n_docs) per named predicate bucket — buckets may
     overlap, a doc counts in every bucket it satisfies; adjacency mode adds
-    'a&b' pairwise-intersection buckets. Empty buckets omitted."""
+    'a&b' pairwise-intersection buckets. ``other_bucket=True`` adds the
+    OpenSearch `_other_` bucket (matched docs satisfying NO named filter).
+    Empty buckets omitted."""
     from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
     from remote_vector_index_builder_ray.state import fs
 
@@ -750,7 +762,7 @@ def filters_agg(
         .map_batches(
             _ProbeFilters,
             fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, filters,
-                                 adjacency),
+                                 adjacency, other_bucket),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),
@@ -2226,6 +2238,8 @@ def composite_agg(
     term_field: str = "role",
     date_field: str = "ts",
     where=None,
+    size: int | None = None,
+    after: tuple | None = None,
 ) -> pd.DataFrame:
     """OpenSearch `composite` aggregation with two sources — terms(field) x
     date_histogram(calendar day) — over each query's full match set:
@@ -2268,7 +2282,18 @@ def composite_agg(
         partials.groupby(["query_id", "key_term", "key_day"], sort=True)["n"]
         .sum().reset_index().rename(columns={"n": "n_docs"})
     )
-    return out.astype({"query_id": np.int64, "n_docs": np.int64})
+    if after is not None:
+        # OpenSearch composite `after` key: buckets STRICTLY after the
+        # (term, day) composite key in key order, per query
+        at, ad = after[0], np.datetime64(after[1], "us")
+        keep = (out["key_term"] > at) | (
+            (out["key_term"] == at) & (out["key_day"] > ad)
+        )
+        out = out[keep]
+    if size is not None:
+        # composite `size`: the next page of buckets per query
+        out = out.groupby("query_id", sort=True).head(size)
+    return out.reset_index(drop=True).astype({"query_id": np.int64, "n_docs": np.int64})
 
 
 # ---------------------------------------------------------------------------
