@@ -1854,6 +1854,39 @@ def _q_bm25_composite(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _ensure_fed_indexes(sf_dir: str):
+    """Two standalone indexes over the corpus halves (the inc-split
+    artifacts): federated-search legs, each with its OWN corpus stats."""
+    from remote_vector_index_builder_ray import BuildConfig
+
+    name = _sf_name(sf_dir)
+    _ensure_inc_index(sf_dir)  # materializes the part_a/part_b split
+    split_dir = os.path.join(ARTIFACT_ROOT, f"{name}_split")
+    dirs = []
+    for part in ("a", "b"):
+        idx = os.path.join(INDEX_ROOT, f"{name}_fed{part}")
+        _build_fresh_on_collision(BuildConfig(
+            input_paths=[os.path.join(split_dir, f"part_{part}.parquet")],
+            index_dir=idx,
+        ))
+        dirs.append(idx)
+    return dirs
+
+
+def _q_bm25_federated(sf_dir: str):
+    """Federated search across two indexes with indices_boost (a: 1.0,
+    b: 1.5): each leg scores with its own stats (query_then_fetch), boosted
+    rounded scores merge to a global top-10
+    (pipelines/query.multi_index_search)."""
+    from remote_vector_index_builder_ray.pipelines.query import multi_index_search
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    dirs = _ensure_fed_indexes(sf_dir)
+    return multi_index_search(dirs, pd.read_parquet(fx["queries"]), k=10,
+                              boosts=[1.0, 1.5], labels=["a", "b"])
+
+
 def _q_bm25_composite_after(sf_dir: str):
     """composite aggregation `after`-key pagination: the next 5 buckets per
     query STRICTLY after the composite key ('assistant', 2026-03-01) in key
@@ -3574,6 +3607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_script_fields": _q_bm25_script_fields,
         "bm25_update_by_query": _q_bm25_update_by_query,
         "bm25_composite_after": _q_bm25_composite_after,
+        "bm25_federated": _q_bm25_federated,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
@@ -7682,6 +7716,68 @@ SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
 ORDER BY m.query_id, key_term, key_day
+"""
+    # federated two-index search: per-leg LOCAL stats + local docids, boosted
+    # rounded scores merged to a global top-10
+    part_b_pq = os.path.join(ARTIFACT_ROOT, f"{sf}_split", "part_b.parquet")
+    out["bm25_federated"] = f"""
+WITH qq AS MATERIALIZED (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+docs_a AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid, text
+    FROM read_parquet('{part_a_pq}')
+),
+docs_b AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid, text
+    FROM read_parquet('{part_b_pq}')
+),
+toks_a AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM docs_a
+),
+toks_b AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM docs_b
+),
+tf_a AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks_a GROUP BY docid, term),
+dl_a AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks_a GROUP BY docid),
+df_a AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_a GROUP BY term),
+st_a AS (SELECT (SELECT count(*) FROM docs_a)::BIGINT AS n_docs,
+                (SELECT sum(dl) FROM dl_a)::DOUBLE / (SELECT count(*) FROM docs_a) AS avgdl),
+tf_b AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks_b GROUP BY docid, term),
+dlb AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks_b GROUP BY docid),
+df_b AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf_b GROUP BY term),
+st_b AS (SELECT (SELECT count(*) FROM docs_b)::BIGINT AS n_docs,
+                (SELECT sum(dl) FROM dlb)::DOUBLE / (SELECT count(*) FROM docs_b) AS avgdl),
+sc_a AS (
+    SELECT q.query_id, tf.docid, 'a' AS idx,
+           floor(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+               * 1.0 * 1000000 + 0.5) / 1000000 AS score
+    FROM qq q JOIN tf_a tf USING (term) JOIN df_a df USING (term)
+    JOIN dl_a dl ON tf.docid = dl.docid CROSS JOIN st_a s
+    GROUP BY q.query_id, tf.docid, s.n_docs, s.avgdl
+),
+sc_b AS (
+    SELECT q.query_id, tf.docid, 'b' AS idx,
+           floor(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+               * 1.5 * 1000000 + 0.5) / 1000000 AS score
+    FROM qq q JOIN tf_b tf USING (term) JOIN df_b df USING (term)
+    JOIN dlb dl ON tf.docid = dl.docid CROSS JOIN st_b s
+    GROUP BY q.query_id, tf.docid, s.n_docs, s.avgdl
+),
+merged AS (SELECT * FROM sc_a UNION ALL SELECT * FROM sc_b),
+ranked AS (
+    SELECT query_id, idx AS "index", docid, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, idx, docid) AS rank
+    FROM merged
+)
+SELECT query_id, rank::INT AS rank, "index", docid, score
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
 """
     out["bm25_composite_after"] = f"""
 WITH docs AS MATERIALIZED (

@@ -712,6 +712,54 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def multi_index_search(
+    index_dirs: list[str],
+    queries,
+    k: int = 10,
+    boosts: list[float] | None = None,
+    labels: list[str] | None = None,
+    mode: str = "bmw",
+    **search_kw,
+) -> pd.DataFrame:
+    """Federated search across several indexes (OpenSearch
+    ``GET idx_a,idx_b/_search`` + ``indices_boost``): each index scores its
+    own hits with ITS OWN corpus stats (query_then_fetch semantics — exactly
+    what cross-index scoring does), per-index scores multiply by that
+    index's boost, and the per-index top-k pages merge to a global top-k by
+    (6dp-rounded boosted score desc, index label asc, docid asc).
+
+    Each leg is the normal k-bounded distributed search; the merge is a
+    queries x k x n_indexes driver reduce. Returns
+    (query_id, rank, index, docid, score)."""
+    if boosts is None:
+        boosts = [1.0] * len(index_dirs)
+    if labels is None:
+        labels = [f"idx{i}" for i in range(len(index_dirs))]
+    if not (len(index_dirs) == len(boosts) == len(labels)):
+        raise ValueError("index_dirs / boosts / labels length mismatch")
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    # oversample 2k per leg so the rounded merge can't lose a boundary doc
+    q2 = q.assign(k=np.int32(2 * k))
+    legs = []
+    for d, b, lab in zip(index_dirs, boosts, labels):
+        r = search(d, q2, mode=mode, **search_kw).to_pandas()
+        if r.empty or "docid" not in r.columns:
+            continue
+        r["score"] = np.floor(r["score"] * float(b) * 1e6 + 0.5) / 1e6
+        r["index"] = lab
+        legs.append(r[["query_id", "docid", "score", "index"]])
+    cols = {"query_id": np.int64, "rank": np.int32, "index": object,
+            "docid": np.int64, "score": np.float64}
+    if not legs:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    out = pd.concat(legs, ignore_index=True)
+    out = out.sort_values(["query_id", "score", "index", "docid"],
+                          ascending=[True, False, True, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[out["rank"] <= k].reset_index(drop=True)
+    return out[["query_id", "rank", "index", "docid", "score"]].astype(cols)
+
+
 def search_script_fields(
     index_dir: str,
     queries,

@@ -172,3 +172,46 @@ def test_search_script_fields(smoke_index, smoke_fixture):
         got["script_val"].to_numpy(),
         (meta["doc_len"].to_numpy(np.int64) * 2 + meta["turn_idx"].to_numpy(np.int64)),
     )
+
+
+def test_multi_index_search_federates_with_local_stats(smoke_fixture, tmp_path_factory):
+    """Two half-corpus indexes: each leg scores with ITS OWN stats
+    (query_then_fetch); boosted rounded scores merge to a global top-k."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+    from remote_vector_index_builder_ray.oracle import oracle_from_transcripts
+    from remote_vector_index_builder_ray.pipelines.query import multi_index_search
+
+    d = tmp_path_factory.mktemp("fed")
+    full = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    convs = sorted(set(full["conv_id"]))
+    cut = convs[len(convs) // 2]
+    halves = {"a": full[full["conv_id"] < cut], "b": full[full["conv_id"] >= cut]}
+    dirs, oracles = [], {}
+    for lab, part in halves.items():
+        pth = str(d / f"{lab}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), pth)
+        idx = str(d / f"idx_{lab}")
+        build_index(BuildConfig(input_paths=[pth], index_dir=idx))
+        dirs.append(idx)
+        oracles[lab] = oracle_from_transcripts(part)
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(8)
+    k = 5
+    got = multi_index_search(dirs, qdf, k=k, boosts=[1.0, 2.0], labels=["a", "b"])
+    rows = []
+    for q in qdf.itertuples(index=False):
+        cand = []
+        for lab, boost in (("a", 1.0), ("b", 2.0)):
+            for docid, s in oracles[lab].score_query(q.text).items():
+                cand.append((np.floor(s * boost * 1e6 + 0.5) / 1e6, lab, docid))
+        cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+        for rank, (s, lab, docid) in enumerate(cand[:k], start=1):
+            rows.append((int(q.query_id), rank, lab, docid, s))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "index", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
