@@ -1887,6 +1887,40 @@ def _q_bm25_federated(sf_dir: str):
                               boosts=[1.0, 1.5], labels=["a", "b"])
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Sliding-window token chunking (RAG/long-context preprocessing):
+    32-token windows advancing by 24 (8-token overlap), final window short
+    (extras/text.chunk_documents — pure map, no shuffle)."""
+    from remote_vector_index_builder_ray.extras.text import chunk_documents
+
+    out = chunk_documents(_read(sf_dir, "documents"), max_tokens=32,
+                          stride=24).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "chunk_idx": pd.Series(dtype=np.int32),
+                             "n_tokens": pd.Series(dtype=np.int32),
+                             "chunk_text": pd.Series(dtype=object)})
+    return (out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+            .astype({"doc_id": np.int64, "chunk_idx": np.int32,
+                     "n_tokens": np.int32}))
+
+
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation rollup (turns, user turns, tool calls, tokens,
+    wall-clock span): contiguous-conv batch partials + one conv groupby —
+    the result streams (extras/text.conversation_stats)."""
+    from remote_vector_index_builder_ray.extras.text import conversation_stats
+    from remote_vector_index_builder_ray.sources.transcripts import read_transcripts
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    out = conversation_stats(read_transcripts(fx["transcripts"])).to_pandas()
+    return (out.sort_values("conv_id").reset_index(drop=True)
+            .astype({"n_turns": np.int64, "n_user_turns": np.int64,
+                     "n_tool_calls": np.int64, "total_tokens": np.int64,
+                     "span_seconds": np.float64}))
+
+
 def _q_bm25_composite_after(sf_dir: str):
     """composite aggregation `after`-key pagination: the next 5 buckets per
     query STRICTLY after the composite key ('assistant', 2026-03-01) in key
@@ -3608,6 +3642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_update_by_query": _q_bm25_update_by_query,
         "bm25_composite_after": _q_bm25_composite_after,
         "bm25_federated": _q_bm25_federated,
+        "chunk_docs": _q_chunk_docs,
+        "conv_stats": _q_conv_stats,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
@@ -7716,6 +7752,42 @@ SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
 ORDER BY m.query_id, key_term, key_day
+"""
+    # sliding-window chunking: window starts 0, 24, 48, ... ; count =
+    # 1 if n <= 32 else ceil((n-32)/24) + 1; last window short
+    out["chunk_docs"] = """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM documents
+),
+c AS (
+    SELECT doc_id, ts, len(ts) AS n,
+           CASE WHEN len(ts) = 0 THEN 0
+                WHEN len(ts) <= 32 THEN 1
+                ELSE CAST(ceil((len(ts) - 32)::DOUBLE / 24) AS BIGINT) + 1
+           END AS n_chunks
+    FROM t
+),
+w AS (
+    SELECT doc_id, r.ci AS chunk_idx, ts, n
+    FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS ci) r
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       least(32, n - chunk_idx * 24)::INT AS n_tokens,
+       array_to_string(ts[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+FROM w ORDER BY doc_id, chunk_idx
+"""
+    # per-conversation rollup: exact integer sums + epoch-us span
+    out["conv_stats"] = f"""
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user_turns,
+       sum(CASE WHEN tool IS NOT NULL AND tool != '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))::BIGINT AS total_tokens,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::DOUBLE / 1000000 AS span_seconds
+FROM read_parquet('{_transcripts_glob(sf)}')
+GROUP BY conv_id
+ORDER BY conv_id
 """
     # federated two-index search: per-leg LOCAL stats + local docids, boosted
     # rounded scores merged to a global top-10

@@ -578,3 +578,115 @@ def stratified_sample(
         return batch.filter(pa.array(h < bound))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    max_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Sliding-window document chunking (the RAG / long-context preprocessing
+    step): each doc splits into token windows of ``max_tokens`` advancing by
+    ``stride`` (overlap = max_tokens - stride). Window starts are
+    0, stride, 2*stride, ... while start < n_tokens, EXCEPT that a start is
+    emitted only if it is 0 or actually adds tokens (start < n_tokens) — the
+    final window may be short. Chunk text re-joins the analyzer's tokens with
+    single spaces (token-level chunking, the shape tokenizer-based splitters
+    produce). Pure per-batch map — no shuffle, chunk_idx is per-doc.
+    Returns a Dataset of (doc_id, chunk_idx, n_tokens, chunk_text)."""
+    if stride < 1 or max_tokens < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        tokens, _doc_index, n_tokens = tokenize_column(batch[text_col])
+        toks = np.asarray(tokens.to_pylist(), dtype=object)
+        bounds = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_id, out_ci, out_nt, out_tx = [], [], [], []
+        for i in range(batch.num_rows):
+            n = int(n_tokens[i])
+            if n == 0:
+                continue
+            seg = toks[bounds[i]:bounds[i + 1]]
+            ci = 0
+            for start in range(0, n, stride):
+                piece = seg[start:start + max_tokens]
+                out_id.append(int(ids[i]))
+                out_ci.append(ci)
+                out_nt.append(len(piece))
+                out_tx.append(" ".join(piece))
+                ci += 1
+                if start + max_tokens >= n:
+                    break  # this window already reached the end
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_ci, type=pa.int32()),
+            "n_tokens": pa.array(out_nt, type=pa.int32()),
+            "chunk_text": pa.array(out_tx, type=pa.string()),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def conversation_stats(
+    ds: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Per-conversation rollup over the transcript table: turn count, distinct
+    roles, tool-call count, total analyzer tokens, and wall-clock span
+    (last ts - first ts, seconds). Per-batch partials pre-aggregate by
+    conv_id (turns of one conversation are contiguous under the dense
+    ordering, and at worst a conversation spans two batches), then ONE
+    conv_id groupby reduces — (conv rows) never land on the driver.
+    Returns a Dataset of (conv_id, n_turns, n_user_turns, n_tool_calls,
+    total_tokens, span_seconds)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _tokens, _doc_index, n_tokens = tokenize_column(batch["text"])
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            "is_user": batch["role"].combine_chunks().to_numpy(zero_copy_only=False) == "user",
+            "has_tool": [
+                bool(t) for t in batch["tool"].combine_chunks().to_numpy(zero_copy_only=False)
+            ],
+            "n_tokens": np.asarray(n_tokens, np.int64),
+            "ts_us": batch["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+        })
+        g = df.groupby("conv_id", sort=False).agg(
+            n_turns=("is_user", "size"),
+            n_user_turns=("is_user", "sum"),
+            n_tool_calls=("has_tool", "sum"),
+            total_tokens=("n_tokens", "sum"),
+            ts_min=("ts_us", "min"),
+            ts_max=("ts_us", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_conv = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("n_turns"), Sum("n_user_turns"), Sum("n_tool_calls"),
+                   Sum("total_tokens"), Min("ts_min"), Max("ts_max"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        span = (
+            batch["max(ts_max)"].combine_chunks().to_numpy(zero_copy_only=False)
+            - batch["min(ts_min)"].combine_chunks().to_numpy(zero_copy_only=False)
+        ) / 1_000_000
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "n_turns": batch["sum(n_turns)"].combine_chunks().cast(pa.int64()),
+            "n_user_turns": batch["sum(n_user_turns)"].combine_chunks().cast(pa.int64()),
+            "n_tool_calls": batch["sum(n_tool_calls)"].combine_chunks().cast(pa.int64()),
+            "total_tokens": batch["sum(total_tokens)"].combine_chunks().cast(pa.int64()),
+            "span_seconds": pa.array(span.astype(np.float64), type=pa.float64()),
+        })
+
+    return per_conv.map_batches(finalize, batch_format="pyarrow")

@@ -669,3 +669,63 @@ def test_matryoshka_topk_equals_truncated_brute_force():
     want = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"]).astype(
         {"query_id": np.int64, "rank": np.int32, "vec_id": np.int64, "cosine": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_chunk_documents_windows():
+    """Sliding windows: starts 0, stride, ...; last window short; all tokens
+    covered; short docs one chunk; empty docs none."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.text import chunk_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            " ".join(f"t{i}" for i in range(40)),  # 2 chunks: 32 + 16
+            " ".join(f"t{i}" for i in range(10)),  # 1 short chunk
+            "",                                     # no chunks
+            " ".join(f"t{i}" for i in range(32)),  # exactly one full chunk
+        ],
+    })
+    out = chunk_documents(ray.data.from_pandas(df), max_tokens=32, stride=24).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert out.groupby("doc_id").size().to_dict() == {0: 2, 1: 1, 3: 1}
+    d0 = out[out["doc_id"] == 0]
+    assert d0["n_tokens"].tolist() == [32, 16]
+    assert d0["chunk_text"].iloc[1].split() == [f"t{i}" for i in range(24, 40)]
+    assert out[out["doc_id"] == 1]["n_tokens"].tolist() == [10]
+
+
+def test_conversation_stats(smoke_fixture):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.text import conversation_stats
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+    from remote_vector_index_builder_ray.sources.transcripts import read_transcripts
+
+    got = (conversation_stats(read_transcripts(smoke_fixture["transcripts"]))
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    src = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    src["n_tokens"] = src["text"].map(lambda t: len(tokenize_text(t or "")))
+    want = src.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"),
+        n_user_turns=("role", lambda s: int((s == "user").sum())),
+        n_tool_calls=("tool", lambda s: int(((s.notna()) & (s != "")).sum())),
+        total_tokens=("n_tokens", "sum"),
+        ts_min=("ts", "min"), ts_max=("ts", "max"),
+    ).reset_index()
+    want["span_seconds"] = (
+        (want["ts_max"].astype("datetime64[us]").astype(np.int64)
+         - want["ts_min"].astype("datetime64[us]").astype(np.int64)) / 1_000_000
+    )
+    want = want.drop(columns=["ts_min", "ts_max"]).sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_turns": np.int64, "n_user_turns": np.int64,
+                    "n_tool_calls": np.int64, "total_tokens": np.int64}),
+        want.astype({"n_turns": np.int64, "n_user_turns": np.int64,
+                     "n_tool_calls": np.int64, "total_tokens": np.int64}),
+    )
