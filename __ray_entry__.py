@@ -1921,6 +1921,20 @@ def _q_conv_stats(sf_dir: str):
                      "span_seconds": np.float64}))
 
 
+def _q_bm25_dfs_federated(sf_dir: str):
+    """dfs_query_then_fetch federation: the two half-corpus indexes score
+    with BLENDED global stats (N, total_len, per-term df summed across legs)
+    — scores are globally comparable, equal to a one-index build over the
+    union (pipelines/query.multi_index_search(dfs=True))."""
+    from remote_vector_index_builder_ray.pipelines.query import multi_index_search
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    dirs = _ensure_fed_indexes(sf_dir)
+    return multi_index_search(dirs, pd.read_parquet(fx["queries"]), k=10,
+                              labels=["a", "b"], dfs=True)
+
+
 def _q_bm25_composite_after(sf_dir: str):
     """composite aggregation `after`-key pagination: the next 5 buckets per
     query STRICTLY after the composite key ('assistant', 2026-03-01) in key
@@ -3642,6 +3656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_update_by_query": _q_bm25_update_by_query,
         "bm25_composite_after": _q_bm25_composite_after,
         "bm25_federated": _q_bm25_federated,
+        "bm25_dfs_federated": _q_bm25_dfs_federated,
         "chunk_docs": _q_chunk_docs,
         "conv_stats": _q_conv_stats,
         "bm25_filters_other": _q_bm25_filters_other,
@@ -7752,6 +7767,54 @@ SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
 ORDER BY m.query_id, key_term, key_day
+"""
+    # dfs federation: global stats == a one-index build over the union; the
+    # leg label and local docid derive from the global docid (part_a convs
+    # all sort before part_b's, so global docid order == (leg, local) order)
+    out["bm25_dfs_federated"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+na AS (SELECT count(*)::BIGINT AS n FROM read_parquet('{part_a_pq}')),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid,
+           floor(score * 1.0 * 1000000 + 0.5) / 1000000 AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor(score * 1.0 * 1000000 + 0.5) / 1000000 DESC,
+                                       docid) AS rank
+    FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank,
+       CASE WHEN r.docid < na.n THEN 'a' ELSE 'b' END AS "index",
+       CASE WHEN r.docid < na.n THEN r.docid ELSE r.docid - na.n END AS docid,
+       r.score
+FROM ranked r CROSS JOIN na
+WHERE r.rank <= 10
+ORDER BY r.query_id, r.rank
 """
     # sliding-window chunking: window starts 0, 24, 48, ... ; count =
     # 1 if n <= 32 else ceil((n-32)/24) + 1; last window short

@@ -102,6 +102,8 @@ def search(
     msm_script: str | None = None,
     similarity: str = "bm25",
     pit_gens: int | None = None,
+    stats_override: tuple | None = None,
+    df_override: dict | None = None,
 ) -> ray.data.Dataset:
     """Run top-k BM25. ``queries``: Dataset/DataFrame/Table/parquet path with
     columns (query_id:int64, text:string, k:int32). Returns a Dataset of
@@ -294,6 +296,8 @@ def search(
             "msm_script": msm_script,
             "similarity": similarity,
             "pit_gens": pit_gens,
+            "stats_override": stats_override,
+            "df_override": df_override,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -719,6 +723,7 @@ def multi_index_search(
     boosts: list[float] | None = None,
     labels: list[str] | None = None,
     mode: str = "bmw",
+    dfs: bool = False,
     **search_kw,
 ) -> pd.DataFrame:
     """Federated search across several indexes (OpenSearch
@@ -727,6 +732,14 @@ def multi_index_search(
     what cross-index scoring does), per-index scores multiply by that
     index's boost, and the per-index top-k pages merge to a global top-k by
     (6dp-rounded boosted score desc, index label asc, docid asc).
+
+    ``dfs=True`` is OpenSearch ``search_type=dfs_query_then_fetch``: a
+    pre-query stats round blends (N, total_len) and the QUERY TERMS' df
+    across all legs, and every leg scores with the blended stats — scores
+    become globally comparable, as if the legs were one index. The df round
+    costs one cached-dictionary lookup per leg (query terms only, driver
+    side); legs then run exhaustive (local block maxes don't bound the
+    blended idf/avgdl).
 
     Each leg is the normal k-bounded distributed search; the merge is a
     queries x k x n_indexes driver reduce. Returns
@@ -738,11 +751,51 @@ def multi_index_search(
     if not (len(index_dirs) == len(boosts) == len(labels)):
         raise ValueError("index_dirs / boosts / labels length mismatch")
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    overrides: dict = {}
+    if dfs:
+        from remote_vector_index_builder_ray.functions.tokenizer import (
+            analyze_text,
+            load_analyzer,
+        )
+        from remote_vector_index_builder_ray.pipelines.expand import _get_dict
+        from remote_vector_index_builder_ray.state import fs as _fs
+        from remote_vector_index_builder_ray.state.manifest import load_base_stats
+
+        mode = "exhaustive"
+        n_g, tl_g = 0, 0
+        qterms: set[str] = set()
+        for d in index_dirs:
+            st = load_base_stats(d)
+            man = _fs.read_json(_fs.join(d, "manifest.json"))
+            n_i, tl_i = int(st["N"]), int(st["total_len"])
+            for g in man.get("generations", []):
+                if not g.get("compacted"):
+                    n_i += int(g["n_docs"])
+                    tl_i += int(g["total_len"])
+            n_g += n_i
+            tl_g += tl_i
+            an = load_analyzer(d)
+            for t in q["text"]:
+                qterms.update(analyze_text(str(t or ""), an))
+        df_g = {t: 0 for t in qterms}
+        for d in index_dirs:
+            td = _get_dict(d)
+            if not len(td.terms):
+                continue
+            terms = np.array(sorted(qterms), dtype=np.str_)
+            pos = np.searchsorted(td.terms, terms)
+            pos = np.clip(pos, 0, len(td.terms) - 1)
+            hit = td.terms[pos] == terms
+            for t, p, h in zip(terms, pos, hit):
+                if h:
+                    df_g[str(t)] += int(td.df[p])
+        overrides = {"stats_override": (n_g, tl_g),
+                     "df_override": {t: v for t, v in df_g.items() if v > 0}}
     # oversample 2k per leg so the rounded merge can't lose a boundary doc
     q2 = q.assign(k=np.int32(2 * k))
     legs = []
     for d, b, lab in zip(index_dirs, boosts, labels):
-        r = search(d, q2, mode=mode, **search_kw).to_pandas()
+        r = search(d, q2, mode=mode, **search_kw, **overrides).to_pandas()
         if r.empty or "docid" not in r.columns:
             continue
         r["score"] = np.floor(r["score"] * float(b) * 1e6 + 0.5) / 1e6

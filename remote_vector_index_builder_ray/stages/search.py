@@ -257,7 +257,9 @@ class BM25Searcher:
                  span_pre: int = 1, span_post: int = 1,
                  msm_script: str | None = None,
                  similarity: str = "bm25",
-                 pit_gens: int | None = None):
+                 pit_gens: int | None = None,
+                 stats_override: tuple | None = None,
+                 df_override: dict | None = None):
         # all index state resolves through the state.fs object-store layer:
         # the actor may run on any node; index_dir may be s3:// / mock://
         from remote_vector_index_builder_ray.state import fs as _fs
@@ -375,6 +377,19 @@ class BM25Searcher:
         for g in gens:
             N += int(g["n_docs"])
             total_len += int(g["total_len"])
+        # dfs_query_then_fetch federation (pipelines/query.multi_index_search
+        # dfs=True): score THIS index's postings with GLOBAL corpus stats —
+        # (N, total_len) replaced wholesale, per-term df replaced from the
+        # blended dictionary. Exhaustive mode only (stored block maxes bound
+        # the LOCAL idf/avgdl, not the overridden ones).
+        if stats_override is not None or df_override is not None:
+            if mode != "exhaustive":
+                raise ValueError(
+                    "stats/df overrides (dfs federation) require mode='exhaustive'"
+                )
+        if stats_override is not None:
+            N, total_len = int(stats_override[0]), int(stats_override[1])
+        self._df_override = dict(df_override) if df_override else None
         self.N = N
         self.total_len = total_len  # LM similarities: p(t|C) = cf / total_len
         self.avgdl = total_len / N if N else 0.0
@@ -1393,7 +1408,9 @@ class BM25Searcher:
                 doc_parts.append(docids)
                 contrib_parts.append(contrib)
                 continue
-            w = 1.0 if self.unit_idf else _idf(self.N, tp.df)
+            df_t = (self._df_override.get(t, tp.df)
+                    if self._df_override is not None else tp.df)
+            w = 1.0 if self.unit_idf else _idf(self.N, df_t)
             if weights is not None:
                 # per-term query boost (OpenSearch query_string term^boost):
                 # the clause's contribution is multiplied by its boost

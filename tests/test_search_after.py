@@ -215,3 +215,48 @@ def test_multi_index_search_federates_with_local_stats(smoke_fixture, tmp_path_f
     want = pd.DataFrame(rows, columns=["query_id", "rank", "index", "docid", "score"]).astype(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_dfs_federation_equals_single_index(smoke_fixture, smoke_oracle, tmp_path_factory):
+    """dfs_query_then_fetch over two half indexes == a one-index build over
+    the union: blended (N, total_len, df) make leg scores globally
+    comparable; docids map (leg, local) <-> global."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+    from remote_vector_index_builder_ray.pipelines.query import multi_index_search
+
+    d = tmp_path_factory.mktemp("dfs")
+    full = pd.concat([pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]])
+    full = full.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    convs = sorted(set(full["conv_id"]))
+    cut = convs[len(convs) // 2]
+    a, b = full[full["conv_id"] < cut], full[full["conv_id"] >= cut]
+    n_a = len(a)
+    dirs = []
+    for lab, part in (("a", a), ("b", b)):
+        pth = str(d / f"{lab}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), pth)
+        idx = str(d / f"idx_{lab}")
+        build_index(BuildConfig(input_paths=[pth], index_dir=idx))
+        dirs.append(idx)
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(8)
+    k = 5
+    got = multi_index_search(dirs, qdf, k=k, labels=["a", "b"], dfs=True)
+    rows = []
+    for q in qdf.itertuples(index=False):
+        scores = smoke_oracle.score_query(q.text)
+        items = sorted(((np.floor(s * 1e6 + 0.5) / 1e6, docid)
+                        for docid, s in scores.items()),
+                       key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, docid) in enumerate(items, start=1):
+            lab = "a" if docid < n_a else "b"
+            rows.append((int(q.query_id), rank, lab,
+                         docid if docid < n_a else docid - n_a, s))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "index", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
