@@ -1921,6 +1921,28 @@ def _q_conv_stats(sf_dir: str):
                      "span_seconds": np.float64}))
 
 
+def _q_bm25_min_score(sf_dir: str):
+    """Request-level min_score: top-k hits scoring (rounded) below 4.0 drop,
+    survivors re-rank (pipelines/query.search_min_score)."""
+    from remote_vector_index_builder_ray.pipelines.query import search_min_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return search_min_score(index_dir, pd.read_parquet(fx["queries"]),
+                            min_score=4.0)
+
+
+def _q_bm25_sig_chi2(sf_dir: str):
+    """significant_terms with the chi_square heuristic: score =
+    (fg_rate - bg_rate)^2 / bg_rate over each query's match set
+    (pipelines/aggs.significant_terms_agg(heuristic='chi_square'))."""
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return significant_terms_agg(
+        index_dir, pd.read_parquet(fx["queries"]), size=10,
+        heuristic="chi_square").reset_index(drop=True)
+
+
 def _q_bm25_dfs_federated(sf_dir: str):
     """dfs_query_then_fetch federation: the two half-corpus indexes score
     with BLENDED global stats (N, total_len, per-term df summed across legs)
@@ -3657,6 +3679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_composite_after": _q_bm25_composite_after,
         "bm25_federated": _q_bm25_federated,
         "bm25_dfs_federated": _q_bm25_dfs_federated,
+        "bm25_min_score": _q_bm25_min_score,
+        "bm25_sig_chi2": _q_bm25_sig_chi2,
         "chunk_docs": _q_chunk_docs,
         "conv_stats": _q_conv_stats,
         "bm25_filters_other": _q_bm25_filters_other,
@@ -7767,6 +7791,81 @@ SELECT m.query_id, d.role AS key_term, date_trunc('day', d.ts) AS key_day,
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, d.role, date_trunc('day', d.ts)
 ORDER BY m.query_id, key_term, key_day
+"""
+    # min_score: the k-cut page filtered at rounded score >= 4.0, re-ranked
+    out["bm25_min_score"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+page AS (
+    SELECT query_id, docid, floor(score * 1000000 + 0.5) / 1000000 AS score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                                       docid) AS rank0
+    FROM scored
+),
+kept AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS rank
+    FROM page WHERE rank0 <= k AND score >= 4.0
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM kept ORDER BY query_id, rank
+"""
+    # chi_square significance heuristic over the sig_terms scaffold
+    out["bm25_sig_chi2"] = f"""
+WITH {docs}, {_TOKS},
+tset AS MATERIALIZED (SELECT DISTINCT docid, term FROM toks),
+bg AS MATERIALIZED (SELECT term, count(*)::BIGINT AS bg FROM tset GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+fgt AS (SELECT query_id, count(*)::DOUBLE AS f FROM m GROUP BY query_id),
+fg AS (
+    SELECT m.query_id, ts.term, count(*)::BIGINT AS fg
+    FROM m JOIN tset ts USING (docid) GROUP BY 1, 2
+),
+scored AS (
+    SELECT fg.query_id, fg.term, fg.fg, bg.bg,
+           floor(((fg.fg / fgt.f) - (bg.bg / nn.n))
+                 * ((fg.fg / fgt.f) - (bg.bg / nn.n))
+                 / (bg.bg / nn.n) * 1000000 + 0.5) / 1000000 AS score
+    FROM fg JOIN bg USING (term) JOIN fgt USING (query_id) CROSS JOIN nn
+),
+ranked AS (
+    SELECT query_id, term, fg, bg, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, term) AS r
+    FROM scored
+)
+SELECT query_id, term, fg AS fg_docs, bg AS bg_docs, score
+FROM ranked WHERE r <= 10
+ORDER BY query_id, r
 """
     # dfs federation: global stats == a one-index build over the union; the
     # leg label and local docid derive from the global docid (part_a convs

@@ -1593,6 +1593,7 @@ def significant_terms_agg(
     size: int = 10,
     where=None,
     sampler_size: int | None = None,
+    heuristic: str = "jlh",
 ) -> pd.DataFrame:
     """OpenSearch `significant_terms` aggregation with the JLH score: terms
     whose frequency in a query's match set (foreground) is anomalously high
@@ -1636,7 +1637,8 @@ def significant_terms_agg(
         counts = {qid: len(a) for qid, a in matches.items()}
     else:
         shard_refs, qid_list, counts = _sharded_matches(index_dir, queries, where=where)
-    return _sig_probe_reduce(index_dir, shard_refs, qid_list, counts, size)
+    return _sig_probe_reduce(index_dir, shard_refs, qid_list, counts, size,
+                             heuristic=heuristic)
 
 
 def _sig_probe_reduce(
@@ -1645,6 +1647,7 @@ def _sig_probe_reduce(
     qid_list,
     counts: dict,
     size: int,
+    heuristic: str = "jlh",
 ) -> pd.DataFrame:
     """Shared significant_terms/significant_text tail: stream docmeta once
     through the per-batch foreground term counter, reduce (query, term)
@@ -1695,7 +1698,14 @@ def _sig_probe_reduce(
     fg_total = fg["query_id"].map({q: float(counts[q]) for q in qid_list})
     fg_rate = fg["fg"].astype(np.float64) / fg_total
     bg_rate = bg / N
-    score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    if heuristic == "jlh":
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    elif heuristic == "chi_square":
+        # OpenSearch chi_square (include_negatives=false semantics kept by
+        # the same top-size cut): (fg_rate - bg_rate)^2 / bg_rate
+        score = (fg_rate - bg_rate) * (fg_rate - bg_rate) / bg_rate
+    else:
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
     out = pd.DataFrame(
         {
             "query_id": fg["query_id"].astype(np.int64),

@@ -716,6 +716,40 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
     return res.merge(meta, on="docid", how="left")
 
 
+def search_min_score(
+    index_dir: str,
+    queries,
+    min_score: float,
+    mode: str = "bmw",
+    **search_kw,
+) -> pd.DataFrame:
+    """OpenSearch request-level ``min_score``: hits scoring below the
+    threshold drop from the response. Exact as a post-filter on the top-k
+    page: scores descend within a page, so every doc below the threshold
+    sits at the page's tail — dropping it cannot admit a doc outside the
+    page. Compared on 6dp-rounded scores (the engine's cross-engine float
+    policy). Returns (query_id, rank, docid, score) re-ranked over the
+    surviving hits. Fetches 2k per query so the rounded re-rank can't lose a
+    page-boundary doc (the engine-wide oversample-then-round policy)."""
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    q2 = q.assign(k=(q["k"] * 2).astype("int32"))
+    res = search(index_dir, q2, mode=mode, **search_kw).to_pandas()
+    cols = {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+            "score": np.float64}
+    if res.empty or "docid" not in res.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    res["score"] = np.floor(res["score"].to_numpy() * 1e6 + 0.5) / 1e6
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank0"] = res.groupby("query_id").cumcount() + 1
+    res = res[(res["rank0"] <= res["query_id"].map(k_by_query))
+              & (res["score"] >= float(min_score))]
+    res = res.reset_index(drop=True)
+    res["rank"] = (res.groupby("query_id").cumcount() + 1).astype(np.int32)
+    return res[list(cols)].astype(cols)
+
+
 def multi_index_search(
     index_dirs: list[str],
     queries,

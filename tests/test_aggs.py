@@ -860,3 +860,39 @@ def test_terms_agg_ordered_by_metric(smoke_fixture, smoke_index):
         got.reset_index(drop=True),
         want[["query_id", "rank", "key", "n_docs", "avg_doc_len"]],
     )
+
+
+def test_sig_terms_chi_square(smoke_fixture, smoke_index):
+    from collections import Counter
+
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    df = _src(smoke_fixture)
+    N = float(len(df))
+    got = significant_terms_agg(smoke_index["index_dir"], QUERIES, size=5,
+                                heuristic="chi_square")
+    bg = Counter()
+    for toks in df["toks"]:
+        bg.update(toks)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        fg = Counter()
+        for toks in m["toks"]:
+            fg.update(toks)
+        fgt = float(len(m))
+        recs = []
+        for t, c in fg.items():
+            fr, br = c / fgt, bg[t] / N
+            recs.append((t, c, bg[t],
+                         float(np.floor((fr - br) * (fr - br) / br * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[3], r[0]))
+        for t, c, b_, s in recs[:5]:
+            rows.append((int(q.query_id), t, int(c), int(b_), s))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "term", "fg_docs", "bg_docs", "score"]
+    ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
+              "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)

@@ -260,3 +260,27 @@ def test_dfs_federation_equals_single_index(smoke_fixture, smoke_oracle, tmp_pat
     want = pd.DataFrame(rows, columns=["query_id", "rank", "index", "docid", "score"]).astype(
         {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_search_min_score(smoke_index, smoke_fixture, smoke_oracle):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.query import search_min_score
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(8)
+    thr = 3.0
+    got = search_min_score(smoke_index["index_dir"], qdf, min_score=thr)
+    assert (got["score"] >= thr).all()
+    rows = []
+    for q in qdf.itertuples(index=False):
+        items = sorted(((np.floor(s * 1e6 + 0.5) / 1e6, d)
+                        for d, s in smoke_oracle.score_query(q.text).items()),
+                       key=lambda t: (-t[0], t[1]))[: int(q.k)]
+        kept = [(s, d) for s, d in items if s >= thr]
+        for rank, (s, d) in enumerate(kept, start=1):
+            rows.append((int(q.query_id), rank, d, s))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64, "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
