@@ -1921,6 +1921,29 @@ def _q_conv_stats(sf_dir: str):
                      "span_seconds": np.float64}))
 
 
+def _q_bm25_rebucketed(sf_dir: str):
+    """Top-k after postings resharding (rebucket_index 32 -> 13 buckets, no
+    rebuild — payloads move byte-unchanged, the new bucket count commits in
+    the same rename as the resharded postings): results identical to the
+    one-shot bm25_topk oracle."""
+    from remote_vector_index_builder_ray import BuildConfig
+    from remote_vector_index_builder_ray.pipelines.incremental import rebucket_index
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_rebkt")
+    _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"], index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])), num_buckets=32,
+    ))
+    import json as _json
+
+    man = _json.load(open(os.path.join(index_dir, "manifest.json")))
+    if int(man.get("num_buckets", 0)) != 13:  # idempotent across driver runs
+        rebucket_index(index_dir, 13)
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw")
+
+
 def _q_bm25_min_score(sf_dir: str):
     """Request-level min_score: top-k hits scoring (rounded) below 4.0 drop,
     survivors re-rank (pipelines/query.search_min_score)."""
@@ -3680,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_federated": _q_bm25_federated,
         "bm25_dfs_federated": _q_bm25_dfs_federated,
         "bm25_min_score": _q_bm25_min_score,
+        "bm25_rebucketed": _q_bm25_rebucketed,
         "bm25_sig_chi2": _q_bm25_sig_chi2,
         "chunk_docs": _q_chunk_docs,
         "conv_stats": _q_conv_stats,
@@ -4436,6 +4460,7 @@ GROUP BY i.query_id ORDER BY i.query_id
     # _ensure_inc_index) — its oracle IS the bm25_topk oracle
     out["bm25_incremental"] = out["bm25_topk"]
     out["bm25_restore"] = out["bm25_topk"]
+    out["bm25_rebucketed"] = out["bm25_topk"]  # resharding is score-invariant
     # logical delete (tombstones, no expunge): score the FULL corpus (stats,
     # df, tf all unchanged — Lucene numDocs-vs-maxDoc), drop the deleted
     # docids before ranking. Victim set: conv_id ending in '0'.

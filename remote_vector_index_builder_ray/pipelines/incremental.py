@@ -455,6 +455,120 @@ def update_by_query(
     return update_docs(index_dir, files, num_partitions=num_partitions)
 
 
+def rebucket_index(index_dir: str, num_buckets: int) -> dict:
+    """Reshard the base postings (and positional index, if present) to
+    ``num_buckets`` bucket files WITHOUT rebuilding — the index-resharding
+    verb for growing a live index's parallelism (the OpenSearch _split /
+    _shrink analog at the postings level). Posting payloads (delta+varint
+    blocks, block maxes, df/cf) move byte-unchanged; only the FILE a term
+    lives in changes (crc32(term) % num_buckets), so searches return
+    bit-identical results.
+
+    Distribution: one Ray task per OLD bucket file splits its rows into
+    hive partials by new bucket; one task per NEW bucket concatenates them
+    (sorted (term, shard) / (term, docid) for determinism) and writes its
+    file. Crash-consistent commit: the new postings carry a stats record
+    with the NEW num_buckets in the SAME rename (searchers prefer the
+    in-postings record; the manifest update trails harmlessly). Indexes
+    with live generations are refused — a generation's positional shards
+    share the base bucket count (stages/search._resolve_pos_sources)."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from remote_vector_index_builder_ray.state.manifest import load_base_stats
+
+    man = Manifest.load(index_dir)
+    st = load_base_stats(index_dir)
+    folded = set(st.get("compacted_gens", ()))
+    live_gens = [g for g in man.data.get("generations", [])
+                 if not g.get("compacted") and g["dir"] not in folded]
+    if live_gens:
+        raise EngineError(
+            "rebucket_index requires no live generations (compact first): "
+            f"{[g['dir'] for g in live_gens]}"
+        )
+    nb = int(num_buckets)
+    if nb < 1:
+        raise EngineError("num_buckets must be >= 1")
+
+    @ray.remote
+    def split_file(path: str, tmp_root: str, tag: str, sort_keys: tuple):
+        t = fs.read_table(path)
+        if t.num_rows == 0:
+            return 0
+        terms = t["term"].to_pylist()
+        buckets = np.fromiter((zlib.crc32(x.encode()) % nb for x in terms),
+                              dtype=np.int32, count=len(terms))
+        t = t.drop_columns(["bucket"]) if "bucket" in t.column_names else t
+        t = t.append_column("bucket", pa.array(buckets, type=pa.int32()))
+        for b in np.unique(buckets):
+            part = t.filter(pa.array(buckets == b))
+            d = fs.join(tmp_root, f"bucket={int(b)}")
+            fs.makedirs(d)
+            fs.write_table(part, fs.join(d, f"part-{tag}.parquet"))
+        return t.num_rows
+
+    @ray.remote
+    def concat_bucket(files: list, out_path: str, sort_keys: tuple):
+        tabs = [fs.read_table(f) for f in files]
+        t = pa.concat_tables(tabs, promote_options="default")
+        t = t.sort_by([(k, "ascending") for k in sort_keys]).combine_chunks()
+        fs.write_table(t, out_path)
+        return t.num_rows
+
+    def _reshard(src_dir: str, sort_keys: tuple) -> str:
+        tmp_split = src_dir + ".split.tmp"
+        fs.rm_tree(tmp_split)
+        fs.makedirs(tmp_split)
+        old_files = [fs.join(src_dir, n) for n in fs.listdir(src_dir)
+                     if n.endswith(".parquet")]
+        ray.get([split_file.remote(p, tmp_split, f"{i:05d}", sort_keys)
+                 for i, p in enumerate(old_files)])
+        tmp_new = src_dir + ".rebucket.tmp"
+        fs.rm_tree(tmp_new)
+        fs.makedirs(tmp_new)
+        futures = []
+        for rel in fs.listdir(tmp_split):
+            if not rel.startswith("bucket="):
+                continue
+            b = int(rel.split("=", 1)[1])
+            files = [fs.join(tmp_split, rel, n)
+                     for n in fs.listdir(fs.join(tmp_split, rel))
+                     if n.endswith(".parquet")]
+            futures.append(concat_bucket.remote(
+                files, fs.join(tmp_new, f"bucket-{b:05d}.parquet"), sort_keys))
+        ray.get(futures)
+        fs.rm_tree(tmp_split)
+        return tmp_new
+
+    def _swap(tmp: str, final: str) -> None:
+        # move-aside swap (no rm_tree-then-move window), as run_merge does
+        old = final + ".old"
+        fs.rm_tree(old)
+        if fs.exists(final):
+            fs.move_dir(final, old)
+        fs.move_dir(tmp, final)
+        fs.rm_tree(old)
+
+    postings_dir = fs.join(index_dir, "postings")
+    tmp_post = _reshard(postings_dir, ("term", "shard"))
+    # commit record: the new bucket count rides the same rename as the
+    # postings it addresses
+    fs.write_json_atomic(fs.join(tmp_post, "stats.json"),
+                         {**st, "num_buckets": nb})
+    pos_dir = fs.join(index_dir, "positions")
+    tmp_pos = _reshard(pos_dir, ("term", "docid")) if fs.exists(pos_dir) else None
+    if tmp_pos is not None:
+        _swap(tmp_pos, pos_dir)
+    _swap(tmp_post, postings_dir)
+    man.data["num_buckets"] = nb
+    man.save()
+    return {"num_buckets": nb}
+
+
 def index_stats(index_dir: str) -> "pd.DataFrame":
     """OpenSearch _stats/_count analog: one row of whole-index statistics —
     (n_docs, total_len, avgdl6, n_terms, total_postings, total_tf).

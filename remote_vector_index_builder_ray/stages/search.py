@@ -401,7 +401,11 @@ class BM25Searcher:
         # max(1, avgdl_global/avgdl_local) keeps pruning exact-safe
         # (pipelines/incremental.py module docstring has the derivation).
         self.postings_dir = _fs.join(index_dir, "postings")
-        self.num_buckets = int(man["num_buckets"])
+        # the in-postings stats record may carry a num_buckets override
+        # (pipelines/incremental.rebucket_index commits the new bucket count
+        # in the SAME rename as the resharded postings); prefer it so a
+        # crash between the swap and the manifest update can't misaddress
+        self.num_buckets = int(st.get("num_buckets", man["num_buckets"]))
         self._sources: list[tuple[str, int, set, float]] = []
 
         def _add_source(pdir: str, nb: int, local_avgdl: float) -> None:
