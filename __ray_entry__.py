@@ -1887,6 +1887,35 @@ def _q_bm25_federated(sf_dir: str):
                               boosts=[1.0, 1.5], labels=["a", "b"])
 
 
+def _q_source_mix(sf_dir: str):
+    """Pretraining data-mixing weights: per-source doc/token totals, token
+    share, and the equal-token-share per-doc sampling weight (capped at 1)
+    (extras/text.source_mix_weights — one partial pass + a sources-sized
+    groupby)."""
+    from remote_vector_index_builder_ray.extras.text import source_mix_weights
+
+    return source_mix_weights(_read(sf_dir, "documents"))
+
+
+def _q_bm25_max_bucket(sf_dir: str):
+    """max_bucket pipeline aggregation: per query, the day bucket(s) of the
+    day histogram holding the maximum doc count (ties all returned, as
+    OpenSearch's keys list) — a reduction over the parent histogram's
+    driver-small bucket stream."""
+    from remote_vector_index_builder_ray import date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    base = date_histogram(index_dir, pd.read_parquet(fx["queries"]), field="ts")
+    if base.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "key": pd.Series(dtype="datetime64[us]"),
+                             "n_docs": pd.Series(dtype=np.int64)})
+    mx = base.groupby("query_id")["n_docs"].transform("max")
+    out = base[base["n_docs"] == mx]
+    return (out.sort_values(["query_id", "key"]).reset_index(drop=True)
+            .astype({"query_id": np.int64, "n_docs": np.int64}))
+
+
 def _q_chunk_docs(sf_dir: str):
     """Sliding-window token chunking (RAG/long-context preprocessing):
     32-token windows advancing by 24 (8-token overlap), final window short
@@ -3707,6 +3736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sig_chi2": _q_bm25_sig_chi2,
         "chunk_docs": _q_chunk_docs,
         "conv_stats": _q_conv_stats,
+        "source_mix_weights": _q_source_mix,
+        "bm25_max_bucket": _q_bm25_max_bucket,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
@@ -7939,6 +7970,44 @@ SELECT r.query_id, r.rank::INT AS rank,
 FROM ranked r CROSS JOIN na
 WHERE r.rank <= 10
 ORDER BY r.query_id, r.rank
+"""
+    # per-source data-mixing weights: equal-token-share target, capped at 1
+    out["source_mix_weights"] = """
+WITH s AS MATERIALIZED (
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_tokens)::DOUBLE AS total, count(*)::DOUBLE AS n_src FROM s)
+SELECT source, n_docs, n_tokens,
+       floor(n_tokens / t.total * 1000000 + 0.5) / 1000000 AS token_share,
+       floor(least((t.total / t.n_src) / n_tokens, 1.0) * 1000000 + 0.5) / 1000000 AS weight
+FROM s CROSS JOIN t ORDER BY source
+"""
+    # max_bucket: the day bucket(s) holding each query's max doc count
+    out["bm25_max_bucket"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+)
+SELECT query_id, key, n_docs
+FROM (SELECT query_id, key, n_docs,
+             max(n_docs) OVER (PARTITION BY query_id) AS mx
+      FROM hist)
+WHERE n_docs = mx
+ORDER BY query_id, key
 """
     # sliding-window chunking: window starts 0, 24, 48, ... ; count =
     # 1 if n <= 32 else ceil((n-32)/24) + 1; last window short

@@ -690,3 +690,57 @@ def conversation_stats(
         })
 
     return per_conv.map_batches(finalize, batch_format="pyarrow")
+
+
+def source_mix_weights(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Pretraining data-mixing weights: per source, document/token totals and
+    the per-DOCUMENT sampling weight that makes every source contribute an
+    equal TOKEN share (weight = target_tokens_per_source / source_tokens —
+    multiply by it when sampling, cap at 1 for no upsampling). One
+    map_batches partial pass (per-batch (source, n_docs, n_tokens) rows) +
+    one source groupby; the reduce is sources-sized. Weights round half-up
+    to 6 decimals (SQL-reproducible). Returns (source, n_docs, n_tokens,
+    token_share, weight) sorted by source."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _toks, _di, n_tokens = tokenize_column(batch[text_col])
+        df = pd.DataFrame({
+            "source": batch[source_col].combine_chunks().to_numpy(zero_copy_only=False),
+            "n_tokens": np.asarray(n_tokens, np.int64),
+        })
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_src = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs"), Sum("n_tokens"))
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens"})
+    )
+    import pandas as pd
+
+    if per_src.empty:
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype=np.int64),
+                             "n_tokens": pd.Series(dtype=np.int64),
+                             "token_share": pd.Series(dtype=np.float64),
+                             "weight": pd.Series(dtype=np.float64)})
+    total = float(per_src["n_tokens"].sum())
+    n_src = len(per_src)
+    per_src["token_share"] = np.floor(
+        per_src["n_tokens"].to_numpy(np.float64) / total * 1e6 + 0.5) / 1e6
+    per_src["weight"] = np.floor(np.minimum(
+        (total / n_src) / per_src["n_tokens"].to_numpy(np.float64), 1.0
+    ) * 1e6 + 0.5) / 1e6
+    return (per_src.sort_values("source").reset_index(drop=True)
+            .astype({"n_docs": np.int64, "n_tokens": np.int64}))
