@@ -1887,6 +1887,27 @@ def _q_bm25_federated(sf_dir: str):
                               boosts=[1.0, 1.5], labels=["a", "b"])
 
 
+def _q_bm25_sorted_after(sf_dir: str):
+    """Field-sorted deep pagination: page 2 of the ts-desc sort via REAL
+    per-query (ts, docid) cursors — the probe drops everything at-or-before
+    the cursor, so page 2 ships only its own rows
+    (pipelines/query.search_sorted(after={qid: (ts, docid)}))."""
+    from remote_vector_index_builder_ray import search_sorted
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(fx["queries"])
+    p1 = search_sorted(index_dir, q, sort_field="ts", ascending=False)
+    last = p1.sort_values(["query_id", "rank"]).groupby("query_id").tail(1)
+    cursors = {int(r.query_id): (np.datetime64(r.ts, "us"), int(r.docid))
+               for r in last.itertuples(index=False)}
+    p2 = search_sorted(index_dir, q, sort_field="ts", ascending=False,
+                       after=cursors)
+    k_by_query = dict(zip(q["query_id"], q["k"]))
+    p2["rank"] = (p2["rank"].astype(np.int64)
+                  + p2["query_id"].map(k_by_query).astype(np.int64)).astype(np.int32)
+    return p2.reset_index(drop=True)
+
+
 def _q_source_mix(sf_dir: str):
     """Pretraining data-mixing weights: per-source doc/token totals, token
     share, and the equal-token-share per-doc sampling weight (capped at 1)
@@ -3737,6 +3758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "conv_stats": _q_conv_stats,
         "source_mix_weights": _q_source_mix,
+        "bm25_sorted_after": _q_bm25_sorted_after,
         "bm25_max_bucket": _q_bm25_max_bucket,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
@@ -5714,6 +5736,28 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, ts
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    out["bm25_sorted_after"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT q.query_id, any_value(q.k) AS k, t.docid
+      FROM q JOIN toks t USING (term) GROUP BY q.query_id, t.docid),
+ranked AS (
+    SELECT m.query_id, m.docid, d.ts, m.k,
+           row_number() OVER (PARTITION BY m.query_id ORDER BY d.ts DESC, m.docid) AS rank
+    FROM m JOIN docs d USING (docid)
+)
+SELECT query_id, rank::INT AS rank, docid, ts
+FROM ranked WHERE rank > k AND rank <= 2 * k
 ORDER BY query_id, rank
 """
     out["bm25_range_agg"] = f"""

@@ -311,13 +311,17 @@ class _ProbeTopField:
     set, keep the batch-local top-k by (field, docid) — only queries x k
     rows leave each task; partials reduce associatively driver-side."""
 
-    def __init__(self, shard_refs, stride, field: str, ascending: bool, k: int):
+    def __init__(self, shard_refs, stride, field: str, ascending: bool, k: int,
+                 after=None):
         from remote_vector_index_builder_ray.pipelines.aggs import _ShardedMatches
 
         self.matches = _ShardedMatches(shard_refs, stride)
         self.field = field
         self.ascending = ascending
         self.k = k
+        # strictly-after cursor: one (field value, docid) tuple for every
+        # query, or {query_id: (value, docid)} per-query cursors
+        self.after = after
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -336,6 +340,21 @@ class _ProbeTopField:
                 key = v
             else:  # negate for descending; datetimes via their int64 view
                 key = -(v.astype("int64") if v.dtype.kind in "Mm" else v)
+            cur = (self.after.get(qid) if isinstance(self.after, dict)
+                   else self.after)
+            if cur is not None:
+                # sorted search_after: (sort key, docid) strictly after the
+                # cursor in page order — deep pages never re-ship earlier hits
+                av, ad = cur
+                if v.dtype.kind in "Mm":
+                    av = np.datetime64(av, "us")
+                ak = av if self.ascending else -(
+                    av.astype("int64") if v.dtype.kind in "Mm" else av
+                )
+                keep = (key > ak) | ((key == ak) & (d > ad))
+                v, d, key = v[keep], d[keep], key[keep]
+                if not len(d):
+                    continue
             order = np.lexsort((d, key))[: self.k]
             qids.extend([qid] * len(order))
             docs.extend(d[order].tolist())
@@ -356,6 +375,7 @@ def search_sorted(
     sort_field: str = "ts",
     ascending: bool = False,
     where=None,
+    after: tuple | None = None,
 ) -> pd.DataFrame:
     """Field-sorted search (OpenSearch ``sort: [{field: order}]``): the
     top-k docs of each query's FULL match set ordered by a docmeta field
@@ -391,7 +411,7 @@ def search_sorted(
         .map_batches(
             _ProbeTopField,
             fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, sort_field,
-                                 ascending, k_max),
+                                 ascending, k_max, after),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=(1, 8),

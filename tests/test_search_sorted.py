@@ -76,3 +76,36 @@ def test_search_sorted_multi_matches_pandas(smoke_fixture, smoke_index):
                             ascending=[True, False, True]).head(int(q.k))
         g = got[got["query_id"] == int(q.query_id)]
         assert g["docid"].tolist() == exp["docid"].tolist(), q.text
+
+
+def test_sorted_search_after_pages(smoke_index, smoke_fixture):
+    """Per-query (ts, docid) cursors: page 2 continues exactly where page 1
+    ended — union of both pages == top-2k of the full sort, no overlap."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import search_sorted
+
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(6)
+    p1 = search_sorted(smoke_index["index_dir"], qdf, sort_field="ts",
+                       ascending=False)
+    last = p1.sort_values(["query_id", "rank"]).groupby("query_id").tail(1)
+    cursors = {int(r.query_id): (np.datetime64(r.ts, "us"), int(r.docid))
+               for r in last.itertuples(index=False)}
+    p2 = search_sorted(smoke_index["index_dir"], qdf, sort_field="ts",
+                       ascending=False, after=cursors)
+    both = pd.concat([p1, p2])
+    assert not both.duplicated(["query_id", "docid"]).any()
+    q2 = qdf.assign(k=(qdf["k"] * 2).astype("int32"))
+    full = search_sorted(smoke_index["index_dir"], q2, sort_field="ts",
+                         ascending=False)
+    merged = (both.sort_values(["query_id", "ts", "docid"],
+                               ascending=[True, False, True])
+              .reset_index(drop=True))
+    merged["rank"] = (merged.groupby("query_id").cumcount() + 1).astype("int32")
+    pd.testing.assert_frame_equal(
+        merged[["query_id", "rank", "docid", "ts"]],
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+            ["query_id", "rank", "docid", "ts"]],
+    )
