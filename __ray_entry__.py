@@ -1887,6 +1887,25 @@ def _q_bm25_federated(sf_dir: str):
                               boosts=[1.0, 1.5], labels=["a", "b"])
 
 
+def _q_bm25_alias(sf_dir: str):
+    """Filtered alias: 'user_turns' stores the role='user' filter in the
+    manifest; searching THROUGH the alias equals the filtered search (same
+    oracle as bm25_filtered) (pipelines/incremental.create_alias /
+    search_alias)."""
+    from remote_vector_index_builder_ray.pipelines.incremental import (
+        create_alias,
+        search_alias,
+    )
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    create_alias(index_dir, "user_turns", where=[("role", "=", "user")])
+    return _topk_rounded(
+        index_dir, fx["queries"],
+        search_fn=lambda d, q, **kw: search_alias(d, "user_turns", q, **kw),
+        mode="bmw",
+    )
+
+
 def _q_bm25_sorted_after(sf_dir: str):
     """Field-sorted deep pagination: page 2 of the ts-desc sort via REAL
     per-query (ts, docid) cursors — the probe drops everything at-or-before
@@ -3759,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv_stats,
         "source_mix_weights": _q_source_mix,
         "bm25_sorted_after": _q_bm25_sorted_after,
+        "bm25_alias": _q_bm25_alias,
         "bm25_max_bucket": _q_bm25_max_bucket,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
@@ -9690,6 +9710,7 @@ WHERE d.doc_id NOT IN (
 )
 ORDER BY d.doc_id
 """
+    out["bm25_alias"] = out["bm25_filtered"]  # the alias IS the stored filter
     return out
 
 

@@ -455,6 +455,37 @@ def update_by_query(
     return update_docs(index_dir, files, num_partitions=num_partitions)
 
 
+def create_alias(index_dir: str, name: str, where=None) -> dict:
+    """OpenSearch filtered alias: a named view over the index carrying an
+    optional docmeta filter (parquet-DNF tuples). Stored in the manifest;
+    :func:`search_alias` resolves it to a filter-context search (scores of
+    matching docs unchanged). Re-creating an alias overwrites it (the
+    OpenSearch PUT-alias semantics)."""
+    man = Manifest.load(index_dir)
+    aliases = man.data.setdefault("aliases", {})
+    aliases[name] = {"where": [list(t) for t in where] if where else None}
+    man.save()
+    return {"alias": name, "where": aliases[name]["where"]}
+
+
+def search_alias(index_dir: str, name: str, queries, **search_kw):
+    """Search through a filtered alias: resolves the alias's stored filter
+    and runs the normal search under filter-context semantics."""
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    man = Manifest.load(index_dir)
+    aliases = man.data.get("aliases", {})
+    if name not in aliases:
+        raise EngineError(f"unknown alias {name!r} on {index_dir}")
+    stored = aliases[name]["where"]
+    where = [tuple(t) for t in stored] if stored else None
+    if where is not None and search_kw.get("where") is not None:
+        raise EngineError("alias already carries a filter; drop the where kwarg")
+    if where is not None:
+        search_kw["where"] = where
+    return search(index_dir, queries, **search_kw)
+
+
 def rebucket_index(index_dir: str, num_buckets: int) -> dict:
     """Reshard the base postings (and positional index, if present) to
     ``num_buckets`` bucket files WITHOUT rebuilding — the index-resharding

@@ -158,3 +158,33 @@ def test_filter_text_allow_semantics(smoke_fixture, smoke_index, smoke_oracle):
         # q2: empty filter -> identical to unfiltered
         g2 = got[got["query_id"] == 2]
         assert g2["docid"].tolist() == [d for d, _ in base]
+
+
+def test_filtered_alias_roundtrip(smoke_index, smoke_fixture):
+    """create_alias stores the filter; search_alias equals search(where=...);
+    unknown alias and double-filter are typed errors."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from remote_vector_index_builder_ray import search
+    from remote_vector_index_builder_ray.config import EngineError
+    from remote_vector_index_builder_ray.pipelines.incremental import (
+        create_alias,
+        search_alias,
+    )
+
+    out = create_alias(smoke_index["index_dir"], "users", where=[("role", "=", "user")])
+    assert out["alias"] == "users"
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas().head(6)
+    via_alias = (search_alias(smoke_index["index_dir"], "users", qdf, mode="bmw")
+                 .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    direct = (search(smoke_index["index_dir"], qdf, mode="bmw",
+                     where=[("role", "=", "user")])
+              .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(via_alias, direct)
+    with _pytest.raises(EngineError, match="unknown alias"):
+        search_alias(smoke_index["index_dir"], "nope", qdf)
+    with _pytest.raises(EngineError, match="already carries"):
+        search_alias(smoke_index["index_dir"], "users", qdf,
+                     where=[("role", "=", "assistant")])
