@@ -2365,6 +2365,32 @@ def _q_ann_hnsw(sf_dir: str):
     return graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=64)
 
 
+def _q_ann_hnsw_filtered(sf_dir: str):
+    """Filtered graph ANN (OpenSearch k-NN efficient filtering): beam search
+    EXPANDS through filtered-out nodes but only admits vec_id % 3 == 0 into
+    the result set — no post-filter starvation. Approximate: rows-only
+    driver check; recall >= 0.9 vs the filtered brute force is pytest-gated
+    (test_graph_ann_filtered_search)."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.extras.graph_ann import (
+        build_graph_index,
+        graph_topk,
+    )
+
+    name = _sf_name(sf_dir)
+    idx = os.path.join(ARTIFACT_ROOT, f"{name}_hnsw")
+    if not os.path.exists(os.path.join(idx, "graph_manifest.json")):
+        build_graph_index(_read(sf_dir, "embeddings"), idx, n_shards=4,
+                          m=12, ef_construction=48)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    q = emb[emb["vec_id"] < 16].sort_values("vec_id").rename(
+        columns={"vec_id": "query_id"})
+    allow = emb.loc[emb["vec_id"] % 3 == 0, "vec_id"].to_numpy(np.int64)
+    return graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=96,
+                      allow_ids=allow)
+
+
 def _pq_artifact_path(name: str) -> str:
     return os.path.join(ARTIFACT_ROOT, f"{name}_pq_topk.parquet")
 
@@ -3912,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ann_topk": _q_ann_topk,
         "ann_matryoshka_topk": _q_ann_matryoshka,
+        "ann_hnsw_filtered": _q_ann_hnsw_filtered,
         "ann_filtered": _q_ann_filtered,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,

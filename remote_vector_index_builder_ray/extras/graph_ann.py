@@ -44,15 +44,24 @@ from remote_vector_index_builder_ray.extras.ann import _normalize, _round6
 
 
 def _beam(vecs: np.ndarray, nbrs: np.ndarray, deg: np.ndarray,
-          q: np.ndarray, ef: int, n_valid: int) -> list[tuple[float, int]]:
+          q: np.ndarray, ef: int, n_valid: int,
+          allow: np.ndarray | None = None) -> list[tuple[float, int]]:
     """Best-first beam over the graph prefix [0, n_valid): returns up to
     ``ef`` (score, id) pairs, (score desc, id asc). Deterministic — every
-    heap key carries the id as tiebreak."""
+    heap key carries the id as tiebreak.
+
+    ``allow`` (bool mask over node ids) is OpenSearch k-NN "efficient
+    filtering": traversal EXPANDS through filtered-out nodes (connectivity
+    is preserved) but only allowed nodes enter the result set; the
+    candidate frontier is score-bounded by the best ADMITTED ef-th score,
+    so a sparse filter widens the search rather than starving it."""
     visited = np.zeros(n_valid, dtype=bool)
     visited[0] = True
     s0 = float(vecs[0] @ q)
     cands = [(-s0, 0)]
-    best: list[tuple[float, int]] = [(s0, -0)]  # min-heap by score
+    best: list[tuple[float, int]] = []  # min-heap by score, ADMITTED only
+    if allow is None or allow[0]:
+        best.append((s0, -0))
     while cands:
         neg, u = heapq.heappop(cands)
         if len(best) >= ef and -neg < best[0][0]:
@@ -67,6 +76,8 @@ def _beam(vecs: np.ndarray, nbrs: np.ndarray, deg: np.ndarray,
         for s_v, v in sorted(zip(ss.tolist(), nb.tolist()), key=lambda t: (-t[0], t[1])):
             if len(best) < ef or s_v > best[0][0]:
                 heapq.heappush(cands, (-s_v, int(v)))
+                if allow is not None and not allow[v]:
+                    continue  # expand through it, never admit it
                 # result-heap ids stored NEGATED: on a score tie the
                 # min-heap then evicts the HIGHER id first (deterministic,
                 # keep-lower-id convention)
@@ -157,7 +168,7 @@ def build_graph_index(
 class GraphSearcher:
     """Actor: ONE shard graph loaded in __init__, many query batches."""
 
-    def __init__(self, shard_path: str, k: int, ef: int):
+    def __init__(self, shard_path: str, k: int, ef: int, allow_ref=None):
         import pyarrow.parquet as pq
 
         t = pq.read_table(shard_path)
@@ -172,6 +183,16 @@ class GraphSearcher:
             self.deg[i] = len(row)
         self.k = k
         self.ef = ef
+        # filtered search: a SORTED global vec_id allow-list, broadcast once
+        # (ray.put) and reduced to this shard's boolean mask at init
+        if allow_ref is not None:
+            import ray as _ray
+
+            from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+            self.allow = isin_sorted(self.ids, _ray.get(allow_ref))
+        else:
+            self.allow = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -180,7 +201,7 @@ class GraphSearcher:
         out_q, out_v, out_s = [], [], []
         for qid, q in zip(qids, qm):
             found = _beam(self.vecs, self.nbrs, self.deg, q, self.ef,
-                          n_valid=len(self.ids))[: self.k]
+                          n_valid=len(self.ids), allow=self.allow)[: self.k]
             out_q.extend([int(qid)] * len(found))
             out_v.extend(int(self.ids[i]) for _, i in found)
             out_s.extend(s for s, _ in found)
@@ -196,6 +217,7 @@ def graph_topk(
     queries: pd.DataFrame,
     k: int = 10,
     ef: int = 64,
+    allow_ids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Search every shard (one actor-pool pass per shard — each actor holds
     one shard graph), merge partials k-bounded at the driver. ``queries``
@@ -203,13 +225,15 @@ def graph_topk(
     score rounded half-up to 6 decimals, (score desc, vec_id asc)."""
     with open(os.path.join(index_dir, "graph_manifest.json")) as f:
         man = json.load(f)
+    allow_ref = (ray.put(np.sort(np.asarray(allow_ids, dtype=np.int64)))
+                 if allow_ids is not None else None)
     parts = []
     for shard in man["shards"]:
         path = os.path.join(index_dir, f"shard-{shard:04d}.parquet")
         qds = ray.data.from_pandas(queries[["query_id", "embedding"]])
         parts.append(
             qds.map_batches(
-                GraphSearcher, fn_constructor_args=(path, k, ef),
+                GraphSearcher, fn_constructor_args=(path, k, ef, allow_ref),
                 batch_format="pyarrow", zero_copy_batch=True,
                 concurrency=(1, 4), batch_size=64,
             ).to_pandas()

@@ -729,3 +729,41 @@ def test_conversation_stats(smoke_fixture):
         want.astype({"n_turns": np.int64, "n_user_turns": np.int64,
                      "n_tool_calls": np.int64, "total_tokens": np.int64}),
     )
+
+
+def test_graph_ann_filtered_search():
+    """Efficient filtering: results all satisfy the predicate; recall@5 vs
+    the FILTERED brute force stays >= 0.9; unfiltered path unchanged."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
+    from remote_vector_index_builder_ray.extras.graph_ann import (
+        build_graph_index,
+        graph_topk,
+    )
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    idx = "/tmp/graft_test_graph_filtered"
+    import os, shutil
+    if not os.path.exists(os.path.join(idx, "graph_manifest.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_graph_index(
+            ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+            idx, n_shards=2, m=8, ef_construction=32)
+    q = emb[emb["vec_id"] < 8].sort_values("vec_id").rename(
+        columns={"vec_id": "query_id"})
+    allow = emb.loc[emb["vec_id"] % 3 == 0, "vec_id"].to_numpy(np.int64)
+    got = graph_topk(idx, q[["query_id", "embedding"]], k=5, ef=48,
+                     allow_ids=allow)
+    assert (got["vec_id"] % 3 == 0).all()
+    qm = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
+    exact = brute_force_topk(
+        ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(lambda r: r["vec_id"] % 3 == 0),
+        q["query_id"].to_numpy(), qm, k=5)
+    hits = got.merge(exact, on=["query_id", "vec_id"]).groupby("query_id").size()
+    recall = hits.reindex(q["query_id"], fill_value=0).mean() / 5.0
+    assert recall >= 0.9, recall
