@@ -1073,8 +1073,18 @@ def _q_bm25_reindex(sf_dir: str):
     fx = _fx.ensure_fixture(name)
     _, src, _ = _ensure_index(sf_dir)
     dst = os.path.join(INDEX_ROOT, f"{name}_reix")
-    reindex(src, dst, analyzer=AnalyzerConfig(
-        stopwords=_AN_STOPWORDS, min_token_len=_AN_MIN_LEN))
+    an = AnalyzerConfig(stopwords=_AN_STOPWORDS, min_token_len=_AN_MIN_LEN)
+    from remote_vector_index_builder_ray.config import HashCollisionError
+
+    try:
+        reindex(src, dst, analyzer=an)
+    except HashCollisionError:
+        # stale /tmp cache from an older code version (the job fingerprint
+        # covers the analyzer config, which grows fields across rounds)
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        reindex(src, dst, analyzer=an)
     return _topk_rounded(dst, fx["queries"])
 
 
