@@ -26,6 +26,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from remote_vector_index_builder_ray.functions.tokenizer import tokenize_column
@@ -261,36 +262,129 @@ def minhash_lsh_candidates(
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
 
+@ray.remote
+def _consolidate_shingles(*blocks):
+    """Concatenate gathered (doc_id, hashes) blocks into ONE CSR-style
+    (sorted ids, row offsets, flat sorted-per-row hashes) triple. Runs on a
+    worker — the shingle sets are created, and stay, in the object store;
+    callers hand the ObjectRef to a map_batches constructor without ever
+    ray.get-ing it on the driver (the ``_consolidate_vectors`` pattern,
+    extras/ann.py)."""
+    tabs = [b for b in blocks if b.num_rows]
+    if not tabs:
+        return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                np.empty(0, np.uint64))
+    t = pa.concat_tables(tabs)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t["hashes"].combine_chunks()
+    counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    o = np.argsort(ids)
+    ids, counts = ids[o], counts[o]
+    starts = np.concatenate([[0], np.cumsum(
+        pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    )])
+    flat = np.concatenate([flat[starts[i]:starts[i + 1]] for i in o]) if len(o) else flat
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return ids, offsets, flat
+
+
 def jaccard_verify(ds: ray.data.Dataset, pairs: pd.DataFrame, shingle_k: int = 3, threshold: float = 0.7) -> pd.DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (broadcast the candidate doc
-    set, gather their shingles, verify on the driver — the candidate set is
-    tiny relative to the corpus)."""
-    wanted = np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])) if len(pairs) else np.array([], dtype=np.int64)
+    """Exact n-gram Jaccard over candidate pairs, DISTRIBUTED (the
+    ``VerifyPairs`` pattern, ``extras/ann.embedding_near_dup``): shingle
+    sets are built vectorized inside ``map_batches`` over the gathered
+    candidate docs, consolidated into one broadcast CSR object by a worker
+    task, and the candidate-pair stream verifies against it in
+    ``map_batches`` — no driver-side per-doc tokenize or per-pair loop. The
+    candidate PAIR set is LSH-cap-bounded by the producers
+    (``max_band_df`` / ``max_shingle_df``), so the broadcast is small."""
+    if not len(pairs):
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
     import ray as _ray
 
-    ref = _ray.put(np.sort(wanted.astype(np.int64)))
-
-    def collect(batch: pa.Table) -> pa.Table:
-        keep = _ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(np.isin(ids, keep)))
-
-    docs = ds.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
 
-    sh = {}
-    for r in docs.itertuples(index=False):
-        tk = np.asarray(tokenize_text(r.text or ""), dtype=object)
-        sh[int(r.doc_id)] = set(_shingle_hashes(tk, shingle_k).tolist())
-    rows = []
-    for r in pairs.itertuples(index=False):
-        s1, s2 = sh.get(int(r.doc_a), set()), sh.get(int(r.doc_b), set())
-        union = len(s1 | s2)
-        j = len(s1 & s2) / union if union else 0.0
-        if j >= threshold:
-            # floor(x*1e6+0.5)/1e6: round-half-up, identical in numpy and SQL
-            rows.append((int(r.doc_a), int(r.doc_b), float(np.floor(j * 1e6 + 0.5) / 1e6)))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    wanted = np.unique(np.concatenate(
+        [pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]
+    ).astype(np.int64))
+    ref = _ray.put(np.sort(wanted))
+    k = int(shingle_k)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        keep = _ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, keep)
+        if not m.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hashes": pa.array([], pa.list_(pa.uint64()))})
+        sub = batch.filter(pa.array(m))
+        out_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = []
+        for txt in sub["text"].to_pylist():
+            tk = np.asarray(tokenize_text(txt or ""), dtype=object)
+            sets.append(np.unique(_shingle_hashes(tk, k)))
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "hashes": pa.array([s.tolist() for s in sets],
+                               type=pa.list_(pa.uint64())),
+        })
+
+    sub_refs = ds.map_batches(
+        shingle_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    csr_ref = _consolidate_shingles.remote(*sub_refs)
+
+    class VerifyJaccard:
+        """map_batches over the pair stream: slice both sides' sorted
+        shingle arrays out of the broadcast CSR, |A ∩ B| via intersect1d."""
+
+        def __init__(self, csr_ref, threshold: float):
+            self.ids, self.off, self.flat = ray.get(csr_ref)
+            self.threshold = float(threshold)
+
+        def _row(self, d: int):
+            i = int(np.searchsorted(self.ids, d))
+            if i >= len(self.ids) or self.ids[i] != d:
+                return None
+            return self.flat[self.off[i]:self.off[i + 1]]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            oa, ob, oj = [], [], []
+            for da, db in zip(a, b):
+                s1, s2 = self._row(int(da)), self._row(int(db))
+                n1 = 0 if s1 is None else len(s1)
+                n2 = 0 if s2 is None else len(s2)
+                inter = (len(np.intersect1d(s1, s2, assume_unique=True))
+                         if n1 and n2 else 0)
+                union = n1 + n2 - inter
+                j = inter / union if union else 0.0
+                if j >= self.threshold:
+                    # floor(x*1e6+0.5)/1e6: round-half-up, identical in
+                    # numpy and SQL
+                    oa.append(int(da))
+                    ob.append(int(db))
+                    oj.append(float(np.floor(j * 1e6 + 0.5) / 1e6))
+            return pa.table({
+                "doc_a": pa.array(oa, type=pa.int64()),
+                "doc_b": pa.array(ob, type=pa.int64()),
+                "jaccard": pa.array(oj, type=pa.float64()),
+            })
+
+    out = ray.data.from_pandas(
+        pairs[["doc_a", "doc_b"]].reset_index(drop=True)
+    ).map_batches(
+        VerifyJaccard, fn_constructor_args=(csr_ref, threshold),
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).to_pandas()  # verified pairs only: the near-dup-contract-small result
+    if "doc_a" not in out.columns:  # zero rows -> column-less frame
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    return out.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -570,12 +664,19 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def simhash_pairs(ds: ray.data.Dataset, radius: int = 3) -> pd.DataFrame:
+def simhash_pairs(ds: ray.data.Dataset, radius: int = 3,
+                  max_band_df: int | None = 1000) -> pd.DataFrame:
     """Near-dup pairs at hamming distance <= radius.
 
     Banding: split the 64-bit hash into 4x16-bit quarters — any pair within
     radius<=3 shares at least one identical quarter (pigeonhole), so the
     shuffle key is (quarter_idx, quarter_value), never a cross join.
+
+    A degenerate quarter bucket (empty/boilerplate docs hashing alike — m
+    docs sharing one 16-bit quarter) would emit m² pairs into the shuffle,
+    so ``max_band_df`` (default 1000) drops and logs oversized buckets —
+    the same guard as ``minhash_lsh_candidates.max_band_df``. Pass ``None``
+    for the uncapped (oracle-comparison) behavior.
     """
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -601,6 +702,12 @@ def simhash_pairs(ds: ray.data.Dataset, radius: int = 3) -> pd.DataFrame:
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
         if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
+        if max_band_df is not None and len(ids) > max_band_df:
+            logger.warning(
+                "simhash_pairs: dropping quarter bucket with %d members"
+                " > max_band_df=%d", len(ids), max_band_df,
+            )
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
         x = hs[a] ^ hs[b]
@@ -880,6 +987,19 @@ def substring_dup_stats(
                 f"doc position {int(pos.max())} overflows the pkey packing "
                 f"({_PKEY_POS_BITS} bits); raise _PKEY_POS_BITS for long docs"
             )
+        if len(ids):
+            # mirror the pos check: an id outside the 63-_PKEY_POS_BITS
+            # budget (or negative) would silently wrap the packed key and
+            # corrupt the min-pkey first-occurrence attribution
+            if int(ids.max()) >= (1 << (63 - _PKEY_POS_BITS)):
+                raise ValueError(
+                    f"doc id {int(ids.max())} overflows the pkey packing "
+                    f"({63 - _PKEY_POS_BITS} id bits)"
+                )
+            if int(ids.min()) < 0:
+                raise ValueError(
+                    f"negative doc id {int(ids.min())} cannot pack into pkey"
+                )
         pkey = (ids[didx] << _PKEY_POS_BITS) | pos
         return pa.table({
             "whash": pa.array(vals.view(np.int64), type=pa.int64()),

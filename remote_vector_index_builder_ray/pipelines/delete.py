@@ -178,6 +178,63 @@ def delete_docs(
     return {"deleted": int(len(v_doc)), "total_tombstoned": int(len(existing) + len(v_doc))}
 
 
+def _write_tombstone_shard_impl(index_dir: str, rel: str, piece_refs: list,
+                                existing: np.ndarray, meta_files: list,
+                                lo: int, hi: int):
+    """One docid-range shard's tombstone file, written IN the task: merge the
+    shard's match-set pieces ({qid: docids} dicts, qid==0 by the single-query
+    contract), drop already-tombstoned docids, join doc_len from the docmeta
+    files overlapping [lo, hi) (row-group docid statistics prune the rest),
+    write ``rel``. Returns (rel, n, deleted_len) — counts only; no docid
+    ever lands on the driver."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+    pieces = _ray.get(list(piece_refs))
+    arrs = [p[0] for p in pieces if len(p.get(0, ()))]
+    if not arrs:
+        return None
+    docs = np.unique(np.concatenate(arrs))
+    if len(existing):
+        docs = docs[~isin_sorted(docs, existing)]
+    if len(docs) == 0:
+        return None
+    lens = np.zeros(len(docs), dtype=np.int64)
+    seen = np.zeros(len(docs), dtype=bool)
+    for f in meta_files:
+        pf = pq.ParquetFile(fs.open_input(f))
+        md = pf.metadata
+        di = next(i for i in range(md.num_columns)
+                  if md.schema.column(i).name == "docid")
+        rgs = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(di).statistics
+            if st is None or st.min is None or (st.max >= lo and st.min < hi):
+                rgs.append(g)
+        if not rgs:
+            continue
+        tbl = pf.read_row_groups(rgs, columns=["docid", "doc_len"])
+        d = tbl["docid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(docs, d)
+        ok = (pos < len(docs)) & (docs[np.minimum(pos, len(docs) - 1)] == d)
+        lens[pos[ok]] = ln[ok]
+        seen[pos[ok]] = True
+    docs, lens = docs[seen], lens[seen]  # docmeta is the live-doc authority
+    if len(docs) == 0:
+        return None
+    fs.write_table(
+        pa.table({
+            "docid": pa.array(docs, type=pa.int64()),
+            "doc_len": pa.array(lens, type=pa.int64()),
+        }),
+        fs.join(index_dir, rel),
+    )
+    return rel, int(len(docs)), int(lens.sum())
+
+
 def delete_by_query(
     index_dir: str,
     text: str,
@@ -185,24 +242,66 @@ def delete_by_query(
 ) -> dict:
     """OpenSearch ``_delete_by_query`` with a match query: tombstone every
     doc containing ANY of the analyzed query's terms (optionally restricted
-    by a docmeta ``where`` predicate). The match set comes from the
-    constant-score scorer (docid streams only); the tombstone write is the
-    same manifest-append commit point as ``delete_docs`` — scores of
-    surviving docs are bit-unchanged (Lucene numDocs-vs-maxDoc logical
-    delete semantics)."""
+    by a docmeta ``where`` predicate). Scores of surviving docs are
+    bit-unchanged (Lucene numDocs-vs-maxDoc logical delete semantics).
+
+    Scale path: the match set is produced DISTRIBUTED
+    (``aggs._sharded_matches`` — the scorer's output blocks are split into
+    docid-range shard pieces in place; the driver holds only ObjectRefs and
+    per-query counts) and each shard's tombstone parquet is written by its
+    own ``_write_tombstone_shard`` task. A stopword delete over 10^12 turns
+    never lands a docid on the driver; the commit point is unchanged (one
+    manifest append AFTER every shard file is durable — a crash before the
+    append leaves invisible orphan files, not a partial delete)."""
     import pandas as pd
+    import ray
 
-    from remote_vector_index_builder_ray.pipelines.aggs import _match_sets
+    from remote_vector_index_builder_ray.pipelines.aggs import (
+        _MATCH_SHARD_STRIDE,
+        _sharded_matches,
+    )
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
 
+    man = _load_manifest(index_dir)
     q = pd.DataFrame({
         "query_id": np.array([0], dtype=np.int64),
         "text": [text],
         "k": np.array([2**31 - 1], dtype=np.int32),
     })
-    matches = _match_sets(index_dir, q, where=where).get(0)
-    if matches is None or len(matches) == 0:
-        man = _load_manifest(index_dir)
-        return {"deleted": 0,
-                "total_tombstoned": int(len(load_tombstones(index_dir, man,
-                                                            include_expunged=True)))}
-    return delete_docs(index_dir, docids=matches.tolist())
+    shard_refs, qids, counts = _sharded_matches(index_dir, q, where=where)
+    existing = load_tombstones(index_dir, man, include_expunged=True)
+    if not shard_refs:
+        return {"deleted": 0, "total_tombstoned": int(len(existing))}
+    existing_ref = ray.put(existing)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    batches = man.data.setdefault("tombstones", [])
+    base = len(batches) + 1
+    fs.makedirs(fs.join(index_dir, "tombstones"))
+    stride = _MATCH_SHARD_STRIDE
+    shard_task = ray.remote(_write_tombstone_shard_impl)
+    futures = []
+    for sid in sorted(shard_refs):
+        rel = f"tombstones/tomb-{base:04d}-shard-{sid:06d}.parquet"
+        # piece refs are passed as a task ARGUMENT list: Ray resolves them
+        # to the worker without the driver ever fetching a docid
+        futures.append(shard_task.remote(
+            index_dir, rel, shard_refs[sid],
+            existing_ref, meta_files, sid * stride, (sid + 1) * stride,
+        ))
+    results = [r for r in ray.get(futures) if r is not None]
+    n_new = sum(r[1] for r in results)
+    if n_new == 0:
+        return {"deleted": 0, "total_tombstoned": int(len(existing))}
+    now = time.time()
+    for rel, n, dlen in results:
+        batches.append(
+            {"file": rel, "n": n, "deleted_len": dlen, "deleted_at": now}
+        )
+    man.save()
+    return {"deleted": int(n_new),
+            "total_tombstoned": int(len(existing) + n_new)}

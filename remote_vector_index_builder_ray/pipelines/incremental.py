@@ -446,11 +446,11 @@ def update_by_query(
         .map_batches(_Rewrite, fn_constructor_args=(allow, append_text),
                      batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=(1, 8))
-        .write_parquet(out_dir)
+        # fs-mediated write + listing: out_dir may be s3:// / mock:// like
+        # every other index root this engine supports
+        .write_parquet(**fs.for_ray(out_dir))
     )
-    import os as _os
-
-    files = [fs.join(out_dir, n) for n in sorted(_os.listdir(out_dir))
+    files = [fs.join(out_dir, n) for n in sorted(fs.listdir(out_dir))
              if n.endswith(".parquet")]
     return update_docs(index_dir, files, num_partitions=num_partitions)
 
@@ -593,6 +593,12 @@ def rebucket_index(index_dir: str, num_buckets: int) -> dict:
     pos_dir = fs.join(index_dir, "positions")
     tmp_pos = _reshard(pos_dir, ("term", "docid")) if fs.exists(pos_dir) else None
     if tmp_pos is not None:
+        # self-describing positions: the bucket count rides the SAME rename
+        # as the resharded files (stages/search._resolve_pos_sources prefers
+        # it), so a crash between the two swaps below can never leave
+        # searchers addressing new-count positions with the old count
+        fs.write_json_atomic(fs.join(tmp_pos, "posmeta.json"),
+                             {"num_buckets": nb})
         _swap(tmp_pos, pos_dir)
     _swap(tmp_post, postings_dir)
     man.data["num_buckets"] = nb

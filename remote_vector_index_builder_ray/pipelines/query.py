@@ -929,7 +929,9 @@ def search_named(
     for name in sorted(named):
         col = named[name]
         qq = q[["query_id"]].assign(
-            text=q[col].astype(str), k=_np.int32(2**31 - 1)
+            # fillna first: a missing clause cell must match NOTHING, not
+            # analyze to the literal term "nan"
+            text=q[col].fillna("").astype(str), k=_np.int32(2**31 - 1)
         )
         m = search(index_dir, qq, mode="constant", allow_docids=allow).to_pandas()
         if m.empty or "docid" not in m.columns:

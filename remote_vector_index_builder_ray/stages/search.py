@@ -243,6 +243,97 @@ class _Cursor:
         return self.w * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
 
 
+class _StatsBucketReader:
+    """One bucket parquet file with its footer parsed once and per-row-group
+    (term, docid) statistics cached — row-group selection replaces the
+    re-open + full-filter cost of ``pq.read_table(path, filters=...)``
+    (~50 ms per call at 313 row groups, repeated per batch per bucket).
+
+    Bucket files are written sorted by (term, docid)
+    (stages/merge.merge_positions_bucket), so per-term row-group runs are
+    contiguous and ``term_max`` is non-decreasing — a searchsorted finds
+    each term's first candidate row group."""
+
+    __slots__ = ("pf", "tmin", "tmax", "dmin", "dmax", "ok", "has_docid")
+
+    def __init__(self, fs_mod, path: str):
+        import pyarrow.parquet as pq
+
+        self.pf = pq.ParquetFile(fs_mod.open_input(path))
+        md = self.pf.metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        n = md.num_row_groups
+        tmin, tmax = [], []
+        dmin = np.empty(n, np.int64)
+        dmax = np.empty(n, np.int64)
+        self.ok = "term" in idx
+        # docid stats are optional: positions buckets have a scalar docid
+        # column (docid-pruned selection), postings buckets do not
+        self.has_docid = "docid" in idx
+        if self.ok:
+            ti = idx["term"]
+            di = idx["docid"] if self.has_docid else -1
+            for g in range(n):
+                rg = md.row_group(g)
+                ts = rg.column(ti).statistics
+                if ts is None or ts.min is None:
+                    self.ok = False  # stats absent: caller falls back
+                    break
+                tmin.append(ts.min)
+                tmax.append(ts.max)
+                if self.has_docid:
+                    ds = rg.column(di).statistics
+                    if ds is None or ds.min is None:
+                        self.has_docid = False
+                    else:
+                        dmin[g], dmax[g] = ds.min, ds.max
+        if self.ok:
+            self.tmin = np.asarray(tmin, dtype=object)
+            self.tmax = np.asarray(tmax, dtype=object)
+            self.dmin, self.dmax = dmin, dmax
+
+    def select(self, terms: list[str], needed: dict | None = None) -> list[int]:
+        """Row groups whose (term, docid) statistics intersect any wanted
+        term (and, when ``needed`` maps that term to a sorted docid array,
+        its needed docids). Conservative at term-boundary row groups."""
+        rgs: set[int] = set()
+        n = len(self.tmax)
+        use_nd = needed is not None and self.has_docid
+        for t in terms:
+            g = int(np.searchsorted(self.tmax, t, side="left"))
+            nd = needed.get(t) if use_nd else None
+            while g < n and self.tmin[g] <= t:
+                if nd is None:
+                    rgs.add(g)
+                else:
+                    i = int(np.searchsorted(nd, self.dmin[g]))
+                    j = int(np.searchsorted(nd, self.dmax[g], side="right"))
+                    if j > i:
+                        rgs.add(g)
+                g += 1
+        return sorted(rgs)
+
+    def read(self, terms: list[str], needed: dict | None = None,
+             docid_filter=None):
+        """The rows for ``terms`` (optionally docid-pruned), or None when the
+        selection is empty. Row groups are stat-selected, then rows filtered
+        exactly (``is_in``) — the same rows ``pq.read_table`` with the
+        equivalent filters returns."""
+        rgs = self.select(terms, needed)
+        if not rgs:
+            return None
+        tbl = self.pf.read_row_groups(rgs)
+        mask = pc.is_in(tbl["term"], value_set=pa.array(terms, type=pa.string()))
+        if docid_filter is not None and self.has_docid:
+            mask = pc.and_kleene(
+                mask,
+                pc.is_in(tbl["docid"],
+                         value_set=pa.array(docid_filter, type=pa.int64())),
+            )
+        tbl = tbl.filter(mask)
+        return tbl if tbl.num_rows else None
+
+
 class BM25Searcher:
     """Callable class for ``queries.map_batches(BM25Searcher, concurrency=N)``."""
 
@@ -437,6 +528,12 @@ class BM25Searcher:
         self._gen_dirs = [_fs.join(index_dir, g["dir"]) for g in gens]
         self._pos_sources: list[tuple[str, int, set]] | None = None
         self._pos_cache: dict[str, tuple | None] = {}
+        # terms whose _pos_cache entry is a batch-local PRUNED view (valid
+        # only for the batch whose candidates produced it) — dropped at the
+        # next pruned load (see _load_positions_pruned)
+        self._pos_pruned: set[str] = set()
+        # per-bucket readers with parsed footers + row-group statistics
+        self._pos_pf: dict[str, _StatsBucketReader] = {}
         if mode == "phrase":
             self._resolve_pos_sources()
         # Optional filtered search (pipelines/query.search(where=...)): a
@@ -526,15 +623,23 @@ class BM25Searcher:
         multi = len(self._sources) > 1
         tabs = []
         for gi, (pdir, nb, present, _) in enumerate(self._sources):
-            for bkt in sorted({zlib.crc32(t.encode()) % nb for t in missing}):
+            by_bucket: dict[int, list[str]] = {}
+            for t in missing:
+                by_bucket.setdefault(zlib.crc32(t.encode()) % nb, []).append(t)
+            for bkt, bterms in sorted(by_bucket.items()):
                 name = f"bucket-{bkt:05d}.parquet"
                 if name not in present:
                     continue
-                t = self._fs.read_table(
-                    self._fs.join(pdir, name), filters=[("term", "in", missing)]
-                )
-                if t.num_rows == 0:
-                    continue
+                path = self._fs.join(pdir, name)
+                rd = self._pos_bucket_reader(path)
+                if rd.ok:
+                    t = rd.read(bterms)
+                    if t is None:
+                        continue
+                else:  # statistics absent: the plain filtered read
+                    t = self._fs.read_table(path, filters=[("term", "in", bterms)])
+                    if t.num_rows == 0:
+                        continue
                 if multi:
                     t = t.append_column(
                         "gen", pa.array(np.full(t.num_rows, gi, dtype=np.int32))
@@ -600,6 +705,17 @@ class BM25Searcher:
             i = j
 
     # -- positional postings (mode="phrase") ----------------------------------
+    def _pos_bucket_reader(self, path: str):
+        """Cached per-bucket reader: the parquet footer parses ONCE per actor
+        (profiled ~50 ms per ``read_table`` call at 313 row groups — pure
+        footer + filter overhead repeated every batch) and per-row-group
+        (term, docid) statistics drive row-group selection thereafter."""
+        rd = self._pos_pf.get(path)
+        if rd is None:
+            rd = _StatsBucketReader(self._fs, path)
+            self._pos_pf[path] = rd
+        return rd
+
     def _resolve_pos_sources(self) -> list[tuple[str, int, set]]:
         if self._pos_sources is None:
             srcs = []
@@ -607,7 +723,14 @@ class BM25Searcher:
                 pdir = self._fs.join(d, "positions")
                 if self._fs.exists(pdir):
                     present = {n for n in self._fs.listdir(pdir) if n.endswith(".parquet")}
-                    srcs.append((pdir, self.num_buckets, present))
+                    # prefer the dir's own bucket-count record (rebucket_index
+                    # commits it in the SAME rename as the resharded files) —
+                    # a crash between the positions and postings swaps can
+                    # never misaddress position buckets
+                    meta = self._fs.join(pdir, "posmeta.json")
+                    nb = (int(self._fs.read_json(meta)["num_buckets"])
+                          if self._fs.exists(meta) else self.num_buckets)
+                    srcs.append((pdir, nb, present))
             if not srcs:
                 from remote_vector_index_builder_ray.config import EngineError
 
@@ -618,10 +741,99 @@ class BM25Searcher:
             self._pos_sources = srcs
         return self._pos_sources
 
-    def _load_positions(self, terms: list[str]) -> None:
+    # positional pruning (phrase / span_near): per-term needed-docid sets
+    # above this size fall back to the full-term load (their parquet `in`
+    # filter would cost more than the rows it saves)
+    POS_PRUNE_CAP = 8192
+    # total pruned-read docid-filter budget per batch (expression size bound)
+    POS_PRUNE_UNION_CAP = 131072
+
+    def _phrase_needed(self, per_query_terms) -> dict:
+        """Per-term candidate-docid unions for positional pruning.
+
+        A phrase/span_near match requires EVERY query term in the doc, so a
+        query's candidate set is the intersection of its terms' posting
+        docids — already resident in the term cache after ``_load_terms``.
+        ``needed[t]`` is the union of the candidate sets of the queries that
+        use ``t``: loading only those docs' positional rows is exact (the
+        scorers' own candidate intersection reproduces precisely the same
+        docs), and for the common rare+common term mix it shrinks a
+        100k-row stopword positional read to a few hundred rows."""
+        acc: dict[str, list] = {}
+        for terms in per_query_terms:
+            uterms = sorted(set(terms))
+            if not uterms or any(self._cache.get(t) is None for t in uterms):
+                continue  # a missing term: the query matches nothing
+            cand = None
+            for t in sorted(uterms, key=lambda t: self._cache[t].df):
+                d = self._cache[t].decode_all()[0]
+                cand = d if cand is None else np.intersect1d(
+                    cand, d, assume_unique=True
+                )
+                if cand.size == 0:
+                    break
+            if cand is None or cand.size == 0:
+                continue
+            for t in uterms:
+                acc.setdefault(t, []).append(cand)
+        return {
+            t: (parts[0] if len(parts) == 1
+                else np.unique(np.concatenate(parts)))
+            for t, parts in acc.items()
+        }
+
+    def _load_positions_pruned(self, terms: list[str], needed: dict) -> None:
+        """Positional loads restricted to each term's needed-docid set.
+
+        Terms with no candidates anywhere are skipped (scorers early-out on
+        the candidate intersection); terms whose needed set exceeds
+        ``POS_PRUNE_CAP`` — stopword-pair queries — take the full-term load
+        (persistent cache). Pruned entries are BATCH-LOCAL: they are views
+        valid only for this batch's queries, tracked in ``_pos_pruned`` and
+        dropped at the next batch so a later query can never mistake a
+        pruned entry for the term's full positional list."""
+        for t in self._pos_pruned:
+            self._pos_cache.pop(t, None)
+        self._pos_pruned = set()
+        big, small = [], []
+        for t in terms:
+            nd = needed.get(t)
+            if nd is None:
+                continue
+            (big if len(nd) > self.POS_PRUNE_CAP else small).append(t)
+        # keep the total docid-filter size bounded: overflow terms degrade
+        # to the full-term load (correct either way)
+        small.sort(key=lambda t: len(needed[t]))
+        total = 0
+        for i, t in enumerate(small):
+            total += len(needed[t])
+            if total > self.POS_PRUNE_UNION_CAP:
+                big.extend(small[i:])
+                small = small[:i]
+                break
+        if big:
+            self._load_positions(big)
+        # a full entry already resident covers any pruned need
+        small = [t for t in small if t not in self._pos_cache]
+        if not small:
+            return
+        union = np.unique(np.concatenate([needed[t] for t in small]))
+        self._load_positions(small, needed=needed, docid_filter=union)
+        self._pos_pruned = set(small)
+
+    def _load_positions(self, terms: list[str], needed: dict | None = None,
+                        docid_filter=None) -> None:
         """Per term: (docid_per_position, position, cand_docids, cand_dls) —
         flat numpy views over the term-filtered positional rows of the term's
-        hash bucket (every source, docid-ascending)."""
+        hash bucket (every source, docid-ascending).
+
+        Reads go through per-actor cached ``_StatsBucketReader``s: footer
+        parsed once, then per-row-group (term, docid) statistics select the
+        handful of row groups holding the wanted terms. ``needed`` (term →
+        sorted docid array) additionally prunes a term's row groups to those
+        intersecting its candidates, and ``docid_filter`` (their sorted
+        union) exact-filters the rows — the pruned-load path
+        (see ``_load_positions_pruned``)."""
         missing = [t for t in terms if t not in self._pos_cache]
         if not missing:
             return
@@ -629,14 +841,24 @@ class BM25Searcher:
 
         tabs = []
         for pdir, nb, present in self._resolve_pos_sources():
-            for bkt in sorted({zlib.crc32(t.encode()) % nb for t in missing}):
+            by_bucket: dict[int, list[str]] = {}
+            for t in missing:
+                by_bucket.setdefault(zlib.crc32(t.encode()) % nb, []).append(t)
+            for bkt, bterms in sorted(by_bucket.items()):
                 name = f"bucket-{bkt:05d}.parquet"
                 if name not in present:
                     continue
-                t = self._fs.read_table(
-                    self._fs.join(pdir, name), filters=[("term", "in", missing)]
-                )
-                if t.num_rows:
+                path = self._fs.join(pdir, name)
+                rd = self._pos_bucket_reader(path)
+                if rd.ok:
+                    t = rd.read(bterms, needed, docid_filter)
+                else:  # statistics absent: the plain filtered read
+                    flt = [("term", "in", bterms)]
+                    if docid_filter is not None:
+                        flt.append(("docid", "in", docid_filter.tolist()))
+                    t = self._fs.read_table(path, filters=flt)
+                    t = t if t.num_rows else None
+                if t is not None:
                     tabs.append(t)
         if len(self._pos_cache) + len(missing) > self.cache_terms:
             # retain current-request terms across eviction (see _load_terms)
@@ -1757,7 +1979,15 @@ class BM25Searcher:
         )
         if all_terms:
             self._load_terms(all_terms)
-            if self.mode in ("phrase", "span_near", "span_first", "span_not", "intervals"):
+            if self.mode in ("phrase", "span_near"):
+                # phrase/span_near require EVERY term in a matching doc, so
+                # positional loads prune to the per-query candidate unions —
+                # a stopword's 100k-row positional read becomes a few
+                # hundred rows when paired with a rare term
+                self._load_positions_pruned(
+                    all_terms, self._phrase_needed(per_query_terms)
+                )
+            elif self.mode in ("span_first", "span_not", "intervals"):
                 self._load_positions(all_terms)
         # search_after cursors (optional per-query columns): a row with
         # non-null after_score/after_docid returns only docs STRICTLY after

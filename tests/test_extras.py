@@ -96,6 +96,23 @@ def test_simhash_pairs():
     assert int(ham) == 0
 
 
+def test_simhash_degenerate_bucket_capped():
+    """All-identical docs hash to ONE quarter bucket in every band: the
+    max_band_df cap must drop it (bounded shuffle) instead of emitting m²
+    pairs; uncapped (max_band_df=None) keeps the full pair set."""
+    import ray as _ray
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": ["the same boilerplate text"] * 12,
+    })
+    ds = _ray.data.from_pandas(df)
+    capped = dedup.simhash_pairs(ds, radius=3, max_band_df=8)
+    assert len(capped) == 0
+    uncapped = dedup.simhash_pairs(ds, radius=3, max_band_df=None)
+    assert len(uncapped) == 12 * 11 // 2
+
+
 # ---------------------------------------------------------------------------
 # ANN
 # ---------------------------------------------------------------------------

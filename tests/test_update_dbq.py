@@ -167,3 +167,40 @@ def test_update_by_query_matches_rebuilt_oracle(smoke_fixture, tmp_path_factory)
            .sort_values(["query_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["query_id", "rank", "docid", "score"]],
                                   want.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_delete_by_query_never_lands_matches_on_driver(
+    smoke_fixture, tmp_path_factory, monkeypatch
+):
+    """The round-4 scale fix: delete_by_query produces tombstones from the
+    DISTRIBUTED sharded match set — the driver must never materialize a
+    docid (no _match_sets call, no Dataset.to_pandas on the match path)."""
+    import ray.data
+
+    import remote_vector_index_builder_ray.pipelines.aggs as am
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    idx = str(tmp_path_factory.mktemp("dbq_dist") / "idx")
+    build_index(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                            index_dir=idx, num_partitions=2))
+    df = _src(smoke_fixture)
+    victim_term = tokenize_text(df.loc[7, "text"])[0]
+    victims = {
+        int(d) for d, t in zip(df["docid"], df["text"])
+        if victim_term in tokenize_text(t or "")
+    }
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side match-set materialization")
+
+    monkeypatch.setattr(am, "_match_sets", _boom)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    out = delete_by_query(idx, victim_term)
+    assert out["deleted"] == len(victims) > 0
+    monkeypatch.undo()
+    q = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int64),
+        "text": [victim_term],
+        "k": np.array([2000], dtype=np.int32),
+    })
+    assert search(idx, q, mode="exhaustive").count() == 0
