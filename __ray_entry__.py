@@ -2349,14 +2349,20 @@ def _q_ann_matryoshka(sf_dir: str):
                            qdf["vec_id"].to_numpy(), qm, dim=16, k=10)
 
 
-def _q_ann_hnsw(sf_dir: str):
-    """Sharded small-world graph ANN (the reference's CAGRA->HNSW family,
-    extras/graph_ann): deterministic NSW build per vec_id%4 shard in
-    parallel map_groups tasks, beam search per shard via a load-once actor
-    pool, k-bounded driver merge. Approximate — no SQL twin (rows-only
-    driver check); recall@10 >= 0.9 vs the exact brute force is gated in
-    pytest (test_graph_ann_recall_and_determinism) and the build is
-    bit-deterministic (rebuild => identical top-k)."""
+def _hnsw_artifact_path(name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{name}_hnsw_topk.parquet")
+
+
+def _hnsw_filtered_artifact_path(name: str) -> str:
+    return os.path.join(ARTIFACT_ROOT, f"{name}_hnsw_filtered.parquet")
+
+
+def _ensure_hnsw_artifacts(sf_dir: str) -> tuple[str, str]:
+    """Deterministic graph-ANN top-k artifacts (plain + filtered), persisted
+    so the SQL twin can score per-query recall against the SAME result rows
+    — the pq/sq/ivfpq pattern that turned those approximate ops
+    SQL-checkable."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from remote_vector_index_builder_ray.extras.graph_ann import (
@@ -2365,6 +2371,9 @@ def _q_ann_hnsw(sf_dir: str):
     )
 
     name = _sf_name(sf_dir)
+    tpath, fpath = _hnsw_artifact_path(name), _hnsw_filtered_artifact_path(name)
+    if os.path.exists(tpath) and os.path.exists(fpath):
+        return tpath, fpath
     idx = os.path.join(ARTIFACT_ROOT, f"{name}_hnsw")
     if not os.path.exists(os.path.join(idx, "graph_manifest.json")):
         build_graph_index(_read(sf_dir, "embeddings"), idx, n_shards=4,
@@ -2372,33 +2381,86 @@ def _q_ann_hnsw(sf_dir: str):
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
     q = emb[emb["vec_id"] < 16].sort_values("vec_id").rename(
         columns={"vec_id": "query_id"})
-    return graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=64)
+    top = graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=64)
+    _write_atomic(pa.Table.from_pandas(
+        top[["query_id", "vec_id"]].reset_index(drop=True),
+        preserve_index=False), tpath)
+    allow = emb.loc[emb["vec_id"] % 3 == 0, "vec_id"].to_numpy(np.int64)
+    ftop = graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=96,
+                      allow_ids=allow)
+    _write_atomic(pa.Table.from_pandas(
+        ftop[["query_id", "vec_id"]].reset_index(drop=True),
+        preserve_index=False), fpath)
+    return tpath, fpath
+
+
+def _q_ann_hnsw(sf_dir: str):
+    """Sharded small-world graph ANN (the reference's CAGRA->HNSW family,
+    extras/graph_ann): deterministic NSW build per vec_id%4 shard in
+    parallel map_groups tasks, beam search per shard via a load-once actor
+    pool, k-bounded driver merge. The beam's top-k rows persist as an
+    artifact and this entry returns per-query recall@10 vs the exact brute
+    force — SQL-checkable (the pq/sq pattern); recall >= 0.9 additionally
+    pytest-gated (test_graph_ann_recall_and_determinism) and the build is
+    bit-deterministic (rebuild => identical top-k)."""
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
+
+    tpath, _ = _ensure_hnsw_artifacts(sf_dir)
+    res = pd.read_parquet(tpath)
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    bf = brute_force_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        qdf["vec_id"].to_numpy(), qm, k=10,
+    )
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    rows = []
+    for qid, g in res.groupby("query_id"):
+        hits = sum((int(qid), int(v)) in bfset for v in g["vec_id"])
+        rows.append((int(qid), float(np.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "recall"]).astype(
+        {"query_id": np.int64, "recall": np.float64})
 
 
 def _q_ann_hnsw_filtered(sf_dir: str):
     """Filtered graph ANN (OpenSearch k-NN efficient filtering): beam search
     EXPANDS through filtered-out nodes but only admits vec_id % 3 == 0 into
-    the result set — no post-filter starvation. Approximate: rows-only
-    driver check; recall >= 0.9 vs the filtered brute force is pytest-gated
-    (test_graph_ann_filtered_search)."""
+    the result set — no post-filter starvation. Persisted-artifact recall
+    vs the FILTERED brute force, SQL-checkable like ``ann_hnsw_topk``;
+    recall >= 0.9 also pytest-gated (test_graph_ann_filtered_search)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from remote_vector_index_builder_ray.extras.graph_ann import (
-        build_graph_index,
-        graph_topk,
-    )
+    from remote_vector_index_builder_ray.extras.ann import brute_force_topk
 
-    name = _sf_name(sf_dir)
-    idx = os.path.join(ARTIFACT_ROOT, f"{name}_hnsw")
-    if not os.path.exists(os.path.join(idx, "graph_manifest.json")):
-        build_graph_index(_read(sf_dir, "embeddings"), idx, n_shards=4,
-                          m=12, ef_construction=48)
+    _, fpath = _ensure_hnsw_artifacts(sf_dir)
+    res = pd.read_parquet(fpath)
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
-    q = emb[emb["vec_id"] < 16].sort_values("vec_id").rename(
-        columns={"vec_id": "query_id"})
-    allow = emb.loc[emb["vec_id"] % 3 == 0, "vec_id"].to_numpy(np.int64)
-    return graph_topk(idx, q[["query_id", "embedding"]], k=10, ef=96,
-                      allow_ids=allow)
+    qdf = emb[emb["vec_id"] < 16].sort_values("vec_id")
+    qm = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    import ray.data
+
+    def _keep_allowed(b: "pa.Table") -> "pa.Table":
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ds.map_batches(
+        _keep_allowed, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bf = brute_force_topk(ds, qdf["vec_id"].to_numpy(), qm, k=10)
+    bfset = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    rows = []
+    for qid, g in res.groupby("query_id"):
+        hits = sum((int(qid), int(v)) in bfset for v in g["vec_id"])
+        rows.append((int(qid), float(np.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "recall"]).astype(
+        {"query_id": np.int64, "recall": np.float64})
 
 
 def _pq_artifact_path(name: str) -> str:
@@ -4483,6 +4545,47 @@ SELECT p.query_id,
        floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
 FROM pq p LEFT JOIN bf b ON p.query_id = b.query_id AND p.vec_id = b.vec_id
 GROUP BY p.query_id ORDER BY p.query_id
+""",
+        "ann_hnsw_topk": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+g AS (SELECT query_id, vec_id FROM read_parquet('{_hnsw_artifact_path(sf)}'))
+SELECT g.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM g LEFT JOIN bf b ON g.query_id = b.query_id AND g.vec_id = b.vec_id
+GROUP BY g.query_id ORDER BY g.query_id
+""",
+        "ann_hnsw_filtered": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+sims AS (
+    SELECT q.query_id, e.vec_id,
+           floor(list_cosine_similarity(q.qv, e.v) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM q CROSS JOIN e
+    WHERE e.vec_id % 3 = 0
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+),
+bf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+g AS (SELECT query_id, vec_id FROM read_parquet('{_hnsw_filtered_artifact_path(sf)}'))
+SELECT g.query_id,
+       floor((count(b.vec_id)::DOUBLE / 10.0) * 1000000 + 0.5) / 1000000 AS recall
+FROM g LEFT JOIN bf b ON g.query_id = b.query_id AND g.vec_id = b.vec_id
+GROUP BY g.query_id ORDER BY g.query_id
 """,
         "ann_sq_topk": f"""
 WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

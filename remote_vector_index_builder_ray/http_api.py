@@ -15,6 +15,14 @@ Routes and status codes mirror the reference:
   GET  /_status/{id}    -> 200 job record | 404
   GET  /_jobs           -> 200 [job records]
   GET  /_heart_beat     -> 200 {"alive": true, ...}
+  POST /_delete_by_query {"index_dir": "...", "text": "...", "where"?}
+                        -> 200 {"deleted": n, "total_tombstoned": n}
+                        (runs the DISTRIBUTED sharded-tombstone path —
+                        pipelines/delete.delete_by_query; a match-everything
+                        delete never lands a docid on the driver)
+  POST /_update_by_query {"index_dir": "...", "query_text": "...",
+                         "out_dir": "...", "append_text"?}
+                        -> 200 {"updated": n, "inserted": n}
 """
 
 from __future__ import annotations
@@ -91,13 +99,74 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0) -
             else:
                 self._send(404, {"error": "unknown route"})
 
+        def _read_body(self) -> dict:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("request body must be a JSON object")
+            return body
+
         def do_POST(self) -> None:
+            if self.path == "/_delete_by_query":
+                # synchronous by-query delete on the DISTRIBUTED sharded
+                # path (pipelines/delete.delete_by_query): match-set shard
+                # pieces stay in the object store; per-shard tasks write the
+                # tombstone files — the driver (this handler) only sees
+                # counts, so a match-everything delete is capacity-safe
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "text") if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "text", "where"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    where = body.get("where")
+                    if where is not None:
+                        where = [tuple(t) for t in where]
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                from remote_vector_index_builder_ray.pipelines.delete import (
+                    delete_by_query,
+                )
+
+                self._send(200, delete_by_query(
+                    str(body["index_dir"]), str(body["text"]), where=where
+                ))
+                return
+            if self.path == "/_update_by_query":
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "query_text", "out_dir")
+                               if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "query_text", "out_dir",
+                                         "append_text", "num_partitions"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                from remote_vector_index_builder_ray.pipelines.incremental import (
+                    update_by_query,
+                )
+
+                out = update_by_query(
+                    str(body["index_dir"]), str(body["query_text"]),
+                    str(body.get("append_text", " [updated]")),
+                    str(body["out_dir"]),
+                    num_partitions=body.get("num_partitions"),
+                )
+                out.pop("manifest", None)  # wire payload: counts only
+                self._send(200, out)
+                return
             if self.path != "/_build":
                 self._send(404, {"error": "unknown route"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                body = json.loads(self.rfile.read(length) or b"{}")
+                body = self._read_body()
                 cfg = parse_build_request(body)
             except (ValueError, json.JSONDecodeError) as ex:
                 self._send(400, {"error": str(ex)})

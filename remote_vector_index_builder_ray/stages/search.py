@@ -712,6 +712,10 @@ class BM25Searcher:
         (term, docid) statistics drive row-group selection thereafter."""
         rd = self._pos_pf.get(path)
         if rd is None:
+            if len(self._pos_pf) >= 512:
+                # bound open file handles (many-generation indexes x buckets):
+                # drop the cache wholesale — footers re-parse on demand
+                self._pos_pf.clear()
             rd = _StatsBucketReader(self._fs, path)
             self._pos_pf[path] = rd
         return rd

@@ -17,11 +17,14 @@ def main() -> int:
     import duckdb
     import ray
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = "/root/testdata/sf0.01"
+    skip = set()
     for i, a in enumerate(sys.argv):
         if a == "--sf":
             sf = sys.argv[i + 1]
+            skip.add(i + 1)
+    args = [a for i, a in enumerate(sys.argv[1:], 1)
+            if not a.startswith("--") and i not in skip]
     ray.init(address="local", num_cpus=16, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext

@@ -89,3 +89,68 @@ def test_error_codes(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/_status/nope")
     assert ei.value.code == 404
+
+
+def test_delete_by_query_route_match_everything(api, monkeypatch):
+    """POST /_delete_by_query drives the DISTRIBUTED sharded-tombstone path:
+    a match-EVERYTHING delete (a term in every doc would be the worst case;
+    here: every matching doc of a common term) succeeds while the driver is
+    forbidden from materializing the match set — the capacity story for a
+    stopword delete over 10^12 turns."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    import remote_vector_index_builder_ray.pipelines.aggs as am
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "dbq_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+
+    # 400s: missing / unknown fields
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_delete_by_query", {"index_dir": idx})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_delete_by_query",
+              {"index_dir": idx, "text": "x", "bogus": 1})
+    assert ei.value.code == 400
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side match-set materialization")
+
+    monkeypatch.setattr(am, "_match_sets", _boom)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    code, out = _post(base + "/_delete_by_query", {"index_dir": idx, "text": "the"})
+    monkeypatch.undo()
+    assert code == 200 and out["deleted"] > 0
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": ["the"], "k": np.array([100], dtype=np.int32)})
+    assert search(idx, q, mode="exhaustive").count() == 0
+
+
+def test_update_by_query_route(api, tmp_path_factory):
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "ubq_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    df = pd.concat([pd.read_parquet(p) for p in fx["transcripts"]])
+    term = tokenize_text(df["text"].iloc[5])[0]
+    out_dir = str(tmp_path_factory.mktemp("ubq_api_out"))
+    code, out = _post(base + "/_update_by_query", {
+        "index_dir": idx, "query_text": term, "out_dir": out_dir,
+        "append_text": " zzapiupd",
+    })
+    assert code == 200 and out["updated"] > 0 and "manifest" not in out
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": ["zzapiupd"],
+                      "k": np.array([10000], dtype=np.int32)})
+    assert search(idx, q, mode="exhaustive").count() == out["updated"]
