@@ -3122,6 +3122,113 @@ def _q_bm25_span_first(sf_dir: str):
                          mode="span_first")
 
 
+def _ensure_spannot_queries(sf_dir: str) -> str:
+    """span_not query set derived from the corpus: include = a phrase
+    query's first token, exclude = its second token (guaranteed to co-occur
+    at distance 1 somewhere, so the window genuinely voids spans), plus an
+    absent exclude (degenerates to the inner span) and an empty exclude
+    (excludes nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_spannot_queries.parquet")
+    if not os.path.exists(path):
+        ph = pq.read_table(_ensure_phrase_queries(sf_dir)).to_pandas()
+        texts, excludes = [], []
+        for t in ph["text"]:
+            toks = tokenize_text(t or "")
+            texts.append(toks[0] if toks else "")
+            excludes.append(toks[1] if len(toks) > 1 else "")
+        q = ph.assign(text=texts, span_exclude=excludes)
+        extra = pd.DataFrame({
+            "query_id": np.array([9101, 9102], dtype=np.int64),
+            "text": ["the", "the"],
+            "k": np.array([25, 25], dtype=np.int32),
+            "span_exclude": ["zzznomatch", ""],
+        })
+        q = pd.concat([q, extra], ignore_index=True)
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_span_not(sf_dir: str):
+    """Lucene/OpenSearch span_not(include, exclude, pre=1, post=2) with
+    single-term spans: an occurrence of the include term survives unless
+    the exclude term occurs within [p-1, p+2] in the same doc; freq =
+    surviving occurrences, scored idf * tfnorm(freq, dl)
+    (stages/search._score_span_not). A missing exclude term excludes
+    nothing — span_not degenerates to the inner span."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_spannot_queries(sf_dir),
+                         mode="span_not", span_pre=1, span_post=2)
+
+
+def _ensure_spancontain_queries(sf_dir: str) -> str:
+    """span_containing/span_within query set derived from the corpus: from
+    every Nth doc's token stream take a trigram (a, b, c) — big =
+    "a c" (ordered window, slop=1), little = "b", so containment genuinely
+    fires where the trigram occurs. Edge rows: absent little, empty little,
+    single-token big."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_spancontain_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        src = pd.concat([pq.read_table(p).to_pandas() for p in fx["transcripts"]])
+        src = src.sort_values(["conv_id", "turn_idx"],
+                              kind="mergesort").reset_index(drop=True)
+        toks = src["text"].map(lambda t: tokenize_text(t or ""))
+        rows = []
+        step = max(1, len(src) // 20)
+        for i in range(0, len(src), step):
+            tk = toks[i]
+            if len(tk) >= 4 and len({tk[1], tk[2], tk[3]}) == 3:
+                rows.append((f"{tk[1]} {tk[3]}", tk[2]))
+            if len(rows) >= 14:
+                break
+        rows += [("the a", "zzznomatch"),   # absent little
+                 ("the a", ""),             # empty little: matches nothing
+                 ("the", "a")]              # single-token big: needs both ends
+        q = pd.DataFrame({
+            "query_id": np.arange(len(rows), dtype=np.int64),
+            "text": [r[0] for r in rows],
+            "k": np.full(len(rows), 20, dtype=np.int32),
+            "span_little": [r[1] for r in rows],
+            "slop": np.array([1 + (i % 2) for i in range(len(rows))],
+                             dtype=np.int32),
+        })
+        _write_atomic(pa.Table.from_pandas(q, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_span_containing(sf_dir: str):
+    """Lucene/OpenSearch span_containing(big, little): minimal ordered
+    two-term big spans (gap <= slop) that contain an occurrence of the
+    little term; freq = qualifying spans, scored
+    (idf(t1) + idf(t2)) * tfnorm(freq, dl) — the little clause is a filter
+    (stages/search._score_span_containing)."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_spancontain_queries(sf_dir),
+                         mode="span_containing")
+
+
+def _q_bm25_span_within(sf_dir: str):
+    """Lucene/OpenSearch span_within(little, big): little-term occurrences
+    contained in some minimal ordered big span; freq = contained
+    occurrences, scored idf(little) * tfnorm(freq, dl) — the enclosing big
+    clause is the filter (stages/search._score_span_within)."""
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return _topk_rounded(index_dir, _ensure_spancontain_queries(sf_dir),
+                         mode="span_within")
+
+
 def _q_bm25_span_or(sf_dir: str):
     """Lucene/OpenSearch span_or over single-term inner spans: the union of
     the clauses' spans. Single-term spans never overlap, so per-doc freq is
@@ -3910,6 +4017,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_diversified_sampler": _q_bm25_diversified_sampler,
         "bm25_distance_feature": _q_bm25_distance_feature,
         "bm25_span_first": _q_bm25_span_first,
+        "bm25_span_not": _q_bm25_span_not,
+        "bm25_span_containing": _q_bm25_span_containing,
+        "bm25_span_within": _q_bm25_span_within,
         "bm25_percentiles_bucket": _q_bm25_percentiles_bucket,
         "bm25_cum_cardinality": _q_bm25_cum_cardinality,
         "bm25_mget": _q_bm25_mget,
@@ -9677,6 +9787,171 @@ stf AS (
            any_value(q.term) AS term
     FROM q JOIN tp ON tp.term = q.term AND tp.pos <= q.span_end
     GROUP BY q.query_id, tp.docid
+),
+scored AS (
+    SELECT stf.query_id, stf.k, stf.docid,
+           round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * stf.tf * (1.2 + 1)
+                 / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+    FROM stf
+    JOIN df USING (term)
+    JOIN dl ON stf.docid = dl.docid
+    CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # span_not: an include occurrence at 1-based pos p survives unless the
+    # exclude term occurs in [p-1, p+2] in the same doc (0/1-based windows
+    # coincide — both endpoints shift by one); freq = survivors, scored
+    # idf * tfnorm(freq, dl). NULL/absent exclude excludes nothing.
+    spannot_q = _ensure_spannot_queries(ORACLE_SF_DIR)
+    out["bm25_span_not"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(len(ts))::DOUBLE / count(*) AS avgdl FROM docs),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+tp AS MATERIALIZED (
+    SELECT docid, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+    FROM docs
+),
+dl AS (SELECT docid, len(ts)::BIGINT AS dl FROM docs),
+q AS (
+    SELECT query_id, k,
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1] AS term,
+           regexp_extract_all(lower(coalesce(span_exclude, '')), '[a-z0-9_]+')[1] AS excl
+    FROM read_parquet('{spannot_q}')
+    WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) > 0
+),
+inc AS (
+    SELECT q.query_id, q.k, q.term, q.excl, tp.docid, tp.pos
+    FROM q JOIN tp ON tp.term = q.term
+),
+stf AS (
+    SELECT i.query_id, any_value(i.k) AS k, i.docid, count(*)::BIGINT AS tf,
+           any_value(i.term) AS term
+    FROM inc i
+    WHERE i.excl IS NULL OR NOT EXISTS (
+        SELECT 1 FROM tp te
+        WHERE te.docid = i.docid AND te.term = i.excl
+          AND te.pos BETWEEN i.pos - 1 AND i.pos + 2)
+    GROUP BY i.query_id, i.docid
+),
+scored AS (
+    SELECT stf.query_id, stf.k, stf.docid,
+           round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * stf.tf * (1.2 + 1)
+                 / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+    FROM stf
+    JOIN df USING (term)
+    JOIN dl ON stf.docid = dl.docid
+    CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # span_containing / span_within: big = minimal ordered two-term window
+    # (per end position p2, start = the closest preceding t1 with gap <=
+    # slop); containing counts big spans holding a little occurrence,
+    # within counts little occurrences inside some big span. 1-based SQL
+    # positions shift both span ends equally, so the windows coincide.
+    spancont_q = _ensure_spancontain_queries(ORACLE_SF_DIR)
+    _SPAN_BIG_SCAFFOLD = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 sum(len(ts))::DOUBLE / count(*) AS avgdl FROM docs),
+tm AS MATERIALIZED (SELECT docid, unnest(list_distinct(ts)) AS term FROM docs),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tm GROUP BY term),
+tp AS MATERIALIZED (
+    SELECT docid, unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+    FROM docs
+),
+dl AS (SELECT docid, len(ts)::BIGINT AS dl FROM docs),
+q AS (
+    SELECT query_id, k, slop::BIGINT AS slop,
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[1] AS t1,
+           regexp_extract_all(lower(text), '[a-z0-9_]+')[2] AS t2,
+           regexp_extract_all(lower(coalesce(span_little, '')), '[a-z0-9_]+')[1] AS little
+    FROM read_parquet('{spancont_q}')
+    WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 2
+),
+big AS (
+    SELECT q.query_id, tp2.docid, max(tp1.pos) AS s, tp2.pos AS e,
+           any_value(q.little) AS little, any_value(q.k) AS k,
+           any_value(q.t1) AS t1, any_value(q.t2) AS t2
+    FROM q
+    JOIN tp tp2 ON tp2.term = q.t2
+    JOIN tp tp1 ON tp1.docid = tp2.docid AND tp1.term = q.t1
+               AND tp1.pos < tp2.pos AND tp1.pos >= tp2.pos - q.slop - 1
+    GROUP BY q.query_id, tp2.docid, tp2.pos
+)"""
+    out["bm25_span_containing"] = _SPAN_BIG_SCAFFOLD + """,
+stf AS (
+    SELECT b.query_id, any_value(b.k) AS k, b.docid, count(*)::BIGINT AS tf,
+           any_value(b.t1) AS t1, any_value(b.t2) AS t2
+    FROM big b
+    WHERE b.little IS NOT NULL AND EXISTS (
+        SELECT 1 FROM tp t3
+        WHERE t3.docid = b.docid AND t3.term = b.little
+          AND t3.pos BETWEEN b.s AND b.e)
+    GROUP BY b.query_id, b.docid
+),
+scored AS (
+    SELECT stf.query_id, stf.k, stf.docid,
+           round((ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+                  + ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5)))
+                 * stf.tf * (1.2 + 1)
+                 / (stf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+    FROM stf
+    JOIN df d1 ON d1.term = stf.t1
+    JOIN df d2 ON d2.term = stf.t2
+    JOIN dl ON stf.docid = dl.docid
+    CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    out["bm25_span_within"] = _SPAN_BIG_SCAFFOLD + """,
+litt AS (
+    SELECT q.query_id, q.k, q.little, tp.docid, tp.pos
+    FROM q JOIN tp ON tp.term = q.little
+),
+stf AS (
+    SELECT l.query_id, any_value(l.k) AS k, l.docid, count(*)::BIGINT AS tf,
+           any_value(l.little) AS term
+    FROM litt l
+    WHERE EXISTS (
+        SELECT 1 FROM big b
+        WHERE b.query_id = l.query_id AND b.docid = l.docid
+          AND b.s <= l.pos AND l.pos <= b.e)
+    GROUP BY l.query_id, l.docid
 ),
 scored AS (
     SELECT stf.query_id, stf.k, stf.docid,

@@ -162,13 +162,13 @@ def search(
         # positional-postings loads, which duplicate across the pool — fewer,
         # bigger batches amortize the same term loads over more queries
         # (profiled at sf0.1: load 4.2 s vs score 0.26 s per batch)
-        batch_size = 64 if mode in ("phrase", "span_near", "span_first", "span_not", "intervals") else 16
+        batch_size = 64 if mode in ("phrase", "span_near", "span_first", "span_not", "intervals", "span_containing", "span_within") else 16
     if concurrency is None:
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         concurrency = (max(1, min(4, cpus // 8)), max(2, min(32, cpus // 2)))
-    if mode in ("phrase", "span_near", "span_first", "span_not", "intervals"):
+    if mode in ("phrase", "span_near", "span_first", "span_not", "intervals", "span_containing", "span_within"):
         # fail fast on the DRIVER (an actor-side raise surfaces as an opaque
         # ActorDiedError): phrase/span search needs a positional index
         from remote_vector_index_builder_ray.config import EngineError
@@ -208,7 +208,7 @@ def search(
     # validate on the driver: an actor-side raise is an opaque ActorDiedError
     if operator not in ("or", "and"):
         raise ValueError(f"operator must be 'or' or 'and', got {operator!r}")
-    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended", "terms_set", "intervals"):
+    if operator == "and" and mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended", "terms_set", "intervals", "span_containing", "span_within"):
         raise ValueError(f"operator='and' is not supported in {mode} mode")
     if mode == "terms_set":
         # terms_set (Lucene CoveringQuery): per-doc required-match count from
@@ -236,11 +236,11 @@ def search(
             raise ValueError(
                 "min_should_match is redundant with operator='and' (pick one)"
             )
-        if mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended", "intervals"):
+        if mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "constant", "blended", "intervals", "span_containing", "span_within"):
             raise ValueError(f"min_should_match is not supported in {mode} mode")
         if int(min_should_match) < 1:
             raise ValueError("min_should_match must be >= 1")
-    if (mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "blended", "intervals")
+    if (mode in ("wand", "phrase", "span_near", "span_first", "span_or", "span_not", "blended", "intervals", "span_containing", "span_within")
             and isinstance(queries, pd.DataFrame)):
         if "after_score" in queries.columns:
             raise ValueError(f"search_after is not supported in {mode} mode")

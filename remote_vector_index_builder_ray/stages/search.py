@@ -1352,6 +1352,114 @@ class BM25Searcher:
         sel = topk_order(scores, cand, k)
         return cand[sel], scores[sel]
 
+    def _big_spans(self, t1: str, t2: str, slop: int):
+        """Minimal ordered two-term spans for span_containing/span_within:
+        for each occurrence of ``t2`` at position p2 with some occurrence of
+        ``t1`` at p1 < p2 and gap p2 - p1 - 1 <= slop, the span
+        [p1*, p2] where p1* is the CLOSEST preceding qualifying t1 — one
+        span per end position, the Lucene minimal-interval convention
+        (``_score_intervals``). Returns (doc, start, end, cdoc2, cdl2)
+        arrays sorted docid-major / end-minor, or None when either term is
+        absent or no window qualifies."""
+        if (self._cache.get(t1) is None or self._pos_cache.get(t1) is None
+                or self._cache.get(t2) is None or self._pos_cache.get(t2) is None):
+            return None
+        dpp1, pos1, _, _ = self._pos_cache[t1]
+        dpp2, pos2, cdoc2, cdl2 = self._pos_cache[t2]
+        K = self._POS_PACK
+        key1 = dpp1 * K + pos1  # docid-major, position-minor: sorted
+        lo = np.searchsorted(key1, dpp2 * K + np.maximum(pos2 - slop - 1, 0))
+        hi = np.searchsorted(key1, dpp2 * K + (pos2 - 1), side="right")
+        valid = hi > lo
+        if not valid.any():
+            return None
+        return (dpp2[valid], pos1[hi[valid] - 1], pos2[valid], cdoc2, cdl2)
+
+    def _score_span_containing(self, terms: list[str], k: int,
+                               little: str | None, slop: int):
+        """Lucene/OpenSearch span_containing(big, little): big spans (the
+        minimal ordered two-term windows of ``_big_spans``) that contain an
+        occurrence of the single-term ``little`` span, i.e. start <= p3 <=
+        end. freq = qualifying big spans per doc, scored
+        (idf(t1) + idf(t2)) * tfnorm(freq, dl) — the little clause acts as
+        a filter (Lucene's two-phase containment check), contributing
+        match constraints but no similarity weight. Vectorized: one
+        searchsorted pair per big span over the little term's packed
+        (docid << 21 | position) keys."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(terms) < 2 or little is None:
+            return empty
+        t1, t2 = terms[0], terms[1]
+        if self._pos_cache.get(little) is None:
+            return empty
+        big = self._big_spans(t1, t2, slop)
+        if big is None:
+            return empty
+        doc, s, e, cdoc2, cdl2 = big
+        dpp3, pos3, _, _ = self._pos_cache[little]
+        K = self._POS_PACK
+        key3 = dpp3 * K + pos3
+        lo3 = np.searchsorted(key3, doc * K + s)
+        hi3 = np.searchsorted(key3, doc * K + e, side="right")
+        keep = hi3 > lo3  # some little occurrence inside [s, e]
+        if not keep.any():
+            return empty
+        cand, stf = np.unique(doc[keep], return_counts=True)
+        dl = cdl2[np.searchsorted(cdoc2, cand)]
+        idf_sum = _idf(self.N, self._cache[t1].df) + _idf(self.N, self._cache[t2].df)
+        scores = idf_sum * tfnorm(
+            stf.astype(np.float64), dl.astype(np.float64),
+            self.avgdl, self.k1, self.b,
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
+    def _score_span_within(self, terms: list[str], k: int,
+                           little: str | None, slop: int):
+        """Lucene/OpenSearch span_within(little, big): occurrences of the
+        single-term ``little`` span contained in SOME big span (the minimal
+        ordered two-term windows of ``_big_spans``). freq = contained
+        occurrences per doc, scored idf(little) * tfnorm(freq, dl) — the
+        enclosing big clause is the filter (the mirror of
+        ``_score_span_containing``). Vectorized containment: big spans are
+        docid-major / end-minor sorted, so a per-doc SUFFIX-min over packed
+        (docid << 21 | start) keys answers "is there a span with end >= p3
+        and start <= p3" with one searchsorted per little occurrence —
+        later docs' packed starts exceed (docid + 1) << 21 and can never
+        shadow the current doc's minimum."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(terms) < 2 or little is None:
+            return empty
+        t1, t2 = terms[0], terms[1]
+        if (self._cache.get(little) is None
+                or self._pos_cache.get(little) is None):
+            return empty
+        big = self._big_spans(t1, t2, slop)
+        if big is None:
+            return empty
+        doc, s, e, _, _ = big
+        dpp3, pos3, cdoc3, cdl3 = self._pos_cache[little]
+        K = self._POS_PACK
+        packed_e = doc * K + e  # sorted: doc-major, end-minor
+        suff_min_s = np.minimum.accumulate((doc * K + s)[::-1])[::-1]
+        key3 = dpp3 * K + pos3
+        i = np.searchsorted(packed_e, key3)  # first span with end >= p3
+        ok = i < len(packed_e)
+        ok[ok] = suff_min_s[i[ok]] <= key3[ok]  # some start <= p3 (same doc)
+        if not ok.any():
+            return empty
+        cand, stf = np.unique(dpp3[ok], return_counts=True)
+        dl = cdl3[np.searchsorted(cdoc3, cand)]
+        idf = _idf(self.N, self._cache[little].df)
+        scores = idf * tfnorm(
+            stf.astype(np.float64), dl.astype(np.float64),
+            self.avgdl, self.k1, self.b,
+        )
+        cand, scores = self._drop_tombstoned(cand, scores)
+        sel = topk_order(scores, cand, k)
+        return cand[sel], scores[sel]
+
     def _score_terms_set(self, terms: list[str], k: int, deny=None, allow=None):
         """OpenSearch ``terms_set`` query (Lucene CoveringQuery): a doc
         matches when it contains at least ``required(doc)`` of the query's
@@ -1948,7 +2056,8 @@ class BM25Searcher:
                     dict(zip(lst or [], ws or [])) or None
                     for lst, ws in zip(lists, batch["weights"].to_pylist())
                 ]
-        elif self.mode in ("phrase", "span_near", "intervals"):
+        elif self.mode in ("phrase", "span_near", "intervals",
+                           "span_containing", "span_within"):
             # phrase/span/interval semantics: token ORDER matters, duplicates kept;
             # under a filtering analyzer the pre-filter token indices ride
             # along so the matcher demands the index's position gaps
@@ -1977,9 +2086,25 @@ class BM25Searcher:
                 excl_spans.append(toks[0] if toks else None)
         else:
             excl_spans = [None] * len(qids)
+        # span_containing/span_within little spans (optional per-query
+        # span_little column): the single-term inner span tested for
+        # containment against the big ordered two-term span
+        if "span_little" in cols0:
+            if self.mode not in ("span_containing", "span_within"):
+                raise ValueError(
+                    "span_little is only supported in span_containing/"
+                    "span_within mode"
+                )
+            little_spans = []
+            for t in batch["span_little"].to_pylist():
+                toks = analyze_text(t or "", self._analyzer)
+                little_spans.append(toks[0] if toks else None)
+        else:
+            little_spans = [None] * len(qids)
         all_terms = sorted(
             {t for terms in per_query_terms for t in terms}
             | {t for t in excl_spans if t is not None}
+            | {t for t in little_spans if t is not None}
         )
         if all_terms:
             self._load_terms(all_terms)
@@ -1991,7 +2116,8 @@ class BM25Searcher:
                 self._load_positions_pruned(
                     all_terms, self._phrase_needed(per_query_terms)
                 )
-            elif self.mode in ("span_first", "span_not", "intervals"):
+            elif self.mode in ("span_first", "span_not", "intervals",
+                               "span_containing", "span_within"):
                 self._load_positions(all_terms)
         # search_after cursors (optional per-query columns): a row with
         # non-null after_score/after_docid returns only docs STRICTLY after
@@ -2081,8 +2207,12 @@ class BM25Searcher:
             groups_lists = [None] * len(qids)
         # match_phrase slop (optional per-query int column, phrase mode)
         if "slop" in cols:
-            if self.mode not in ("phrase", "span_near"):
-                raise ValueError("slop is only supported in phrase/span_near mode")
+            if self.mode not in ("phrase", "span_near", "span_containing",
+                                 "span_within"):
+                raise ValueError(
+                    "slop is only supported in phrase/span_near/"
+                    "span_containing/span_within mode"
+                )
             slops = [int(s or 0) for s in batch["slop"].to_pylist()]
         else:
             slops = [0] * len(qids)
@@ -2120,10 +2250,10 @@ class BM25Searcher:
         if "weights" not in cols or "terms" not in cols:
             weight_maps = [None] * len(qids)
         out_qid, out_rank, out_doc, out_score = [], [], [], []
-        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan, slc, wmap, gaps in zip(
+        for qid, terms, k, after, deny, groups, poffs, slop, demote, allow, end, espan, slc, wmap, gaps, lspan in zip(
             qids, per_query_terms, ks, afters, denies, groups_lists,
             per_query_offsets, slops, demotes, allows, ends, excl_spans,
-            slicings, weight_maps, gapss,
+            slicings, weight_maps, gapss, little_spans,
         ):
             k = int(k) if k is not None else 10
             if self.mode == "bmw":
@@ -2140,6 +2270,10 @@ class BM25Searcher:
                 docids, scores = self._score_intervals(terms, k, gaps)
             elif self.mode == "span_not":
                 docids, scores = self._score_span_not(terms, k, espan)
+            elif self.mode == "span_containing":
+                docids, scores = self._score_span_containing(terms, k, lspan, slop)
+            elif self.mode == "span_within":
+                docids, scores = self._score_span_within(terms, k, lspan, slop)
             elif self.mode == "phrase" and slop > 0:
                 docids, scores = self._score_phrase_slop(terms, k, slop, poffs)
             elif self.mode == "phrase":
