@@ -3045,6 +3045,20 @@ def _q_bm25_count(sf_dir: str):
                        "total_hits": "int64"}).reset_index(drop=True)
 
 
+def _q_bm25_sampler(sf_dir: str):
+    """OpenSearch sampler agg + terms sub-agg: the terms counts computed
+    over each query's top shard_size=20 matched docs by relevance only
+    (Lucene BestDocsDeferringCollector) — the plain sibling of
+    diversified_sampler (pipelines/aggs.sampler_terms_agg)."""
+    from remote_vector_index_builder_ray import sampler_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = sampler_terms_agg(index_dir, pd.read_parquet(fx["queries"]),
+                            field="role", shard_size=20)
+    return out.astype({"query_id": "int64",
+                       "doc_count": "int64"}).reset_index(drop=True)
+
+
 def _q_bm25_diversified_sampler(sf_dir: str):
     """OpenSearch diversified_sampler agg: top shard_size=20 matched docs
     per query with at most max_docs_per_value=3 per role — greedy
@@ -4015,6 +4029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_moving_fn": _q_bm25_moving_fn,
         "bm25_count": _q_bm25_count,
         "bm25_diversified_sampler": _q_bm25_diversified_sampler,
+        "bm25_sampler": _q_bm25_sampler,
         "bm25_distance_feature": _q_bm25_distance_feature,
         "bm25_span_first": _q_bm25_span_first,
         "bm25_span_not": _q_bm25_span_not,
@@ -9658,6 +9673,48 @@ SELECT qq.query_id, COALESCE(c.n, 0)::BIGINT AS total_hits
 FROM (SELECT DISTINCT query_id FROM read_parquet('{_queries_path(sf)}')) qq
 LEFT JOIN c USING (query_id)
 ORDER BY qq.query_id
+"""
+    # sampler + terms sub-agg: terms counts over each query's top-20 matched
+    # docs by rounded relevance only (BestDocsDeferringCollector)
+    out["bm25_sampler"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+rn AS (
+    SELECT sc.query_id, sc.docid, d.role AS key,
+           row_number() OVER (PARTITION BY sc.query_id
+                              ORDER BY floor(sc.score * 1000000 + 0.5) / 1000000 DESC,
+                                       sc.docid) AS rank
+    FROM scored sc JOIN docs d USING (docid)
+)
+SELECT query_id, key, count(*)::BIGINT AS doc_count
+FROM rn WHERE rank <= 20
+GROUP BY query_id, key
+ORDER BY query_id, doc_count DESC, key
 """
     # diversified_sampler: within-role rank <= 3 on rounded scores, then the
     # global top-20 (== greedy best-first under the per-key cap)

@@ -3021,6 +3021,108 @@ def diversified_sampler_agg(
     ).reset_index(drop=True)
 
 
+class _ProbeSampleTop:
+    """`sampler` partials: per query the batch's top ``shard_size`` matched
+    docs by (round6 score desc, docid asc) with their sub-agg field values —
+    a superset of the global per-query top; queries x shard_size rows leave
+    each task."""
+
+    def __init__(self, shard_refs, stride, field: str, shard_size: int):
+        self.matches = _ShardedScored(shard_refs, stride)
+        self.field = field
+        self.size = shard_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from remote_vector_index_builder_ray.stages.merge import isin_sorted
+
+        ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
+        qids, out_keys, docs, scores = [], [], [], []
+        for qid, (arr, sc) in self.matches.for_batch(ids).items():
+            mask = isin_sorted(ids, arr)
+            if not mask.any():
+                continue
+            d = ids[mask]
+            s = sc[np.searchsorted(arr, d)]
+            r = np.floor(s * 1e6 + 0.5) / 1e6
+            df = pd.DataFrame({"key": keys[mask], "docid": d, "score": r})
+            df = df.sort_values(["score", "docid"],
+                                ascending=[False, True]).head(self.size)
+            qids.extend([qid] * len(df))
+            out_keys.extend(df["key"].tolist())
+            docs.extend(df["docid"].tolist())
+            scores.extend(df["score"].tolist())
+        return pa.table({
+            "query_id": pa.array(qids, type=pa.int64()),
+            "key": pa.array(out_keys, type=pa.string()),
+            "docid": pa.array(docs, type=pa.int64()),
+            "score": pa.array(scores, type=pa.float64()),
+        })
+
+
+def sampler_terms_agg(
+    index_dir: str,
+    queries,
+    field: str = "role",
+    shard_size: int = 20,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `sampler` aggregation with a `terms` sub-aggregation: the
+    sub-agg sees only each query's top ``shard_size`` matched docs by
+    relevance (Lucene BestDocsDeferringCollector), then counts the sample's
+    distinct ``field`` values. The plain (non-diversified) sibling of
+    ``diversified_sampler_agg`` — same distributed shape: scored match sets
+    shard by docid range, docmeta streams once through a per-batch
+    top-``shard_size`` combiner (a superset of the global top), the
+    queries x shard_size sample reduces driver-side. Sample membership is
+    decided on 6-decimal-rounded scores (the engine's cross-oracle float
+    policy). Returns (query_id, key, doc_count) ordered
+    (doc_count desc, key asc) per query."""
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    shard_refs, _, _ = _sharded_matches(index_dir, queries, where=where, scored=True)
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files), columns=["docid", field])
+        .map_batches(
+            _ProbeSampleTop,
+            fn_constructor_args=(shard_refs, _MATCH_SHARD_STRIDE, field,
+                                 shard_size),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "key": pd.Series(dtype=object),
+        "doc_count": pd.Series(dtype=np.int64),
+    }
+    if partials.empty:
+        return pd.DataFrame(cols)
+    partials = partials.sort_values(["query_id", "score", "docid"],
+                                    ascending=[True, False, True])
+    partials["rank"] = partials.groupby("query_id").cumcount() + 1
+    sample = partials[partials["rank"] <= shard_size]
+    out = (
+        sample.groupby(["query_id", "key"], sort=False)
+        .size()
+        .reset_index(name="doc_count")
+        .sort_values(["query_id", "doc_count", "key"],
+                     ascending=[True, False, True])
+    )
+    return out[["query_id", "key", "doc_count"]].astype(
+        {"query_id": np.int64, "doc_count": np.int64}
+    ).reset_index(drop=True)
+
+
 def percentiles_bucket_date_histogram(
     index_dir: str,
     queries,
