@@ -582,6 +582,28 @@ def _topk_rounded(index_dir: str, queries_path: str, search_fn=None, **search_kw
     ).reset_index(drop=True)
 
 
+def _q_bm25_search_service(sf_dir: str):
+    """Warm-pool request-serving path (query_service.QueryService, the HTTP
+    /_search verb's engine): a persistent pool of BM25Searcher actors keyed
+    by the manifest fingerprint serves the SAME top-k contract as bm25_topk
+    — SQL-checked against the identical oracle, so the serving path can
+    never drift from the batch path."""
+    import pyarrow as pa
+
+    from remote_vector_index_builder_ray.query_service import QueryService
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    svc = QueryService(pool_size=2)
+    try:
+        return _topk_rounded(
+            index_dir, fx["queries"],
+            search_fn=lambda idx, q, **kw: pa.Table.from_pandas(
+                svc.search(idx, q, **kw), preserve_index=False),
+            mode="bmw")
+    finally:
+        svc.shutdown()
+
+
 def _q_bm25_delete_search(sf_dir: str):
     """Top-k after a LOGICAL delete (tombstones only): deleted docs vanish
     from results while live docs keep full-corpus stats — scores unchanged
@@ -3973,6 +3995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
         "bm25_topk": _q_bm25_topk,
+        "bm25_search_service": _q_bm25_search_service,
         "bm25_has_child": _q_bm25_has_child,
         "bm25_has_parent": _q_bm25_has_parent,
         "tfidf_topk": _q_tfidf_topk,
@@ -4797,6 +4820,8 @@ GROUP BY i.query_id ORDER BY i.query_id
     # SAME docid space as the one-shot build (conv-sorted split; see
     # _ensure_inc_index) — its oracle IS the bm25_topk oracle
     out["bm25_incremental"] = out["bm25_topk"]
+    # the warm-pool serving path returns the identical top-k contract
+    out["bm25_search_service"] = out["bm25_topk"]
     out["bm25_restore"] = out["bm25_topk"]
     out["bm25_rebucketed"] = out["bm25_topk"]  # resharding is score-invariant
     # logical delete (tombstones, no expunge): score the FULL corpus (stats,

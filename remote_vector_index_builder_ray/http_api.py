@@ -20,6 +20,10 @@ Routes and status codes mirror the reference:
                         (runs the DISTRIBUTED sharded-tombstone path —
                         pipelines/delete.delete_by_query; a match-everything
                         delete never lands a docid on the driver)
+  POST /_search {"index_dir": "...", "queries": [{query_id, text, k?}],
+                 "mode"?} -> 200 {"rows": [...], "total": n}
+                        (served from a WARM persistent searcher pool keyed
+                        by the manifest fingerprint — query_service.py)
   POST /_update_by_query {"index_dir": "...", "query_text": "...",
                          "out_dir": "...", "append_text"?}
                         -> 200 {"updated": n, "inserted": n}
@@ -72,7 +76,20 @@ def parse_build_request(body: dict) -> BuildConfig:
     )
 
 
-def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
+                query_service=None) -> ThreadingHTTPServer:
+    _qs = {"svc": query_service}
+
+    def _query_service():
+        # lazy: QueryService sizes its pools from ray.cluster_resources(),
+        # so construction waits for the first /_search (the caller owns the
+        # Ray session; make_server itself must not require one)
+        if _qs["svc"] is None:
+            from remote_vector_index_builder_ray.query_service import QueryService
+
+            _qs["svc"] = QueryService()
+        return _qs["svc"]
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
             data = json.dumps(payload).encode()
@@ -107,6 +124,45 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0) -
             return body
 
         def do_POST(self) -> None:
+            if self.path == "/_search":
+                # request-serving path: a WARM persistent searcher pool per
+                # (index, mode, manifest fingerprint) — no per-request actor
+                # pool spin-up; committed index mutations retire the pool
+                # automatically (query_service module docstring)
+                import numpy as np
+                import pandas as pd
+
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "queries") if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "queries", "mode"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    rows = body["queries"]
+                    if (not isinstance(rows, list) or not rows
+                            or not all(isinstance(r, dict) and "query_id" in r
+                                       and "text" in r for r in rows)):
+                        raise ValueError(
+                            "queries must be a non-empty list of "
+                            "{query_id, text, k?} objects"
+                        )
+                    q = pd.DataFrame({
+                        "query_id": np.array([int(r["query_id"]) for r in rows],
+                                             dtype=np.int64),
+                        "text": [str(r["text"]) for r in rows],
+                        "k": np.array([int(r.get("k", 10)) for r in rows],
+                                      dtype=np.int32),
+                    })
+                except (ValueError, TypeError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                out = _query_service().search(str(body["index_dir"]), q,
+                                              mode=str(body.get("mode", "bmw")))
+                self._send(200, {"rows": out.to_dict(orient="records"),
+                                 "total": int(len(out))})
+                return
             if self.path == "/_delete_by_query":
                 # synchronous by-query delete on the DISTRIBUTED sharded
                 # path (pipelines/delete.delete_by_query): match-set shard

@@ -1,0 +1,188 @@
+"""QueryService — a warm, persistent searcher pool for request-serving.
+
+The pipeline path (``pipelines/query.search``) builds a FRESH actor pool per
+call — right for batch jobs, wasteful for a request-serving service where
+every ``POST /_search`` would pay pool spin-up plus cold per-actor term
+caches. This module reproduces the way a search engine actually serves
+queries (an OpenSearch index stays OPEN: segment readers, dictionaries and
+caches persist across requests; the reference keeps its FAISS index loaded
+in the serving process for the same reason):
+
+* A pool of raw ``BM25Searcher`` actors per (index_dir, mode, options) is
+  created ONCE and reused across requests — a request costs one round of
+  actor method calls, and per-actor term/dictionary caches stay warm.
+* Pools are keyed by a **manifest fingerprint** (SHA-256 of the index's
+  ``manifest.json`` bytes). Every committed mutation — append, delete,
+  update_by_query, compact, rebucket — rewrites the manifest, so a stale
+  pool retires ATOMICALLY on the next request and a fresh one warms against
+  the new index state (the Lucene reader-reopen model; no TTLs, no manual
+  invalidation).
+* Least-recently-used pools are killed beyond ``max_pools`` (bounded actor
+  count, the searcher analog of BuildService's bounded job store).
+
+Scale note (multi-node): the actors carry no affinity constraints, so Ray
+spreads a pool across the cluster; ``pool_size`` defaults to the cluster CPU
+count capped at 16 per index. Queries fan out in ``batch_size`` slices
+round-robin over the pool — the same per-batch unit the pipeline path uses,
+without the per-call pool construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from remote_vector_index_builder_ray.config import EngineError
+from remote_vector_index_builder_ray.state import fs
+
+
+def manifest_fingerprint(index_dir: str) -> str:
+    """SHA-256 of the committed manifest bytes: cheap (one small read), and
+    changes on every committed index mutation."""
+    with fs.open_input(fs.join(index_dir, "manifest.json")) as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+class _Pool:
+    def __init__(self, actors: list, created_at: float):
+        self.actors = actors
+        self.created_at = created_at
+        self.last_used = created_at
+
+
+class QueryService:
+    """Serve searches from warm per-index searcher pools (module docstring).
+
+    Supported per-request arguments: ``mode`` and ``k`` (via the queries
+    frame). Options that change actor STATE (operator, min_should_match,
+    similarity, span windows, ...) are per-POOL: pass them to ``__init__``'s
+    ``searcher_kwargs`` or use the batch path (``pipelines/query.search``)
+    which validates the full surface. Per-request filter context (`where`)
+    is deliberately not offered here — a filtered request belongs on the
+    batch path where the allow-list broadcast is built per call."""
+
+    _POSITIONAL = ("phrase", "span_near", "span_first", "span_not",
+                   "intervals", "span_containing", "span_within")
+
+    def __init__(self, pool_size: int | None = None, max_pools: int = 8,
+                 batch_size: int = 16, actor_num_cpus: float = 0.5,
+                 **searcher_kwargs):
+        if pool_size is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            pool_size = max(2, min(16, cpus // 2))
+        self.pool_size = int(pool_size)
+        self.max_pools = int(max_pools)
+        self.batch_size = int(batch_size)
+        # persistent actors RESERVE their CPUs for their whole lifetime —
+        # unlike a per-call pipeline pool that releases them at the end. The
+        # 0.5 default lets idle serving pools coexist with batch pipelines on
+        # the same cluster (an idle reservation of pool_size full cores can
+        # starve a concurrent build/search pipeline into deadlock); a
+        # latency-dedicated deployment should set 1.0 and size
+        # max_pools * pool_size to the cluster share it owns.
+        self.actor_num_cpus = float(actor_num_cpus)
+        self.searcher_kwargs = searcher_kwargs
+        self._pools: dict[tuple, _Pool] = {}
+
+    # -- pool lifecycle -------------------------------------------------------
+    def _get_pool(self, index_dir: str, mode: str) -> _Pool:
+        from remote_vector_index_builder_ray.stages.search import BM25Searcher
+
+        fp = manifest_fingerprint(index_dir)
+        key = (index_dir, mode, fp)
+        pool = self._pools.get(key)
+        if pool is None:
+            # a changed fingerprint means the index mutated: retire every
+            # stale pool for this (index_dir, mode) before warming the new one
+            for k in [k for k in self._pools
+                      if k[0] == index_dir and k[1] == mode]:
+                self._kill(k)
+            if mode in self._POSITIONAL:
+                self._require_positions(index_dir)
+            act = ray.remote(num_cpus=self.actor_num_cpus)(BM25Searcher)
+            actors = [
+                act.remote(index_dir, mode, None, **self.searcher_kwargs)
+                for _ in range(self.pool_size)
+            ]
+            pool = self._pools[key] = _Pool(actors, time.time())
+            self._evict_lru()
+        pool.last_used = time.time()
+        return pool
+
+    def _kill(self, key: tuple) -> None:
+        pool = self._pools.pop(key, None)
+        if pool is not None:
+            for a in pool.actors:
+                ray.kill(a)
+
+    def _evict_lru(self) -> None:
+        while len(self._pools) > self.max_pools:
+            key = min(self._pools, key=lambda k: self._pools[k].last_used)
+            self._kill(key)
+
+    @staticmethod
+    def _require_positions(index_dir: str) -> None:
+        man = fs.read_json(fs.join(index_dir, "manifest.json"))
+        pos_dirs = [fs.join(index_dir, "positions")] + [
+            fs.join(index_dir, g["dir"], "positions")
+            for g in man.get("generations", [])
+            if not g.get("compacted")
+        ]
+        if not any(fs.exists(d) for d in pos_dirs):
+            raise EngineError(
+                f"index at {index_dir} has no positional data; "
+                "build with BuildConfig(positions=True) to enable phrase search"
+            )
+
+    def shutdown(self) -> None:
+        for key in list(self._pools):
+            self._kill(key)
+
+    # -- serving ---------------------------------------------------------------
+    def search(self, index_dir: str, queries: pd.DataFrame,
+               mode: str = "bmw") -> pd.DataFrame:
+        """Top-k over a warm pool. ``queries``: (query_id:int64, text:string,
+        k:int32) — the pipeline contract. Returns (query_id, rank, docid,
+        score) sorted (query_id, rank); results are identical to
+        ``pipelines/query.search`` (same searcher class, same per-batch
+        unit)."""
+        if not isinstance(queries, pd.DataFrame):
+            raise TypeError("QueryService.search expects a pandas DataFrame")
+        pool = self._get_pool(index_dir, mode)
+        q = queries
+        if mode in self._POSITIONAL and len(q) > 1:
+            # bucket-affine batching (pipelines/query.search does the same):
+            # cluster each batch's positional loads into few bucket files
+            import zlib
+
+            man = fs.read_json(fs.join(index_dir, "manifest.json"))
+            nb = int(man["num_buckets"])
+            first_tok = (
+                q["text"].fillna("").str.lower()
+                .str.extract(r"([a-z0-9_]+)", expand=False).fillna("")
+            )
+            bkt = first_tok.map(lambda t: zlib.crc32(t.encode()) % nb)
+            q = (q.assign(_bkt=bkt.to_numpy())
+                 .sort_values(["_bkt"], kind="mergesort")
+                 .drop(columns=["_bkt"]).reset_index(drop=True))
+        tbl = pa.Table.from_pandas(q, preserve_index=False)
+        futures = [
+            pool.actors[i % len(pool.actors)].__call__.remote(
+                tbl.slice(off, self.batch_size))
+            for i, off in enumerate(range(0, tbl.num_rows, self.batch_size))
+        ]
+        parts = [p for p in ray.get(futures) if p.num_rows]
+        if not parts:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int32),
+                "docid": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+            })
+        out = pa.concat_tables(parts).to_pandas()
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

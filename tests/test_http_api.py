@@ -154,3 +154,47 @@ def test_update_by_query_route(api, tmp_path_factory):
                       "text": ["zzapiupd"],
                       "k": np.array([10000], dtype=np.int32)})
     assert search(idx, q, mode="exhaustive").count() == out["updated"]
+
+
+def test_search_route_warm_pool(api):
+    """POST /_search serves from the warm QueryService pool: parity with the
+    pipeline path, 400s on malformed bodies, and repeated requests reuse the
+    same pool (no per-request actor churn)."""
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "srch_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx, "queries": [], "bogus": 1})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx, "queries": [{"text": "x"}]})
+    assert ei.value.code == 400
+
+    df = pd.concat([pd.read_parquet(p) for p in fx["transcripts"]])
+    word = str(df["text"].iloc[3]).split()[0].lower()
+    payload = {"index_dir": idx,
+               "queries": [{"query_id": 0, "text": word, "k": 5},
+                           {"query_id": 1, "text": "zz_absent", "k": 5}]}
+    code, out = _post(base + "/_search", payload)
+    assert code == 200 and out["total"] == len(out["rows"])
+    q = pd.DataFrame({"query_id": np.array([0, 1], dtype=np.int64),
+                      "text": [word, "zz_absent"],
+                      "k": np.array([5, 5], dtype=np.int32)})
+    exp = (search(idx, q, mode="bmw").to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    got = pd.DataFrame(out["rows"])
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.allclose(got["score"].to_numpy(), exp["score"].to_numpy())
+    # second request: served by the SAME warm pool (one pool, one key)
+    code, out2 = _post(base + "/_search", payload)
+    assert code == 200 and out2 == out

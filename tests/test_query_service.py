@@ -1,0 +1,109 @@
+"""QueryService: warm persistent searcher pools for request serving —
+result parity with the per-call pipeline path, pool reuse across requests,
+and manifest-fingerprint invalidation on committed index mutations (the
+Lucene reader-reopen model; reference analog: the serving process keeps its
+FAISS index loaded)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from remote_vector_index_builder_ray import BuildConfig, build_index, search
+from remote_vector_index_builder_ray.config import EngineError
+from remote_vector_index_builder_ray.query_service import (
+    QueryService,
+    manifest_fingerprint,
+)
+
+
+@pytest.fixture(scope="module")
+def qs_index(smoke_fixture, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("qsvc") / "idx")
+    build_index(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                            index_dir=idx, num_partitions=2, positions=True))
+    return idx
+
+
+def _queries(fx) -> pd.DataFrame:
+    return pd.read_parquet(fx["queries"])
+
+
+def test_parity_with_pipeline_search(smoke_fixture, qs_index):
+    # max_pools=1: each mode's pool retires the previous one, so idle
+    # reservations never starve the comparison pipeline on the 4-CPU session
+    svc = QueryService(pool_size=2, max_pools=1)
+    try:
+        q = _queries(smoke_fixture)
+        for mode in ("bmw", "exhaustive"):
+            got = svc.search(qs_index, q, mode=mode)
+            exp = (search(qs_index, q, mode=mode).to_pandas()
+                   .sort_values(["query_id", "rank"]).reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, exp)
+        # positional mode parity (bucket-affine reorder must not change rows)
+        qp = q.assign(text=q["text"].str.split().str[:2].str.join(" "))
+        got = svc.search(qs_index, qp, mode="phrase")
+        exp = (search(qs_index, qp, mode="phrase").to_pandas()
+               .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
+    finally:
+        svc.shutdown()
+
+
+def test_pool_reuse_and_fingerprint_invalidation(smoke_fixture, qs_index,
+                                                 tmp_path_factory):
+    # mutate a COPY so the module-scoped index stays pristine
+    import shutil
+
+    idx = str(tmp_path_factory.mktemp("qsvc_mut") / "idx")
+    shutil.copytree(qs_index, idx)
+    svc = QueryService(pool_size=2)
+    try:
+        q = _queries(smoke_fixture)
+        r1 = svc.search(idx, q, mode="bmw")
+        keys1 = list(svc._pools)
+        actors1 = svc._pools[keys1[0]].actors
+        r2 = svc.search(idx, q, mode="bmw")
+        # same pool, same actors — the request did NOT rebuild anything
+        assert list(svc._pools) == keys1
+        assert svc._pools[keys1[0]].actors is actors1
+        pd.testing.assert_frame_equal(r1, r2)
+
+        # a committed mutation (tombstone delete) changes the fingerprint:
+        # the stale pool retires and results reflect the delete
+        from remote_vector_index_builder_ray.pipelines.delete import delete_docs
+
+        victim = int(r1["docid"].iloc[0])
+        fp_before = manifest_fingerprint(idx)
+        delete_docs(idx, docids=[victim])
+        assert manifest_fingerprint(idx) != fp_before
+        r3 = svc.search(idx, q, mode="bmw")
+        assert list(svc._pools) != keys1  # new fingerprint key, old retired
+        assert victim not in set(r3["docid"])
+    finally:
+        svc.shutdown()
+
+
+def test_pool_lru_eviction_and_errors(smoke_fixture, qs_index):
+    svc = QueryService(pool_size=1, max_pools=1)
+    try:
+        q = _queries(smoke_fixture).head(2)
+        svc.search(qs_index, q, mode="bmw")
+        svc.search(qs_index, q, mode="exhaustive")
+        assert len(svc._pools) == 1  # LRU bound holds across modes
+        with pytest.raises(TypeError):
+            svc.search(qs_index, "not a frame")
+    finally:
+        svc.shutdown()
+
+
+def test_positional_gate(smoke_fixture, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("qsvc_nopos") / "idx")
+    build_index(BuildConfig(input_paths=smoke_fixture["transcripts"],
+                            index_dir=idx, num_partitions=2))
+    svc = QueryService(pool_size=1)
+    try:
+        with pytest.raises(EngineError):
+            svc.search(idx, _queries(smoke_fixture).head(2), mode="phrase")
+    finally:
+        svc.shutdown()
