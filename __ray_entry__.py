@@ -1749,6 +1749,23 @@ def _q_bm25_most_fields(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_combined_fields(sf_dir: str):
+    """OpenSearch combined_fields over (text, tool^2) — Lucene
+    CombinedFieldQuery / BM25F: per-field raw tfs combine FIRST
+    (tf_c = tf_text + 2*tf_tool), one saturation against the combined
+    field's length norms, idf over the EXACT union document frequency
+    (pipelines/query.search_combined_fields; the documented divergence from
+    Lucene's max-df approximation)."""
+    from remote_vector_index_builder_ray import search_combined_fields
+
+    index_dir, tool_idx, mm_q = _ensure_mm(sf_dir)
+    out = search_combined_fields(
+        {"text": index_dir, "tool": tool_idx},
+        pd.read_parquet(mm_q), weights={"text": 1.0, "tool": 2.0},
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_cross_fields(sf_dir: str):
     """OpenSearch multi_match cross_fields over (text, tool): term-centric
     blended scoring (Lucene BlendedTermQuery) — per term the document
@@ -4103,6 +4120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multi_match": _q_bm25_multi_match,
         "bm25_most_fields": _q_bm25_most_fields,
         "bm25_cross_fields": _q_bm25_cross_fields,
+        "bm25_combined_fields": _q_bm25_combined_fields,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "bm25_func_score": _q_bm25_func_score,
         "bm25_random_score": _q_bm25_random_score,
@@ -7109,6 +7127,80 @@ ORDER BY query_id, rank
     # fields' dfs; each field's leg is the raw tf saturation under that
     # field's norms; legs combine max + 0.25 * (sum - max); the blended idf
     # multiplies; terms sum (pipelines/query.search_cross_fields)
+    # combined_fields (BM25F): tf_c = tf_text + 2*tf_tool combined FIRST,
+    # one saturation against combined length norms, idf over the exact
+    # union document frequency
+    out["bm25_combined_fields"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           text, tool
+    FROM read_parquet('{_transcripts_glob(sf)}')
+),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+tx AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM docs
+),
+tl AS MATERIALIZED (
+    SELECT docid, unnest(regexp_extract_all(lower(tool), '[a-z0-9_]+')) AS term FROM docs
+),
+tf_x AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tx GROUP BY 1, 2),
+tf_l AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM tl GROUP BY 1, 2),
+dl_x AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tx GROUP BY docid),
+dl_l AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM tl GROUP BY docid),
+stc AS (
+    SELECT n.n_docs,
+           ((SELECT count(*) FROM tx) + 2 * (SELECT count(*) FROM tl))::DOUBLE
+               / n.n_docs AS avgdl
+    FROM ndocs n
+),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mm_q_pq}')
+),
+u AS (
+    SELECT q.query_id, q.term, q.k, t.docid, t.tf AS tfx, 0::BIGINT AS tfl
+    FROM q JOIN tf_x t USING (term)
+    UNION ALL
+    SELECT q.query_id, q.term, q.k, t.docid, 0::BIGINT, t.tf
+    FROM q JOIN tf_l t USING (term)
+),
+tfc AS (
+    SELECT query_id, term, any_value(k) AS k, docid,
+           (sum(tfx) + 2 * sum(tfl))::DOUBLE AS tf_c
+    FROM u GROUP BY query_id, term, docid
+),
+dfu AS (SELECT query_id, term, count(*)::BIGINT AS dfu FROM tfc GROUP BY query_id, term),
+dlc AS (
+    SELECT d.docid,
+           (coalesce(x.dl, 0) + 2 * coalesce(l.dl, 0))::DOUBLE AS dl_c
+    FROM docs d LEFT JOIN dl_x x USING (docid) LEFT JOIN dl_l l USING (docid)
+),
+contrib AS (
+    SELECT t.query_id, t.docid, t.k,
+           ln(1 + (n.n_docs - f.dfu + 0.5) / (f.dfu + 0.5))
+               * t.tf_c * (1.2 + 1)
+               / (t.tf_c + 1.2 * (1 - 0.75 + 0.75 * c.dl_c / s.avgdl)) AS c
+    FROM tfc t
+    JOIN dfu f ON t.query_id = f.query_id AND t.term = f.term
+    JOIN dlc c ON t.docid = c.docid
+    CROSS JOIN ndocs n CROSS JOIN stc s
+),
+scored AS (
+    SELECT query_id, docid, any_value(k) AS k,
+           floor(sum(c) * 1000000 + 0.5) / 1000000 AS score
+    FROM contrib GROUP BY query_id, docid
+),
+ranked AS (
+    SELECT query_id, docid, score, k,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
     out["bm25_cross_fields"] = f"""
 WITH docs AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,

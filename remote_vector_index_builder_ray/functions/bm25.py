@@ -43,7 +43,7 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) ->
 LM_MU = 2000.0  # LMDirichletSimilarity default mu
 LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity recommended lambda (short queries)
 
-SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer")
+SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer", "rawtf")
 
 
 def sim_contrib(
@@ -65,6 +65,13 @@ def sim_contrib(
     """
     tfs = tfs.astype(np.float64, copy=False)
     dls = dls.astype(np.float64, copy=False)
+    if similarity == "rawtf":
+        # raw term frequency as the contribution (exact in float64): the
+        # building block for term-centric cross-field combines that need
+        # UNWEIGHTED per-(term, doc) tf before applying their own norms
+        # (pipelines/query.search_combined_fields — BM25F combines per-field
+        # tfs FIRST, then saturates once against the combined field length)
+        return tfs
     if similarity == "classic":
         w = 1.0 + math.log(N / (df + 1.0))
         return (w * w) * np.sqrt(tfs) / np.sqrt(np.maximum(dls, 1.0))

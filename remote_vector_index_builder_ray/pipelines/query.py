@@ -1572,6 +1572,166 @@ def search_cross_fields(
     ).reset_index(drop=True)
 
 
+def _fetch_doc_lens(index_dir: str, docids: "np.ndarray") -> pd.DataFrame:
+    """(docid, doc_len) for an explicit docid set: broadcast-semi-join over
+    a pruned docmeta scan (the ``hydrate`` pattern — the small side is
+    ray.put once, docmeta streams, no shuffle)."""
+    import numpy as np
+    import ray
+
+    from remote_vector_index_builder_ray.pipelines.incremental import docmeta_dirs
+    from remote_vector_index_builder_ray.state import fs
+
+    wanted = np.unique(np.asarray(docids, dtype=np.int64))
+    ref = ray.put(wanted)
+
+    class FilterDocs:
+        def __init__(self, ref):
+            self.wanted = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(self.wanted, ids), 0,
+                          max(len(self.wanted) - 1, 0))
+            mask = self.wanted[idx] == ids if len(self.wanted) else np.zeros(len(ids), bool)
+            return batch.filter(pa.array(mask))
+
+    meta_files = [
+        fs.join(d, rel)
+        for d in docmeta_dirs(index_dir)
+        for rel in fs.listdir(d, recursive=True)
+        if rel.endswith(".parquet")
+    ]
+    return (
+        ray.data.read_parquet(**fs.for_ray_paths(meta_files),
+                              columns=["docid", "doc_len"])
+        .map_batches(FilterDocs, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+
+
+def search_combined_fields(
+    index_dirs: dict[str, str],
+    queries,
+    weights: dict[str, float] | None = None,
+    round6: bool = True,
+) -> pd.DataFrame:
+    """OpenSearch ``combined_fields`` (Lucene ``CombinedFieldQuery`` /
+    Robertson's BM25F with field boosts): the fields are scored as ONE
+    synthetic combined field. Per query term and doc:
+
+    - ``tf_c = Σ_f weight_f · tf_f`` — term frequencies combine FIRST
+      (unlike cross_fields, which saturates per field and then blends);
+    - ``dl_c = Σ_f weight_f · dl_f`` and
+      ``avgdl_c = Σ_f weight_f · total_len_f / N`` — the combined field's
+      length norms (integer weights make this exactly the index you would
+      get by concatenating each field ``weight`` times);
+    - ``df_c = |union of the fields' postings|`` — the EXACT pseudo-field
+      document frequency. (Lucene approximates this as ``max`` over the
+      fields' dfs because it cannot afford the union; this engine has the
+      full per-term match sets in hand, so it computes the union exactly —
+      the one documented divergence.)
+    - score = Σ_t idf(df_c) · tf_c·(k1+1)/(tf_c + k1·(1−b+b·dl_c/avgdl_c)),
+      terms summed ascending (the engine's deterministic float order).
+
+    Mechanics: one ``similarity="rawtf"`` single-term exhaustive search per
+    (term, field) returns the raw per-doc tf (functions/bm25.sim_contrib);
+    per-field doc lengths ride a broadcast-semi-join docmeta fetch restricted
+    to the union docids; the combine is driver-side over the union of full
+    match sets — the same envelope as ``search_cross_fields``. Fields must
+    share the analyzer and docid space. Returns (query_id, rank, docid,
+    score)."""
+    import numpy as np
+
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+    from remote_vector_index_builder_ray.pipelines.incremental import global_stats
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)}
+    fields = sorted(index_dirs)
+    w = {f: float((weights or {}).get(f, 1.0)) for f in fields}
+    an = load_analyzer(index_dirs[fields[0]])
+    st0 = global_stats(index_dirs[fields[0]])
+    N = float(st0["N"])
+    k1, b = float(st0["k1"]), float(st0["b"])
+    avgdl_c = sum(
+        w[f] * float(global_stats(index_dirs[f])["total_len"]) for f in fields
+    ) / N
+
+    eq_qid, eq_term = [], []
+    for r in q.itertuples(index=False):
+        toks = analyze_text(str(r.text or ""), an)
+        for t in sorted(set(toks)):
+            eq_qid.append(int(r.query_id))
+            eq_term.append(t)
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=np.int64),
+         "rank": pd.Series(dtype=np.int32),
+         "docid": pd.Series(dtype=np.int64),
+         "score": pd.Series(dtype=np.float64)}
+    )
+    if not eq_qid:
+        return empty
+    expq = pd.DataFrame({
+        "query_id": np.arange(len(eq_qid), dtype=np.int64),
+        "text": eq_term,
+        "k": np.full(len(eq_qid), 2**31 - 1, dtype=np.int32),
+    })
+
+    parts = []
+    for f in fields:
+        r = search(index_dirs[f], expq, mode="exhaustive",
+                   similarity="rawtf").to_pandas()
+        if "docid" in r.columns and len(r):
+            parts.append(r[["query_id", "docid", "score"]].assign(
+                tfw=r["score"] * w[f]))
+    allp = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+    if allp.empty:
+        return empty
+
+    # combined tf per (expanded term, doc); exact union df per expanded term
+    comb = (allp.groupby(["query_id", "docid"], sort=True)["tfw"]
+            .sum().reset_index().rename(columns={"tfw": "tf_c"}))
+    df_union = comb.groupby("query_id")["docid"].nunique()
+    idf_by_eq = np.log(1.0 + (N - df_union + 0.5) / (df_union + 0.5))
+
+    # combined per-doc length over the union docids (per-field docmeta fetch)
+    union_docs = np.unique(comb["docid"].to_numpy(np.int64))
+    dl_c = None
+    for f in fields:
+        dm = _fetch_doc_lens(index_dirs[f], union_docs)
+        s = dm.set_index("docid")["doc_len"].astype(np.float64) * w[f]
+        dl_c = s if dl_c is None else dl_c.add(s, fill_value=0.0)
+    comb["dl_c"] = comb["docid"].map(dl_c).astype(np.float64)
+
+    comb["idf"] = comb["query_id"].map(idf_by_eq)
+    comb["contrib"] = comb["idf"] * (
+        comb["tf_c"] * (k1 + 1.0)
+        / (comb["tf_c"] + k1 * (1.0 - b + b * comb["dl_c"] / avgdl_c))
+    )
+    comb["qid"] = comb["query_id"].map(dict(enumerate(eq_qid)))
+    # groupby(sort=True) on (query_id, docid) left rows expanded-qid-major ==
+    # term-ascending within each original query: the deterministic sum order
+    out = comb.groupby(["qid", "docid"], sort=True)["contrib"].sum().reset_index()
+    out = out.rename(columns={"qid": "query_id", "contrib": "score"})
+    if round6:
+        out["score"] = np.floor(out["score"] * 1e6 + 0.5) / 1e6
+    out = out.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["k"] = out["query_id"].map(k_by_query)
+    out = out[out["rank"] <= out["k"]]
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    ).reset_index(drop=True)
+
+
 def _compile_score_script(expr: str):
     """Compile a script_score expression — a restricted painless analog:
     float arithmetic (+ - * /), ``sqrt``/``log``/``min``/``max`` calls, and
