@@ -2,7 +2,10 @@
 
     python -m remote_vector_index_builder_ray build  --input <glob...> --index-dir DIR [--dedup] [...]
     python -m remote_vector_index_builder_ray search --index-dir DIR --queries q.parquet --out out.parquet
-    python -m remote_vector_index_builder_ray serve-demo   (BuildService smoke)
+    python -m remote_vector_index_builder_ray serve [--host H] [--port P]
+        (blocking HTTP server: /_build /_status /_jobs /_heart_beat /_search
+         /_delete_by_query /_update_by_query — http_api.py routes; searches
+         ride the warm QueryService pool)
 
 Owns its Ray session (guarded init) — the library itself never calls
 ray.init().
@@ -48,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", default=None)
     s.add_argument("--mode", choices=["bmw", "exhaustive", "wand"], default="bmw")
 
+    v = sub.add_parser("serve")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--max-workers", type=int, default=2)
+    v.add_argument("--max-jobs", type=int, default=64)
+
     args = p.parse_args(argv)
     _init_ray()
 
@@ -82,6 +91,24 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rows": res.count(), "out": args.out}))
         else:
             print(res.to_pandas().to_json(orient="records"))
+        return 0
+
+    if args.cmd == "serve":
+        from remote_vector_index_builder_ray.http_api import make_server
+        from remote_vector_index_builder_ray.service import BuildService
+
+        service = BuildService(max_workers=args.max_workers,
+                               max_jobs=args.max_jobs)
+        server = make_server(service, host=args.host, port=args.port)
+        host, port = server.server_address[0], server.server_address[1]
+        print(json.dumps({"serving": f"http://{host}:{port}"}), flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            service.shutdown()
         return 0
 
     return 1
