@@ -30,6 +30,7 @@ without the per-call pool construction.
 from __future__ import annotations
 
 import hashlib
+import threading
 import time
 
 import numpy as np
@@ -88,6 +89,11 @@ class QueryService:
         self.actor_num_cpus = float(actor_num_cpus)
         self.searcher_kwargs = searcher_kwargs
         self._pools: dict[tuple, _Pool] = {}
+        # the HTTP facade serves requests from a ThreadingHTTPServer —
+        # pool lifecycle (check-create-evict) must be atomic or two
+        # concurrent first-requests double-create a pool and leak the
+        # loser's actors
+        self._lock = threading.Lock()
 
     # -- pool lifecycle -------------------------------------------------------
     def _get_pool(self, index_dir: str, mode: str) -> _Pool:
@@ -95,35 +101,37 @@ class QueryService:
 
         fp = manifest_fingerprint(index_dir)
         key = (index_dir, mode, fp)
-        pool = self._pools.get(key)
-        if pool is None:
-            # a changed fingerprint means the index mutated: retire every
-            # stale pool for this (index_dir, mode) before warming the new one
-            for k in [k for k in self._pools
-                      if k[0] == index_dir and k[1] == mode]:
-                self._kill(k)
-            if mode in self._POSITIONAL:
-                self._require_positions(index_dir)
-            act = ray.remote(num_cpus=self.actor_num_cpus)(BM25Searcher)
-            actors = [
-                act.remote(index_dir, mode, None, **self.searcher_kwargs)
-                for _ in range(self.pool_size)
-            ]
-            pool = self._pools[key] = _Pool(actors, time.time())
-            self._evict_lru()
-        pool.last_used = time.time()
+        with self._lock:
+            pool = self._pools.get(key)
+            if pool is None:
+                # a changed fingerprint means the index mutated: retire every
+                # stale pool for this (index_dir, mode) before warming the
+                # new one
+                for k in [k for k in self._pools
+                          if k[0] == index_dir and k[1] == mode]:
+                    self._kill_locked(k)
+                if mode in self._POSITIONAL:
+                    self._require_positions(index_dir)
+                act = ray.remote(num_cpus=self.actor_num_cpus)(BM25Searcher)
+                actors = [
+                    act.remote(index_dir, mode, None, **self.searcher_kwargs)
+                    for _ in range(self.pool_size)
+                ]
+                pool = self._pools[key] = _Pool(actors, time.time())
+                self._evict_lru_locked()
+            pool.last_used = time.time()
         return pool
 
-    def _kill(self, key: tuple) -> None:
+    def _kill_locked(self, key: tuple) -> None:
         pool = self._pools.pop(key, None)
         if pool is not None:
             for a in pool.actors:
                 ray.kill(a)
 
-    def _evict_lru(self) -> None:
+    def _evict_lru_locked(self) -> None:
         while len(self._pools) > self.max_pools:
             key = min(self._pools, key=lambda k: self._pools[k].last_used)
-            self._kill(key)
+            self._kill_locked(key)
 
     @staticmethod
     def _require_positions(index_dir: str) -> None:
@@ -140,8 +148,9 @@ class QueryService:
             )
 
     def shutdown(self) -> None:
-        for key in list(self._pools):
-            self._kill(key)
+        with self._lock:
+            for key in list(self._pools):
+                self._kill_locked(key)
 
     # -- serving ---------------------------------------------------------------
     def search(self, index_dir: str, queries: pd.DataFrame,

@@ -107,3 +107,34 @@ def test_positional_gate(smoke_fixture, tmp_path_factory):
             svc.search(idx, _queries(smoke_fixture).head(2), mode="phrase")
     finally:
         svc.shutdown()
+
+
+def test_concurrent_first_requests_single_pool(smoke_fixture, qs_index):
+    """The HTTP facade is a ThreadingHTTPServer: concurrent FIRST requests
+    for the same (index, mode) must create exactly one pool (a lost race
+    would leak the loser's actors) and all return correct results."""
+    import threading
+
+    svc = QueryService(pool_size=1)
+    try:
+        q = _queries(smoke_fixture).head(3)
+        results, errors = [None] * 6, []
+
+        def hit(i):
+            try:
+                results[i] = svc.search(qs_index, q, mode="bmw")
+            except Exception as ex:  # noqa: BLE001 — surfaced below
+                errors.append(ex)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(svc._pools) == 1
+        assert len(next(iter(svc._pools.values())).actors) == 1
+        for r in results[1:]:
+            pd.testing.assert_frame_equal(r, results[0])
+    finally:
+        svc.shutdown()
