@@ -262,6 +262,18 @@ def minhash_lsh_candidates(
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the within-row offsets for a
+    vectorized ragged gather (no Python per-row loop): each output's global
+    index minus its row's global start."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return np.arange(total, dtype=np.int64) - starts[row_of]
+
+
 @ray.remote
 def _consolidate_shingles(*blocks):
     """Concatenate gathered (doc_id, hashes) blocks into ONE CSR-style
@@ -277,14 +289,17 @@ def _consolidate_shingles(*blocks):
     t = pa.concat_tables(tabs)
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     col = t["hashes"].combine_chunks()
-    counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
     o = np.argsort(ids)
-    ids, counts = ids[o], counts[o]
-    starts = np.concatenate([[0], np.cumsum(
-        pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
-    )])
-    flat = np.concatenate([flat[starts[i]:starts[i + 1]] for i in o]) if len(o) else flat
+    ids, counts = ids[o], row_counts[o]
+    if len(o):
+        # vectorized gather of each row's hash slice in sorted-id order:
+        # element i of the output comes from row o[row_of(i)] at its local
+        # offset — one np.take, no per-row Python slicing
+        starts = np.concatenate([[0], np.cumsum(row_counts)]).astype(np.int64)
+        src = np.repeat(starts[o], counts) + _ragged_arange(counts)
+        flat = flat[src]
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return ids, offsets, flat
 

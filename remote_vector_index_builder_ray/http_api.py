@@ -35,7 +35,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from remote_vector_index_builder_ray.config import BM25Config, BuildConfig, HashCollisionError
+from remote_vector_index_builder_ray.config import BM25Config, BuildConfig, EngineError, HashCollisionError
 from remote_vector_index_builder_ray.service import BuildService, CapacityError, Job
 
 
@@ -79,16 +79,22 @@ def parse_build_request(body: dict) -> BuildConfig:
 def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                 query_service=None) -> ThreadingHTTPServer:
     _qs = {"svc": query_service}
+    _qs_lock = threading.Lock()
 
     def _query_service():
         # lazy: QueryService sizes its pools from ray.cluster_resources(),
         # so construction waits for the first /_search (the caller owns the
-        # Ray session; make_server itself must not require one)
-        if _qs["svc"] is None:
-            from remote_vector_index_builder_ray.query_service import QueryService
+        # Ray session; make_server itself must not require one). Locked:
+        # ThreadingHTTPServer can race two first-requests here, and the
+        # loser's instance would warm an actor pool nothing ever retires.
+        with _qs_lock:
+            if _qs["svc"] is None:
+                from remote_vector_index_builder_ray.query_service import (
+                    QueryService,
+                )
 
-            _qs["svc"] = QueryService()
-        return _qs["svc"]
+                _qs["svc"] = QueryService()
+            return _qs["svc"]
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
@@ -158,8 +164,20 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                 except (ValueError, TypeError, json.JSONDecodeError) as ex:
                     self._send(400, {"error": str(ex)})
                     return
-                out = _query_service().search(str(body["index_dir"]), q,
-                                              mode=str(body.get("mode", "bmw")))
+                try:
+                    out = _query_service().search(
+                        str(body["index_dir"]), q,
+                        mode=str(body.get("mode", "bmw")))
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    # request-level faults (bad index_dir, positionless
+                    # index + phrase mode, unknown mode) -> 400, not a
+                    # dropped connection
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
                 self._send(200, {"rows": out.to_dict(orient="records"),
                                  "total": int(len(out))})
                 return
@@ -187,9 +205,18 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     delete_by_query,
                 )
 
-                self._send(200, delete_by_query(
-                    str(body["index_dir"]), str(body["text"]), where=where
-                ))
+                try:
+                    out = delete_by_query(
+                        str(body["index_dir"]), str(body["text"]), where=where
+                    )
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, out)
                 return
             if self.path == "/_update_by_query":
                 try:
@@ -209,12 +236,20 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     update_by_query,
                 )
 
-                out = update_by_query(
-                    str(body["index_dir"]), str(body["query_text"]),
-                    str(body.get("append_text", " [updated]")),
-                    str(body["out_dir"]),
-                    num_partitions=body.get("num_partitions"),
-                )
+                try:
+                    out = update_by_query(
+                        str(body["index_dir"]), str(body["query_text"]),
+                        str(body.get("append_text", " [updated]")),
+                        str(body["out_dir"]),
+                        num_partitions=body.get("num_partitions"),
+                    )
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
                 out.pop("manifest", None)  # wire payload: counts only
                 self._send(200, out)
                 return

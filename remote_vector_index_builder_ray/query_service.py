@@ -54,6 +54,8 @@ class _Pool:
         self.actors = actors
         self.created_at = created_at
         self.last_used = created_at
+        self.inflight = 0      # requests currently holding this pool
+        self.retired = False   # removed from the table; kill when drained
 
 
 class QueryService:
@@ -69,6 +71,7 @@ class QueryService:
 
     _POSITIONAL = ("phrase", "span_near", "span_first", "span_not",
                    "intervals", "span_containing", "span_within")
+    _MODES = _POSITIONAL + ("bmw", "wand", "exhaustive", "constant", "dismax")
 
     def __init__(self, pool_size: int | None = None, max_pools: int = 8,
                  batch_size: int = 16, actor_num_cpus: float = 0.5,
@@ -96,7 +99,12 @@ class QueryService:
         self._lock = threading.Lock()
 
     # -- pool lifecycle -------------------------------------------------------
-    def _get_pool(self, index_dir: str, mode: str) -> _Pool:
+    def _acquire_pool(self, index_dir: str, mode: str) -> _Pool:
+        """Atomically look up / create the pool AND register this request as
+        in-flight — retirement (fingerprint change, LRU eviction, shutdown)
+        only marks a pool retired; its actors die when the LAST in-flight
+        request releases it, so a concurrent request never sees its actors
+        ray.kill()ed mid-batch."""
         from remote_vector_index_builder_ray.stages.search import BM25Searcher
 
         fp = manifest_fingerprint(index_dir)
@@ -109,7 +117,7 @@ class QueryService:
                 # new one
                 for k in [k for k in self._pools
                           if k[0] == index_dir and k[1] == mode]:
-                    self._kill_locked(k)
+                    self._retire_locked(k)
                 if mode in self._POSITIONAL:
                     self._require_positions(index_dir)
                 act = ray.remote(num_cpus=self.actor_num_cpus)(BM25Searcher)
@@ -120,18 +128,29 @@ class QueryService:
                 pool = self._pools[key] = _Pool(actors, time.time())
                 self._evict_lru_locked()
             pool.last_used = time.time()
+            pool.inflight += 1
         return pool
 
-    def _kill_locked(self, key: tuple) -> None:
+    def _release_pool(self, pool: _Pool) -> None:
+        with self._lock:
+            pool.inflight -= 1
+            if pool.retired and pool.inflight == 0:
+                for a in pool.actors:
+                    ray.kill(a)
+
+    def _retire_locked(self, key: tuple) -> None:
         pool = self._pools.pop(key, None)
         if pool is not None:
-            for a in pool.actors:
-                ray.kill(a)
+            pool.retired = True
+            if pool.inflight == 0:
+                for a in pool.actors:
+                    ray.kill(a)
+            # else: the last _release_pool kills the drained pool
 
     def _evict_lru_locked(self) -> None:
         while len(self._pools) > self.max_pools:
             key = min(self._pools, key=lambda k: self._pools[k].last_used)
-            self._kill_locked(key)
+            self._retire_locked(key)
 
     @staticmethod
     def _require_positions(index_dir: str) -> None:
@@ -150,7 +169,7 @@ class QueryService:
     def shutdown(self) -> None:
         with self._lock:
             for key in list(self._pools):
-                self._kill_locked(key)
+                self._retire_locked(key)
 
     # -- serving ---------------------------------------------------------------
     def search(self, index_dir: str, queries: pd.DataFrame,
@@ -162,30 +181,42 @@ class QueryService:
         unit)."""
         if not isinstance(queries, pd.DataFrame):
             raise TypeError("QueryService.search expects a pandas DataFrame")
-        pool = self._get_pool(index_dir, mode)
-        q = queries
-        if mode in self._POSITIONAL and len(q) > 1:
-            # bucket-affine batching (pipelines/query.search does the same):
-            # cluster each batch's positional loads into few bucket files
-            import zlib
-
-            man = fs.read_json(fs.join(index_dir, "manifest.json"))
-            nb = int(man["num_buckets"])
-            first_tok = (
-                q["text"].fillna("").str.lower()
-                .str.extract(r"([a-z0-9_]+)", expand=False).fillna("")
+        if mode not in self._MODES:
+            # fail fast: an unknown mode would silently fall through the
+            # searcher's dispatch chain to the exhaustive scorer — wrong
+            # semantics with a 200 status for a typo'd HTTP request
+            raise ValueError(
+                f"unknown mode {mode!r}; supported: {sorted(self._MODES)}"
             )
-            bkt = first_tok.map(lambda t: zlib.crc32(t.encode()) % nb)
-            q = (q.assign(_bkt=bkt.to_numpy())
-                 .sort_values(["_bkt"], kind="mergesort")
-                 .drop(columns=["_bkt"]).reset_index(drop=True))
-        tbl = pa.Table.from_pandas(q, preserve_index=False)
-        futures = [
-            pool.actors[i % len(pool.actors)].__call__.remote(
-                tbl.slice(off, self.batch_size))
-            for i, off in enumerate(range(0, tbl.num_rows, self.batch_size))
-        ]
-        parts = [p for p in ray.get(futures) if p.num_rows]
+        pool = self._acquire_pool(index_dir, mode)
+        try:
+            q = queries
+            if mode in self._POSITIONAL and len(q) > 1:
+                # bucket-affine batching (pipelines/query.search does the
+                # same): cluster each batch's positional loads into few
+                # bucket files
+                import zlib
+
+                man = fs.read_json(fs.join(index_dir, "manifest.json"))
+                nb = int(man["num_buckets"])
+                first_tok = (
+                    q["text"].fillna("").str.lower()
+                    .str.extract(r"([a-z0-9_]+)", expand=False).fillna("")
+                )
+                bkt = first_tok.map(lambda t: zlib.crc32(t.encode()) % nb)
+                q = (q.assign(_bkt=bkt.to_numpy())
+                     .sort_values(["_bkt"], kind="mergesort")
+                     .drop(columns=["_bkt"]).reset_index(drop=True))
+            tbl = pa.Table.from_pandas(q, preserve_index=False)
+            futures = [
+                pool.actors[i % len(pool.actors)].__call__.remote(
+                    tbl.slice(off, self.batch_size))
+                for i, off in enumerate(range(0, tbl.num_rows,
+                                              self.batch_size))
+            ]
+            parts = [p for p in ray.get(futures) if p.num_rows]
+        finally:
+            self._release_pool(pool)
         if not parts:
             return pd.DataFrame({
                 "query_id": pd.Series(dtype=np.int64),

@@ -815,18 +815,24 @@ class BM25Searcher:
                 big.extend(small[i:])
                 small = small[:i]
                 break
+        # eviction inside EITHER load must retain every term of THIS batch
+        # (a two-call load with a call-local keep-set would evict call 1's
+        # big terms while loading call 2's small ones — silent empty phrase
+        # results), so the whole batch's term set rides along as `retain`
+        batch_terms = set(terms)
         if big:
-            self._load_positions(big)
+            self._load_positions(big, retain=batch_terms)
         # a full entry already resident covers any pruned need
         small = [t for t in small if t not in self._pos_cache]
         if not small:
             return
         union = np.unique(np.concatenate([needed[t] for t in small]))
-        self._load_positions(small, needed=needed, docid_filter=union)
+        self._load_positions(small, needed=needed, docid_filter=union,
+                             retain=batch_terms)
         self._pos_pruned = set(small)
 
     def _load_positions(self, terms: list[str], needed: dict | None = None,
-                        docid_filter=None) -> None:
+                        docid_filter=None, retain: set | None = None) -> None:
         """Per term: (docid_per_position, position, cand_docids, cand_dls) —
         flat numpy views over the term-filtered positional rows of the term's
         hash bucket (every source, docid-ascending).
@@ -865,8 +871,11 @@ class BM25Searcher:
                 if t is not None:
                     tabs.append(t)
         if len(self._pos_cache) + len(missing) > self.cache_terms:
-            # retain current-request terms across eviction (see _load_terms)
-            keep = {t: self._pos_cache[t] for t in terms if t in self._pos_cache}
+            # retain current-REQUEST terms across eviction (see _load_terms):
+            # `retain` carries the whole batch's term set when this load is
+            # one leg of a multi-call pruned load (_load_positions_pruned)
+            hold = set(terms) | (retain or set())
+            keep = {t: self._pos_cache[t] for t in hold if t in self._pos_cache}
             self._pos_cache.clear()
             self._pos_cache.update(keep)
         for t in missing:
@@ -1360,7 +1369,9 @@ class BM25Searcher:
         span per end position, the Lucene minimal-interval convention
         (``_score_intervals``). Returns (doc, start, end, cdoc2, cdl2)
         arrays sorted docid-major / end-minor, or None when either term is
-        absent or no window qualifies."""
+        absent or no window qualifies. Tokens beyond the first two are
+        ignored — the same two-term-source convention as
+        ``_score_intervals`` (documented, not an error)."""
         if (self._cache.get(t1) is None or self._pos_cache.get(t1) is None
                 or self._cache.get(t2) is None or self._pos_cache.get(t2) is None):
             return None

@@ -104,3 +104,26 @@ def test_sequential_batches_tiny_cache_phrase(pos_index, smoke_fixture):
     want = _run(BM25Searcher(pos_index, "phrase", cache_terms=8192), [b1, b2])
     pd.testing.assert_frame_equal(got, want)
     assert (got["query_id"] == 1).sum() > 0
+
+
+def test_pruned_split_load_retains_whole_batch(pos_index, smoke_fixture):
+    """Round-4 regression: _load_positions_pruned splits one batch's load
+    into a big (full) call and a small (pruned) call. Eviction firing during
+    the SECOND call must retain the first call's terms — a call-local
+    keep-set dropped them and phrase queries went silently empty."""
+    terms = _query_terms(smoke_fixture, n=4)
+    s = BM25Searcher(pos_index, "phrase", cache_terms=1)  # every load evicts
+    s._load_terms(terms)
+    docids = {t: s._cache[t].decode_all()[0] for t in terms}
+    # a, b take the full-load leg; c, d the pruned leg (cap between sizes)
+    a, b, c, d = terms
+    needed = {a: docids[a], b: docids[b],
+              c: docids[c][:2], d: docids[d][:2]}
+    cap = 2  # len(needed[c/d]) == 2 <= cap < len(full docid lists)
+    assert min(len(docids[a]), len(docids[b])) > cap
+    s.POS_PRUNE_CAP = cap
+    s._load_positions_pruned(terms, needed)
+    for t in terms:
+        assert s._pos_cache.get(t) is not None, f"{t} evicted mid-batch"
+    # and the pruned entries are batch-local, the full ones persistent
+    assert s._pos_pruned == {c, d}

@@ -198,3 +198,28 @@ def test_search_route_warm_pool(api):
     # second request: served by the SAME warm pool (one pool, one key)
     code, out2 = _post(base + "/_search", payload)
     assert code == 200 and out2 == out
+
+
+def test_search_route_error_codes(api):
+    """Request-level faults return 400 JSON errors, not dropped connections:
+    nonexistent index_dir, unknown mode, phrase mode on a positionless
+    index."""
+    base, fx, idx_root = api
+    idx = str(idx_root / "srch_api")  # built by test_search_route_warm_pool
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    qs = [{"query_id": 0, "text": "the", "k": 3}]
+    for payload in (
+        {"index_dir": str(idx_root / "no_such_index"), "queries": qs},
+        {"index_dir": idx, "queries": qs, "mode": "phrases"},  # typo'd mode
+        {"index_dir": idx, "queries": qs, "mode": "phrase"},   # no positions
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/_search", payload)
+        assert ei.value.code == 400, payload
+        assert "error" in json.loads(ei.value.read())
+    # the server is still alive and serving after the faults
+    code, out = _post(base + "/_search", {"index_dir": idx, "queries": qs})
+    assert code == 200 and out["total"] >= 0
