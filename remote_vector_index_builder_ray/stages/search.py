@@ -252,9 +252,18 @@ class _StatsBucketReader:
     Bucket files are written sorted by (term, docid)
     (stages/merge.merge_positions_bucket), so per-term row-group runs are
     contiguous and ``term_max`` is non-decreasing — a searchsorted finds
-    each term's first candidate row group."""
+    each term's first candidate row group.
 
-    __slots__ = ("pf", "tmin", "tmax", "dmin", "dmax", "ok", "has_docid")
+    Exception: when a skewed bucket exceeded the merge ``byte_budget``,
+    merge_bucket_files / merge_positions_bucket appended term-hash
+    sub-splits to the same file and the term sort is only per-split —
+    ``term_max`` is NOT file-globally monotone. ``__init__`` detects that
+    (``tsorted``) and ``select`` falls back to a vectorized linear scan of
+    the row-group stats (still pruned, just not binary-searched); a term
+    never spans splits, so per-term reads stay exact either way."""
+
+    __slots__ = ("pf", "tmin", "tmax", "dmin", "dmax", "ok", "has_docid",
+                 "tsorted")
 
     def __init__(self, fs_mod, path: str):
         import pyarrow.parquet as pq
@@ -291,6 +300,12 @@ class _StatsBucketReader:
             self.tmin = np.asarray(tmin, dtype=object)
             self.tmax = np.asarray(tmax, dtype=object)
             self.dmin, self.dmax = dmin, dmax
+            # multi-split (skew-guard) buckets relax the file-global term
+            # sort to per-split order; searchsorted would then silently
+            # miss row groups, so detect and scan linearly instead
+            self.tsorted = bool(
+                np.all(self.tmax[:-1] <= self.tmax[1:])
+            ) if len(self.tmax) > 1 else True
 
     def select(self, terms: list[str], needed: dict | None = None) -> list[int]:
         """Row groups whose (term, docid) statistics intersect any wanted
@@ -300,9 +315,17 @@ class _StatsBucketReader:
         n = len(self.tmax)
         use_nd = needed is not None and self.has_docid
         for t in terms:
-            g = int(np.searchsorted(self.tmax, t, side="left"))
             nd = needed.get(t) if use_nd else None
-            while g < n and self.tmin[g] <= t:
+            if self.tsorted:
+                cand = range(int(np.searchsorted(self.tmax, t, side="left")), n)
+            else:
+                # multi-split bucket: per-split term order only — scan all
+                # row groups whose [tmin, tmax] covers t (vectorized mask)
+                cand = np.nonzero((self.tmin <= t) & (self.tmax >= t))[0]
+            for g in cand:
+                g = int(g)
+                if self.tsorted and self.tmin[g] > t:
+                    break
                 if nd is None:
                     rgs.add(g)
                 else:
@@ -310,7 +333,6 @@ class _StatsBucketReader:
                     j = int(np.searchsorted(nd, self.dmax[g], side="right"))
                     if j > i:
                         rgs.add(g)
-                g += 1
         return sorted(rgs)
 
     def read(self, terms: list[str], needed: dict | None = None,
