@@ -2978,10 +2978,13 @@ def _q_dedup_clusters(sf_dir: str):
 def _q_simhash_pairs(sf_dir: str):
     """Banded simhash near-dup pairs. Banding is EXACT for radius<=3 with 4
     quarters (pigeonhole), so the SQL twin — a brute-force hamming self-join
-    over the persisted engine-computed signatures — finds identical pairs."""
+    over the persisted engine-computed signatures — finds identical pairs.
+    max_band_df=None: the SQL twin is uncapped, so the oracle comparison must
+    run the uncapped path too (the capped default is the production dedup
+    guard, not the exact semantics)."""
     from remote_vector_index_builder_ray.extras.dedup import simhash_pairs
 
-    out = simhash_pairs(_read(sf_dir, "documents"), radius=3)
+    out = simhash_pairs(_read(sf_dir, "documents"), radius=3, max_band_df=None)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(
         {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
     )

@@ -502,12 +502,12 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def duplicate_ngram_fraction(
+def duplicate_ngram_fraction_ds(
     ds: ray.data.Dataset,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Per-document cross-corpus duplicate-n-gram fraction — the
     RefinedWeb/Gopher-style contamination signal: of a doc's DISTINCT
     k-token shingles, the fraction that also occur in at least one OTHER
@@ -517,8 +517,11 @@ def duplicate_ngram_fraction(
     groupby doc reduces (n_shingles, n_dup). A doc shorter than
     ``shingle_k`` tokens contributes its whole token stream as one shingle
     (``_shingle_hashes_batch``); zero-token docs emit nothing and are
-    absent from the result. Returns (doc_id, n_shingles, n_dup,
-    dup_fraction), fraction rounded half-up to 6 decimals, doc_id-ascending.
+    absent from the result. Returns a DATASET of (doc_id, n_shingles,
+    n_dup, dup_fraction), fraction rounded half-up to 6 decimals,
+    doc_id-ascending — the per-doc report is itself corpus-sized at scale,
+    so it stays a stream (write_parquet / iter_batches it); the DataFrame
+    twin is ``duplicate_ngram_fraction``.
 
     Scale note: unlike the pair-emitting near-dup paths this never leaves
     the per-(doc, shingle) cardinality — no m² blowup on boilerplate
@@ -548,8 +551,20 @@ def duplicate_ngram_fraction(
              "dup": np.full(len(ids), int(len(ids) >= 2), dtype=np.int64)}
         )
 
+    def add_fraction(t: pa.Table) -> pa.Table:
+        n_sh = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dup = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = n_dup.astype(np.float64) / n_sh.astype(np.float64)
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "n_shingles": pa.array(n_sh, type=pa.int64()),
+            "n_dup": pa.array(n_dup, type=pa.int64()),
+            "dup_fraction": pa.array(np.floor(frac * 1e6 + 0.5) / 1e6,
+                                     type=pa.float64()),
+        })
+
     sh = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
-    per_doc = (
+    return (
         sh.groupby("shingle")
         .map_groups(mark, batch_format="pandas")
         .groupby(id_col)
@@ -557,30 +572,43 @@ def duplicate_ngram_fraction(
             ray.data.aggregate.Count(alias_name="n_shingles"),
             ray.data.aggregate.Sum("dup", alias_name="n_dup"),
         )
-        .to_pandas()
+        .map_batches(add_fraction, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .sort(id_col)
     )
+
+
+def duplicate_ngram_fraction(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Driver-DataFrame twin of ``duplicate_ngram_fraction_ds`` — collects
+    the per-doc stream, so only for driver-small corpora (tests, oracle
+    comparison); at scale use the ``_ds`` form and write/iterate it."""
+    per_doc = duplicate_ngram_fraction_ds(
+        ds, shingle_k=shingle_k, text_col=text_col, id_col=id_col
+    ).to_pandas()
     cols = {id_col: pd.Series(dtype=np.int64),
             "n_shingles": pd.Series(dtype=np.int64),
             "n_dup": pd.Series(dtype=np.int64),
             "dup_fraction": pd.Series(dtype=np.float64)}
     if per_doc.empty:
         return pd.DataFrame(cols)
-    per_doc = per_doc.sort_values(id_col).reset_index(drop=True)
-    frac = per_doc["n_dup"].to_numpy(np.float64) / per_doc["n_shingles"].to_numpy(np.float64)
-    per_doc["dup_fraction"] = np.floor(frac * 1e6 + 0.5) / 1e6
     return per_doc[[id_col, "n_shingles", "n_dup", "dup_fraction"]].astype(
         {id_col: np.int64, "n_shingles": np.int64, "n_dup": np.int64,
          "dup_fraction": np.float64}
-    )
+    ).reset_index(drop=True)
 
 
-def benchmark_decontaminate(
+def benchmark_decontaminate_ds(
     ds: ray.data.Dataset,
     benchmark_mod: int = 97,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Benchmark decontamination (the Lee/GPT-3-style eval-overlap check):
     flag every corpus document sharing at least one distinct ``shingle_k``-
     token shingle with the BENCHMARK subset (here the deterministic holdout
@@ -589,10 +617,14 @@ def benchmark_decontaminate(
     via ``ray.put`` (eval sets are tiny relative to the corpus — the
     classic small-side broadcast, never a shuffle join); the corpus then
     streams through one map_batches pass counting per-doc matches with a
-    sorted-array membership test. Returns, for every NON-benchmark doc
-    with at least one shingle: (doc_id, n_shingles, n_shared,
-    contaminated[0/1]), doc_id-ascending. A doc shorter than ``shingle_k``
-    tokens shingles as its whole token stream (``_shingle_hashes_batch``)."""
+    sorted-array membership test. Returns a DATASET with, for every
+    NON-benchmark doc with at least one shingle: (doc_id, n_shingles,
+    n_shared, contaminated[0/1]), doc_id-ascending — the per-doc report is
+    corpus-sized at scale, so it stays a stream; the driver-DataFrame twin
+    is ``benchmark_decontaminate``. Only the BENCHMARK side's distinct
+    shingles are collected to the driver (eval-set-sized by contract). A
+    doc shorter than ``shingle_k`` tokens shingles as its whole token
+    stream (``_shingle_hashes_batch``)."""
 
     def doc_shingles(batch: pa.Table, keep_benchmark: bool):
         ids_all = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -615,9 +647,17 @@ def benchmark_decontaminate(
         _, v = doc_shingles(batch, keep_benchmark=True)
         return pa.table({"shingle": pa.array(np.unique(v), type=pa.uint64())})
 
-    bench = ds.map_batches(bench_rows, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    bench_set = np.unique(bench["shingle"].to_numpy()) if len(bench) else np.empty(0, np.uint64)
+    # the ONLY driver collection: the benchmark side's distinct shingle
+    # hashes (eval-set-sized by contract) — gathered batch-by-batch, never
+    # a per-doc to_pandas
+    parts = [
+        b["shingle"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(bench_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    bench_set = (np.unique(np.concatenate(parts)) if parts
+                 else np.empty(0, np.uint64))
     bench_ref = ray.put(bench_set)
 
     class _Check:
@@ -640,23 +680,42 @@ def benchmark_decontaminate(
             np.add.at(n_hit, inv, hit.astype(np.int64))
             return pa.table({id_col: pa.array(uniq, type=pa.int64()),
                              "n_shingles": pa.array(n_sh, type=pa.int64()),
-                             "n_shared": pa.array(n_hit, type=pa.int64())})
+                             "n_shared": pa.array(n_hit, type=pa.int64()),
+                             "contaminated": pa.array(
+                                 (n_hit > 0).astype(np.int64),
+                                 type=pa.int64())})
 
-    out = (
+    return (
         ds.map_batches(_Check, fn_constructor_args=(bench_ref,),
                        batch_format="pyarrow", zero_copy_batch=True,
                        concurrency=(1, 8))
-        .to_pandas()
+        .sort(id_col)
     )
+
+
+def benchmark_decontaminate(
+    ds: ray.data.Dataset,
+    benchmark_mod: int = 97,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Driver-DataFrame twin of ``benchmark_decontaminate_ds`` — collects
+    the per-doc stream, so only for driver-small corpora (tests, oracle
+    comparison); at scale use the ``_ds`` form and write/iterate it."""
+    out = benchmark_decontaminate_ds(
+        ds, benchmark_mod=benchmark_mod, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col,
+    ).to_pandas()
     cols = {id_col: pd.Series(dtype=np.int64),
             "n_shingles": pd.Series(dtype=np.int64),
             "n_shared": pd.Series(dtype=np.int64),
             "contaminated": pd.Series(dtype=np.int64)}
     if out.empty:
         return pd.DataFrame(cols)
-    out = out.sort_values(id_col).reset_index(drop=True)
-    out["contaminated"] = (out["n_shared"] > 0).astype(np.int64)
-    return out.astype({k: s.dtype for k, s in cols.items()})
+    return out[[id_col, "n_shingles", "n_shared", "contaminated"]].astype(
+        {k: s.dtype for k, s in cols.items()}
+    ).reset_index(drop=True)
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
@@ -748,7 +807,8 @@ _CLUSTER_DRIVER_MAX = 2_000_000
 _LABEL_SENTINEL = np.iinfo(np.int64).min
 
 
-def _clusters_propagate(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFrame:
+def _clusters_propagate_ds(pairs: pd.DataFrame,
+                           max_rounds: int = 50) -> ray.data.Dataset:
     """Distributed connected components: iterative min-label propagation.
 
     Each round is ONE keyed Ray shuffle of (int64, int64, int64) rows —
@@ -765,10 +825,14 @@ def _clusters_propagate(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFra
     decrease, so the propagation has converged exactly when sum(label)
     stops decreasing — a scalar Dataset aggregate per round. Per-round
     ``materialize()`` keeps the lineage flat (iterative pipelines re-execute
-    their whole history otherwise)."""
-    out_cols = {"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")}
+    their whole history otherwise). Returns a DATASET of (doc_id,
+    cluster_id) sorted doc_id-ascending — the (node, label) table never
+    lands on the driver; write_parquet / iter_batches it at scale."""
     if len(pairs) == 0:
-        return pd.DataFrame(out_cols)
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64()),
+        }))
     a = pairs["doc_a"].to_numpy(np.int64)
     b = pairs["doc_b"].to_numpy(np.int64)
     nodes = np.unique(np.concatenate([a, b]))
@@ -829,40 +893,27 @@ def _clusters_propagate(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFra
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    res = lab_ds.to_pandas()
-    return (
-        pd.DataFrame({"doc_id": res["src"].astype("int64"),
-                      "cluster_id": res["label"].astype("int64")})
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    return lab_ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("src").cast(pa.int64()),
+                            "cluster_id": t.column("label").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).sort("doc_id")
 
 
-def dedup_clusters(
-    ds: ray.data.Dataset,
-    shingle_k: int = 3,
-    threshold: float = 0.2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_shingle_df: int | None = 1000,
-) -> pd.DataFrame:
-    """Near-dup CLUSTER assignment: connected components over the exact
-    n-gram-Jaccard pair graph — the step after candidate generation in a
-    dedup pipeline ("keep one doc per cluster"). cluster_id = the smallest
-    doc_id in the component; only docs participating in at least one pair
-    are emitted (singletons keep themselves trivially).
+def _clusters_propagate(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFrame:
+    """Driver-DataFrame twin of ``_clusters_propagate_ds`` (tests / small
+    graphs)."""
+    out = _clusters_propagate_ds(pairs, max_rounds=max_rounds).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    return out.astype({"doc_id": "int64",
+                       "cluster_id": "int64"}).reset_index(drop=True)
 
-    The pair edges are driver-small by the near-dup contract (dup pairs,
-    not the corpus), so up to ``_CLUSTER_DRIVER_MAX`` edges union-find runs
-    driver-side in O(E α). Beyond that — a pathological pair explosion —
-    the same components come from ``_clusters_propagate``: distributed
-    min-label propagation where each round shuffles (node, label) int64
-    rows only. Both paths produce identical output (pinned by pytest)."""
-    pairs = ngram_jaccard_pairs(ds, shingle_k=shingle_k, threshold=threshold,
-                                text_col=text_col, id_col=id_col,
-                                max_shingle_df=max_shingle_df)
-    if len(pairs) > _CLUSTER_DRIVER_MAX:
-        return _clusters_propagate(pairs)
+
+def _clusters_union_find(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side connected components (path-halving union-find) for
+    driver-small edge sets — O(E α)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -881,6 +932,62 @@ def dedup_clusters(
         "doc_id": pd.Series(nodes, dtype=np.int64),
         "cluster_id": pd.Series([find(int(n)) for n in nodes], dtype=np.int64),
     })
+
+
+def dedup_clusters_ds(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> ray.data.Dataset:
+    """Near-dup CLUSTER assignment: connected components over the exact
+    n-gram-Jaccard pair graph — the step after candidate generation in a
+    dedup pipeline ("keep one doc per cluster"). cluster_id = the smallest
+    doc_id in the component; only docs participating in at least one pair
+    are emitted (singletons keep themselves trivially). Returns a DATASET
+    of (doc_id, cluster_id), doc_id-ascending.
+
+    The pair edges are driver-small by the near-dup contract (dup pairs,
+    not the corpus), so up to ``_CLUSTER_DRIVER_MAX`` edges union-find runs
+    driver-side in O(E α). Beyond that — a pathological pair explosion —
+    the same components come from ``_clusters_propagate_ds``: distributed
+    min-label propagation where each round shuffles (node, label) int64
+    rows only, and the RESULT stays a Dataset too (at that edge count the
+    answer itself is too big to land on the driver). Both paths produce
+    identical output (pinned by pytest)."""
+    pairs = ngram_jaccard_pairs(ds, shingle_k=shingle_k, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                max_shingle_df=max_shingle_df)
+    if len(pairs) > _CLUSTER_DRIVER_MAX:
+        return _clusters_propagate_ds(pairs)
+    out = _clusters_union_find(pairs)
+    if out.empty:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64()),
+        }))
+    return ray.data.from_pandas(out)
+
+
+def dedup_clusters(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> pd.DataFrame:
+    """Driver-DataFrame twin of ``dedup_clusters_ds`` (see there for
+    semantics); collects the per-doc labels, so only for driver-small
+    corpora (tests, oracle comparison, the ``dedup_apply`` drop set)."""
+    pairs = ngram_jaccard_pairs(ds, shingle_k=shingle_k, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                max_shingle_df=max_shingle_df)
+    if len(pairs) > _CLUSTER_DRIVER_MAX:
+        return _clusters_propagate(pairs)
+    return _clusters_union_find(pairs)
 
 
 def dedup_apply(

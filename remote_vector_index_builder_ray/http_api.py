@@ -20,8 +20,9 @@ Routes and status codes mirror the reference:
                         (runs the DISTRIBUTED sharded-tombstone path —
                         pipelines/delete.delete_by_query; a match-everything
                         delete never lands a docid on the driver)
-  POST /_search {"index_dir": "...", "queries": [{query_id, text, k?}],
-                 "mode"?} -> 200 {"rows": [...], "total": n}
+  POST /_search {"index_dir": "...", "queries": [{query_id, text, k?, slop?,
+                 span_exclude?, span_little?}], "mode"?}
+                -> 200 {"rows": [...], "total": n}
                         (served from a WARM persistent searcher pool keyed
                         by the manifest fingerprint — query_service.py)
   POST /_update_by_query {"index_dir": "...", "query_text": "...",
@@ -152,8 +153,14 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                                        and "text" in r for r in rows)):
                         raise ValueError(
                             "queries must be a non-empty list of "
-                            "{query_id, text, k?} objects"
+                            "{query_id, text, k?, slop?, span_exclude?, "
+                            "span_little?} objects"
                         )
+                    bad = sorted({k for r in rows for k in r}
+                                 - {"query_id", "text", "k", "slop",
+                                    "span_exclude", "span_little"})
+                    if bad:
+                        raise ValueError(f"unknown query fields: {bad}")
                     q = pd.DataFrame({
                         "query_id": np.array([int(r["query_id"]) for r in rows],
                                              dtype=np.int64),
@@ -161,6 +168,22 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                         "k": np.array([int(r.get("k", 10)) for r in rows],
                                       dtype=np.int32),
                     })
+                    # positional-mode per-query options: attach a column only
+                    # when some request row carries it — the searcher rejects
+                    # a slop/span column under a non-positional mode, so an
+                    # unconditional column would 400 every bmw request
+                    if any("slop" in r for r in rows):
+                        q["slop"] = np.array(
+                            [int(r.get("slop", 0)) for r in rows],
+                            dtype=np.int32)
+                    if any("span_exclude" in r for r in rows):
+                        q["span_exclude"] = [
+                            str(r["span_exclude"]) if "span_exclude" in r
+                            else None for r in rows]
+                    if any("span_little" in r for r in rows):
+                        q["span_little"] = [
+                            str(r["span_little"]) if "span_little" in r
+                            else None for r in rows]
                 except (ValueError, TypeError, json.JSONDecodeError) as ex:
                     self._send(400, {"error": str(ex)})
                     return

@@ -316,6 +316,13 @@ def build_index(cfg: BuildConfig, resume: bool = True) -> dict:
         dedup_dir = fs.join(cfg.index_dir, "deduped")
         if not man.stage_done("dedup"):
             t0 = time.time()
+            # intentionally UNPRUNED read: the staged output replaces
+            # input_paths for phase A, and docmeta persists every input
+            # column (DOCMETA_COLUMNS includes tool/ts) — dropping a column
+            # here would drop it from the index. dedup_exact only KEYS on
+            # (conv_id, turn_idx); the other columns ride through the
+            # shuffle untouched, which is the cost of a self-rewriting
+            # stage, not a pruning miss.
             ds = ray.data.read_parquet(**fs.for_ray_paths(cfg.input_paths))
             atomic_write_dir(lambda d: dedup_exact(ds).write_parquet(**fs.for_ray(d)), dedup_dir)
             man.commit_stage("dedup", {"sec": time.time() - t0})

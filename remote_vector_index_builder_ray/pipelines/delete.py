@@ -287,8 +287,11 @@ def delete_by_query(
     futures = []
     for sid in sorted(shard_refs):
         rel = f"tombstones/tomb-{base:04d}-shard-{sid:06d}.parquet"
-        # piece refs are passed as a task ARGUMENT list: Ray resolves them
-        # to the worker without the driver ever fetching a docid
+        # piece refs ride inside a list argument, which Ray does NOT
+        # auto-resolve (only top-level ObjectRef args like existing_ref
+        # are); the shard task fetches them itself via ray.get(list(...))
+        # inside _write_tombstone_shard_impl — the driver never fetches a
+        # docid either way
         futures.append(shard_task.remote(
             index_dir, rel, shard_refs[sid],
             existing_ref, meta_files, sid * stride, (sid + 1) * stride,

@@ -175,10 +175,12 @@ class QueryService:
     def search(self, index_dir: str, queries: pd.DataFrame,
                mode: str = "bmw") -> pd.DataFrame:
         """Top-k over a warm pool. ``queries``: (query_id:int64, text:string,
-        k:int32) — the pipeline contract. Returns (query_id, rank, docid,
-        score) sorted (query_id, rank); results are identical to
-        ``pipelines/query.search`` (same searcher class, same per-batch
-        unit)."""
+        k:int32) — the pipeline contract — plus the optional positional-mode
+        columns (slop:int, span_exclude:string for span_not,
+        span_little:string for span_containing/span_within). Returns
+        (query_id, rank, docid, score) sorted (query_id, rank); results are
+        identical to ``pipelines/query.search`` (same searcher class, same
+        per-batch unit)."""
         if not isinstance(queries, pd.DataFrame):
             raise TypeError("QueryService.search expects a pandas DataFrame")
         if mode not in self._MODES:
@@ -187,6 +189,16 @@ class QueryService:
             # semantics with a 200 status for a typo'd HTTP request
             raise ValueError(
                 f"unknown mode {mode!r}; supported: {sorted(self._MODES)}"
+            )
+        if (mode in ("span_containing", "span_within")
+                and "span_little" not in queries.columns):
+            # without a little span these scorers return zero rows for EVERY
+            # query — a silent-success hole over HTTP (200 + empty); span_not
+            # without span_exclude is different: it degenerates to the inner
+            # span by documented Lucene semantics, so it stays allowed
+            raise ValueError(
+                f"{mode} requires a span_little column (the inner span) on "
+                "the queries frame; without it every query returns 0 rows"
             )
         pool = self._acquire_pool(index_dir, mode)
         try:

@@ -223,3 +223,161 @@ def test_search_route_error_codes(api):
     # the server is still alive and serving after the faults
     code, out = _post(base + "/_search", {"index_dir": idx, "queries": qs})
     assert code == 200 and out["total"] >= 0
+
+
+def test_search_route_span_modes(api):
+    """/_search carries the positional per-query options (slop, span_exclude,
+    span_little) through to the warm pool, matching the batch path, and 400s
+    the silent-success holes: span_containing/span_within without a
+    span_little column would return 0 rows for every query with a 200."""
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "srch_span")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2, positions=True))
+
+    # pick a real in-corpus trigram so the span queries can actually match
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    df = pd.concat([pd.read_parquet(p) for p in fx["transcripts"]])
+    t1 = t2 = little = None
+    for txt in df["text"]:
+        toks = tokenize_text(str(txt))
+        if len(toks) >= 3 and len({toks[0], toks[1], toks[2]}) == 3:
+            t1, little, t2 = toks[0], toks[1], toks[2]
+            break
+    assert t1 is not None
+
+    # 400: span_containing / span_within without span_little (every query
+    # would return 0 rows — the silent-success hole)
+    qs_plain = [{"query_id": 0, "text": f"{t1} {t2}", "k": 10, "slop": 2}]
+    for mode in ("span_containing", "span_within"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/_search",
+                  {"index_dir": idx, "queries": qs_plain, "mode": mode})
+        assert ei.value.code == 400, mode
+        assert "span_little" in json.loads(ei.value.read())["error"]
+
+    # 400: unknown per-query field
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx, "queries": [
+            {"query_id": 0, "text": "x", "filter": "nope"}]})
+    assert ei.value.code == 400
+
+    # span_containing WITH span_little: parity with the batch path
+    payload = {"index_dir": idx, "mode": "span_containing", "queries": [
+        {"query_id": 0, "text": f"{t1} {t2}", "k": 50, "slop": 2,
+         "span_little": little}]}
+    code, out = _post(base + "/_search", payload)
+    assert code == 200
+    q = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int64),
+        "text": [f"{t1} {t2}"], "k": np.array([50], dtype=np.int32),
+        "slop": np.array([2], dtype=np.int32), "span_little": [little],
+    })
+    exp = (search(idx, q, mode="span_containing").to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    got = pd.DataFrame(out["rows"], columns=["query_id", "rank", "docid",
+                                             "score"])
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert len(exp) > 0  # the trigram guarantees a hit at slop=2
+    if len(exp):
+        assert np.allclose(got["score"].to_numpy(), exp["score"].to_numpy())
+
+    # span_not WITH span_exclude: parity with the batch path (and exclude
+    # actually bites: excluding the little term next to t1 removes/keeps
+    # docs exactly as the batch engine says)
+    payload = {"index_dir": idx, "mode": "span_not", "queries": [
+        {"query_id": 0, "text": t1, "k": 2000, "span_exclude": little}]}
+    code, out = _post(base + "/_search", payload)
+    assert code == 200
+    q = pd.DataFrame({
+        "query_id": np.array([0], dtype=np.int64), "text": [t1],
+        "k": np.array([2000], dtype=np.int32), "span_exclude": [little],
+    })
+    exp = (search(idx, q, mode="span_not").to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    got = pd.DataFrame(out["rows"], columns=["query_id", "rank", "docid",
+                                             "score"])
+    assert got["docid"].tolist() == exp["docid"].tolist()
+
+    # phrase with per-query slop: mixed slop/no-slop rows in one request
+    payload = {"index_dir": idx, "mode": "phrase", "queries": [
+        {"query_id": 0, "text": f"{t1} {t2}", "k": 50, "slop": 2},
+        {"query_id": 1, "text": f"{t1} {little}", "k": 50}]}
+    code, out = _post(base + "/_search", payload)
+    assert code == 200
+    q = pd.DataFrame({
+        "query_id": np.array([0, 1], dtype=np.int64),
+        "text": [f"{t1} {t2}", f"{t1} {little}"],
+        "k": np.array([50, 50], dtype=np.int32),
+        "slop": np.array([2, 0], dtype=np.int32),
+    })
+    exp = (search(idx, q, mode="phrase").to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    got = pd.DataFrame(out["rows"], columns=["query_id", "rank", "docid",
+                                             "score"])
+    assert got["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_search_route_concurrent_mutate(api):
+    """Route-level pool-lifecycle hardening: /_search requests racing a
+    committed index mutation (/_delete_by_query) all succeed — the stale warm
+    pool drains in-flight requests before its actors die (retire-on-
+    fingerprint-change), and post-mutation requests see the tombstones."""
+    import threading
+
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "srch_mut")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+
+    df = pd.concat([pd.read_parquet(p) for p in fx["transcripts"]])
+    term = tokenize_text(str(df["text"].iloc[7]))[0]
+    payload = {"index_dir": idx, "queries": [
+        {"query_id": 0, "text": term, "k": 2000}]}
+
+    # warm the pool, record the pre-mutation hit count
+    code, before = _post(base + "/_search", payload)
+    assert code == 200 and before["total"] > 0
+
+    errors: list = []
+    results: list = []
+
+    def hammer():
+        try:
+            for _ in range(6):
+                c, o = _post(base + "/_search", payload)
+                results.append((c, o["total"]))
+        except Exception as ex:  # noqa: BLE001 — collected and asserted below
+            errors.append(ex)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    # mutate mid-flight: committed manifest change retires the warm pool
+    code, dbq = _post(base + "/_delete_by_query", {"index_dir": idx,
+                                                   "text": term})
+    assert code == 200 and dbq["deleted"] > 0
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # every request got a 200 and a sane result: either the pre-mutation
+    # count (served by the draining pool) or the post-mutation count
+    totals = {t for c, t in results}
+    assert all(c == 200 for c, _ in results)
+    assert totals <= {before["total"], before["total"] - dbq["deleted"], 0}
+    # post-mutation request reflects the tombstones via the NEW pool
+    code, after = _post(base + "/_search", payload)
+    assert code == 200
+    assert after["total"] == before["total"] - dbq["deleted"]
