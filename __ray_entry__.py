@@ -3919,6 +3919,26 @@ def _q_bm25_stemmed(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"], mode="bmw")
 
 
+def _q_bm25_sstemmed(sf_dir: str):
+    """Index + query analyzed with the Harman (1991) S-stemmer (three-rule
+    plural conflation, longest-suffix dispatch with keep-unchanged
+    exceptions; functions/tokenizer._stem_s_array) — 'ponies' and 'pony'
+    share a postings list while 'trees' (an 'ees' exception) keeps its own.
+    Persisted in stats.json like every analyzer option."""
+    from remote_vector_index_builder_ray import BuildConfig
+    from remote_vector_index_builder_ray.config import AnalyzerConfig
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_sstem")
+    _build_fresh_on_collision(BuildConfig(
+        input_paths=fx["transcripts"], index_dir=index_dir,
+        num_partitions=min(4, len(fx["transcripts"])),
+        analyzer=AnalyzerConfig(stemmer="s_stem"),
+    ))
+    return _topk_rounded(index_dir, fx["queries"], mode="bmw")
+
+
 def _q_bm25_sig_text(sf_dir: str):
     """OpenSearch significant_text (filter_duplicate_text=true): JLH-scored
     over-represented terms with each DISTINCT text counted once per query
@@ -4025,6 +4045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pit": _q_bm25_pit,
         "bm25_sig_text": _q_bm25_sig_text,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_sstemmed": _q_bm25_sstemmed,
         "bm25_scroll": _q_bm25_scroll,
         "bm25_named": _q_bm25_named,
         "bm25_terms_by_metric": _q_bm25_terms_by_metric,
@@ -6733,6 +6754,60 @@ stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN total
 q AS (
     SELECT query_id, k,
            unnest(list_distinct([{_stem.format(x='qt')}
+                                 FOR qt IN regexp_extract_all(lower(text), '[a-z0-9_]+')])) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # Harman S-stemmer: longest-suffix dispatch, exception words unchanged —
+    # the exact CASE mirror of functions/tokenizer._stem_s
+    _sstem = (
+        "CASE WHEN length({x}) >= 3 AND {x} LIKE '%ies' THEN "
+        "(CASE WHEN {x} LIKE '%eies' OR {x} LIKE '%aies' THEN {x} "
+        "ELSE substr({x}, 1, length({x}) - 3) || 'y' END) "
+        "WHEN length({x}) >= 3 AND {x} LIKE '%es' THEN "
+        "(CASE WHEN {x} LIKE '%aes' OR {x} LIKE '%ees' OR {x} LIKE '%oes' "
+        "THEN {x} ELSE substr({x}, 1, length({x}) - 1) END) "
+        "WHEN length({x}) >= 3 AND {x} LIKE '%s' THEN "
+        "(CASE WHEN {x} LIKE '%us' OR {x} LIKE '%ss' THEN {x} "
+        "ELSE substr({x}, 1, length({x}) - 1) END) "
+        "ELSE {x} END")
+    out["bm25_sstemmed"] = f"""
+WITH {docs},
+toks AS MATERIALIZED (
+    SELECT docid, {_sstem.format(x='t.tok')} AS term
+    FROM (
+        SELECT docid, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM docs
+    ) t
+),
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct([{_sstem.format(x='qt')}
                                  FOR qt IN regexp_extract_all(lower(text), '[a-z0-9_]+')])) AS term
     FROM read_parquet('{_queries_path(sf)}')
 ),

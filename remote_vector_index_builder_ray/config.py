@@ -58,13 +58,16 @@ class AnalyzerConfig:
     max_token_len: int = 1 << 30
     # token filter applied LAST in the chain (Lucene filter order):
     # "minimal_english" = Lucene EnglishMinimalStemFilter (plural stripping:
-    # a final 's' drops unless the token is < 3 chars or ends in 'ss'/'us')
+    # a final 's' drops unless the token is < 3 chars or ends in 'ss'/'us');
+    # "s_stem" = Harman (1991) S-stemmer (three-rule plural conflation:
+    # ies->y / es->e / s->; see functions/tokenizer._stem_s_array)
     stemmer: str = ""
 
     def __post_init__(self):
-        if self.stemmer not in ("", "minimal_english"):
+        if self.stemmer not in ("", "minimal_english", "s_stem"):
             raise EngineError(
-                f"unknown stemmer {self.stemmer!r} (supported: minimal_english)"
+                f"unknown stemmer {self.stemmer!r} "
+                "(supported: minimal_english, s_stem)"
             )
 
     def is_default(self) -> bool:

@@ -126,13 +126,76 @@ def _stem_minimal_english(t: str) -> str:
     return t
 
 
+def _stem_s_array(tokens: pa.Array) -> pa.Array:
+    """Vectorized Harman (1991) S-stemmer — the classic three-rule plural
+    conflator (public: "How effective is suffixing?", JASIS 42(1)), as an
+    if/elif chain over tokens of >= 3 chars (the same length guard as
+    Lucene's minimal stemmer; shorter tokens pass through):
+
+      1. ends 'ies' (but not 'eies'/'aies')   ->  'ies' -> 'y'
+      2. ends 'es'  (but not 'aes'/'ees'/'oes') -> 'es' -> 'e'
+      3. ends 's'   (but not 'us'/'ss')         -> drop the 's'
+
+    Dispatch is on the LONGEST matching suffix; an exception word (e.g.
+    'trees' under rule 2) is left UNCHANGED, not passed to the next rule —
+    otherwise rule 3 would strip the 's' from every rule-2 exception and
+    the exceptions would be dead letters. The scalar twin and the SQL
+    oracle CASE mirror this dispatch exactly."""
+    import pyarrow.compute as pc
+
+    n3 = pc.greater_equal(pc.utf8_length(tokens), 3)
+    e_ies = pc.and_(n3, pc.ends_with(tokens, pattern="ies"))
+    e_es = pc.and_(n3, pc.ends_with(tokens, pattern="es"))
+    e_s = pc.and_(n3, pc.ends_with(tokens, pattern="s"))
+    ok_ies = pc.invert(pc.or_(pc.ends_with(tokens, pattern="eies"),
+                              pc.ends_with(tokens, pattern="aies")))
+    ok_es = pc.invert(pc.or_(pc.or_(pc.ends_with(tokens, pattern="aes"),
+                                    pc.ends_with(tokens, pattern="ees")),
+                             pc.ends_with(tokens, pattern="oes")))
+    ok_s = pc.invert(pc.or_(pc.ends_with(tokens, pattern="us"),
+                            pc.ends_with(tokens, pattern="ss")))
+    drop1 = pc.utf8_slice_codeunits(tokens, start=0, stop=-1)
+    ies_y = pc.binary_join_element_wise(
+        pc.utf8_slice_codeunits(tokens, start=0, stop=-3), "y", "")
+    # nested if_else = suffix dispatch; the inner if_else applies the
+    # exception (keep unchanged) without falling through to a shorter suffix
+    return pc.if_else(
+        e_ies, pc.if_else(ok_ies, ies_y, tokens),
+        pc.if_else(e_es, pc.if_else(ok_es, drop1, tokens),
+                   pc.if_else(e_s, pc.if_else(ok_s, drop1, tokens), tokens)))
+
+
+def _stem_s(t: str) -> str:
+    """Scalar twin of ``_stem_s_array`` (query side + oracles)."""
+    if len(t) < 3:
+        return t
+    if t.endswith("ies"):
+        return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
+    if t.endswith("es"):
+        return t if t.endswith(("aes", "ees", "oes")) else t[:-1]
+    if t.endswith("s"):
+        return t if t.endswith(("us", "ss")) else t[:-1]
+    return t
+
+
+# scalar (query-side) stemmer registry; the array forms dispatch in
+# _stem_tokens — adding a stemmer means one array kernel + one scalar twin
+# + an AnalyzerConfig allow-list entry
+_SCALAR_STEMMERS = {
+    "minimal_english": _stem_minimal_english,
+    "s_stem": _stem_s,
+}
+
+
 def _stem_tokens(tokens: pa.Array, analyzer) -> pa.Array:
     if analyzer is None or not getattr(analyzer, "stemmer", ""):
         return tokens
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
     if analyzer.stemmer == "minimal_english":
-        if isinstance(tokens, pa.ChunkedArray):
-            tokens = tokens.combine_chunks()
         return _stem_minimal_english_array(tokens)
+    if analyzer.stemmer == "s_stem":
+        return _stem_s_array(tokens)
     raise ValueError(f"unknown stemmer {analyzer.stemmer!r}")
 
 
@@ -174,8 +237,9 @@ def analyze_text(text: str, analyzer=None) -> list[str]:
     sw = set(analyzer.stopwords)
     lo, hi = analyzer.min_token_len, analyzer.max_token_len
     kept = [t for t in toks if lo <= len(t) <= hi and t not in sw]
-    if getattr(analyzer, "stemmer", "") == "minimal_english":
-        kept = [_stem_minimal_english(t) for t in kept]
+    stem = _SCALAR_STEMMERS.get(getattr(analyzer, "stemmer", ""))
+    if stem is not None:
+        kept = [stem(t) for t in kept]
     return kept
 
 
@@ -193,8 +257,9 @@ def analyze_text_positions(text: str, analyzer=None) -> tuple[list[str], list[in
     lo, hi = analyzer.min_token_len, analyzer.max_token_len
     kept = [(t, i) for i, t in enumerate(toks)
             if lo <= len(t) <= hi and t not in sw]
-    if getattr(analyzer, "stemmer", "") == "minimal_english":
-        kept = [(_stem_minimal_english(t), i) for t, i in kept]
+    stem = _SCALAR_STEMMERS.get(getattr(analyzer, "stemmer", ""))
+    if stem is not None:
+        kept = [(stem(t), i) for t, i in kept]
     return [t for t, _ in kept], [i for _, i in kept]
 
 

@@ -75,6 +75,7 @@ class QueryService:
 
     def __init__(self, pool_size: int | None = None, max_pools: int = 8,
                  batch_size: int = 16, actor_num_cpus: float = 0.5,
+                 max_cpu_fraction: float = 0.5,
                  **searcher_kwargs):
         if pool_size is None:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -90,6 +91,15 @@ class QueryService:
         # latency-dedicated deployment should set 1.0 and size
         # max_pools * pool_size to the cluster share it owns.
         self.actor_num_cpus = float(actor_num_cpus)
+        # hard CPU-reservation ceiling across ALL warm pools, as a fraction
+        # of cluster CPUs: max_pools alone bounds the POOL COUNT, but
+        # max_pools * pool_size * actor_num_cpus can exceed the cluster on
+        # a small one (8 * 2 * 0.5 = 8 CPUs on a 4-CPU node) — persistent
+        # reservations then starve every batch pipeline sharing the cluster
+        # into deadlock. Beyond the budget, least-recently-used pools
+        # retire (drain-then-kill, same as LRU-count eviction); a
+        # latency-dedicated deployment sets 1.0.
+        self.max_cpu_fraction = float(max_cpu_fraction)
         self.searcher_kwargs = searcher_kwargs
         self._pools: dict[tuple, _Pool] = {}
         # the HTTP facade serves requests from a ThreadingHTTPServer —
@@ -126,7 +136,7 @@ class QueryService:
                     for _ in range(self.pool_size)
                 ]
                 pool = self._pools[key] = _Pool(actors, time.time())
-                self._evict_lru_locked()
+                self._evict_lru_locked(keep=key)
             pool.last_used = time.time()
             pool.inflight += 1
         return pool
@@ -147,9 +157,29 @@ class QueryService:
                     ray.kill(a)
             # else: the last _release_pool kills the drained pool
 
-    def _evict_lru_locked(self) -> None:
+    def _evict_lru_locked(self, keep: tuple | None = None) -> None:
+        """Retire least-recently-used pools beyond the count bound
+        (max_pools) AND the CPU-reservation bound (max_cpu_fraction of
+        cluster CPUs). ``keep`` (the pool just acquired) is never evicted —
+        even a pool that alone exceeds the budget must serve its in-flight
+        request; the bound then applies to everything else."""
+        def _lru():
+            cands = [k for k in self._pools if k != keep]
+            return min(cands, key=lambda k: self._pools[k].last_used) \
+                if cands else None
+
         while len(self._pools) > self.max_pools:
-            key = min(self._pools, key=lambda k: self._pools[k].last_used)
+            key = _lru()
+            if key is None:
+                return
+            self._retire_locked(key)
+        budget = float(ray.cluster_resources().get("CPU", 8)) \
+            * self.max_cpu_fraction
+        while sum(len(p.actors) * self.actor_num_cpus
+                  for p in self._pools.values()) > budget:
+            key = _lru()
+            if key is None:
+                return
             self._retire_locked(key)
 
     @staticmethod

@@ -314,3 +314,74 @@ def test_unknown_stemmer_rejected():
 
     with pytest.raises(EngineError, match="stemmer"):
         AnalyzerConfig(stemmer="porter2")
+
+
+# --- s_stem (Harman 1991 S-stemmer) ------------------------------------------
+
+SSTEM_AN = AnalyzerConfig(stemmer="s_stem")
+
+
+def test_s_stem_rules():
+    from remote_vector_index_builder_ray.functions.tokenizer import _stem_s
+
+    cases = {
+        "ponies": "pony", "babies": "baby", "ties": "ty",    # ies -> y
+        "eies": "eies", "aies": "aies",                      # ies exceptions
+        "cares": "care", "axes": "axe", "yes": "ye",         # es -> e
+        "trees": "trees", "shoes": "shoes", "canoes": "canoes",  # es exceptions
+        "goes": "goes",
+        "cats": "cat", "runs": "run",                        # s drop
+        "bonus": "bonus", "class": "class",                  # s exceptions
+        "is": "is", "as": "as",                              # < 3 chars keep
+        "run": "run", "the": "the",                          # no trailing s
+    }
+    for raw, want in cases.items():
+        assert _stem_s(raw) == want, raw
+    # exception words must NOT fall through to a shorter-suffix rule
+    # (otherwise rule 3 would strip 'trees' -> 'tree' anyway)
+    assert _stem_s("trees") == "trees"
+    assert analyze_text("Ponies pass trees cats", SSTEM_AN) == [
+        "pony", "pass", "trees", "cat"
+    ]
+
+
+def test_s_stem_column_matches_scalar(smoke_fixture):
+    import pyarrow as pa
+
+    df = pq.read_table(smoke_fixture["transcripts"][0]).to_pandas().head(200)
+    col = pa.array(df["text"].tolist(), type=pa.string())
+    tokens, _doc_index, doc_len = analyze_column(col, SSTEM_AN)
+    toks = tokens.to_pylist()
+    off = 0
+    for i, t in enumerate(df["text"]):
+        exp = analyze_text(t or "", SSTEM_AN)
+        n = int(doc_len[i])
+        assert toks[off:off + n] == exp
+        off += n
+
+
+@pytest.fixture(scope="module")
+def sstem_index(smoke_fixture, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("sstem") / "idx")
+    build_index(BuildConfig(
+        input_paths=smoke_fixture["transcripts"], index_dir=idx,
+        num_partitions=2, analyzer=SSTEM_AN,
+    ))
+    return idx
+
+
+@pytest.mark.parametrize("mode", ["exhaustive", "bmw"])
+def test_s_stemmed_rank_identity(smoke_fixture, sstem_index, mode):
+    src = pd.concat(
+        [pq.read_table(p).to_pandas() for p in smoke_fixture["transcripts"]]
+    )
+    oracle = oracle_from_transcripts(src, analyzer=SSTEM_AN)
+    qdf = pq.read_table(smoke_fixture["queries"]).to_pandas()
+    gold = oracle.run_queries(qdf)
+    res = (
+        search(sstem_index, smoke_fixture["queries"], mode=mode)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(res) == len(gold) > 0
+    np.testing.assert_array_equal(res["docid"].to_numpy(), gold["docid"].to_numpy())
+    np.testing.assert_array_equal(res["score"].to_numpy(), gold["score"].to_numpy())
