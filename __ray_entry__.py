@@ -850,6 +850,34 @@ def _q_bm25_filtered(sf_dir: str):
     return _topk_rounded(index_dir, fx["queries"], where=[("role", "=", "user")])
 
 
+def _q_bm25_search_pipeline(sf_dir: str):
+    """OpenSearch search pipeline (the `_search_pipeline` surface): request
+    processor filter_query (role='user') rewrites the search into filter
+    context; response processors collapse(conv_id) -> truncate_hits(5) ->
+    rename_field(score -> relevance) transform the returned page in order
+    (pipelines/query.search_with_pipeline; collapse keeps the highest-
+    ranked hit per conversation on the FETCHED page, it does not refill).
+    round6: the engine-wide cross-engine float policy, applied before the
+    processors so collapse survivors are boundary-stable vs the oracle."""
+    from remote_vector_index_builder_ray.pipelines.query import (
+        search_with_pipeline,
+    )
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = search_with_pipeline(
+        index_dir, fx["queries"],
+        processors=[
+            {"filter_query": {"where": [("role", "=", "user")]}},
+            {"collapse": {"field": "conv_id"}},
+            {"truncate_hits": {"target_size": 5}},
+            {"rename_field": {"field": "score", "target_field": "relevance"}},
+        ],
+        round6=True,
+    )
+    return out.astype({"query_id": "int64", "rank": "int32",
+                       "docid": "int64", "relevance": "float64"})
+
+
 def _q_bm25_compacted(sf_dir: str):
     """Top-k after delete + expunging compaction: postings physically purged,
     stats shrink to the live corpus (docids keep their holes). The oracle is
@@ -4068,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_delete_search": _q_bm25_delete_search,
         "bm25_compacted": _q_bm25_compacted,
         "bm25_filtered": _q_bm25_filtered,
+        "bm25_search_pipeline": _q_bm25_search_pipeline,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "bm25_span_near": _q_bm25_span_near,
@@ -9044,6 +9073,57 @@ ranked AS (
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # search pipeline: the bm25_filtered page (filter_query processor ==
+    # filter context), then collapse(conv_id) -> truncate_hits(5) ->
+    # rename_field(score -> relevance) on the page, in processor order
+    out["bm25_search_pipeline"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+allowed AS (SELECT docid, conv_id FROM docs WHERE role = 'user'),
+ranked AS (
+    SELECT query_id, sc.docid, a.conv_id, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, sc.docid) AS rank
+    FROM scored sc JOIN allowed a USING (docid)
+),
+page AS (SELECT * FROM ranked WHERE rank <= k),
+collapsed AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, conv_id ORDER BY rank) AS rn
+    FROM page
+),
+renum AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rank
+    FROM collapsed WHERE rn = 1
+)
+SELECT query_id, rank::INT AS rank, docid, score AS relevance
+FROM renum WHERE rank <= 5
 ORDER BY query_id, rank
 """
     # delete + expunging compaction: a from-scratch BM25 over the LIVE docs

@@ -169,21 +169,22 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                                       dtype=np.int32),
                     })
                     # positional-mode per-query options: attach a column only
-                    # when some request row carries it — the searcher rejects
-                    # a slop/span column under a non-positional mode, so an
-                    # unconditional column would 400 every bmw request
-                    if any("slop" in r for r in rows):
+                    # when some request row carries it (JSON null == absent) —
+                    # the searcher rejects a slop/span column under a
+                    # non-positional mode, so an unconditional column would
+                    # 400 every bmw request
+                    if any(r.get("slop") is not None for r in rows):
                         q["slop"] = np.array(
-                            [int(r.get("slop", 0)) for r in rows],
+                            [int(r.get("slop") or 0) for r in rows],
                             dtype=np.int32)
-                    if any("span_exclude" in r for r in rows):
+                    if any(r.get("span_exclude") is not None for r in rows):
                         q["span_exclude"] = [
-                            str(r["span_exclude"]) if "span_exclude" in r
-                            else None for r in rows]
-                    if any("span_little" in r for r in rows):
+                            None if r.get("span_exclude") is None
+                            else str(r["span_exclude"]) for r in rows]
+                    if any(r.get("span_little") is not None for r in rows):
                         q["span_little"] = [
-                            str(r["span_little"]) if "span_little" in r
-                            else None for r in rows]
+                            None if r.get("span_little") is None
+                            else str(r["span_little"]) for r in rows]
                 except (ValueError, TypeError, json.JSONDecodeError) as ex:
                     self._send(400, {"error": str(ex)})
                     return

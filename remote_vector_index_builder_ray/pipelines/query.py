@@ -770,6 +770,119 @@ def search_min_score(
     return res[list(cols)].astype(cols)
 
 
+def search_with_pipeline(
+    index_dir: str,
+    queries,
+    processors: list[dict],
+    mode: str = "bmw",
+    round6: bool = False,
+    **search_kw,
+) -> pd.DataFrame:
+    """OpenSearch search pipelines (`PUT /_search_pipeline` + `?search_pipeline=`,
+    public docs): an ORDERED processor chain around one search. Supported
+    processors, each a single-key dict:
+
+      request:  {"filter_query": {"where": [...]}}   — AND-merges a
+                filter-context predicate into the search (parquet-DNF
+                tuples, same contract as ``search(where=...)``)
+      response: {"collapse": {"field": f}}           — keep the highest-
+                ranked hit per (query, field value) on the FETCHED page
+                (OpenSearch's collapse response processor operates on the
+                returned hits, it does not refill to k), field values via
+                one broadcast-semi-join ``hydrate``
+                {"truncate_hits": {"target_size": n}} — keep the first n
+                hits per query
+                {"rename_field": {"field": a, "target_field": b}} — rename
+                a result column
+
+    Response processors apply in list order to the k-bounded hit page
+    (queries x k rows — driver-small by construction); ``rank`` is
+    renumbered 1..n per query after each hit-dropping processor so the
+    output stays a dense page. ``round6=True`` applies the engine-wide
+    cross-engine float policy BEFORE the response processors (2k
+    oversample, 6dp-rounded (score desc, docid asc) re-rank, cut to k —
+    the ``search_min_score`` pattern) so which hit survives a collapse is
+    stable across engines. Returns a pandas DataFrame."""
+    from remote_vector_index_builder_ray.config import EngineError
+
+    _REQUEST = {"filter_query"}
+    _RESPONSE = {"collapse", "truncate_hits", "rename_field"}
+    chain: list[tuple[str, dict]] = []
+    for p in processors:
+        if not isinstance(p, dict) or len(p) != 1:
+            raise EngineError(
+                f"processor must be a single-key dict, got {p!r}")
+        (name, conf), = p.items()
+        if name not in _REQUEST | _RESPONSE:
+            raise EngineError(
+                f"unknown processor {name!r}; supported: "
+                f"{sorted(_REQUEST | _RESPONSE)}")
+        chain.append((name, conf or {}))
+
+    # -- request phase: rewrite the search ------------------------------------
+    where = list(search_kw.pop("where", None) or [])
+    for name, conf in chain:
+        if name == "filter_query":
+            clauses = conf.get("where")
+            if not clauses:
+                raise EngineError("filter_query requires a 'where' clause")
+            where.extend(tuple(c) for c in clauses)  # DNF tuple list = AND
+
+    q = queries.copy() if isinstance(queries, pd.DataFrame) \
+        else pd.read_parquet(queries)
+    if round6:
+        k_by_query = dict(zip(q["query_id"], q["k"]))
+        q = q.assign(k=(q["k"] * 2).astype("int32"))
+    res = search(index_dir, q, mode=mode,
+                 where=where or None, **search_kw).to_pandas()
+    cols = {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+            "score": np.float64}
+    if res.empty or "docid" not in res.columns:
+        res = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    if round6 and len(res):
+        res["score"] = np.floor(res["score"].to_numpy() * 1e6 + 0.5) / 1e6
+        res = res.sort_values(["query_id", "score", "docid"],
+                              ascending=[True, False, True])
+        res["rank"] = (res.groupby("query_id").cumcount() + 1).astype(np.int32)
+        res = res[res["rank"] <= res["query_id"].map(k_by_query)]
+    res = (res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+           .astype(cols))
+
+    def _renumber(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int32)
+        return df
+
+    # -- response phase: transform the page, in order -------------------------
+    for name, conf in chain:
+        if name == "collapse":
+            field = conf.get("field")
+            if not field:
+                raise EngineError("collapse requires a 'field'")
+            if len(res):
+                meta = hydrate(
+                    index_dir,
+                    ray.data.from_pandas(res[["docid"]].drop_duplicates()),
+                )[["docid", field]]
+                res = res.merge(meta, on="docid", how="left")
+                res = (res.sort_values(["query_id", "rank"])
+                       .drop_duplicates(["query_id", field])
+                       .drop(columns=[field]))
+                res = _renumber(res)
+        elif name == "truncate_hits":
+            n = int(conf.get("target_size", 10))
+            res = _renumber(res[res["rank"] <= n]) if len(res) else res
+        elif name == "rename_field":
+            src, dst = conf.get("field"), conf.get("target_field")
+            if not src or not dst:
+                raise EngineError(
+                    "rename_field requires 'field' and 'target_field'")
+            if src not in res.columns:
+                raise EngineError(f"rename_field: no column {src!r}")
+            res = res.rename(columns={src: dst})
+    return res.reset_index(drop=True)
+
+
 def multi_index_search(
     index_dirs: list[str],
     queries,
