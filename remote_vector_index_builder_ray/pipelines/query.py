@@ -690,13 +690,16 @@ def highlight(
     return out
 
 
-def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
+def hydrate(index_dir: str, results: ray.data.Dataset,
+            columns: list[str] | None = None) -> pd.DataFrame:
     """Attach stored fields to a (small) result set.
 
     Broadcast-semi-join: the result docid set is ray.put once; docmeta is
     scanned with a pruned, vectorized filter (no shuffle) — the pattern for a
-    small-side lookup at 100 TB scale. Returns a pandas DataFrame (results are
-    queries x k rows — driver-small by construction).
+    small-side lookup at 100 TB scale. ``columns`` prunes the docmeta read to
+    (docid + those fields) — a caller needing ONE field must not decode the
+    whole text column of every docmeta file. Returns a pandas DataFrame
+    (results are queries x k rows — driver-small by construction).
     """
     import numpy as np
     import ray
@@ -728,12 +731,30 @@ def hydrate(index_dir: str, results: ray.data.Dataset) -> pd.DataFrame:
         for rel in fs.listdir(d, recursive=True)
         if rel.endswith(".parquet")
     ]
-    dm = ray.data.read_parquet(**fs.for_ray_paths(meta_files)).map_batches(
+    read_kw = fs.for_ray_paths(meta_files)
+    if columns is not None:
+        read_kw["columns"] = list(dict.fromkeys(["docid", *columns]))
+    dm = ray.data.read_parquet(**read_kw).map_batches(
         FilterDocs, fn_constructor_args=(ref,), batch_format="pyarrow",
         zero_copy_batch=True, concurrency=(1, 4),
     )
     meta = dm.to_pandas()
     return res.merge(meta, on="docid", how="left")
+
+
+def _round6_page(res: pd.DataFrame, k_by_query: dict) -> pd.DataFrame:
+    """The engine-wide cross-engine float policy in ONE place (used by
+    search_min_score and search_with_pipeline's round6): 6dp half-up
+    rounding, (score desc, docid asc) re-rank, cut to each query's ORIGINAL
+    k — callers searched with a 2k oversample so the rounded page boundary
+    cannot lose a doc."""
+    res = res.copy()
+    res["score"] = np.floor(res["score"].to_numpy() * 1e6 + 0.5) / 1e6
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank"] = (res.groupby("query_id").cumcount() + 1).astype(np.int32)
+    return (res[res["rank"] <= res["query_id"].map(k_by_query)]
+            .reset_index(drop=True))
 
 
 def search_min_score(
@@ -759,13 +780,8 @@ def search_min_score(
             "score": np.float64}
     if res.empty or "docid" not in res.columns:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
-    res["score"] = np.floor(res["score"].to_numpy() * 1e6 + 0.5) / 1e6
-    res = res.sort_values(["query_id", "score", "docid"],
-                          ascending=[True, False, True])
-    res["rank0"] = res.groupby("query_id").cumcount() + 1
-    res = res[(res["rank0"] <= res["query_id"].map(k_by_query))
-              & (res["score"] >= float(min_score))]
-    res = res.reset_index(drop=True)
+    res = _round6_page(res, k_by_query)
+    res = res[res["score"] >= float(min_score)].reset_index(drop=True)
     res["rank"] = (res.groupby("query_id").cumcount() + 1).astype(np.int32)
     return res[list(cols)].astype(cols)
 
@@ -840,11 +856,7 @@ def search_with_pipeline(
     if res.empty or "docid" not in res.columns:
         res = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
     if round6 and len(res):
-        res["score"] = np.floor(res["score"].to_numpy() * 1e6 + 0.5) / 1e6
-        res = res.sort_values(["query_id", "score", "docid"],
-                              ascending=[True, False, True])
-        res["rank"] = (res.groupby("query_id").cumcount() + 1).astype(np.int32)
-        res = res[res["rank"] <= res["query_id"].map(k_by_query)]
+        res = _round6_page(res, k_by_query)
     res = (res.sort_values(["query_id", "rank"]).reset_index(drop=True)
            .astype(cols))
 
@@ -863,10 +875,18 @@ def search_with_pipeline(
                 meta = hydrate(
                     index_dir,
                     ray.data.from_pandas(res[["docid"]].drop_duplicates()),
+                    columns=[field],  # pruned read: one field, not the text
                 )[["docid", field]]
                 res = res.merge(meta, on="docid", how="left")
-                res = (res.sort_values(["query_id", "rank"])
-                       .drop_duplicates(["query_id", field])
+                # a hit with NO field value is KEPT, not deduped: pandas
+                # drop_duplicates treats NaN==NaN, which would collapse all
+                # missing-field hits into one pseudo-group and silently drop
+                # the rest (OpenSearch keeps hits missing the collapse field)
+                null = res[field].isna()
+                dup = res.sort_values(["query_id", "rank"]).loc[~null]
+                dup = dup.drop_duplicates(["query_id", field])
+                res = (pd.concat([dup, res.loc[null]])
+                       .sort_values(["query_id", "rank"])
                        .drop(columns=[field]))
                 res = _renumber(res)
         elif name == "truncate_hits":

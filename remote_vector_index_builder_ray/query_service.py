@@ -102,6 +102,7 @@ class QueryService:
         self.max_cpu_fraction = float(max_cpu_fraction)
         self.searcher_kwargs = searcher_kwargs
         self._pools: dict[tuple, _Pool] = {}
+        self._draining: set = set()  # retired pools with in-flight requests
         # the HTTP facade serves requests from a ThreadingHTTPServer —
         # pool lifecycle (check-create-evict) must be atomic or two
         # concurrent first-requests double-create a pool and leak the
@@ -147,6 +148,7 @@ class QueryService:
             if pool.retired and pool.inflight == 0:
                 for a in pool.actors:
                     ray.kill(a)
+                self._draining.discard(pool)
 
     def _retire_locked(self, key: tuple) -> None:
         pool = self._pools.pop(key, None)
@@ -155,7 +157,11 @@ class QueryService:
             if pool.inflight == 0:
                 for a in pool.actors:
                     ray.kill(a)
-            # else: the last _release_pool kills the drained pool
+            else:
+                # actors stay alive (and keep their CPU reservation) until
+                # the last in-flight request releases; the budget sum must
+                # keep seeing them or a retire-then-create race oversubscribes
+                self._draining.add(pool)
 
     def _evict_lru_locked(self, keep: tuple | None = None) -> None:
         """Retire least-recently-used pools beyond the count bound
@@ -175,8 +181,15 @@ class QueryService:
             self._retire_locked(key)
         budget = float(ray.cluster_resources().get("CPU", 8)) \
             * self.max_cpu_fraction
-        while sum(len(p.actors) * self.actor_num_cpus
-                  for p in self._pools.values()) > budget:
+        # retired-but-draining pools still hold their reservations until the
+        # last in-flight request releases them — count them, so back-to-back
+        # retire-then-create cannot silently stack reservations past the
+        # budget. The bound is still best-effort DURING a drain window (the
+        # drainers cannot be killed early), but the evictor sees the truth.
+        while (sum(len(p.actors) * self.actor_num_cpus
+                   for p in self._pools.values())
+               + sum(len(p.actors) * self.actor_num_cpus
+                     for p in self._draining)) > budget:
             key = _lru()
             if key is None:
                 return
@@ -220,16 +233,28 @@ class QueryService:
             raise ValueError(
                 f"unknown mode {mode!r}; supported: {sorted(self._MODES)}"
             )
-        if (mode in ("span_containing", "span_within")
-                and "span_little" not in queries.columns):
-            # without a little span these scorers return zero rows for EVERY
-            # query — a silent-success hole over HTTP (200 + empty); span_not
-            # without span_exclude is different: it degenerates to the inner
-            # span by documented Lucene semantics, so it stays allowed
-            raise ValueError(
-                f"{mode} requires a span_little column (the inner span) on "
-                "the queries frame; without it every query returns 0 rows"
-            )
+        if mode in ("span_containing", "span_within"):
+            # without a little span these scorers return zero rows — a
+            # silent-success hole over HTTP (200 + empty) — and a per-ROW
+            # null/empty little is the same hole one row at a time, so the
+            # serving path rejects both (the batch path keeps its documented
+            # None-little == no-match semantics); span_not without
+            # span_exclude is different: it degenerates to the inner span
+            # by documented Lucene semantics, so it stays allowed
+            if "span_little" not in queries.columns:
+                raise ValueError(
+                    f"{mode} requires a span_little column (the inner span) "
+                    "on the queries frame; without it every query returns "
+                    "0 rows"
+                )
+            bad = queries["span_little"].isna() | (
+                queries["span_little"].astype(str).str.strip() == "")
+            if bad.any():
+                raise ValueError(
+                    f"{mode}: span_little is null/empty for query_id(s) "
+                    f"{queries.loc[bad, 'query_id'].tolist()} — each query "
+                    "needs an inner span (a null little matches nothing)"
+                )
         pool = self._acquire_pool(index_dir, mode)
         try:
             q = queries

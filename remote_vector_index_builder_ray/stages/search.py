@@ -302,9 +302,15 @@ class _StatsBucketReader:
             self.dmin, self.dmax = dmin, dmax
             # multi-split (skew-guard) buckets relax the file-global term
             # sort to per-split order; searchsorted would then silently
-            # miss row groups, so detect and scan linearly instead
+            # miss row groups, so detect and scan linearly instead. BOTH
+            # bounds must be non-decreasing: with only tmax monotone, a
+            # later split's wide row group (small tmin) hides behind the
+            # `tmin[g] > t` early break and its postings silently drop;
+            # tmin AND tmax monotone makes the scan-until-tmin-exceeds walk
+            # exact for interval stabbing regardless of physical layout.
             self.tsorted = bool(
                 np.all(self.tmax[:-1] <= self.tmax[1:])
+                and np.all(self.tmin[:-1] <= self.tmin[1:])
             ) if len(self.tmax) > 1 else True
 
     def select(self, terms: list[str], needed: dict | None = None) -> list[int]:

@@ -156,3 +156,47 @@ def test_multisplit_index_phrase_identical(split_indexes, smoke_fixture):
     assert len(a) == len(b) and len(a) > 0
     np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
     np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_reader_monotone_tmax_nonmonotone_tmin_exact(tmp_path):
+    """The subtler layout (round-5 review finding): per-row-group term_max
+    happens to be GLOBALLY non-decreasing while term_min is not — a later
+    split's wide row group (small tmin, large tmax). With only a
+    tmax-monotonicity check the reader binary-searches, hits the
+    `tmin[g] > t` early break at the middle group, and silently drops the
+    wide group's postings. tsorted must require BOTH bounds monotone."""
+    path = str(tmp_path / "bucket-widefinal.parquet")
+    groups = [
+        [("apple", 1), ("melon", 2)],        # tmin=apple,  tmax=melon
+        [("nectar", 3), ("zebra", 4)],       # tmin=nectar, tmax=zebra
+        [("carrot", 5), ("zz", 6)],          # tmin=carrot, tmax=zz (wide)
+    ]
+    writer = None
+    rows = []
+    for g in groups:
+        t = pa.table({
+            "term": pa.array([r[0] for r in g], pa.string()),
+            "docid": pa.array([r[1] for r in g], pa.int64()),
+            "payload": pa.array([r[1] * 10 for r in g], pa.int64()),
+        })
+        rows.append(t)
+        if writer is None:
+            writer = pq.ParquetWriter(path, t.schema)
+        writer.write_table(t)
+    writer.close()
+    full = pa.concat_tables(rows).to_pandas()
+
+    rd = _StatsBucketReader(fs, path)
+    assert rd.ok
+    # vacuity guards: tmax IS monotone, tmin is NOT — the trap layout
+    assert all(rd.tmax[i] <= rd.tmax[i + 1] for i in range(len(rd.tmax) - 1))
+    assert any(rd.tmin[i] > rd.tmin[i + 1] for i in range(len(rd.tmin) - 1))
+    assert rd.tsorted is False
+
+    # 'carrot' lives ONLY in the wide final group; the early break used to
+    # drop it silently
+    for term in ("carrot", "apple", "nectar", "zz", "melon"):
+        got = rd.read([term])
+        exp = full[full["term"] == term]
+        assert got is not None and len(got) == len(exp), term
+        assert sorted(got["docid"].to_pylist()) == sorted(exp["docid"]), term

@@ -170,3 +170,66 @@ def test_cpu_budget_eviction(smoke_fixture, qs_index):
         assert next(iter(svc._pools))[1] == "bmw"
     finally:
         svc.shutdown()
+
+
+def test_span_little_per_row_validation(smoke_fixture, qs_index):
+    """Serving path rejects null/empty span_little per ROW, not just a
+    missing column — a mixed batch would otherwise return 200 with silent
+    0 rows for the null rows (review finding)."""
+    svc = QueryService(pool_size=1, max_pools=1)
+    try:
+        q = pd.DataFrame({
+            "query_id": np.array([0, 1], dtype=np.int64),
+            "text": ["a b", "c d"],
+            "k": np.array([5, 5], dtype=np.int32),
+            "span_little": ["x", None],
+        })
+        with pytest.raises(ValueError, match="null/empty"):
+            svc.search(qs_index, q, mode="span_containing")
+        q2 = q.assign(span_little=["x", "  "])
+        with pytest.raises(ValueError, match="null/empty"):
+            svc.search(qs_index, q2, mode="span_within")
+        with pytest.raises(ValueError, match="span_little column"):
+            svc.search(qs_index, q.drop(columns=["span_little"]),
+                       mode="span_containing")
+    finally:
+        svc.shutdown()
+
+
+def test_draining_pools_count_toward_budget(monkeypatch):
+    """A retired-but-draining pool still holds its CPU reservation; the
+    budget evictor must see it or retire-then-create stacks reservations
+    past the cap (review finding). Unit-level: fake pools, no actors."""
+    import remote_vector_index_builder_ray.query_service as qsm
+
+    killed = []
+    monkeypatch.setattr(qsm.ray, "kill", lambda a: killed.append(a))
+    monkeypatch.setattr(qsm.ray, "cluster_resources", lambda: {"CPU": 4.0})
+    svc = QueryService(pool_size=2, actor_num_cpus=0.5, max_pools=8,
+                       max_cpu_fraction=0.5)  # budget = 2.0 CPUs
+
+    a = qsm._Pool(["a1", "a2"], 1.0)
+    b = qsm._Pool(["b1", "b2"], 2.0)
+    svc._pools[("idx", "bmw", "fp1")] = a
+    svc._pools[("idx2", "bmw", "fp1")] = b
+    a.inflight = 1  # a is mid-request
+
+    # retire a (fingerprint change): it drains, not dies — and keeps
+    # counting against the budget
+    with svc._lock:
+        svc._retire_locked(("idx", "bmw", "fp1"))
+    assert a in svc._draining and not killed
+
+    # a third pool arrives: live (b) + draining (a) + new (c) = 3.0 CPUs
+    # > 2.0 budget -> the evictor retires b (the LRU), NOT the kept new pool
+    c = qsm._Pool(["c1", "c2"], 3.0)
+    key_c = ("idx3", "bmw", "fp1")
+    svc._pools[key_c] = c
+    with svc._lock:
+        svc._evict_lru_locked(keep=key_c)
+    assert key_c in svc._pools and ("idx2", "bmw", "fp1") not in svc._pools
+    assert "b1" in killed and "b2" in killed  # b had no inflight: killed now
+
+    # the drained release kills a's actors and clears the draining set
+    svc._release_pool(a)
+    assert "a1" in killed and a not in svc._draining

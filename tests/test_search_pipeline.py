@@ -88,3 +88,46 @@ def test_pipeline_validation(smoke_fixture, smoke_index):
     with pytest.raises(EngineError, match="no column"):
         search_with_pipeline(idx, q, processors=[
             {"rename_field": {"field": "nope", "target_field": "x"}}])
+
+
+def test_collapse_keeps_missing_field_hits(smoke_fixture, smoke_index,
+                                           monkeypatch):
+    """Hits whose collapse-field value is missing are KEPT, not collapsed
+    into one NaN pseudo-group (pandas drop_duplicates treats NaN==NaN —
+    review finding). Simulated by hydrating a field that is null for some
+    page docids."""
+    import ray.data
+
+    import remote_vector_index_builder_ray.pipelines.query as qm
+
+    idx = smoke_index["index_dir"]
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "text": ["the"], "k": np.array([8], dtype=np.int32)})
+    base = (search(idx, q).to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert len(base) >= 4
+
+    real_hydrate = qm.hydrate
+
+    def null_heavy_hydrate(index_dir, results, columns=None):
+        out = real_hydrate(index_dir, results, columns=columns)
+        # null the field for every OTHER docid: 2+ null-field hits per page
+        out.loc[out.index % 2 == 0, "conv_id"] = None
+        return out
+
+    monkeypatch.setattr(qm, "hydrate", null_heavy_hydrate)
+    out = search_with_pipeline(idx, q, processors=[
+        {"collapse": {"field": "conv_id"}},
+    ])
+    monkeypatch.undo()
+
+    meta = real_hydrate(idx, ray.data.from_pandas(
+        base[["docid"]].drop_duplicates()), columns=["conv_id"])
+    exp = base.merge(meta, on="docid", how="left")
+    exp.loc[exp.index % 2 == 0, "conv_id"] = None
+    null_rows = exp[exp["conv_id"].isna()]
+    dedup = exp[~exp["conv_id"].isna()].drop_duplicates(["query_id", "conv_id"])
+    want = (pd.concat([dedup, null_rows]).sort_values(["query_id", "rank"]))
+    assert out["docid"].tolist() == want["docid"].tolist()
+    # every null-field hit survived
+    assert set(null_rows["docid"]) <= set(out["docid"])
