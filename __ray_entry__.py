@@ -4059,6 +4059,146 @@ def _q_bm25_has_parent(sf_dir: str):
     return has_parent(index_dir, pd.read_parquet(fx["queries"]), k=3)
 
 
+def _q_bm25_constant_score(sf_dir: str):
+    """OpenSearch constant_score query (boost=2.5): the bool filter over
+    the indexed field (match ANY query term, minus the cycling
+    exclude_text must_not terms) in filter context, every surviving doc
+    scoring exactly the boost — Lucene ConstantScoreQuery
+    (pipelines/query.search_constant_score); under the engine's
+    (score desc, docid asc) order the top-k is the k smallest matching
+    docids."""
+    from remote_vector_index_builder_ray import search_constant_score
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    out = search_constant_score(index_dir,
+                                pd.read_parquet(_ensure_mustnot_queries(sf_dir)),
+                                boost=2.5)
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64",
+         "score": "float64"}).reset_index(drop=True)
+
+
+def _ensure_termslookup_requests(sf_dir: str) -> str:
+    """terms-lookup request set: 20 requests whose seed docid walks the
+    corpus deterministically ((7*i + 3) * stride % n_docs — spread across
+    the docid space), plus one request pointing at an ABSENT docid (a
+    terms lookup against a missing id matches nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_termslookup_requests.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        n_docs = sum(pq.read_metadata(p).num_rows for p in fx["transcripts"])
+        stride = max(1, n_docs // 23)
+        seeds = [((7 * i + 3) * stride) % n_docs for i in range(20)]
+        seeds.append(n_docs + 5)  # absent id
+        req = pd.DataFrame({
+            "query_id": pd.Series(range(len(seeds)), dtype="int64"),
+            "lookup_docid": pd.Series(seeds, dtype="int64"),
+            "k": pd.Series([10] * len(seeds), dtype="int32"),
+        })
+        _write_atomic(pa.Table.from_pandas(req, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_terms_lookup(sf_dir: str):
+    """OpenSearch terms query with terms LOOKUP: the term set is fetched
+    from an indexed seed document (first 8 distinct analyzer tokens,
+    lexicographic) via one broadcast-semi-join docmeta fetch for all
+    requests, then matched constant-score (pipelines/query.
+    search_terms_lookup). The absent-seed request returns no rows."""
+    from remote_vector_index_builder_ray import search_terms_lookup
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    out = search_terms_lookup(
+        index_dir, pd.read_parquet(_ensure_termslookup_requests(sf_dir)),
+        max_terms=8)
+    return out[["query_id", "rank", "docid", "score"]].astype(
+        {"query_id": "int64", "rank": "int32", "docid": "int64",
+         "score": "float64"}).reset_index(drop=True)
+
+
+def _q_bm25_bucket_selector(sf_dir: str):
+    """OpenSearch bucket_selector pipeline agg over the per-day
+    date_histogram with a sum(doc_len) sub-agg: the painless-subset script
+    `params.total >= 220 && params.docs >= 2` removes failing buckets from
+    the response (pipelines/aggs.bucket_selector_date_histogram) — the
+    selector sibling of bucket_sort, over TWO bucket paths (_count and the
+    metric sum)."""
+    from remote_vector_index_builder_ray import bucket_selector_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = bucket_selector_date_histogram(
+        index_dir, pd.read_parquet(fx["queries"]), field="ts",
+        metric_field="doc_len",
+        script="params.total >= 220 && params.docs >= 2")
+    return out.astype({"query_id": "int64", "n_docs": "int64",
+                       "total": "int64"}).reset_index(drop=True)
+
+
+def _ensure_template_queries(sf_dir: str) -> str:
+    """search-template request set derived from the standard queries:
+    template = the query's tokens with the FIRST token replaced by
+    `{{a}}` and (on every third query) the LAST token replaced by `{{b}}`;
+    params carries the replaced tokens as a JSON object. Rendering must
+    reconstruct the original term multiset — an engine that skips or
+    mangles the substitution scores differently from the oracle, which
+    renders the same artifact itself."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.functions.tokenizer import tokenize_text
+
+    name = _sf_name(sf_dir)
+    path = os.path.join(ARTIFACT_ROOT, f"{name}_template_queries.parquet")
+    if not os.path.exists(path):
+        fx = _fx.ensure_fixture(name)
+        q = pq.read_table(fx["queries"]).to_pandas()
+        templates, params = [], []
+        for r in q.itertuples(index=False):
+            toks = tokenize_text(r.text or "")
+            if not toks:
+                templates.append("{{a}}")
+                params.append(json.dumps({"a": ""}))
+                continue
+            parts = list(toks)
+            p = {"a": parts[0]}
+            parts[0] = "{{a}}"
+            if int(r.query_id) % 3 == 0 and len(parts) > 1:
+                p["b"] = parts[-1]
+                parts[-1] = "{{b}}"
+            templates.append(" ".join(parts))
+            params.append(json.dumps(p))
+        out = pd.DataFrame({
+            "query_id": q["query_id"].astype("int64"),
+            "template": templates,
+            "params": params,
+            "k": q["k"].astype("int32"),
+        })
+        _write_atomic(pa.Table.from_pandas(out, preserve_index=False), path)
+    return path
+
+
+def _q_bm25_search_template(sf_dir: str):
+    """OpenSearch _search/template: mustache {{param}} substitution over
+    per-request (template, params-JSON) pairs, then the standard BM25
+    search over the rendered text (pipelines/query.search_template). The
+    oracle renders the same artifact with replace(), so a rendering bug
+    diverges."""
+    from remote_vector_index_builder_ray import search_template
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    tq = pd.read_parquet(_ensure_template_queries(sf_dir))
+    return _topk_rounded(
+        index_dir, tq[["query_id", "template", "params", "k"]],
+        search_fn=search_template, mode="bmw",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core BM25 engine (SQL-checked)
@@ -4258,6 +4398,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "video_frame_sample": _q_video_frames,
+        # round-5b: the last missing pipeline agg + three API-surface ops
+        "bm25_bucket_selector": _q_bm25_bucket_selector,
+        "bm25_constant_score": _q_bm25_constant_score,
+        "bm25_terms_lookup": _q_bm25_terms_lookup,
+        "bm25_search_template": _q_bm25_search_template,
     }
 
 
@@ -5781,6 +5926,128 @@ ranked AS (
     FROM scored sc
     LEFT JOIN dead d ON d.query_id = sc.query_id AND d.docid = sc.docid
     WHERE d.docid IS NULL
+)
+SELECT query_id, rank::INT AS rank, docid, score
+FROM ranked WHERE rank <= k
+ORDER BY query_id, rank
+"""
+    # constant_score: the must_not query set's bool filter in filter
+    # context; every surviving doc scores exactly boost=2.5 (top-k = the k
+    # smallest matching docids under the score-then-docid total order)
+    out["bm25_constant_score"] = f"""
+WITH {docs}, {_TOKS},
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mustnot_q}')
+),
+ex AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(exclude_text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{mustnot_q}')
+),
+dead AS (SELECT DISTINCT e.query_id, t.docid FROM ex e JOIN toks t USING (term)),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+alive AS (
+    SELECT m.query_id, m.docid
+    FROM m ANTI JOIN dead d ON m.query_id = d.query_id AND m.docid = d.docid
+),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM alive
+),
+kq AS (SELECT query_id, k FROM read_parquet('{mustnot_q}'))
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 2.5::DOUBLE AS score
+FROM ranked r JOIN kq USING (query_id)
+WHERE r.rank <= kq.k
+ORDER BY query_id, rank
+"""
+    # terms lookup: the term set is the seed doc's first 8 distinct tokens
+    # in lexicographic order; constant-score ANY-of-terms; an absent seed
+    # docid yields no terms and so no rows
+    termslookup_q = _ensure_termslookup_requests(ORACLE_SF_DIR)
+    out["bm25_terms_lookup"] = f"""
+WITH {docs}, {_TOKS},
+req AS (SELECT query_id, lookup_docid, k FROM read_parquet('{termslookup_q}')),
+seed AS (
+    SELECT r.query_id, r.k,
+           list_sort(list_distinct(
+               regexp_extract_all(lower(coalesce(d.text, '')), '[a-z0-9_]+')))[1:8] AS terms
+    FROM req r LEFT JOIN docs d ON d.docid = r.lookup_docid
+),
+lk AS (SELECT query_id, unnest(terms) AS term FROM seed),
+m AS (SELECT DISTINCT lk.query_id, t.docid FROM lk JOIN toks t USING (term)),
+ranked AS (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rank
+    FROM m
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN seed USING (query_id)
+WHERE r.rank <= seed.k
+ORDER BY query_id, rank
+"""
+    # bucket_selector: per-day buckets of each query's match set with a
+    # sum(doc_len) sub-agg; the script is the HAVING over both bucket paths
+    out["bm25_bucket_selector"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term))
+SELECT m.query_id, date_trunc('day', d.ts) AS key,
+       count(*)::BIGINT AS n_docs, sum(coalesce(dl.dl, 0))::BIGINT AS total
+FROM m JOIN docs d USING (docid) LEFT JOIN dl USING (docid)
+GROUP BY m.query_id, date_trunc('day', d.ts)
+HAVING sum(coalesce(dl.dl, 0)) >= 220 AND count(*) >= 2
+ORDER BY m.query_id, key
+"""
+    # search template: the oracle renders the SAME (template, params-JSON)
+    # artifact with replace(), then scores the rendered text as bm25_topk
+    template_q = _ensure_template_queries(ORACLE_SF_DIR)
+    out["bm25_search_template"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+rendered AS (
+    SELECT query_id, k,
+           replace(replace(template,
+                           '{{{{a}}}}', coalesce(json_extract_string(params, '$.a'), '')),
+                   '{{{{b}}}}', coalesce(json_extract_string(params, '$.b'), '')) AS text
+    FROM read_parquet('{template_q}')
+),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM rendered
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, round(score, 6) AS score, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
 )
 SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k

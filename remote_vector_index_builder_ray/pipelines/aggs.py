@@ -2020,6 +2020,86 @@ def bucket_sort_date_histogram(
     return out
 
 
+_SELECTOR_CLAUSE = None  # compiled lazily below
+
+
+def _parse_selector_script(script: str):
+    """Parse the bucket_selector painless subset: comparisons
+    ``params.<path> <op> <number>`` joined by ``&&`` (op in
+    >=, <=, >, <, ==, !=). Returns [(path, op, value)]; anything outside
+    the subset raises (a selector that silently no-ops would keep every
+    bucket — the silent-success failure mode)."""
+    import re
+
+    global _SELECTOR_CLAUSE
+    if _SELECTOR_CLAUSE is None:
+        _SELECTOR_CLAUSE = re.compile(
+            r"^\s*params\.([A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$"
+        )
+    clauses = []
+    for part in script.split("&&"):
+        m = _SELECTOR_CLAUSE.match(part)
+        if m is None:
+            raise ValueError(f"unsupported bucket_selector clause: {part!r}")
+        clauses.append((m.group(1), m.group(2), float(m.group(3))))
+    if not clauses:
+        raise ValueError("empty bucket_selector script")
+    return clauses
+
+
+_SELECTOR_OPS = {
+    ">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, "<": lambda a, b: a < b,
+    "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+}
+
+
+def bucket_selector_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    metric_field: str = "doc_len",
+    script: str = "params.total >= 800 && params.docs >= 2",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `bucket_selector` pipeline agg over a date_histogram
+    parent with a metric sub-agg: buckets_path = {docs: _count,
+    total: sum(metric_field)}, and a script over those paths decides
+    whether each bucket STAYS in the response (failing buckets are
+    removed, unlike bucket_sort which only orders/truncates). The script
+    is the painless subset `params.<path> <cmp> <number>` clauses joined
+    by `&&` (see _parse_selector_script). Returns (query_id, key, n_docs,
+    total), (query_id, key)-ascending — the surviving bucket stream.
+
+    The per-bucket counts AND the metric sums come out of one `_ProbeAgg`
+    probe pass (per-batch combiner partials; only queries x buckets x
+    read-tasks rows land on the driver), so the selector itself is a
+    driver-side filter over a driver-small frame — the pipeline-agg
+    contract (reduce the PARENT's bucket stream, never re-probe docs)."""
+    clauses = _parse_selector_script(script)
+    partials = _run_agg_partials(index_dir, queries, field, "day",
+                                 metric_field, where)
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "key": pd.Series(dtype="datetime64[us]"),
+                             "n_docs": pd.Series(dtype=np.int64),
+                             "total": pd.Series(dtype=np.int64)})
+    g = (partials.groupby(["query_id", "key"], sort=True)
+         .agg(n_docs=("n", "sum"), total=("s", "sum")).reset_index())
+    paths = {"docs": g["n_docs"].to_numpy(np.int64),
+             "total": g["total"].to_numpy(np.int64)}
+    keep = np.ones(len(g), dtype=bool)
+    for path, op, val in clauses:
+        if path not in paths:
+            raise ValueError(f"unknown buckets_path {path!r} "
+                             f"(have {sorted(paths)})")
+        keep &= _SELECTOR_OPS[op](paths[path].astype(np.float64), val)
+    out = g[keep].reset_index(drop=True)
+    return out.astype({"query_id": np.int64, "n_docs": np.int64,
+                       "total": np.int64})
+
+
 class _ProbeStringStats:
     """Per-batch partials for string_stats: per query (n, len-sum, len-min,
     len-max) plus a 256-slot byte histogram of the matched values'

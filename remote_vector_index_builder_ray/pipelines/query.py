@@ -1163,6 +1163,125 @@ def mget(index_dir: str, requests) -> pd.DataFrame:
                        "found": bool})
 
 
+def search_constant_score(
+    index_dir: str,
+    queries,
+    boost: float = 1.0,
+) -> pd.DataFrame:
+    """OpenSearch ``constant_score`` query: wraps a filter-context inner
+    query — here the bool filter over the indexed field (match ANY of
+    ``text``'s analyzed terms, minus ``exclude_text``'s must_not terms) —
+    and every surviving doc scores exactly ``boost``, ignoring tf/idf
+    entirely (Lucene ConstantScoreQuery; the reference's FAISS service has
+    no unscored-filter path — this is the fulltext engine's). Under the
+    engine's (score desc, docid asc) total order the top-k is therefore
+    the k smallest matching docids. One constant-mode pass; the boost is a
+    driver-side scalar multiply on the queries x k result."""
+    res = search(index_dir, queries, mode="constant").to_pandas()
+    if len(res):
+        res["score"] = res["score"].to_numpy(np.float64) * float(boost)
+    return res.reset_index(drop=True)
+
+
+def search_terms_lookup(
+    index_dir: str,
+    requests,
+    max_terms: int = 8,
+) -> pd.DataFrame:
+    """OpenSearch ``terms`` query with terms LOOKUP: the term set is not
+    inline in the request but FETCHED from an indexed document
+    (``terms: {field: {index, id, path}}``). ``requests`` carries
+    (query_id:int64, lookup_docid:int64, k:int32).
+
+    The lookup docs hydrate through the same broadcast semi-join as
+    :func:`hydrate` with a ``columns=['text']``-pruned docmeta scan — ONE
+    pass fetches every request's seed doc (an id-lookup is a small-side
+    fetch, never a shuffle). Each seed's term set is its first
+    ``max_terms`` DISTINCT analyzer tokens in lexicographic order (a
+    deterministic stand-in for the lookup doc's stored terms array); the
+    match then runs as the terms query's constant-score ANY-of-terms
+    rewrite. A missing seed doc matches nothing, as a terms lookup against
+    an absent id does."""
+    from remote_vector_index_builder_ray.functions.tokenizer import (
+        analyze_text,
+        load_analyzer,
+    )
+
+    req = requests.copy() if isinstance(requests, pd.DataFrame) else pd.read_parquet(requests)
+    seeds = req[["lookup_docid"]].drop_duplicates().rename(
+        columns={"lookup_docid": "docid"})
+    meta = hydrate(index_dir, ray.data.from_pandas(seeds), columns=["text"])
+    an = load_analyzer(index_dir)
+    text_by_doc = dict(zip(meta["docid"], meta["text"]))
+
+    def lookup_terms(docid: int) -> str:
+        txt = text_by_doc.get(docid)
+        if not isinstance(txt, str):
+            return ""  # absent seed doc: the lookup yields no terms
+        return " ".join(sorted(set(analyze_text(txt, an)))[:max_terms])
+
+    q = pd.DataFrame({
+        "query_id": req["query_id"].astype(np.int64),
+        "text": [lookup_terms(int(d)) for d in req["lookup_docid"]],
+        "k": req["k"].astype(np.int32),
+    })
+    return search(index_dir, q, mode="constant").to_pandas().reset_index(drop=True)
+
+
+_TEMPLATE_VAR = None  # compiled lazily (keep import time flat)
+
+
+def render_search_template(templates: pd.DataFrame) -> pd.DataFrame:
+    """OpenSearch ``_render/template``: mustache ``{{name}}`` substitution
+    over per-request (template, params) pairs — the variable-substitution
+    subset (no sections/partials), which is what search templates use for
+    parameterized queries. ``templates`` carries (query_id, template,
+    params) with ``params`` a JSON object string. Returns the frame with a
+    rendered ``text`` column. An unresolved placeholder raises: a literal
+    ``{{a}}`` surviving into the query would analyze to nothing and
+    silently match nothing."""
+    import json
+    import re
+
+    global _TEMPLATE_VAR
+    if _TEMPLATE_VAR is None:
+        _TEMPLATE_VAR = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+    out = templates.copy()
+
+    def render(row) -> str:
+        params = json.loads(row.params) if row.params else {}
+        if not isinstance(params, dict):
+            raise ValueError(f"params must be a JSON object: {row.params!r}")
+
+        def sub(m):
+            name = m.group(1)
+            if name not in params:
+                raise KeyError(
+                    f"unresolved template param {{{{{name}}}}} "
+                    f"(query_id={row.query_id})")
+            return str(params[name])
+
+        return _TEMPLATE_VAR.sub(sub, row.template)
+
+    out["text"] = [render(r) for r in out.itertuples(index=False)]
+    return out
+
+
+def search_template(
+    index_dir: str,
+    templates: pd.DataFrame,
+    mode: str = "bmw",
+) -> ray.data.Dataset:
+    """OpenSearch ``_search/template``: render each request's mustache
+    template against its params (:func:`render_search_template`), then run
+    the standard search over the rendered text. Rendering is driver-side
+    string work on the (driver-small) request frame; the search itself is
+    the usual distributed pass."""
+    rendered = render_search_template(templates)
+    cols = ["query_id", "text", "k"]
+    return search(index_dir, rendered[cols], mode=mode)
+
+
 def rescore_phrase(
     index_dir: str,
     queries,
