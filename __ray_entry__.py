@@ -265,6 +265,73 @@ def _q_bm25_incremental(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _ensure_rollover_index(sf_dir: str):
+    """Rollover twin of ``_ensure_inc_index``: base build over the first
+    half of the corpus, second half INGESTED through the rollover write
+    alias in four conv-ordered chunks with ``max_docs`` sized so chunks
+    coalesce pairwise — two rolls (each sealing ONE two-batch generation)
+    plus a final flush for any tail. Conv-ordered chunks sealed in order
+    keep the docid space dense-(conv_id, turn_idx), so the rolled index
+    shares the ``bm25_topk`` oracle (pipelines/incremental.rollover_*)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray import (
+        BuildConfig,
+        rollover_config,
+        rollover_flush,
+        rollover_ingest,
+    )
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    split_dir = os.path.join(ARTIFACT_ROOT, f"{name}_rollover_split")
+    base_path = os.path.join(split_dir, "base.parquet")
+    chunk_paths = [os.path.join(split_dir, f"chunk_{i}.parquet") for i in range(4)]
+    if not all(os.path.exists(p) for p in [base_path, *chunk_paths]):
+        os.makedirs(split_dir, exist_ok=True)
+        full = pa.concat_tables([pq.read_table(p) for p in fx["transcripts"]])
+        full = full.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        convs = sorted(set(full["conv_id"].to_pylist()))
+        cut = convs[len(convs) // 2]
+        mask = pc.less(full["conv_id"], pa.scalar(cut))
+        _write_atomic(full.filter(mask), base_path)
+        rest_convs = [c for c in convs if c >= cut]
+        bounds = [rest_convs[(len(rest_convs) * i) // 4] for i in range(1, 4)]
+        rest = full.filter(pc.invert(mask))
+        prev = None
+        for i, pth in enumerate(chunk_paths):
+            m = pa.array([True] * len(rest))
+            col = rest["conv_id"]
+            if prev is not None:
+                m = pc.and_(m, pc.greater_equal(col, pa.scalar(prev)))
+            if i < 3:
+                m = pc.and_(m, pc.less(col, pa.scalar(bounds[i])))
+                prev = bounds[i]
+            _write_atomic(rest.filter(m), pth)
+    index_dir = os.path.join(INDEX_ROOT, f"{name}_rollover")
+    _build_fresh_on_collision(BuildConfig(input_paths=[base_path],
+                                          index_dir=index_dir))
+    rows = [pq.read_metadata(p).num_rows for p in chunk_paths]
+    # chunk 0 stays pending, chunk 1 trips the condition (and so on pairwise)
+    max_docs = rows[0] + max(1, rows[1] // 2)
+    rollover_config(index_dir, max_docs=max_docs)
+    for pth in chunk_paths:
+        rollover_ingest(index_dir, [pth])
+    rollover_flush(index_dir)
+    return fx, index_dir
+
+
+def _q_bm25_rollover(sf_dir: str):
+    """Top-k over the rollover-ingested index (base + policy-sealed
+    generations) — must match the one-shot ``bm25_topk`` oracle exactly,
+    the same contract as bm25_incremental (global stats across
+    generations)."""
+    fx, index_dir = _ensure_rollover_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"])
+
+
 def _victim_convs(fx) -> list[str]:
     """Deterministic delete set: every conversation whose id ends in '0'
     (~10% of the corpus; the SQL twin filters with ``conv_id NOT LIKE '%0'``)."""
@@ -4403,6 +4470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_constant_score": _q_bm25_constant_score,
         "bm25_terms_lookup": _q_bm25_terms_lookup,
         "bm25_search_template": _q_bm25_search_template,
+        "bm25_rollover": _q_bm25_rollover,
     }
 
 
@@ -5039,6 +5107,8 @@ GROUP BY i.query_id ORDER BY i.query_id
     # the warm-pool serving path returns the identical top-k contract
     out["bm25_search_service"] = out["bm25_topk"]
     out["bm25_restore"] = out["bm25_topk"]
+    # rollover ingestion seals conv-ordered chunks in order: same docid space
+    out["bm25_rollover"] = out["bm25_topk"]
     out["bm25_rebucketed"] = out["bm25_topk"]  # resharding is score-invariant
     # logical delete (tombstones, no expunge): score the FULL corpus (stats,
     # df, tf all unchanged — Lucene numDocs-vs-maxDoc), drop the deleted

@@ -685,3 +685,119 @@ def restore_index(snapshot_dir: str, index_dir: str) -> dict:
             out.write(src.read())
     fs.write_json_atomic(fs.join(index_dir, "manifest.json"), man)
     return man
+
+
+# ---------------------------------------------------------------------------
+# rollover: size-policied ingestion (the OpenSearch _rollover / ILM verb)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_fp(paths: list[str]) -> str:
+    return hashlib.sha256(json.dumps(sorted(paths)).encode()).hexdigest()
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    filesystem, p = fs.resolve(path)
+    return int(pq.read_metadata(p, filesystem=filesystem).num_rows)
+
+
+def rollover_config(index_dir: str, max_docs: int) -> dict:
+    """Attach a rollover policy to a built index (the OpenSearch
+    index-template + ILM rollover condition, ``max_docs`` only — the
+    sandbox has no wall-clock ``max_age``). Idempotent; changing the
+    policy on a non-empty pending set is refused (the pending batches
+    were admitted under the old condition)."""
+    man = _load_completed_manifest(index_dir)
+    ro = man.data.get("rollover")
+    if ro is None:
+        man.data["rollover"] = {
+            "max_docs": int(max_docs),
+            "pending": [],       # admitted-but-unsealed ingest batches (refs)
+            "consumed_fps": [],  # ingest fingerprints already sealed
+            "history": [],       # one record per roll (sealed generation)
+        }
+        man.save()
+    elif int(man.data["rollover"]["max_docs"]) != int(max_docs):
+        if man.data["rollover"]["pending"]:
+            raise EngineError("rollover policy change with pending batches")
+        man.data["rollover"]["max_docs"] = int(max_docs)
+        man.save()
+    return man.data["rollover"]
+
+
+def _rollover_seal(index_dir: str, man: Manifest) -> Manifest:
+    """Flush the pending set as ONE generation and record the roll.
+
+    Crash-consistent ordering: ``append_index`` commits the generation to
+    the manifest FIRST (with its own append-fingerprint idempotency), then
+    the pending set clears — a crash between the two re-runs the flush as
+    a no-op append and then clears. The seal is where the write target
+    'rolls': the next ingest starts a fresh pending set, exactly the
+    OpenSearch write-alias move."""
+    ro = man.data["rollover"]
+    paths = [p for batch in ro["pending"] for p in batch["paths"]]
+    n_rows = sum(int(b["n_rows"]) for b in ro["pending"])
+    n_batches = len(ro["pending"])
+    pending_fps = [b["fp"] for b in ro["pending"]]
+    append_index(index_dir, paths)
+    man = Manifest.load(index_dir)  # append_index rewrote the manifest
+    ro = man.data["rollover"]
+    ro["consumed_fps"].extend(pending_fps)
+    ro["history"].append({
+        "gen": len(man.data.get("generations", [])),
+        "n_rows": n_rows,
+        "n_batches": n_batches,
+        "rolled_at": time.time(),
+    })
+    ro["pending"] = []
+    man.save()
+    return man
+
+
+def rollover_ingest(index_dir: str, input_paths: list[str]) -> dict:
+    """Ingest a batch through the rollover write alias: the batch is
+    admitted as a PENDING REFERENCE — (paths, row count, fingerprint) in
+    the manifest, never a data copy (at 100 TB an ingest spool that
+    re-writes its input would double the write volume) — and when the
+    pending rows reach the policy's ``max_docs`` the whole pending set
+    seals as ONE generation via :func:`append_index`. Small ingest batches
+    therefore coalesce into right-sized immutable segments instead of one
+    tiny generation each — the ILM rollover purpose. Re-ingesting a batch
+    already pending or already sealed is a no-op (request-level
+    idempotency, same contract as append_index).
+
+    The condition is evaluated on INGESTED rows (the parquet footer
+    counts); with dedup enabled the sealed generation may index fewer.
+    Note the OpenSearch deviation: pending batches are not searchable
+    until sealed (refresh happens at the roll, not per ingest) — call
+    :func:`rollover_flush` to force the tail out."""
+    man = _load_completed_manifest(index_dir)
+    if "rollover" not in man.data:
+        raise EngineError(f"no rollover policy on {index_dir}; "
+                          "call rollover_config first")
+    ro = man.data["rollover"]
+    fp = _ingest_fp(list(input_paths))
+    if fp in ro["consumed_fps"] or any(b["fp"] == fp for b in ro["pending"]):
+        return ro
+    n_rows = sum(_parquet_rows(p) for p in input_paths)
+    ro["pending"].append({"paths": list(input_paths), "n_rows": n_rows,
+                          "fp": fp, "ingested_at": time.time()})
+    man.save()
+    if sum(int(b["n_rows"]) for b in ro["pending"]) >= int(ro["max_docs"]):
+        man = _rollover_seal(index_dir, man)
+    return man.data["rollover"]
+
+
+def rollover_flush(index_dir: str) -> dict:
+    """Force-seal the pending set regardless of the condition (the
+    explicit ``POST /_rollover`` with no conditions / the final flush of
+    an ingest stream). No-op when nothing is pending."""
+    man = _load_completed_manifest(index_dir)
+    ro = man.data.get("rollover")
+    if ro is None:
+        raise EngineError(f"no rollover policy on {index_dir}")
+    if ro["pending"]:
+        man = _rollover_seal(index_dir, man)
+    return man.data["rollover"]
