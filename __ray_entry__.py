@@ -2100,6 +2100,25 @@ def _q_bm25_max_bucket(sf_dir: str):
             .astype({"query_id": np.int64, "n_docs": np.int64}))
 
 
+def _q_bm25_min_bucket(sf_dir: str):
+    """min_bucket pipeline aggregation: per query, the day bucket(s) of the
+    day histogram holding the MINIMUM doc count (ties all returned, as
+    OpenSearch's keys list) — the sibling reduction to bm25_max_bucket over
+    the parent histogram's driver-small bucket stream."""
+    from remote_vector_index_builder_ray import date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    base = date_histogram(index_dir, pd.read_parquet(fx["queries"]), field="ts")
+    if base.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "key": pd.Series(dtype="datetime64[us]"),
+                             "n_docs": pd.Series(dtype=np.int64)})
+    mn = base.groupby("query_id")["n_docs"].transform("min")
+    out = base[base["n_docs"] == mn]
+    return (out.sort_values(["query_id", "key"]).reset_index(drop=True)
+            .astype({"query_id": np.int64, "n_docs": np.int64}))
+
+
 def _q_chunk_docs(sf_dir: str):
     """Sliding-window token chunking (RAG/long-context preprocessing):
     32-token windows advancing by 24 (8-token overlap), final window short
@@ -3478,6 +3497,20 @@ def _q_bm25_hybrid_norm(sf_dir: str):
                               k=10)
 
 
+def _q_bm25_hybrid_l2(sf_dir: str):
+    """Hybrid search via L2 score normalization (the OpenSearch
+    normalization processor, technique=l2, weighted arithmetic mean
+    0.7 * bm25 + 0.3 * phrase): each leg normalizes per query as
+    s / sqrt(sum s^2) over its full match set, then fuses
+    (pipelines/query.search_hybrid_norm technique='l2' / minmax_fuse)."""
+    from remote_vector_index_builder_ray import search_hybrid_norm
+
+    _, index_dir = _ensure_pos_index(sf_dir)
+    return search_hybrid_norm(index_dir, _ensure_phrase_queries(sf_dir),
+                              modes=("bmw", "phrase"), weights=(0.7, 0.3),
+                              k=10, technique="l2")
+
+
 def _ensure_boost_queries(sf_dir: str) -> str:
     """Caret-boosted query set derived from the standard queries: tokens
     deduped keep-first (so 'last boost wins' never bites either engine),
@@ -4104,6 +4137,17 @@ def _q_lmjm_topk(sf_dir: str):
                          similarity="lm_jelinek_mercer")
 
 
+def _q_bool_sim_topk(sf_dir: str):
+    """Lucene BooleanSimilarity top-k (the OpenSearch index-level
+    `similarity: boolean` setting): each matched term contributes exactly
+    the query boost (1.0), ignoring tf/idf/length norms, so a doc's score
+    is its distinct-matched-term count (functions/bm25.sim_contrib
+    'boolean', exhaustive scorer)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="boolean")
+
+
 def _q_bm25_has_child(sf_dir: str):
     """OpenSearch ``has_child`` (score_mode=max): the top-10 CONVERSATIONS per
     query, ranked by their best-matching turn's 6-rounded BM25 score
@@ -4113,6 +4157,20 @@ def _q_bm25_has_child(sf_dir: str):
 
     fx, index_dir, _ = _ensure_index(sf_dir)
     return has_child(index_dir, pd.read_parquet(fx["queries"]), k=10)
+
+
+def _q_bm25_has_child_min(sf_dir: str):
+    """``has_child`` with score_mode=min and min_children=2: conversations
+    ranked by their WORST-matching turn's 6-rounded score, only
+    conversations with at least 2 matching turns surviving (OpenSearch
+    has_child min_children + score_mode min; the min partial rides the same
+    per-(query, conv) combiner as max/sum/avg — min is associative, so the
+    distributed reduce is exact)."""
+    from remote_vector_index_builder_ray.pipelines.join import has_child
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return has_child(index_dir, pd.read_parquet(fx["queries"]), k=10,
+                     score_mode="min", min_children=2)
 
 
 def _q_bm25_has_parent(sf_dir: str):
@@ -4272,6 +4330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_search_service": _q_bm25_search_service,
         "bm25_has_child": _q_bm25_has_child,
+        "bm25_has_child_min": _q_bm25_has_child_min,
+        "bool_sim_topk": _q_bool_sim_topk,
         "bm25_has_parent": _q_bm25_has_parent,
         "tfidf_topk": _q_tfidf_topk,
         "lmd_topk": _q_lmd_topk,
@@ -4298,6 +4358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sorted_after": _q_bm25_sorted_after,
         "bm25_alias": _q_bm25_alias,
         "bm25_max_bucket": _q_bm25_max_bucket,
+        "bm25_min_bucket": _q_bm25_min_bucket,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
@@ -4393,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_normalize": _q_bm25_normalize,
         "bm25_terms_enum": _q_bm25_terms_enum,
         "bm25_hybrid_norm": _q_bm25_hybrid_norm,
+        "bm25_hybrid_l2": _q_bm25_hybrid_l2,
         "bm25_exists": _q_bm25_exists,
         "bm25_extended_stats_bucket": _q_bm25_extended_stats_bucket,
         "duplicate_ngram_fraction": _q_duplicate_ngrams,
@@ -7312,6 +7374,9 @@ FROM agg ORDER BY doc_id
         "ln(1 + ((1 - 0.1) * tf.tf / greatest(dl.dl, 1))"
         " / (0.1 * (df.cf / s.total_len)))"
     )
+    # BooleanSimilarity: 1.0 per distinct matched term (q dedupes terms, so
+    # the sum IS the distinct-matched-term count)
+    out["bool_sim_topk"] = _sim_sql("1.0")
     # has_child / has_parent: the conversation hierarchy IS the join field —
     # scores group by conv_id (child query) or flow parent -> children
     out["bm25_has_child"] = f"""
@@ -7344,6 +7409,50 @@ conv AS (
            count(*)::BIGINT AS n_matching
     FROM scored sc JOIN docs d USING (docid)
     GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, conv_id, score, n_matching,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, conv_id) AS rank
+    FROM conv
+)
+SELECT query_id, rank::INT AS rank, conv_id, score, n_matching
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+    # has_child score_mode=min + min_children=2: conversations ranked by
+    # their WORST matching turn, needing >= 2 matching turns
+    out["bm25_has_child_min"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+conv AS (
+    SELECT sc.query_id, d.conv_id,
+           min(floor(sc.score * 1000000 + 0.5) / 1000000) AS score,
+           count(*)::BIGINT AS n_matching
+    FROM scored sc JOIN docs d USING (docid)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
 ),
 ranked AS (
     SELECT query_id, conv_id, score, n_matching,
@@ -8238,6 +8347,24 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
 """
+    # hybrid l2: identical legs to bm25_hybrid_norm, but each leg normalizes
+    # per query as s / sqrt(sum s^2) (OpenSearch technique=l2) — built from
+    # the min_max twin by swapping the two norm CTE bodies
+    _mm_norm = """
+    SELECT query_id, docid,
+           CASE WHEN max(score) OVER (PARTITION BY query_id)
+                     > min(score) OVER (PARTITION BY query_id)
+                THEN (score - min(score) OVER (PARTITION BY query_id))
+                     / (max(score) OVER (PARTITION BY query_id)
+                        - min(score) OVER (PARTITION BY query_id))
+                ELSE 1.0 END AS ns"""
+    _l2_norm = """
+    SELECT query_id, docid,
+           CASE WHEN sum(score * score) OVER (PARTITION BY query_id) > 0
+                THEN score / sqrt(sum(score * score) OVER (PARTITION BY query_id))
+                ELSE 0.0 END AS ns"""
+    assert out["bm25_hybrid_norm"].count(_mm_norm) == 2
+    out["bm25_hybrid_l2"] = out["bm25_hybrid_norm"].replace(_mm_norm, _l2_norm)
     # exists query: candidates restricted to docs with a tool value ('' is
     # the missing sentinel), scores unchanged (filter context)
     out["bm25_exists"] = f"""
@@ -8899,6 +9026,14 @@ FROM (SELECT query_id, key, n_docs,
 WHERE n_docs = mx
 ORDER BY query_id, key
 """
+    # min_bucket: the sibling reduction — the day bucket(s) holding each
+    # query's MINIMUM doc count (same parent histogram, min over buckets)
+    _mx_tail = """
+             max(n_docs) OVER (PARTITION BY query_id) AS mx"""
+    _mn_tail = """
+             min(n_docs) OVER (PARTITION BY query_id) AS mx"""
+    assert out["bm25_max_bucket"].count(_mx_tail) == 1
+    out["bm25_min_bucket"] = out["bm25_max_bucket"].replace(_mx_tail, _mn_tail)
     # sliding-window chunking: window starts 0, 24, 48, ... ; count =
     # 1 if n <= 32 else ceil((n-32)/24) + 1; last window short
     out["chunk_docs"] = """

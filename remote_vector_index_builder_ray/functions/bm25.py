@@ -43,7 +43,8 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) ->
 LM_MU = 2000.0  # LMDirichletSimilarity default mu
 LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity recommended lambda (short queries)
 
-SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer", "rawtf")
+SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer",
+                "rawtf", "boolean")
 
 
 def sim_contrib(
@@ -65,6 +66,12 @@ def sim_contrib(
     """
     tfs = tfs.astype(np.float64, copy=False)
     dls = dls.astype(np.float64, copy=False)
+    if similarity == "boolean":
+        # Lucene BooleanSimilarity (OpenSearch `similarity: boolean`): each
+        # matched term contributes exactly the query boost (1.0 here) —
+        # tf, idf and length norms are all ignored, so a doc's score is its
+        # distinct-matched-term count
+        return np.ones_like(tfs, dtype=np.float64)
     if similarity == "rawtf":
         # raw term frequency as the contribution (exact in float64): the
         # building block for term-centric cross-field combines that need

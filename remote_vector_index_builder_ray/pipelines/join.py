@@ -64,7 +64,7 @@ def _round6(a):
 
 class _ProbeChildAgg:
     """Per-batch combiner for has_child: per (query, conv_id) the batch's
-    matching-turn count, max / sum of 6-rounded child scores. Only
+    matching-turn count, max / min / sum of 6-rounded child scores. Only
     queries x convs-in-batch rows leave each task."""
 
     def __init__(self, shard_refs, stride):
@@ -75,7 +75,7 @@ class _ProbeChildAgg:
 
         ids = batch["docid"].combine_chunks().to_numpy(zero_copy_only=False)
         convs = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        qids, out_convs, ns, smaxs, ssums = [], [], [], [], []
+        qids, out_convs, ns, smaxs, smins, ssums = [], [], [], [], [], []
         for qid, (arr, sc) in self.matches.for_batch(ids).items():
             mask = isin_sorted(ids, arr)
             if not mask.any():
@@ -89,12 +89,15 @@ class _ProbeChildAgg:
             n = np.bincount(codes)
             smax = np.full(len(uniq), -np.inf)
             np.maximum.at(smax, codes, s)
+            smin = np.full(len(uniq), np.inf)
+            np.minimum.at(smin, codes, s)
             ssum = np.zeros(len(uniq))
             np.add.at(ssum, codes, s)
             qids.extend([qid] * len(uniq))
             out_convs.extend(list(uniq))
             ns.extend(n.tolist())
             smaxs.extend(smax.tolist())
+            smins.extend(smin.tolist())
             ssums.extend(ssum.tolist())
         return pa.table(
             {
@@ -102,6 +105,7 @@ class _ProbeChildAgg:
                 "conv_id": pa.array(out_convs, type=pa.string()),
                 "n": pa.array(ns, type=pa.int64()),
                 "smax": pa.array(smaxs, type=pa.float64()),
+                "smin": pa.array(smins, type=pa.float64()),
                 "ssum": pa.array(ssums, type=pa.float64()),
             }
         )
@@ -110,7 +114,8 @@ class _ProbeChildAgg:
 def _combine_child(df: pd.DataFrame, score_mode: str) -> pd.DataFrame:
     g = (
         df.groupby(["query_id", "conv_id"], sort=False)
-        .agg(n_matching=("n", "sum"), smax=("smax", "max"), ssum=("ssum", "sum"))
+        .agg(n_matching=("n", "sum"), smax=("smax", "max"),
+             smin=("smin", "min"), ssum=("ssum", "sum"))
         .reset_index()
     )
     if score_mode == "max":
@@ -120,7 +125,7 @@ def _combine_child(df: pd.DataFrame, score_mode: str) -> pd.DataFrame:
     elif score_mode == "avg":
         g["score"] = _round6(g["ssum"] / g["n_matching"])
     elif score_mode == "min":
-        raise ValueError("score_mode='min' needs a dedicated partial; not supported")
+        g["score"] = g["smin"]
     elif score_mode == "none":
         g["score"] = 1.0  # constant-score join, like OpenSearch score_mode none
     else:
@@ -205,7 +210,8 @@ def has_child(
             .groupby("qc")
             .map_groups(
                 lambda df: df.groupby(["query_id", "conv_id"], as_index=False)
-                .agg(n=("n", "sum"), smax=("smax", "max"), ssum=("ssum", "sum")),
+                .agg(n=("n", "sum"), smax=("smax", "max"),
+                     smin=("smin", "min"), ssum=("ssum", "sum")),
                 batch_format="pandas",
             )
             .map_batches(_BlockTopK(k, score_mode, min_children),

@@ -1532,29 +1532,45 @@ def minmax_fuse(
     weights: tuple,
     k: int = 10,
     k_by_query: dict | None = None,
+    technique: str = "min_max",
 ) -> pd.DataFrame:
-    """Min-max score-normalization fusion (the OpenSearch hybrid-search
-    normalization processor, technique=min_max, combination=weighted
-    arithmetic mean): per leg and per query, scores rescale to
-    (s - min) / (max - min) over that query's retrieved set — a
-    single-score leg (max == min) normalizes to 1.0, OpenSearch's
-    single-result convention — then fuse as Σ w_i * norm_i; docs absent
-    from a leg contribute 0 for it. Inputs are each leg's (query_id,
-    docid, score) over its FULL match set with 6-decimal-rounded scores
-    (the cross-engine float policy), so both engines normalize identical
-    rationals. Returns (query_id, rank, docid, score), fused score
-    rounded half-up to 6 decimals, (score desc, docid asc)."""
+    """Score-normalization fusion (the OpenSearch hybrid-search
+    normalization processor, combination=weighted arithmetic mean).
+    ``technique``:
+
+    - ``min_max``: per leg and per query, scores rescale to
+      (s - min) / (max - min) over that query's retrieved set — a
+      single-score leg (max == min) normalizes to 1.0, OpenSearch's
+      single-result convention.
+    - ``l2``: s / sqrt(Σ s²) over that query's retrieved set in the leg
+      (OpenSearch technique=l2); an all-zero leg normalizes to 0.
+
+    Then fuse as Σ w_i * norm_i; docs absent from a leg contribute 0 for
+    it. Inputs are each leg's (query_id, docid, score) over its FULL match
+    set with 6-decimal-rounded scores (the cross-engine float policy), so
+    both engines normalize identical rationals. Returns (query_id, rank,
+    docid, score), fused score rounded half-up to 6 decimals,
+    (score desc, docid asc)."""
+    if technique not in ("min_max", "l2"):
+        raise ValueError(f"unknown normalization technique {technique!r}")
     parts = []
     for w, r in zip(weights, legs):
         if r is None or r.empty or "docid" not in r.columns:
             continue
         g = r[["query_id", "docid", "score"]].copy()
         grp = g.groupby("query_id", sort=False)["score"]
-        lo = grp.transform("min").astype(np.float64)
-        hi = grp.transform("max").astype(np.float64)
-        span = (hi - lo).to_numpy()
         s = g["score"].to_numpy(dtype=np.float64)
-        norm = np.where(span > 0, (s - lo.to_numpy()) / np.where(span > 0, span, 1.0), 1.0)
+        if technique == "l2":
+            denom = np.sqrt(
+                g.assign(s2=s * s).groupby("query_id", sort=False)["s2"]
+                .transform("sum").to_numpy()
+            )
+            norm = np.where(denom > 0, s / np.where(denom > 0, denom, 1.0), 0.0)
+        else:
+            lo = grp.transform("min").astype(np.float64)
+            hi = grp.transform("max").astype(np.float64)
+            span = (hi - lo).to_numpy()
+            norm = np.where(span > 0, (s - lo.to_numpy()) / np.where(span > 0, span, 1.0), 1.0)
         g["s"] = float(w) * norm
         parts.append(g[["query_id", "docid", "s"]])
     if not parts:
@@ -1582,13 +1598,15 @@ def search_hybrid_norm(
     modes: tuple = ("bmw", "phrase"),
     weights: tuple = (0.7, 0.3),
     k: int = 10,
+    technique: str = "min_max",
 ) -> pd.DataFrame:
     """Hybrid search via score normalization (the OpenSearch
     normalization-processor alternative to :func:`search_hybrid`'s RRF):
     each mode's leg runs as a normal streaming search over its full match
-    set, per-query min-max-normalizes, and fuses as a weighted arithmetic
-    mean (:func:`minmax_fuse`). Fusion is queries x matches driver-side;
-    the heavy scoring stays in the actor pools."""
+    set, per-query normalizes under ``technique`` (min_max or l2), and
+    fuses as a weighted arithmetic mean (:func:`minmax_fuse`). Fusion is
+    queries x matches driver-side; the heavy scoring stays in the actor
+    pools."""
     q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
     k_by_query = {int(r.query_id): int(r.k) for r in q.itertuples(index=False)} \
         if "k" in q.columns else None
@@ -1601,7 +1619,8 @@ def search_hybrid_norm(
             continue
         res["score"] = res["score"].round(6)
         legs.append(res[["query_id", "docid", "score"]])
-    return minmax_fuse(legs, weights, k=k, k_by_query=k_by_query)
+    return minmax_fuse(legs, weights, k=k, k_by_query=k_by_query,
+                       technique=technique)
 
 
 def search_term_boosts(

@@ -34,10 +34,13 @@ def _brute_has_child(oracle, ordered_docs, queries, k, score_mode="max", min_chi
         df["conv_id"] = df["docid"].map(conv_of)
         g = df.groupby("conv_id").agg(n_matching=("score", "size"),
                                       smax=("score", "max"),
+                                      smin=("score", "min"),
                                       ssum=("score", "sum")).reset_index()
         g = g[g["n_matching"] >= min_children]
         if score_mode == "max":
             g["score"] = g["smax"]
+        elif score_mode == "min":
+            g["score"] = g["smin"]
         elif score_mode == "sum":
             g["score"] = _round6(g["ssum"])
         elif score_mode == "avg":
@@ -65,6 +68,22 @@ def test_has_child_sum_and_min_children(smoke_index, smoke_oracle, ordered_docs,
     want = _brute_has_child(smoke_oracle, ordered_docs, queries, k=5,
                             score_mode="sum", min_children=2)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_has_child_min(smoke_index, smoke_oracle, ordered_docs, queries):
+    """score_mode=min ranks conversations by their WORST matching turn; the
+    min partial must survive the per-batch combine + final reduce exactly
+    (min is associative, so both the driver and distributed paths agree)."""
+    from remote_vector_index_builder_ray.pipelines.join import has_child
+
+    got = has_child(smoke_index["index_dir"], queries, k=5, score_mode="min",
+                    min_children=2)
+    want = _brute_has_child(smoke_oracle, ordered_docs, queries, k=5,
+                            score_mode="min", min_children=2)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    dist = has_child(smoke_index["index_dir"], queries, k=5, score_mode="min",
+                     min_children=2, distributed_threshold=0)
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True), want.reset_index(drop=True))
 
 
 def test_has_child_distributed_path_matches(smoke_index, smoke_oracle, ordered_docs, queries):

@@ -164,3 +164,28 @@ def test_search_template_parity_with_direct_search(smoke_index):
                   direct_q[["query_id", "text", "k"]], mode="bmw").to_pandas()
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_l2_fuse_hand_computed():
+    """minmax_fuse technique='l2': s / sqrt(sum s^2) per (leg, query), docs
+    absent from a leg contribute 0, all-zero legs normalize to 0."""
+    from remote_vector_index_builder_ray.pipelines.query import minmax_fuse
+
+    leg_a = pd.DataFrame({"query_id": [1, 1, 1], "docid": [10, 11, 12],
+                          "score": [3.0, 4.0, 0.0]})  # l2 norm = 5
+    leg_b = pd.DataFrame({"query_id": [1, 1], "docid": [11, 13],
+                          "score": [2.0, 0.0]})       # l2 norm = 2
+    out = minmax_fuse([leg_a, leg_b], weights=(0.5, 0.5), k=10,
+                      technique="l2")
+    got = dict(zip(out["docid"], out["score"]))
+    assert got[10] == pytest.approx(0.5 * 3 / 5)
+    assert got[11] == pytest.approx(0.5 * 4 / 5 + 0.5 * 2 / 2)
+    assert got[12] == 0.0
+    assert got[13] == 0.0
+    # an all-zero leg divides by nothing: normalizes to 0, not NaN
+    zeros = pd.DataFrame({"query_id": [2, 2], "docid": [1, 2],
+                          "score": [0.0, 0.0]})
+    out2 = minmax_fuse([zeros], weights=(1.0,), k=10, technique="l2")
+    assert (out2["score"] == 0.0).all()
+    with pytest.raises(ValueError, match="technique"):
+        minmax_fuse([leg_a], weights=(1.0,), technique="zscore")

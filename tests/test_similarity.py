@@ -1,5 +1,6 @@
 """Alternative similarity modules (classic TF-IDF, LM Dirichlet, LM
-Jelinek-Mercer) vs a from-scratch brute-force oracle on the smoke fixture."""
+Jelinek-Mercer, boolean) vs a from-scratch brute-force oracle on the smoke
+fixture."""
 
 import math
 from collections import Counter
@@ -34,7 +35,9 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
                 continue
             for docid, tf in plist.items():
                 dl = max(doc_len[docid], 1)
-                if similarity == "classic":
+                if similarity == "boolean":
+                    c = 1.0
+                elif similarity == "classic":
                     w = 1.0 + math.log(N / (len(plist) + 1.0))
                     c = (w * w) * math.sqrt(tf) / math.sqrt(dl)
                 elif similarity == "lm_dirichlet":
@@ -55,7 +58,8 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
     )
 
 
-@pytest.mark.parametrize("similarity", ["classic", "lm_dirichlet", "lm_jelinek_mercer"])
+@pytest.mark.parametrize("similarity", ["classic", "lm_dirichlet",
+                                        "lm_jelinek_mercer", "boolean"])
 def test_similarity_rank_identity(smoke_index, smoke_fixture, similarity):
     import pyarrow.parquet as pq
 
