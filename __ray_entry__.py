@@ -3410,6 +3410,19 @@ def _q_bm25_span_or(sf_dir: str):
                          mode="span_or")
 
 
+def _q_bm25_span_multi(sf_dir: str):
+    """Lucene SpanMultiTermQueryWrapper(prefix) — OpenSearch span_multi: the
+    prefix expands against the term dictionary (first 50 in term order) and
+    rewrites to a span_or over the expansions, freq = Σ matching clauses'
+    tfs, score = (Σ idf over expansions) * tfnorm(freq, dl)
+    (pipelines/expand.search_span_multi → stages/search._score_span_or)."""
+    from remote_vector_index_builder_ray import search_span_multi
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    q = pd.read_parquet(_ensure_expand_queries(sf_dir)["prefix"])
+    return _topk_rounded(index_dir, q, search_fn=search_span_multi)
+
+
 def _q_bm25_rank_feature(sf_dir: str):
     """OpenSearch rank_feature query (saturation, the default function) in a
     bool SHOULD: every match's BM25 score gains
@@ -4137,6 +4150,17 @@ def _q_lmjm_topk(sf_dir: str):
                          similarity="lm_jelinek_mercer")
 
 
+def _q_dfr_topk(sf_dir: str):
+    """DFR InL2 similarity top-k (the OpenSearch `similarity: DFR` family,
+    basic_model=in / after_effect=l / normalization=h2, c=1): per-term
+    contribution tfn * log2((N+1)/(df+0.5)) / (tfn+1) with
+    tfn = tf * log2(1 + avgdl/dl) (functions/bm25.sim_contrib 'dfr_inl2',
+    exhaustive scorer)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="dfr_inl2")
+
+
 def _q_bool_sim_topk(sf_dir: str):
     """Lucene BooleanSimilarity top-k (the OpenSearch index-level
     `similarity: boolean` setting): each matched term contributes exactly
@@ -4332,6 +4356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_has_child": _q_bm25_has_child,
         "bm25_has_child_min": _q_bm25_has_child_min,
         "bool_sim_topk": _q_bool_sim_topk,
+        "dfr_topk": _q_dfr_topk,
         "bm25_has_parent": _q_bm25_has_parent,
         "tfidf_topk": _q_tfidf_topk,
         "lmd_topk": _q_lmd_topk,
@@ -4451,6 +4476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_terms_set": _q_bm25_terms_set,
         "bm25_sliced": _q_bm25_sliced,
         "bm25_span_or": _q_bm25_span_or,
+        "bm25_span_multi": _q_bm25_span_multi,
         "bm25_normalize": _q_bm25_normalize,
         "bm25_terms_enum": _q_bm25_terms_enum,
         "bm25_hybrid_norm": _q_bm25_hybrid_norm,
@@ -5512,6 +5538,51 @@ ranked AS (
     FROM m
 )
 SELECT r.query_id, r.rank::INT AS rank, r.docid, 1.0::DOUBLE AS score
+FROM ranked r JOIN p USING (query_id)
+WHERE r.rank <= p.k
+ORDER BY query_id, rank
+"""
+    # span_multi(prefix): first 50 dictionary expansions in term order ->
+    # span_or scoring (freq = Σ clause tfs, (Σ idf) * tfnorm)
+    out["bm25_span_multi"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+p AS (SELECT query_id, prefix, k FROM read_parquet('{expand_q["prefix"]}')),
+exp AS (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY d.term) AS rn
+    FROM p JOIN df d ON d.term LIKE p.prefix || '%'
+),
+qx AS (SELECT query_id, term FROM exp WHERE rn <= 50),
+qidf AS (
+    SELECT qx.query_id, sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS idf_sum
+    FROM qx JOIN df USING (term) CROSS JOIN stats s
+    GROUP BY qx.query_id
+),
+stf AS (
+    SELECT qx.query_id, tf.docid, sum(tf.tf)::BIGINT AS freq
+    FROM qx JOIN tf USING (term)
+    GROUP BY qx.query_id, tf.docid
+),
+scored AS (
+    SELECT stf.query_id, stf.docid,
+           floor(qidf.idf_sum
+                 * (freq * (1.2 + 1) / (freq + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM stf JOIN qidf USING (query_id)
+    JOIN dl ON stf.docid = dl.docid CROSS JOIN stats s
+),
+ranked AS (
+    SELECT query_id, docid, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, docid) AS rank
+    FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score
 FROM ranked r JOIN p USING (query_id)
 WHERE r.rank <= p.k
 ORDER BY query_id, rank
@@ -7377,6 +7448,13 @@ FROM agg ORDER BY doc_id
     # BooleanSimilarity: 1.0 per distinct matched term (q dedupes terms, so
     # the sum IS the distinct-matched-term count)
     out["bool_sim_topk"] = _sim_sql("1.0")
+    # DFR InL2: tfn * log2((N+1)/(df+0.5)) / (tfn+1),
+    # tfn = tf * log2(1 + avgdl/dl) — same op order as sim_contrib
+    out["dfr_topk"] = _sim_sql(
+        "(tf.tf * log2(1 + (s.total_len / s.n_docs) / dl.dl))"
+        " * log2((s.n_docs + 1) / (df.df + 0.5))"
+        " / ((tf.tf * log2(1 + (s.total_len / s.n_docs) / dl.dl)) + 1)"
+    )
     # has_child / has_parent: the conversation hierarchy IS the join field —
     # scores group by conv_id (child query) or flow parent -> children
     out["bm25_has_child"] = f"""

@@ -44,7 +44,7 @@ LM_MU = 2000.0  # LMDirichletSimilarity default mu
 LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity recommended lambda (short queries)
 
 SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer",
-                "rawtf", "boolean")
+                "rawtf", "boolean", "dfr_inl2")
 
 
 def sim_contrib(
@@ -82,6 +82,14 @@ def sim_contrib(
     if similarity == "classic":
         w = 1.0 + math.log(N / (df + 1.0))
         return (w * w) * np.sqrt(tfs) / np.sqrt(np.maximum(dls, 1.0))
+    if similarity == "dfr_inl2":
+        # Lucene DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2,
+        # c=1) — the OpenSearch `similarity: DFR` family's InL2 model:
+        # tfn = tf * log2(1 + c * avgdl / dl); score = tfn * log2((N + 1) /
+        # (df + 0.5)) / (tfn + 1). dl >= 1 always (a posting implies a token)
+        avgdl = total_len / float(N)
+        tfn = tfs * np.log2(1.0 + avgdl / np.maximum(dls, 1.0))
+        return tfn * math.log2((N + 1.0) / (df + 0.5)) / (tfn + 1.0)
     p = cf / float(total_len)
     if similarity == "lm_dirichlet":
         v = np.log1p(tfs / (LM_MU * p)) + math.log(LM_MU) - np.log(dls + LM_MU)

@@ -528,6 +528,38 @@ def search_regexp(index_dir: str, queries: pd.DataFrame, **kw):
     return search(index_dir, q, mode="constant", **kw)
 
 
+def search_span_multi(index_dir: str, queries: pd.DataFrame,
+                      max_expansions: int = 50, **kw):
+    """Lucene ``SpanMultiTermQueryWrapper`` around a prefix query: the
+    multi-term query rewrites to a span_or over the dictionary terms
+    matching the prefix (Lucene's SpanOrQuery rewrite), scored with the
+    span_or semantics — freq = Σ matching clauses' tfs (single-term spans
+    never overlap), score = (Σ idf over expanded clauses) * tfnorm(freq,
+    dl). ``queries`` has (query_id, prefix:string, k); each distinct prefix
+    expands ONCE on the driver against the cached term dictionary, capped
+    at ``max_expansions`` in term order (the top_terms-style bound that
+    keeps a one-letter prefix from exploding the clause list; capped
+    expansions are logged). Returns (query_id, rank, docid, score)."""
+    import logging
+
+    exp: dict[str, list[str]] = {}
+    for p in set(queries["prefix"]):
+        terms = expand_prefix(index_dir, p)
+        if len(terms) > max_expansions:
+            logging.getLogger(__name__).warning(
+                "span_multi prefix %r expands to %d terms; capping at %d",
+                p, len(terms), max_expansions,
+            )
+            terms = terms[:max_expansions]
+        exp[p] = terms
+    q = _terms_queries(queries, {
+        int(r.query_id): exp[r.prefix] for r in queries.itertuples(index=False)
+    })
+    from remote_vector_index_builder_ray.pipelines.query import search
+
+    return search(index_dir, q, mode="span_or", **kw)
+
+
 def search_synonyms(
     index_dir: str,
     queries: pd.DataFrame,

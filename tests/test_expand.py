@@ -250,3 +250,36 @@ def test_search_match_bool_prefix_matches_brute_force(
         )
     # at least one pure-prefix doc (score exactly 1.0) appears for qid 11
     assert (got[got["query_id"] == 11]["score"] == 1.0).any()
+
+
+def test_search_span_multi_is_span_or_over_expansions(smoke_index):
+    """span_multi(prefix) == span_or over the prefix's dictionary expansion
+    (Lucene SpanMultiTermQueryWrapper's SpanOrQuery rewrite), and
+    max_expansions caps the clause list in term order."""
+    import numpy as np
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import search, search_span_multi
+
+    q = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                      "prefix": ["w0001"],
+                      "k": np.array([10], dtype=np.int32)})
+    got = search_span_multi(smoke_index["index_dir"], q).to_pandas()
+    exp_terms = expand_prefix(smoke_index["index_dir"], "w0001")
+    assert len(exp_terms) > 2
+    direct = search(
+        smoke_index["index_dir"],
+        q[["query_id", "k"]].assign(terms=[exp_terms[:50]]),
+        mode="span_or",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  direct.reset_index(drop=True))
+    capped = search_span_multi(smoke_index["index_dir"], q,
+                               max_expansions=2).to_pandas()
+    direct2 = search(
+        smoke_index["index_dir"],
+        q[["query_id", "k"]].assign(terms=[exp_terms[:2]]),
+        mode="span_or",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(capped.reset_index(drop=True),
+                                  direct2.reset_index(drop=True))

@@ -37,6 +37,10 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
                 dl = max(doc_len[docid], 1)
                 if similarity == "boolean":
                     c = 1.0
+                elif similarity == "dfr_inl2":
+                    avgdl = total_len / N
+                    tfn = tf * math.log2(1.0 + avgdl / dl)
+                    c = tfn * math.log2((N + 1.0) / (len(plist) + 0.5)) / (tfn + 1.0)
                 elif similarity == "classic":
                     w = 1.0 + math.log(N / (len(plist) + 1.0))
                     c = (w * w) * math.sqrt(tf) / math.sqrt(dl)
@@ -59,7 +63,8 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
 
 
 @pytest.mark.parametrize("similarity", ["classic", "lm_dirichlet",
-                                        "lm_jelinek_mercer", "boolean"])
+                                        "lm_jelinek_mercer", "boolean",
+                                        "dfr_inl2"])
 def test_similarity_rank_identity(smoke_index, smoke_fixture, similarity):
     import pyarrow.parquet as pq
 
