@@ -4161,6 +4161,17 @@ def _q_dfr_topk(sf_dir: str):
                          similarity="dfr_inl2")
 
 
+def _q_ib_topk(sf_dir: str):
+    """IB similarity top-k (the OpenSearch `similarity: IB` family,
+    distribution=ll / lambda=df / normalization=h2, c=1): per-term
+    contribution ln(1 + tfn/λ) with λ = (df+1)/(N+1) and
+    tfn = tf * log2(1 + avgdl/dl) (functions/bm25.sim_contrib 'ib_ll',
+    exhaustive scorer)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="ib_ll")
+
+
 def _q_bool_sim_topk(sf_dir: str):
     """Lucene BooleanSimilarity top-k (the OpenSearch index-level
     `similarity: boolean` setting): each matched term contributes exactly
@@ -4357,6 +4368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_has_child_min": _q_bm25_has_child_min,
         "bool_sim_topk": _q_bool_sim_topk,
         "dfr_topk": _q_dfr_topk,
+        "ib_topk": _q_ib_topk,
         "bm25_has_parent": _q_bm25_has_parent,
         "tfidf_topk": _q_tfidf_topk,
         "lmd_topk": _q_lmd_topk,
@@ -7454,6 +7466,12 @@ FROM agg ORDER BY doc_id
         "(tf.tf * log2(1 + (s.total_len / s.n_docs) / dl.dl))"
         " * log2((s.n_docs + 1) / (df.df + 0.5))"
         " / ((tf.tf * log2(1 + (s.total_len / s.n_docs) / dl.dl)) + 1)"
+    )
+    # IB LL-DF-H2: ln(1 + tfn/λ), λ = (df+1)/(N+1),
+    # tfn = tf * log2(1 + avgdl/dl)
+    out["ib_topk"] = _sim_sql(
+        "ln(1 + (tf.tf * log2(1 + (s.total_len / s.n_docs) / dl.dl))"
+        " / ((df.df + 1.0) / (s.n_docs + 1.0)))"
     )
     # has_child / has_parent: the conversation hierarchy IS the join field —
     # scores group by conv_id (child query) or flow parent -> children

@@ -44,7 +44,7 @@ LM_MU = 2000.0  # LMDirichletSimilarity default mu
 LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity recommended lambda (short queries)
 
 SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer",
-                "rawtf", "boolean", "dfr_inl2")
+                "rawtf", "boolean", "dfr_inl2", "ib_ll")
 
 
 def sim_contrib(
@@ -90,6 +90,15 @@ def sim_contrib(
         avgdl = total_len / float(N)
         tfn = tfs * np.log2(1.0 + avgdl / np.maximum(dls, 1.0))
         return tfn * math.log2((N + 1.0) / (df + 0.5)) / (tfn + 1.0)
+    if similarity == "ib_ll":
+        # Lucene IBSimilarity(DistributionLL, LambdaDF, NormalizationH2,
+        # c=1) — the OpenSearch `similarity: IB` family: λ = (df+1)/(N+1),
+        # tfn = tf * log2(1 + avgdl/dl), contribution = -ln(λ/(λ+tfn))
+        # = ln(1 + tfn/λ)
+        avgdl = total_len / float(N)
+        tfn = tfs * np.log2(1.0 + avgdl / np.maximum(dls, 1.0))
+        lam = (df + 1.0) / (N + 1.0)
+        return np.log1p(tfn / lam)
     p = cf / float(total_len)
     if similarity == "lm_dirichlet":
         v = np.log1p(tfs / (LM_MU * p)) + math.log(LM_MU) - np.log(dls + LM_MU)

@@ -28,6 +28,18 @@ Routes and status codes mirror the reference:
   POST /_update_by_query {"index_dir": "...", "query_text": "...",
                          "out_dir": "...", "append_text"?}
                         -> 200 {"updated": n, "inserted": n}
+  POST /_msearch {"index_dir": "...", "searches": [{"queries": [...],
+                 "mode"?}, ...]}
+                -> 200 {"responses": [{rows, total, status} |
+                        {error, status}, ...]}
+                        (OpenSearch _msearch: one wire round-trip, per-leg
+                        statuses — a failing leg never drops the batch; all
+                        legs share the same warm searcher pools)
+  POST /_field_caps {"index_dir": "...", "fields"?: [...]}
+                -> 200 {"indices": [...], "fields": {name: {type,
+                        searchable, aggregatable}}}
+                        (capabilities read from the index's docmeta Parquet
+                        schema — one footer read, never a data scan)
 """
 
 from __future__ import annotations
@@ -75,6 +87,104 @@ def parse_build_request(body: dict) -> BuildConfig:
         docid_mode=str(body.get("docid_mode", "dense")),
         num_partitions=body.get("num_partitions"),
     )
+
+
+_SEARCH_QUERY_FIELDS = {"query_id", "text", "k", "slop", "span_exclude",
+                        "span_little"}
+
+
+def parse_search_queries(rows):
+    """Validate + frame the per-query rows shared by ``/_search`` and
+    ``/_msearch`` legs (typed errors -> HTTP 400). Positional-mode per-query
+    options attach a column only when some row carries it (JSON null ==
+    absent) — the searcher rejects a slop/span column under a
+    non-positional mode, so an unconditional column would 400 every bmw
+    request."""
+    import numpy as np
+    import pandas as pd
+
+    if (not isinstance(rows, list) or not rows
+            or not all(isinstance(r, dict) and "query_id" in r
+                       and "text" in r for r in rows)):
+        raise ValueError(
+            "queries must be a non-empty list of "
+            "{query_id, text, k?, slop?, span_exclude?, span_little?} objects"
+        )
+    bad = sorted({k for r in rows for k in r} - _SEARCH_QUERY_FIELDS)
+    if bad:
+        raise ValueError(f"unknown query fields: {bad}")
+    q = pd.DataFrame({
+        "query_id": np.array([int(r["query_id"]) for r in rows],
+                             dtype=np.int64),
+        "text": [str(r["text"]) for r in rows],
+        "k": np.array([int(r.get("k", 10)) for r in rows], dtype=np.int32),
+    })
+    if any(r.get("slop") is not None for r in rows):
+        q["slop"] = np.array([int(r.get("slop") or 0) for r in rows],
+                             dtype=np.int32)
+    if any(r.get("span_exclude") is not None for r in rows):
+        q["span_exclude"] = [
+            None if r.get("span_exclude") is None
+            else str(r["span_exclude"]) for r in rows]
+    if any(r.get("span_little") is not None for r in rows):
+        q["span_little"] = [
+            None if r.get("span_little") is None
+            else str(r["span_little"]) for r in rows]
+    return q
+
+
+# Arrow docmeta dtype -> OpenSearch field_caps (type, searchable,
+# aggregatable). `text` is the one analyzed (searchable, not aggregatable)
+# field; every stored metadata field filters via `where` pushdown and
+# aggregates via the docmeta probes.
+def _field_caps(index_dir: str, fields=None) -> dict:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.incremental import (
+        docmeta_dirs,
+    )
+    from remote_vector_index_builder_ray.state import fs
+
+    first = None
+    for d in docmeta_dirs(index_dir):
+        for rel in fs.listdir(d, recursive=True):
+            if rel.endswith(".parquet"):
+                first = fs.join(d, rel)
+                break
+        if first:
+            break
+    if first is None:
+        raise EngineError(f"index at {index_dir} has no docmeta")
+    f, p = fs.resolve(first)
+    schema = pq.read_schema(p, filesystem=f)
+    caps = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name == "text":
+            caps[name] = {"type": "text", "searchable": True,
+                          "aggregatable": False}
+        elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            caps[name] = {"type": "keyword", "searchable": True,
+                          "aggregatable": True}
+        elif pa.types.is_timestamp(typ):
+            caps[name] = {"type": "date", "searchable": True,
+                          "aggregatable": True}
+        elif pa.types.is_int64(typ):
+            caps[name] = {"type": "long", "searchable": True,
+                          "aggregatable": True}
+        elif pa.types.is_integer(typ):
+            caps[name] = {"type": "integer", "searchable": True,
+                          "aggregatable": True}
+        elif pa.types.is_floating(typ):
+            caps[name] = {"type": "double", "searchable": True,
+                          "aggregatable": True}
+        else:  # opaque payloads (e.g. binary) are stored-only
+            caps[name] = {"type": str(typ), "searchable": False,
+                          "aggregatable": False}
+    if fields is not None:
+        want = {str(x) for x in fields}
+        caps = {k: v for k, v in caps.items() if k in want}
+    return {"indices": [index_dir], "fields": caps}
 
 
 def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
@@ -136,9 +246,6 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                 # (index, mode, manifest fingerprint) — no per-request actor
                 # pool spin-up; committed index mutations retire the pool
                 # automatically (query_service module docstring)
-                import numpy as np
-                import pandas as pd
-
                 try:
                     body = self._read_body()
                     missing = [k for k in ("index_dir", "queries") if k not in body]
@@ -147,44 +254,7 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     extra = set(body) - {"index_dir", "queries", "mode"}
                     if extra:
                         raise ValueError(f"unknown fields: {sorted(extra)}")
-                    rows = body["queries"]
-                    if (not isinstance(rows, list) or not rows
-                            or not all(isinstance(r, dict) and "query_id" in r
-                                       and "text" in r for r in rows)):
-                        raise ValueError(
-                            "queries must be a non-empty list of "
-                            "{query_id, text, k?, slop?, span_exclude?, "
-                            "span_little?} objects"
-                        )
-                    bad = sorted({k for r in rows for k in r}
-                                 - {"query_id", "text", "k", "slop",
-                                    "span_exclude", "span_little"})
-                    if bad:
-                        raise ValueError(f"unknown query fields: {bad}")
-                    q = pd.DataFrame({
-                        "query_id": np.array([int(r["query_id"]) for r in rows],
-                                             dtype=np.int64),
-                        "text": [str(r["text"]) for r in rows],
-                        "k": np.array([int(r.get("k", 10)) for r in rows],
-                                      dtype=np.int32),
-                    })
-                    # positional-mode per-query options: attach a column only
-                    # when some request row carries it (JSON null == absent) —
-                    # the searcher rejects a slop/span column under a
-                    # non-positional mode, so an unconditional column would
-                    # 400 every bmw request
-                    if any(r.get("slop") is not None for r in rows):
-                        q["slop"] = np.array(
-                            [int(r.get("slop") or 0) for r in rows],
-                            dtype=np.int32)
-                    if any(r.get("span_exclude") is not None for r in rows):
-                        q["span_exclude"] = [
-                            None if r.get("span_exclude") is None
-                            else str(r["span_exclude"]) for r in rows]
-                    if any(r.get("span_little") is not None for r in rows):
-                        q["span_little"] = [
-                            None if r.get("span_little") is None
-                            else str(r["span_little"]) for r in rows]
+                    q = parse_search_queries(body["queries"])
                 except (ValueError, TypeError, json.JSONDecodeError) as ex:
                     self._send(400, {"error": str(ex)})
                     return
@@ -204,6 +274,76 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     return
                 self._send(200, {"rows": out.to_dict(orient="records"),
                                  "total": int(len(out))})
+                return
+            if self.path == "/_msearch":
+                # OpenSearch _msearch: many sub-searches in one round-trip,
+                # per-leg statuses (a failing leg never drops the batch);
+                # every leg runs on the same warm searcher pools, so a
+                # mixed-mode batch warms each (index, mode) pool at most once
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "searches")
+                               if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "searches"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    legs = body["searches"]
+                    if not isinstance(legs, list) or not legs:
+                        raise ValueError("searches must be a non-empty list")
+                    parsed = []
+                    for leg in legs:
+                        if not isinstance(leg, dict) or "queries" not in leg:
+                            raise ValueError(
+                                "each search must be a {queries, mode?} object"
+                            )
+                        lex = set(leg) - {"queries", "mode"}
+                        if lex:
+                            raise ValueError(
+                                f"unknown search fields: {sorted(lex)}")
+                        parsed.append((str(leg.get("mode", "bmw")),
+                                       parse_search_queries(leg["queries"])))
+                except (ValueError, TypeError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                responses = []
+                for mode, q in parsed:
+                    try:
+                        out = _query_service().search(
+                            str(body["index_dir"]), q, mode=mode)
+                        responses.append({
+                            "rows": out.to_dict(orient="records"),
+                            "total": int(len(out)), "status": 200,
+                        })
+                    except (EngineError, ValueError, KeyError, TypeError,
+                            FileNotFoundError, OSError) as ex:
+                        responses.append({"error": str(ex), "status": 400})
+                    except Exception as ex:  # noqa: BLE001 — wire boundary
+                        responses.append({"error": str(ex), "status": 500})
+                self._send(200, {"responses": responses})
+                return
+            if self.path == "/_field_caps":
+                try:
+                    body = self._read_body()
+                    if "index_dir" not in body:
+                        raise ValueError("missing required fields: ['index_dir']")
+                    extra = set(body) - {"index_dir", "fields"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    fields = body.get("fields")
+                    if fields is not None and not isinstance(fields, list):
+                        raise ValueError("fields must be a list of names")
+                    out = _field_caps(str(body["index_dir"]), fields)
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError,
+                        json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, out)
                 return
             if self.path == "/_delete_by_query":
                 # synchronous by-query delete on the DISTRIBUTED sharded

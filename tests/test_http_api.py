@@ -381,3 +381,81 @@ def test_search_route_concurrent_mutate(api):
     code, after = _post(base + "/_search", payload)
     assert code == 200
     assert after["total"] == before["total"] - dbq["deleted"]
+
+
+def test_msearch_route(api):
+    """POST /_msearch: per-leg statuses in one round-trip — leg results match
+    /_search leg-by-leg, a failing leg reports its own 400 without dropping
+    the batch, malformed envelopes 400 the whole request."""
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "msrch_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    df = pd.concat([pd.read_parquet(p) for p in fx["transcripts"]])
+    word = str(df["text"].iloc[3]).split()[0].lower()
+
+    # envelope validation
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_msearch", {"index_dir": idx})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_msearch", {"index_dir": idx, "searches": []})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_msearch",
+              {"index_dir": idx,
+               "searches": [{"queries": [{"query_id": 0, "text": "x"}],
+                             "bogus": 1}]})
+    assert ei.value.code == 400
+
+    qrows = [{"query_id": 0, "text": word, "k": 5}]
+    code, ms = _post(base + "/_msearch", {
+        "index_dir": idx,
+        "searches": [
+            {"queries": qrows},                       # bmw leg
+            {"queries": qrows, "mode": "exhaustive"},  # second mode
+            {"queries": qrows, "mode": "no_such_mode"},  # failing leg
+        ],
+    })
+    assert code == 200 and len(ms["responses"]) == 3
+    ok1, ok2, bad = ms["responses"]
+    assert ok1["status"] == 200 and ok2["status"] == 200
+    assert bad["status"] == 400 and "error" in bad and "rows" not in bad
+    # leg parity with /_search
+    code, single = _post(base + "/_search", {"index_dir": idx, "queries": qrows})
+    assert code == 200 and ok1["rows"] == single["rows"]
+    assert ok1["rows"] and ok2["rows"]
+
+
+def test_field_caps_route(api):
+    """POST /_field_caps: capabilities come from the docmeta Parquet footer
+    — text is searchable-not-aggregatable, metadata fields typed keyword/
+    integer/long/date; the fields filter subsets; bad index_dir 400s."""
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "caps_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    code, out = _post(base + "/_field_caps", {"index_dir": idx})
+    assert code == 200 and out["indices"] == [idx]
+    caps = out["fields"]
+    assert caps["text"] == {"type": "text", "searchable": True,
+                            "aggregatable": False}
+    assert caps["conv_id"]["type"] == "keyword"
+    assert caps["turn_idx"]["type"] == "integer"
+    assert caps["docid"]["type"] == "long"
+    assert caps["ts"]["type"] == "date"
+    code, sub = _post(base + "/_field_caps",
+                      {"index_dir": idx, "fields": ["text", "nope"]})
+    assert code == 200 and set(sub["fields"]) == {"text"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_field_caps", {"index_dir": str(idx_root / "absent")})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_field_caps", {"index_dir": idx, "fields": "text"})
+    assert ei.value.code == 400

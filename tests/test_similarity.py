@@ -41,6 +41,11 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
                     avgdl = total_len / N
                     tfn = tf * math.log2(1.0 + avgdl / dl)
                     c = tfn * math.log2((N + 1.0) / (len(plist) + 0.5)) / (tfn + 1.0)
+                elif similarity == "ib_ll":
+                    avgdl = total_len / N
+                    tfn = tf * math.log2(1.0 + avgdl / dl)
+                    lam = (len(plist) + 1.0) / (N + 1.0)
+                    c = math.log1p(tfn / lam)
                 elif similarity == "classic":
                     w = 1.0 + math.log(N / (len(plist) + 1.0))
                     c = (w * w) * math.sqrt(tf) / math.sqrt(dl)
@@ -64,7 +69,7 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
 
 @pytest.mark.parametrize("similarity", ["classic", "lm_dirichlet",
                                         "lm_jelinek_mercer", "boolean",
-                                        "dfr_inl2"])
+                                        "dfr_inl2", "ib_ll"])
 def test_similarity_rank_identity(smoke_index, smoke_fixture, similarity):
     import pyarrow.parquet as pq
 
