@@ -1103,6 +1103,33 @@ def _ensure_ratings_artifact(sf_dir: str) -> str:
     return path
 
 
+def _q_bm25_terminate_after(sf_dir: str):
+    """OpenSearch terminate_after=25: hit collection stops after 25 matching
+    docs per query (this engine collects in docid order, so the collected
+    set is exactly the 25 smallest matching docids — deterministic where
+    OpenSearch's per-shard cut is arrival-order-dependent); collected docs
+    score normally, terminated_early flags truncation
+    (pipelines/query.search_terminate_after — constant-mode first-T pass +
+    per-query allow_docids re-score + distributed match_count reduce)."""
+    from remote_vector_index_builder_ray import search_terminate_after
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return search_terminate_after(index_dir, pd.read_parquet(fx["queries"]),
+                                  terminate_after=25)
+
+
+def _q_bm25_err(sf_dir: str):
+    """rank_eval expected_reciprocal_rank (ERR@10, Chapelle et al. 2009) of
+    the bm25_topk ranking against the persisted graded judgments:
+    Σ (1/r)·R_r·Π_{i<r}(1−R_i), R = (2^rating − 1)/2^max
+    (functions/metrics.expected_reciprocal_rank)."""
+    from remote_vector_index_builder_ray import expected_reciprocal_rank
+
+    ratings = pd.read_parquet(_ensure_ratings_artifact(sf_dir))
+    topk = _q_bm25_topk(sf_dir)
+    return expected_reciprocal_rank(topk, ratings, k=10).reset_index(drop=True)
+
+
 def _q_bm25_rank_eval(sf_dir: str):
     """rank_eval metrics (precision@10 / recall@10 / MRR / NDCG@10) of the
     bm25_topk ranking against the persisted graded judgments
@@ -4568,6 +4595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5b: the last missing pipeline agg + three API-surface ops
         "bm25_bucket_selector": _q_bm25_bucket_selector,
         "bm25_constant_score": _q_bm25_constant_score,
+        "bm25_terminate_after": _q_bm25_terminate_after,
+        "bm25_err": _q_bm25_err,
         "bm25_terms_lookup": _q_bm25_terms_lookup,
         "bm25_search_template": _q_bm25_search_template,
         "bm25_rollover": _q_bm25_rollover,
@@ -5887,6 +5916,113 @@ SELECT query_id,
        floor(rr * 1000000 + 0.5) / 1000000 AS reciprocal_rank,
        floor(ndcg * 1000000 + 0.5) / 1000000 AS ndcg_at_k
 FROM per ORDER BY query_id
+"""
+    # ERR@10: R = (2^rating - 1)/2^max over the bm25 top-10; the stop
+    # probability before rank r = exp(Σ ln(1-R) over earlier ranks) — the
+    # same float-op shape the engine uses
+    out["bm25_err"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, k,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, docid) AS rank
+    FROM scored
+),
+topk AS (SELECT query_id, docid, rank FROM ranked WHERE rank <= least(k, 10)),
+ratings AS (SELECT * FROM read_parquet('{ratings_pq}')),
+mx AS (SELECT pow(2, max(rating))::DOUBLE AS denom FROM ratings),
+rmap AS (
+    SELECT t.query_id, t.rank,
+           coalesce((pow(2, r.rating) - 1) / mx.denom, 0.0) AS rr
+    FROM topk t
+    LEFT JOIN (SELECT * FROM ratings WHERE rating > 0) r
+      ON r.query_id = t.query_id AND r.docid = t.docid
+    CROSS JOIN mx
+),
+w AS (
+    SELECT query_id, rank, rr,
+           exp(coalesce(sum(ln(1 - rr)) OVER (
+               PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS pbefore
+    FROM rmap
+),
+per AS (SELECT query_id, sum(rr / rank * pbefore) AS err FROM w GROUP BY query_id)
+SELECT b.query_id,
+       floor(coalesce(p.err, 0.0) * 1000000 + 0.5) / 1000000 AS err_at_k
+FROM (SELECT DISTINCT query_id FROM ratings) b
+LEFT JOIN per p ON p.query_id = b.query_id
+ORDER BY b.query_id
+"""
+    # terminate_after=25: collected set = the 25 smallest matching docids
+    # (docid-order collection), scored normally; terminated = matches > 25
+    out["bm25_terminate_after"] = f"""
+WITH {docs}, {_TOKS},
+tf AS MATERIALIZED (SELECT docid, term, count(*)::BIGINT AS tf FROM toks GROUP BY docid, term),
+dl AS MATERIALIZED (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+df AS MATERIALIZED (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+totals AS (SELECT sum(dl)::DOUBLE AS total_len FROM dl),
+ndocs AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+stats AS (SELECT n_docs, total_len / n_docs AS avgdl FROM ndocs CROSS JOIN totals),
+q AS (
+    SELECT query_id, k,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, tf.docid FROM q JOIN tf USING (term)),
+cnt AS (SELECT query_id, count(*)::BIGINT AS n FROM m GROUP BY query_id),
+firstt AS (
+    SELECT query_id, docid FROM (
+        SELECT query_id, docid,
+               row_number() OVER (PARTITION BY query_id ORDER BY docid) AS rn
+        FROM m
+    ) WHERE rn <= 25
+),
+scored AS (
+    SELECT q.query_id, any_value(q.k) AS k, tf.docid,
+           sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+    FROM q
+    JOIN tf USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.docid = dl.docid
+    JOIN firstt f ON f.query_id = q.query_id AND f.docid = tf.docid
+    CROSS JOIN stats s
+    GROUP BY q.query_id, tf.docid
+),
+ranked AS (
+    SELECT query_id, docid, k,
+           floor(score * 1000000 + 0.5) / 1000000 AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor(score * 1000000 + 0.5) / 1000000 DESC,
+                                       docid) AS rank
+    FROM scored
+)
+SELECT r.query_id, r.rank::INT AS rank, r.docid, r.score,
+       (c.n > 25) AS terminated_early
+FROM ranked r JOIN cnt c USING (query_id)
+WHERE r.rank <= r.k
+ORDER BY r.query_id, r.rank
 """
     # analyzed index: the toks CTE passes the SAME stopword/length filters
     # as the engine's AnalyzerConfig; doc_len (dl) counts post-filter tokens

@@ -98,3 +98,45 @@ def rank_eval(results: pd.DataFrame, ratings: pd.DataFrame, k: int = 10) -> pd.D
         columns=["query_id", "precision_at_k", "recall_at_k",
                  "reciprocal_rank", "ndcg_at_k"],
     ).astype({"query_id": np.int64})
+
+
+def expected_reciprocal_rank(
+    results: pd.DataFrame,
+    ratings: pd.DataFrame,
+    k: int = 10,
+    maximum_relevance: int | None = None,
+) -> pd.DataFrame:
+    """OpenSearch rank_eval ``expected_reciprocal_rank`` metric (Chapelle et
+    al., CIKM 2009): per query ERR@k = Σ_{r=1..k} (1/r) · R_r · Π_{i<r}
+    (1 − R_i) with R = (2^rating − 1) / 2^max; unjudged or rating<=0 docs
+    contribute R = 0 (they only advance the rank). ``maximum_relevance``
+    defaults to the highest judged rating (OpenSearch makes it an explicit
+    request parameter). The stop-probability product is computed as
+    exp(Σ ln(1 − R)) in rank order — the same float-op shape a SQL window
+    oracle uses, so both engines agree after 6-decimal rounding. Returns
+    (query_id, err_at_k)."""
+    if maximum_relevance is None:
+        maximum_relevance = int(ratings["rating"].max()) if len(ratings) else 1
+    denom = 2.0 ** float(maximum_relevance)
+    rel_by_q = {
+        qid: dict(zip(g["docid"], g["rating"]))
+        for qid, g in ratings[ratings["rating"] > 0].groupby("query_id")
+    }
+    rows = []
+    for qid in sorted(set(ratings["query_id"])):
+        judged = rel_by_q.get(int(qid), {})
+        res = results[(results["query_id"] == qid) & (results["rank"] <= k)]
+        res = res.sort_values("rank")
+        r_arr = np.array([
+            (2.0 ** judged[int(d)] - 1.0) / denom if int(d) in judged else 0.0
+            for d in res["docid"]
+        ], dtype=np.float64)
+        ranks = res["rank"].to_numpy(np.float64)
+        cum = np.cumsum(np.log(1.0 - r_arr))
+        prod_before = np.exp(np.concatenate([[0.0], cum[:-1]])) \
+            if len(r_arr) else np.empty(0)
+        err = float(np.sum(r_arr / ranks * prod_before)) if len(r_arr) else 0.0
+        rows.append((int(qid), float(np.floor(err * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame(rows, columns=["query_id", "err_at_k"]).astype(
+        {"query_id": np.int64}
+    )

@@ -252,6 +252,18 @@ def search(
         # bool.filter on the indexed field (per-query ALLOW terms) rides the
         # candidate-mask path shared by exhaustive/bmw/constant only
         raise ValueError(f"filter_text is not supported in {mode} mode")
+    if isinstance(queries, pd.DataFrame) and "allow_docids" in queries.columns:
+        # explicit per-query docid allow-lists ride the same candidate-mask
+        # path (search_terminate_after's second pass)
+        if mode not in ("exhaustive", "bmw", "constant"):
+            raise ValueError(f"allow_docids is not supported in {mode} mode")
+        if "filter_text" in queries.columns:
+            raise ValueError("pass either filter_text or allow_docids, not both")
+        if allow_docids is not None:
+            raise ValueError(
+                "pass either the global allow_docids kwarg or the per-query "
+                "allow_docids column, not both"
+            )
     if (mode != "exhaustive" and isinstance(queries, pd.DataFrame)
             and "negative_text" in queries.columns):
         # Lucene BoostingQuery: demotion breaks block-max bounds, so the
@@ -1181,6 +1193,71 @@ def search_constant_score(
     if len(res):
         res["score"] = res["score"].to_numpy(np.float64) * float(boost)
     return res.reset_index(drop=True)
+
+
+def search_terminate_after(
+    index_dir: str,
+    queries,
+    terminate_after: int,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``terminate_after``: per query, hit COLLECTION stops after
+    ``terminate_after`` matching docs; collected docs score normally and the
+    response flags ``terminated_early``. This engine's single logical shard
+    collects in docid order, so the collected set is exactly the
+    ``terminate_after`` SMALLEST matching docids — deterministic where
+    OpenSearch's per-shard cut is arrival-order-dependent.
+
+    Two k-bounded distributed passes plus one counts-only reduce:
+    (1) constant mode with k=terminate_after — the constant scorer's
+    (score desc == const, docid asc) top-k IS the first-collected set;
+    (2) the same text re-scored under the per-query ``allow_docids``
+    candidate mask (filter-context: scores unchanged); (3)
+    ``terminated_early`` from :func:`aggs.match_count`'s distributed
+    per-block count reduce — one int per query, docids never land on the
+    driver beyond the queries x terminate_after collected sets. Returns
+    (query_id, rank, docid, score, terminated_early), scores 6-rounded and
+    re-ranked (score desc, docid asc)."""
+    from remote_vector_index_builder_ray.pipelines.aggs import match_count
+
+    if int(terminate_after) < 1:
+        raise ValueError("terminate_after must be >= 1")
+    q = queries.copy() if isinstance(queries, pd.DataFrame) else pd.read_parquet(queries)
+    first = search(
+        index_dir, q.assign(k=np.int32(terminate_after)), mode="constant",
+        where=where,
+    ).to_pandas()
+    allow_by_qid: dict[int, list[int]] = {
+        int(qid): g["docid"].tolist() for qid, g in first.groupby("query_id")
+    } if len(first) else {}
+    # pass 2 skips `where`: the allow set is already the where-filtered
+    # first-T cut, and re-pushing the predicate would re-scan docmeta.
+    # 2x k-oversample so the 6-rounded re-rank can't lose a boundary doc.
+    q2 = q.assign(allow_docids=[
+        allow_by_qid.get(int(qid), []) for qid in q["query_id"]
+    ])
+    if "k" in q2.columns:
+        q2 = q2.assign(k=(q2["k"].astype(np.int64) * 2)
+                       .clip(upper=2**31 - 1).astype(np.int32))
+    res = search(index_dir, q2, mode="exhaustive").to_pandas()
+    counts = match_count(index_dir, q, where=where)
+    term_by_qid = dict(zip(
+        counts["query_id"],
+        counts["total_hits"].to_numpy(np.int64) > int(terminate_after),
+    ))
+    cols = {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+            "score": np.float64, "terminated_early": bool}
+    if res.empty or "docid" not in res.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    res["score"] = np.floor(res["score"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+    res = res.sort_values(["query_id", "score", "docid"],
+                          ascending=[True, False, True])
+    res["rank"] = (res.groupby("query_id").cumcount() + 1).astype(np.int32)
+    k_by_qid = dict(zip(q["query_id"], q["k"])) if "k" in q.columns else {}
+    res["k"] = res["query_id"].map(k_by_qid).fillna(10).astype(np.int64)
+    res = res[res["rank"] <= res["k"]]
+    res["terminated_early"] = res["query_id"].map(term_by_qid).fillna(False)
+    return (res[list(cols)].astype(cols).reset_index(drop=True))
 
 
 def search_terms_lookup(

@@ -2202,6 +2202,8 @@ class BM25Searcher:
         # a per-query ALLOW set — OpenSearch filter-context semantics
         # (candidates outside the set drop, scores unchanged). A filter
         # whose terms are all absent from the index matches nothing.
+        if "filter_text" in cols and "allow_docids" in cols:
+            raise ValueError("pass either filter_text or allow_docids, not both")
         if "filter_text" in cols:
             if self.mode not in ("exhaustive", "bmw", "constant"):
                 raise ValueError(
@@ -2218,6 +2220,21 @@ class BM25Searcher:
             # polarity (deny vs allow) is decided at the application site
             allows = [
                 self._deny_set(lst) if lst else None for lst in filt_lists
+            ]
+        elif "allow_docids" in cols:
+            # EXPLICIT per-query docid allow-list (optional list<int64>
+            # column) — same filter-context application as filter_text
+            # (candidates outside the set drop, scores unchanged). An EMPTY
+            # list matches nothing; a null entry leaves that query
+            # unrestricted. Used by search_terminate_after's second pass.
+            if self.mode not in ("exhaustive", "bmw", "constant"):
+                raise ValueError(
+                    f"allow_docids is not supported in {self.mode} mode"
+                )
+            allows = [
+                None if lst is None
+                else np.sort(np.asarray(lst, dtype=np.int64))
+                for lst in batch["allow_docids"].to_pylist()
             ]
         else:
             allows = [None] * len(qids)

@@ -189,3 +189,69 @@ def test_l2_fuse_hand_computed():
     assert (out2["score"] == 0.0).all()
     with pytest.raises(ValueError, match="technique"):
         minmax_fuse([leg_a], weights=(1.0,), technique="zscore")
+
+
+def test_terminate_after_matches_brute_force(smoke_index, smoke_oracle, smoke_fixture):
+    """terminate_after: collected set == the T smallest matching docids,
+    collected docs keep their normal BM25 scores (filter context), and
+    terminated_early == (total matches > T)."""
+    from remote_vector_index_builder_ray import search_terminate_after
+
+    T = 7
+    q = pd.read_parquet(smoke_fixture["queries"]).head(6)
+    got = search_terminate_after(smoke_index["index_dir"], q, terminate_after=T)
+    k_by_qid = dict(zip(q["query_id"], q["k"]))
+    for row in q.itertuples(index=False):
+        scores = smoke_oracle.score_query(row.text)
+        sub = got[got["query_id"] == row.query_id]
+        if not scores:
+            assert sub.empty
+            continue
+        first = sorted(scores)[:T]
+        want = pd.DataFrame({"docid": first,
+                             "score": [scores[d] for d in first]})
+        want["score"] = np.floor(want["score"].to_numpy() * 1e6 + 0.5) / 1e6
+        want = want.sort_values(["score", "docid"], ascending=[False, True])
+        want = want.head(int(k_by_qid[row.query_id]))
+        assert sub["docid"].tolist() == want["docid"].tolist()
+        np.testing.assert_allclose(sub["score"], want["score"], rtol=1e-12)
+        assert (sub["terminated_early"] == (len(scores) > T)).all()
+
+
+def test_allow_docids_column_validation(smoke_index, smoke_fixture):
+    """The per-query allow_docids column is rejected outside the
+    candidate-mask modes and alongside filter_text / the global kwarg."""
+    from remote_vector_index_builder_ray import search
+
+    q = pd.read_parquet(smoke_fixture["queries"]).head(2)
+    q2 = q.assign(allow_docids=[[0, 1], [2]])
+    with pytest.raises(ValueError, match="allow_docids"):
+        search(smoke_index["index_dir"], q2, mode="wand")
+    with pytest.raises(ValueError, match="not both"):
+        search(smoke_index["index_dir"], q2.assign(filter_text=["a", "b"]),
+               mode="exhaustive")
+    with pytest.raises(ValueError, match="not both"):
+        search(smoke_index["index_dir"], q2, mode="exhaustive",
+               allow_docids=[0, 1, 2])
+
+
+def test_expected_reciprocal_rank_hand_computed():
+    """ERR@k on a worked example: max rating 2, R = (2^g - 1)/4."""
+    from remote_vector_index_builder_ray import expected_reciprocal_rank
+
+    results = pd.DataFrame({
+        "query_id": np.array([1, 1, 1], dtype=np.int64),
+        "rank": np.array([1, 2, 3], dtype=np.int32),
+        "docid": np.array([10, 11, 12], dtype=np.int64),
+    })
+    ratings = pd.DataFrame({
+        "query_id": np.array([1, 1, 2], dtype=np.int64),
+        "docid": np.array([11, 12, 99], dtype=np.int64),
+        "rating": np.array([2, 1, 2], dtype=np.int64),
+    })
+    out = expected_reciprocal_rank(results, ratings, k=10)
+    # rank1 unjudged R=0; rank2 R=3/4; rank3 R=1/4
+    want_q1 = 0.0 + (1 / 2) * 0.75 + (1 / 3) * 0.25 * (1 - 0.75)
+    got = dict(zip(out["query_id"], out["err_at_k"]))
+    assert got[1] == pytest.approx(np.floor(want_q1 * 1e6 + 0.5) / 1e6)
+    assert got[2] == 0.0  # judged but never retrieved
