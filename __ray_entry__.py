@@ -2225,6 +2225,33 @@ def _q_bm25_sig_chi2(sf_dir: str):
         heuristic="chi_square").reset_index(drop=True)
 
 
+def _q_bm25_sig_mi(sf_dir: str):
+    """significant_terms with the mutual_information heuristic (OpenSearch
+    MutualInformation, include_negatives=true, background_is_superset=true):
+    log2-MI of the 2x2 (term presence x match-set membership) contingency
+    table, Σ (Nxy/N)·ln(Nxy·N/(Nx_·N_y)) / ln 2
+    (pipelines/aggs.significant_terms_agg(heuristic='mutual_information'))."""
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return significant_terms_agg(
+        index_dir, pd.read_parquet(fx["queries"]), size=10,
+        heuristic="mutual_information").reset_index(drop=True)
+
+
+def _q_bm25_sig_gnd(sf_dir: str):
+    """significant_terms with the gnd heuristic (OpenSearch
+    GoogleNormalizedDistance): distance = (max(ln bg, ln |matches|) -
+    ln fg) / (ln N - min(ln bg, ln |matches|)), scored exp(-distance)
+    (pipelines/aggs.significant_terms_agg(heuristic='gnd'))."""
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return significant_terms_agg(
+        index_dir, pd.read_parquet(fx["queries"]), size=10,
+        heuristic="gnd").reset_index(drop=True)
+
+
 def _q_bm25_dfs_federated(sf_dir: str):
     """dfs_query_then_fetch federation: the two half-corpus indexes score
     with BLENDED global stats (N, total_len, per-term df summed across legs)
@@ -4199,6 +4226,18 @@ def _q_ib_topk(sf_dir: str):
                          similarity="ib_ll")
 
 
+def _q_dfi_topk(sf_dir: str):
+    """DFI similarity top-k (the OpenSearch `similarity: DFI` setting —
+    Lucene DFISimilarity with the standardized independence measure):
+    expected tf under independence is (cf+1)*dl/(total_len+1); a term at or
+    below expectation contributes 0, above it
+    log2(1 + (tf-expected)/sqrt(expected)) (functions/bm25.sim_contrib
+    'dfi', exhaustive scorer)."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="dfi")
+
+
 def _q_bool_sim_topk(sf_dir: str):
     """Lucene BooleanSimilarity top-k (the OpenSearch index-level
     `similarity: boolean` setting): each matched term contributes exactly
@@ -4396,6 +4435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_sim_topk": _q_bool_sim_topk,
         "dfr_topk": _q_dfr_topk,
         "ib_topk": _q_ib_topk,
+        "dfi_topk": _q_dfi_topk,
         "bm25_has_parent": _q_bm25_has_parent,
         "tfidf_topk": _q_tfidf_topk,
         "lmd_topk": _q_lmd_topk,
@@ -4416,6 +4456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_min_score": _q_bm25_min_score,
         "bm25_rebucketed": _q_bm25_rebucketed,
         "bm25_sig_chi2": _q_bm25_sig_chi2,
+        "bm25_sig_mi": _q_bm25_sig_mi,
+        "bm25_sig_gnd": _q_bm25_sig_gnd,
         "chunk_docs": _q_chunk_docs,
         "conv_stats": _q_conv_stats,
         "source_mix_weights": _q_source_mix,
@@ -7609,6 +7651,15 @@ FROM agg ORDER BY doc_id
         "ln(1 + (tf.tf * log2(1 + (s.total_len / s.n_docs) / dl.dl))"
         " / ((df.df + 1.0) / (s.n_docs + 1.0)))"
     )
+    # DFI (standardized independence): expected = (cf+1)*dl/(total_len+1);
+    # contribution 0 at-or-below expectation, else
+    # log2(1 + (tf-expected)/sqrt(expected))
+    out["dfi_topk"] = _sim_sql(
+        "CASE WHEN tf.tf <= ((df.cf + 1.0) * dl.dl / (s.total_len + 1.0))"
+        " THEN 0.0"
+        " ELSE log2(1 + (tf.tf - ((df.cf + 1.0) * dl.dl / (s.total_len + 1.0)))"
+        " / sqrt((df.cf + 1.0) * dl.dl / (s.total_len + 1.0))) END"
+    )
     # has_child / has_parent: the conversation hierarchy IS the join field —
     # scores group by conv_id (child query) or flow parent -> children
     out["bm25_has_child"] = f"""
@@ -9160,6 +9211,93 @@ scored AS (
            floor(((fg.fg / fgt.f) - (bg.bg / nn.n))
                  * ((fg.fg / fgt.f) - (bg.bg / nn.n))
                  / (bg.bg / nn.n) * 1000000 + 0.5) / 1000000 AS score
+    FROM fg JOIN bg USING (term) JOIN fgt USING (query_id) CROSS JOIN nn
+),
+ranked AS (
+    SELECT query_id, term, fg, bg, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, term) AS r
+    FROM scored
+)
+SELECT query_id, term, fg AS fg_docs, bg AS bg_docs, score
+FROM ranked WHERE r <= 10
+ORDER BY query_id, r
+"""
+    # mutual_information: log2-MI of the 2x2 contingency table — cells with
+    # Nxy = 0 contribute 0; the engine computes (Nxy/N)*ln(Nxy*N/(Nx_*N_y))
+    # per cell, sums the four cells left-to-right, divides by ln 2 (same op
+    # order here so float64 results are bit-equal before the round)
+    out["bm25_sig_mi"] = f"""
+WITH {docs}, {_TOKS},
+tset AS MATERIALIZED (SELECT DISTINCT docid, term FROM toks),
+bg AS MATERIALIZED (SELECT term, count(*)::BIGINT AS bg FROM tset GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+fgt AS (SELECT query_id, count(*)::DOUBLE AS f FROM m GROUP BY query_id),
+fg AS (
+    SELECT m.query_id, ts.term, count(*)::BIGINT AS fg
+    FROM m JOIN tset ts USING (docid) GROUP BY 1, 2
+),
+cells AS (
+    SELECT fg.query_id, fg.term, fg.fg, bg.bg, nn.n,
+           fg.fg::DOUBLE AS n11,
+           bg.bg::DOUBLE - fg.fg AS n01,
+           fgt.f - fg.fg AS n10,
+           nn.n - bg.bg - (fgt.f - fg.fg) AS n00,
+           fgt.f AS n1x, nn.n - fgt.f AS n0x,
+           bg.bg::DOUBLE AS nx1, nn.n - bg.bg AS nx0
+    FROM fg JOIN bg USING (term) JOIN fgt USING (query_id) CROSS JOIN nn
+),
+scored AS (
+    SELECT query_id, term, fg, bg,
+           floor((
+             (CASE WHEN n00 > 0 THEN (n00 / n) * ln((n00 * n) / (n0x * nx0)) ELSE 0.0 END)
+           + (CASE WHEN n01 > 0 THEN (n01 / n) * ln((n01 * n) / (n0x * nx1)) ELSE 0.0 END)
+           + (CASE WHEN n10 > 0 THEN (n10 / n) * ln((n10 * n) / (n1x * nx0)) ELSE 0.0 END)
+           + (CASE WHEN n11 > 0 THEN (n11 / n) * ln((n11 * n) / (n1x * nx1)) ELSE 0.0 END)
+           ) / ln(2.0) * 1000000 + 0.5) / 1000000 AS score
+    FROM cells
+),
+ranked AS (
+    SELECT query_id, term, fg, bg, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, term) AS r
+    FROM scored
+)
+SELECT query_id, term, fg AS fg_docs, bg AS bg_docs, score
+FROM ranked WHERE r <= 10
+ORDER BY query_id, r
+"""
+    # gnd: exp(-GoogleNormalizedDistance(fx=bg, fy=|matches|, fxy=fg, N));
+    # zero denominator (fx == N or fy == N) scores 0
+    out["bm25_sig_gnd"] = f"""
+WITH {docs}, {_TOKS},
+tset AS MATERIALIZED (SELECT DISTINCT docid, term FROM toks),
+bg AS MATERIALIZED (SELECT term, count(*)::BIGINT AS bg FROM tset GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+fgt AS (SELECT query_id, count(*)::DOUBLE AS f FROM m GROUP BY query_id),
+fg AS (
+    SELECT m.query_id, ts.term, count(*)::BIGINT AS fg
+    FROM m JOIN tset ts USING (docid) GROUP BY 1, 2
+),
+scored AS (
+    SELECT fg.query_id, fg.term, fg.fg, bg.bg,
+           floor((CASE WHEN ln(nn.n) - least(ln(bg.bg::DOUBLE), ln(fgt.f)) = 0
+                       THEN 0.0
+                       ELSE exp(-((greatest(ln(bg.bg::DOUBLE), ln(fgt.f)) - ln(fg.fg::DOUBLE))
+                                  / (ln(nn.n) - least(ln(bg.bg::DOUBLE), ln(fgt.f)))))
+                  END) * 1000000 + 0.5) / 1000000 AS score
     FROM fg JOIN bg USING (term) JOIN fgt USING (query_id) CROSS JOIN nn
 ),
 ranked AS (

@@ -44,7 +44,7 @@ LM_MU = 2000.0  # LMDirichletSimilarity default mu
 LM_LAMBDA = 0.1  # LMJelinekMercerSimilarity recommended lambda (short queries)
 
 SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer",
-                "rawtf", "boolean", "dfr_inl2", "ib_ll")
+                "rawtf", "boolean", "dfr_inl2", "ib_ll", "dfi")
 
 
 def sim_contrib(
@@ -99,6 +99,17 @@ def sim_contrib(
         tfn = tfs * np.log2(1.0 + avgdl / np.maximum(dls, 1.0))
         lam = (df + 1.0) / (N + 1.0)
         return np.log1p(tfn / lam)
+    if similarity == "dfi":
+        # Lucene DFISimilarity(IndependenceStandardized) — the OpenSearch
+        # `similarity: DFI` setting: expected tf under term/doc independence
+        # is (cf+1) * dl / (total_len+1); a term at or below its expectation
+        # contributes 0, above it log2(1 + (tf - expected)/sqrt(expected))
+        # (the standardized independence measure). Lucene's docLen is the
+        # norm-decoded length; ours is exact.
+        expected = (cf + 1.0) * dls / (total_len + 1.0)
+        excess = np.maximum(tfs - expected, 0.0)
+        v = np.log2(1.0 + excess / np.sqrt(expected))
+        return np.where(tfs <= expected, 0.0, v)
     p = cf / float(total_len)
     if similarity == "lm_dirichlet":
         v = np.log1p(tfs / (LM_MU * p)) + math.log(LM_MU) - np.log(dls + LM_MU)

@@ -1704,6 +1704,54 @@ def _sig_probe_reduce(
         # OpenSearch chi_square (include_negatives=false semantics kept by
         # the same top-size cut): (fg_rate - bg_rate)^2 / bg_rate
         score = (fg_rate - bg_rate) * (fg_rate - bg_rate) / bg_rate
+    elif heuristic == "mutual_information":
+        # OpenSearch mutual_information heuristic (MutualInformation.java,
+        # include_negatives=true, background_is_superset=true): the MI of
+        # the 2x2 contingency table (term presence x subset membership),
+        # Σ (Nxy/N)·ln(Nxy·N/(Nx_·N_y)) over the four cells, divided by
+        # ln 2 (log2 MI). Cells with Nxy == 0 contribute 0. MI >= 0 always
+        # (it is a KL divergence), so the (score desc, term asc) cut needs
+        # no negative-score special case.
+        import math as _math
+
+        f = fg["fg"].to_numpy(np.float64)
+        sub = fg_total.to_numpy(np.float64)
+        n11 = f
+        n01 = bg - f
+        n10 = sub - f
+        n00 = N - bg - (sub - f)
+        n1_ = sub
+        n0_ = N - sub
+        n_1 = bg
+        n_0 = N - bg
+
+        def _mi_term(nxy, nx_, n_y):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = (nxy / N) * np.log((nxy * N) / (nx_ * n_y))
+            return np.where(nxy <= 0, 0.0, v)
+
+        score = (
+            _mi_term(n00, n0_, n_0)
+            + _mi_term(n01, n0_, n_1)
+            + _mi_term(n10, n1_, n_0)
+            + _mi_term(n11, n1_, n_1)
+        ) / _math.log(2.0)
+    elif heuristic == "gnd":
+        # OpenSearch gnd heuristic (GoogleNormalizedDistance.java): the
+        # Google normalized distance of (term, subset) with fx = bg docs,
+        # fy = subset size, fxy = fg docs over N background docs —
+        # distance = (max(ln fx, ln fy) - ln fxy) / (ln N - min(ln fx,
+        # ln fy)); score = exp(-distance) so distance 0 → 1 and larger
+        # distances → 0. A zero denominator (fx == N or fy == N) scores 0.
+        import math as _math
+
+        f = fg["fg"].to_numpy(np.float64)
+        sub = fg_total.to_numpy(np.float64)
+        num = np.maximum(np.log(bg), np.log(sub)) - np.log(f)
+        den = _math.log(N) - np.minimum(np.log(bg), np.log(sub))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.exp(-(num / den))
+        score = np.where(den == 0.0, 0.0, v)
     else:
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     out = pd.DataFrame(

@@ -896,3 +896,93 @@ def test_sig_terms_chi_square(smoke_fixture, smoke_index):
     ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
               "score": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_sig_terms_mutual_information(smoke_fixture, smoke_index):
+    """mutual_information heuristic: log2-MI of the 2x2 contingency table
+    (include_negatives=true, background_is_superset=true), brute-forced."""
+    import math
+    from collections import Counter
+
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    df = _src(smoke_fixture)
+    N = float(len(df))
+    got = significant_terms_agg(smoke_index["index_dir"], QUERIES, size=5,
+                                heuristic="mutual_information")
+    bg = Counter()
+    for toks in df["toks"]:
+        bg.update(toks)
+
+    def mi_term(nxy, nx_, n_y):
+        if nxy <= 0:
+            return 0.0
+        return (nxy / N) * math.log((nxy * N) / (nx_ * n_y))
+
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        fg = Counter()
+        for toks in m["toks"]:
+            fg.update(toks)
+        sub = float(len(m))
+        recs = []
+        for t, c in fg.items():
+            b = float(bg[t])
+            n11, n01, n10 = float(c), b - c, sub - c
+            n00 = N - b - (sub - c)
+            s = (mi_term(n00, N - sub, N - b) + mi_term(n01, N - sub, b)
+                 + mi_term(n10, sub, N - b) + mi_term(n11, sub, b)) / math.log(2.0)
+            recs.append((t, c, bg[t], float(np.floor(s * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[3], r[0]))
+        for t, c, b_, s in recs[:5]:
+            rows.append((int(q.query_id), t, int(c), int(b_), s))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "term", "fg_docs", "bg_docs", "score"]
+    ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
+              "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_sig_terms_gnd(smoke_fixture, smoke_index):
+    """gnd heuristic: exp(-GoogleNormalizedDistance), brute-forced."""
+    import math
+    from collections import Counter
+
+    from remote_vector_index_builder_ray import significant_terms_agg
+
+    df = _src(smoke_fixture)
+    N = float(len(df))
+    got = significant_terms_agg(smoke_index["index_dir"], QUERIES, size=5,
+                                heuristic="gnd")
+    bg = Counter()
+    for toks in df["toks"]:
+        bg.update(toks)
+    rows = []
+    for q in QUERIES.itertuples(index=False):
+        m = _match(df, q.text)
+        if len(m) == 0:
+            continue
+        fg = Counter()
+        for toks in m["toks"]:
+            fg.update(toks)
+        sub = float(len(m))
+        recs = []
+        for t, c in fg.items():
+            b = float(bg[t])
+            den = math.log(N) - min(math.log(b), math.log(sub))
+            if den == 0.0:
+                s = 0.0
+            else:
+                s = math.exp(-((max(math.log(b), math.log(sub)) - math.log(float(c))) / den))
+            recs.append((t, c, bg[t], float(np.floor(s * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[3], r[0]))
+        for t, c, b_, s in recs[:5]:
+            rows.append((int(q.query_id), t, int(c), int(b_), s))
+    exp = pd.DataFrame(
+        rows, columns=["query_id", "term", "fg_docs", "bg_docs", "score"]
+    ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
+              "score": np.float64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)

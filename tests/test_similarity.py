@@ -46,6 +46,10 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
                     tfn = tf * math.log2(1.0 + avgdl / dl)
                     lam = (len(plist) + 1.0) / (N + 1.0)
                     c = math.log1p(tfn / lam)
+                elif similarity == "dfi":
+                    expected = (cf[term] + 1.0) * dl / (total_len + 1.0)
+                    c = (0.0 if tf <= expected
+                         else math.log2(1.0 + (tf - expected) / math.sqrt(expected)))
                 elif similarity == "classic":
                     w = 1.0 + math.log(N / (len(plist) + 1.0))
                     c = (w * w) * math.sqrt(tf) / math.sqrt(dl)
@@ -69,7 +73,7 @@ def _brute_topk(src: pd.DataFrame, queries: pd.DataFrame, similarity: str):
 
 @pytest.mark.parametrize("similarity", ["classic", "lm_dirichlet",
                                         "lm_jelinek_mercer", "boolean",
-                                        "dfr_inl2", "ib_ll"])
+                                        "dfr_inl2", "ib_ll", "dfi"])
 def test_similarity_rank_identity(smoke_index, smoke_fixture, similarity):
     import pyarrow.parquet as pq
 
