@@ -4238,6 +4238,23 @@ def _q_dfi_topk(sf_dir: str):
                          similarity="dfi")
 
 
+_SIM_SCRIPT = ("sqrt(tf) * (log((N + 1.0) / (df + 1.0)) + 1.0)"
+               " * (1.0 / sqrt(dl))")
+
+
+def _q_scripted_sim_topk(sf_dir: str):
+    """Scripted similarity top-k (OpenSearch `similarity: {type: scripted}`
+    — Lucene ScriptedSimilarity): the per-(term, doc) contribution is a
+    sandboxed painless-analog expression over (tf, dl, df, cf, N,
+    total_len), here the docs' scripted-TFIDF example
+    sqrt(tf)·(ln((N+1)/(df+1))+1)·(1/sqrt(dl)) — compiled once per actor
+    (functions/bm25.compile_sim_script), exhaustive scorer; the SQL twin
+    transcribes the expression verbatim."""
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(index_dir, fx["queries"], mode="exhaustive",
+                         similarity="scripted:" + _SIM_SCRIPT)
+
+
 def _q_bool_sim_topk(sf_dir: str):
     """Lucene BooleanSimilarity top-k (the OpenSearch index-level
     `similarity: boolean` setting): each matched term contributes exactly
@@ -4436,6 +4453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfr_topk": _q_dfr_topk,
         "ib_topk": _q_ib_topk,
         "dfi_topk": _q_dfi_topk,
+        "scripted_sim_topk": _q_scripted_sim_topk,
         "bm25_has_parent": _q_bm25_has_parent,
         "tfidf_topk": _q_tfidf_topk,
         "lmd_topk": _q_lmd_topk,
@@ -7659,6 +7677,12 @@ FROM agg ORDER BY doc_id
         " THEN 0.0"
         " ELSE log2(1 + (tf.tf - ((df.cf + 1.0) * dl.dl / (s.total_len + 1.0)))"
         " / sqrt((df.cf + 1.0) * dl.dl / (s.total_len + 1.0))) END"
+    )
+    # scripted similarity: the painless-analog expression transcribed
+    # verbatim (same op order → bit-equal float64 before the round)
+    out["scripted_sim_topk"] = _sim_sql(
+        "sqrt(tf.tf) * (ln((s.n_docs + 1.0) / (df.df + 1.0)) + 1.0)"
+        " * (1.0 / sqrt(dl.dl))"
     )
     # has_child / has_parent: the conversation hierarchy IS the join field —
     # scores group by conv_id (child query) or flow parent -> children

@@ -121,6 +121,65 @@ def sim_contrib(
     raise ValueError(f"unknown similarity {similarity!r}")
 
 
+def compile_sim_script(expr: str):
+    """Compile a scripted-similarity expression (OpenSearch
+    ``similarity: {type: scripted}`` — Lucene ScriptedSimilarity): a
+    restricted painless analog over the per-(term, doc) statistics the
+    Lucene script sees — ``tf`` (doc.freq), ``dl`` (doc.length), ``df``
+    (term.docFreq), ``cf`` (term.totalTermFreq), ``N`` (field.docCount),
+    ``total_len`` (field.sumTotalTermFreq) — with ``+ - * /`` arithmetic
+    and ``sqrt``/``log``/``log2``/``min``/``max`` calls. Validated via the
+    Python AST (no other names, calls or attributes), so the expression is
+    SQL-transcribable verbatim and never evaluates user strings at batch
+    time. Returns fn(tfs, dls, df, cf, N, total_len) -> float64 ndarray.
+
+    Like Lucene, the script must be non-negative and term-additive; WAND/BMW
+    block maxes are BM25 bounds, so scripted similarities run exhaustive
+    mode only (enforced by the searcher)."""
+    import ast
+    import operator as op
+
+    ops = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
+           ast.Div: op.truediv}
+    fns = {"sqrt": np.sqrt, "log": np.log, "log2": np.log2,
+           "min": np.minimum, "max": np.maximum}
+    tree = ast.parse(expr, mode="eval")
+
+    def ev(node, env):
+        if isinstance(node, ast.Expression):
+            return ev(node.body, env)
+        if isinstance(node, ast.BinOp) and type(node.op) in ops:
+            return ops[type(node.op)](ev(node.left, env), ev(node.right, env))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -ev(node.operand, env)
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in fns and not node.keywords):
+            return fns[node.func.id](*(ev(a, env) for a in node.args))
+        if isinstance(node, ast.Name) and node.id in env:
+            return env[node.id]
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return np.float64(node.value)
+        raise ValueError(f"scripted similarity: unsupported expression node "
+                         f"{ast.dump(node)} in {expr!r}")
+
+    one = np.float64(1.0)
+    ev(tree, {"tf": one, "dl": one, "df": one, "cf": one,
+              "N": one, "total_len": one})  # validate eagerly
+
+    def fn(tfs, dls, df, cf, N, total_len):
+        return np.asarray(
+            ev(tree, {
+                "tf": tfs.astype(np.float64, copy=False),
+                "dl": dls.astype(np.float64, copy=False),
+                "df": np.float64(df), "cf": np.float64(cf),
+                "N": np.float64(N), "total_len": np.float64(total_len),
+            }),
+            dtype=np.float64,
+        )
+
+    return fn
+
+
 def topk_order(scores: np.ndarray, docids: np.ndarray, k: int):
     """Indices of the top-k by (score desc, docid asc).
 

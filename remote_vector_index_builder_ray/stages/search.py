@@ -446,10 +446,23 @@ class BM25Searcher:
         # setting): swaps the per-(term, doc) contribution formula
         # (functions/bm25.sim_contrib). Exhaustive mode only — stored block
         # maxes are BM25 upper bounds and don't bound other similarities.
-        from remote_vector_index_builder_ray.functions.bm25 import SIMILARITIES
+        from remote_vector_index_builder_ray.functions.bm25 import (
+            SIMILARITIES,
+            compile_sim_script,
+        )
 
-        if similarity not in SIMILARITIES:
-            raise ValueError(f"similarity must be one of {SIMILARITIES}")
+        if similarity.startswith("scripted:"):
+            # OpenSearch `similarity: {type: scripted}` (Lucene
+            # ScriptedSimilarity): the expression after the prefix is the
+            # per-(term, doc) contribution script — compiled ONCE per actor
+            # here (eager validation), evaluated vectorized per term
+            self._sim_fn = compile_sim_script(similarity[len("scripted:"):])
+        elif similarity not in SIMILARITIES:
+            raise ValueError(
+                f"similarity must be one of {SIMILARITIES} or 'scripted:<expr>'"
+            )
+        else:
+            self._sim_fn = None
         if similarity != "bm25" and mode != "exhaustive":
             raise ValueError("non-BM25 similarities require mode='exhaustive'")
         self.similarity = similarity
@@ -1778,8 +1791,12 @@ class BM25Searcher:
                 from remote_vector_index_builder_ray.functions.bm25 import sim_contrib
 
                 docids, tfs, dls = tp.decode_all()
-                contrib = sim_contrib(self.similarity, tfs, dls, tp.df, tp.cf,
-                                      self.N, self.total_len)
+                if self._sim_fn is not None:
+                    contrib = self._sim_fn(tfs, dls, tp.df, tp.cf,
+                                           self.N, self.total_len)
+                else:
+                    contrib = sim_contrib(self.similarity, tfs, dls, tp.df,
+                                          tp.cf, self.N, self.total_len)
                 if weights is not None:
                     contrib = contrib * float(weights.get(t, 1.0))
                 doc_parts.append(docids)

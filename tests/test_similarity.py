@@ -106,3 +106,34 @@ def test_similarity_rejected_outside_exhaustive(smoke_index, smoke_fixture):
     q = pd.read_parquet(smoke_fixture["queries"]).head(1)
     with pytest.raises(ValueError, match="similarit"):
         search(smoke_index["index_dir"], q, mode="bmw", similarity="classic")
+
+
+def test_scripted_similarity_matches_classic(smoke_index, smoke_fixture):
+    """A scripted similarity whose expression IS the classic TF-IDF formula
+    reproduces similarity='classic' bit-equal (same float64 op order), and
+    invalid scripts fail eagerly at actor construction."""
+    import pandas as pd
+    import pytest
+
+    from remote_vector_index_builder_ray import search
+
+    queries = pd.read_parquet(smoke_fixture["queries"]).head(8)
+    script = ("scripted:(1.0 + log(N / (df + 1.0)))"
+              " * (1.0 + log(N / (df + 1.0)))"
+              " * sqrt(tf) / sqrt(max(dl, 1.0))")
+    got = (search(smoke_index["index_dir"], queries, mode="exhaustive",
+                  similarity=script)
+           .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    want = (search(smoke_index["index_dir"], queries, mode="exhaustive",
+                   similarity="classic")
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    from remote_vector_index_builder_ray.functions.bm25 import compile_sim_script
+
+    with pytest.raises(ValueError):
+        compile_sim_script("__import__('os')")  # no calls outside whitelist
+    with pytest.raises(ValueError):
+        compile_sim_script("tf ** 2")  # unsupported operator
+    with pytest.raises(ValueError):
+        compile_sim_script("boost * tf")  # unknown name
