@@ -222,6 +222,50 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
         def do_GET(self) -> None:
             if self.path == "/_heart_beat":
                 self._send(200, service.heart_beat())
+            elif self.path.startswith("/_cat/indices"):
+                # OpenSearch _cat/indices (JSON format): one row per index
+                # dir from the ?index_dir= query params — docs.count from
+                # the committed stats record + uncompacted generations
+                # (manifest reads only; never a data scan)
+                from urllib.parse import parse_qs, urlparse
+
+                try:
+                    qs = parse_qs(urlparse(self.path).query)
+                    dirs = qs.get("index_dir", [])
+                    if not dirs:
+                        raise ValueError("at least one index_dir query "
+                                         "parameter is required")
+                    rows = []
+                    from remote_vector_index_builder_ray.state import fs as _fs
+                    from remote_vector_index_builder_ray.state.manifest import (
+                        load_base_stats,
+                    )
+
+                    for d in dirs:
+                        st = load_base_stats(d)
+                        man = _fs.read_json(_fs.join(d, "manifest.json"))
+                        n = int(st["N"])
+                        gens = man.get("generations", [])
+                        for g in gens:
+                            if not g.get("compacted"):
+                                n += int(g["n_docs"])
+                        tomb = man.get("tombstones", [])
+                        rows.append({
+                            "index": d,
+                            "status": "open",
+                            "docs.count": n,
+                            "docs.deleted": sum(
+                                int(t.get("n", 0)) for t in tomb),
+                            "segments.count": 1 + len(gens),
+                        })
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, rows)
             elif self.path == "/_jobs":
                 self._send(200, [_job_payload(j) for j in service.jobs()])
             elif self.path.startswith("/_status/"):
@@ -416,6 +460,133 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     return
                 out.pop("manifest", None)  # wire payload: counts only
                 self._send(200, out)
+                return
+            if self.path == "/_analyze":
+                # OpenSearch _analyze: run the INDEX's analyzer (stats.json
+                # — the same one that built the postings) over a text and
+                # return the token stream with positions; no search runs
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "text") if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "text"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    from remote_vector_index_builder_ray.functions.tokenizer import (
+                        analyze_text_positions,
+                        load_analyzer,
+                    )
+
+                    an = load_analyzer(str(body["index_dir"]))
+                    toks, pos = analyze_text_positions(
+                        str(body["text"] or ""), an)
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError,
+                        json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, {"tokens": [
+                    {"token": t, "position": int(p)}
+                    for t, p in zip(toks, pos)
+                ]})
+                return
+            if self.path == "/_count":
+                # OpenSearch _count: the exact match count of ONE query via
+                # the distributed match-set shard counts (aggs.match_count)
+                # — counts only ever cross the wire
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "text") if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "text", "where"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    where = body.get("where")
+                    if where is not None:
+                        where = [tuple(t) for t in where]
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                try:
+                    import pandas as pd
+
+                    from remote_vector_index_builder_ray.pipelines.aggs import (
+                        match_count,
+                    )
+
+                    q = pd.DataFrame({"query_id": [0],
+                                      "text": [str(body["text"])]})
+                    out = match_count(str(body["index_dir"]), q, where=where)
+                    n = int(out["total_hits"].iloc[0]) if len(out) else 0
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, {"count": n})
+                return
+            if self.path == "/_validate/query":
+                # OpenSearch _validate/query: checks the request would
+                # compile WITHOUT running it — schema, known mode, span-mode
+                # column requirements, and (mode=query_string) the frozen
+                # query-string grammar. Always HTTP 200; the verdict rides
+                # the body ({valid, error}) like OpenSearch's
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "queries") if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "queries", "mode"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                mode = str(body.get("mode", "bmw"))
+                try:
+                    q = parse_search_queries(body["queries"])
+                    from remote_vector_index_builder_ray.query_service import (
+                        QueryService,
+                    )
+
+                    if mode not in QueryService._MODES and mode != "query_string":
+                        raise ValueError(
+                            f"unknown mode {mode!r}; supported: "
+                            f"{sorted(QueryService._MODES)} + ['query_string']"
+                        )
+                    if mode in ("span_containing", "span_within") and \
+                            "span_little" not in q.columns:
+                        raise ValueError(
+                            f"mode {mode!r} requires per-query span_little"
+                        )
+                    if mode == "query_string":
+                        from remote_vector_index_builder_ray.pipelines.query import (
+                            parse_simple_query_string,
+                        )
+
+                        for t in q["text"]:
+                            parse_simple_query_string(str(t or ""))
+                    # the index must exist and carry a readable stats record
+                    from remote_vector_index_builder_ray.state.manifest import (
+                        load_base_stats,
+                    )
+
+                    load_base_stats(str(body["index_dir"]))
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(200, {"valid": False, "error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, {"valid": True})
                 return
             if self.path != "/_build":
                 self._send(404, {"error": "unknown route"})

@@ -459,3 +459,73 @@ def test_field_caps_route(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/_field_caps", {"index_dir": idx, "fields": "text"})
     assert ei.value.code == 400
+
+
+def test_analyze_count_validate_cat_routes(api):
+    """The four admin/introspection routes: POST /_analyze (index analyzer
+    token stream with positions), POST /_count (distributed exact match
+    count), POST /_validate/query (compile-only — 200 with valid true/false),
+    GET /_cat/indices (manifest-only doc counts)."""
+    import urllib.parse
+
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+    from remote_vector_index_builder_ray.pipelines.aggs import match_count
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "admin_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+
+    # /_analyze: tokens + positions from the index's analyzer
+    code, out = _post(base + "/_analyze",
+                      {"index_dir": idx, "text": "The Quick model_v2 fox"})
+    assert code == 200
+    toks = [t["token"] for t in out["tokens"]]
+    assert toks == ["the", "quick", "model_v2", "fox"]
+    assert [t["position"] for t in out["tokens"]] == [0, 1, 2, 3]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_analyze", {"index_dir": idx})
+    assert ei.value.code == 400
+
+    # /_count: equals the library match_count for the same text
+    text = "the play went"
+    code, out = _post(base + "/_count", {"index_dir": idx, "text": text})
+    assert code == 200
+    want = match_count(idx, pd.DataFrame({"query_id": [0], "text": [text]}))
+    assert out["count"] == int(want["total_hits"].iloc[0]) > 0
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_count", {"index_dir": idx, "text": text, "bogus": 1})
+    assert ei.value.code == 400
+
+    # /_validate/query: valid request -> valid true; unknown mode / bad
+    # query_string grammar / span mode without span_little -> 200 + false
+    qrows = [{"query_id": 0, "text": "model training", "k": 5}]
+    code, out = _post(base + "/_validate/query",
+                      {"index_dir": idx, "queries": qrows})
+    assert code == 200 and out == {"valid": True}
+    code, out = _post(base + "/_validate/query",
+                      {"index_dir": idx, "queries": qrows, "mode": "nope"})
+    assert code == 200 and out["valid"] is False and "unknown mode" in out["error"]
+    code, out = _post(base + "/_validate/query",
+                      {"index_dir": idx, "queries": qrows,
+                       "mode": "span_containing"})
+    assert code == 200 and out["valid"] is False and "span_little" in out["error"]
+    code, out = _post(base + "/_validate/query",
+                      {"index_dir": str(idx_root / "absent"),
+                       "queries": qrows})
+    assert code == 200 and out["valid"] is False
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_validate/query", {"queries": qrows})
+    assert ei.value.code == 400
+
+    # /_cat/indices: docs.count from the manifest, no data scan
+    code, rows = _get(base + "/_cat/indices?index_dir="
+                      + urllib.parse.quote(idx, safe=""))
+    assert code == 200 and len(rows) == 1
+    assert rows[0]["index"] == idx and rows[0]["docs.count"] == 2000
+    assert rows[0]["docs.deleted"] == 0
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/_cat/indices")
+    assert ei.value.code == 400
