@@ -2146,6 +2146,33 @@ def _q_bm25_min_bucket(sf_dir: str):
             .astype({"query_id": np.int64, "n_docs": np.int64}))
 
 
+def _q_bm25_bucket_correlation(sf_dir: str):
+    """bucket_correlation pipeline aggregation (count_correlation): per
+    query, the Pearson correlation of the day histogram's doc counts
+    (key-ascending) against the 0..n-1 ramp indicator — "is match activity
+    trending across days"; <2 buckets or zero count variance omitted
+    (pipelines/aggs.bucket_correlation_date_histogram)."""
+    from remote_vector_index_builder_ray import bucket_correlation_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return bucket_correlation_date_histogram(
+        index_dir, pd.read_parquet(fx["queries"])).reset_index(drop=True)
+
+
+def _q_bm25_ks_test(sf_dir: str):
+    """bucket_count_ks_test pipeline aggregation: per query, the two-sided
+    K-S statistic of the day histogram's cumulative doc-count fraction vs
+    the uniform null fractions (OpenSearch's default); we return the
+    deterministic statistic, not OpenSearch's Monte-Carlo p-value —
+    documented divergence
+    (pipelines/aggs.bucket_count_ks_test_date_histogram)."""
+    from remote_vector_index_builder_ray import bucket_count_ks_test_date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return bucket_count_ks_test_date_histogram(
+        index_dir, pd.read_parquet(fx["queries"])).reset_index(drop=True)
+
+
 def _q_chunk_docs(sf_dir: str):
     """Sliding-window token chunking (RAG/long-context preprocessing):
     32-token windows advancing by 24 (8-token overlap), final window short
@@ -4483,6 +4510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_alias": _q_bm25_alias,
         "bm25_max_bucket": _q_bm25_max_bucket,
         "bm25_min_bucket": _q_bm25_min_bucket,
+        "bm25_bucket_correlation": _q_bm25_bucket_correlation,
+        "bm25_ks_test": _q_bm25_ks_test,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
@@ -9428,6 +9457,74 @@ ORDER BY query_id, key
              min(n_docs) OVER (PARTITION BY query_id) AS mx"""
     assert out["bm25_max_bucket"].count(_mx_tail) == 1
     out["bm25_min_bucket"] = out["bm25_max_bucket"].replace(_mx_tail, _mn_tail)
+    # bucket_correlation (count_correlation): Pearson corr of each query's
+    # key-ascending day-bucket counts vs the 0..n-1 ramp; the engine's
+    # two-pass formula and DuckDB's corr() agree within 1e-12, absorbed by
+    # the shared floor(x*1e6+0.5)/1e6 rounding (round-half-up, exact for
+    # negatives too); <2 buckets / zero variance filtered identically
+    out["bm25_bucket_correlation"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+ramped AS (
+    SELECT query_id, n_docs,
+           row_number() OVER (PARTITION BY query_id ORDER BY key) - 1 AS x
+    FROM hist
+)
+SELECT query_id, count(*)::BIGINT AS n_buckets,
+       floor(corr(n_docs::DOUBLE, x::DOUBLE) * 1000000 + 0.5) / 1000000 AS correlation
+FROM ramped
+GROUP BY query_id
+HAVING count(*) >= 2 AND min(n_docs) <> max(n_docs)
+ORDER BY query_id
+"""
+    # bucket_count_ks_test: D = max |cumsum(counts)/total - i/n| in key
+    # order — integer cumsum is exact, the divides/abs/max mirror the
+    # engine's op order, round-half-up to 6dp on both sides
+    out["bm25_ks_test"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, ts, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+hist AS (
+    SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, date_trunc('day', d.ts)
+),
+stepped AS (
+    SELECT query_id,
+           sum(n_docs) OVER (PARTITION BY query_id ORDER BY key)::DOUBLE
+             / sum(n_docs) OVER (PARTITION BY query_id) AS cum,
+           row_number() OVER (PARTITION BY query_id ORDER BY key)::DOUBLE
+             / count(*) OVER (PARTITION BY query_id) AS uni
+    FROM hist
+)
+SELECT query_id, count(*)::BIGINT AS n_buckets,
+       floor(max(abs(cum - uni)) * 1000000 + 0.5) / 1000000 AS ks_statistic
+FROM stepped
+GROUP BY query_id
+ORDER BY query_id
+"""
     # sliding-window chunking: window starts 0, 24, 48, ... ; count =
     # 1 if n <= 32 else ceil((n-32)/24) + 1; last window short
     out["chunk_docs"] = """

@@ -439,6 +439,98 @@ def date_histogram(
     return _run_agg(index_dir, queries, field, interval, None, where)
 
 
+def bucket_correlation_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``bucket_correlation`` pipeline aggregation
+    (function=count_correlation) over the day histogram: per query, the
+    Pearson correlation of the parent buckets' doc counts (key-ascending)
+    against the request's indicator series — here the canonical 0..n-1 ramp,
+    i.e. "is this query's match activity trending across days". The parent
+    histogram is the same driver-small distributed bucket stream every
+    pipeline agg reduces over (min_doc_count=1 buckets); the correlation is
+    a driver-side scalar per query. Queries with fewer than 2 buckets or
+    zero count variance are omitted (the correlation is undefined —
+    OpenSearch raises for a constant indicator; we mirror on the count
+    side). Returns (query_id, n_buckets, correlation), correlation rounded
+    half-up to 6 decimals.
+
+    Reference analog: OpenSearch BucketCorrelationAggregationBuilder
+    (`bucket_correlation` with `count_correlation`)."""
+    import math
+
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "n_buckets": pd.Series(dtype=np.int64),
+        "correlation": pd.Series(dtype=np.float64),
+    }
+    if base.empty:
+        return pd.DataFrame(cols)
+    rows = []
+    for qid, g in base.groupby("query_id", sort=True):
+        c = g.sort_values("key")["n_docs"].to_numpy(np.float64)
+        n = len(c)
+        if n < 2 or c.min() == c.max():
+            continue
+        x = np.arange(n, dtype=np.float64)
+        cx = c - c.mean()
+        xx = x - x.mean()
+        denom = math.sqrt(float((cx * cx).sum())) * math.sqrt(float((xx * xx).sum()))
+        r = float((cx * xx).sum()) / denom
+        rows.append((int(qid), n, math.floor(r * 1e6 + 0.5) / 1e6))
+    if not rows:
+        return pd.DataFrame(cols)
+    return pd.DataFrame(rows, columns=["query_id", "n_buckets", "correlation"]).astype(
+        {"query_id": np.int64, "n_buckets": np.int64, "correlation": np.float64}
+    )
+
+
+def bucket_count_ks_test_date_histogram(
+    index_dir: str,
+    queries,
+    field: str = "ts",
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch ``bucket_count_ks_test`` pipeline aggregation over the day
+    histogram: per query, the two-sided Kolmogorov-Smirnov STATISTIC
+    D = max_i |ECDF_counts(i) - ECDF_uniform(i)| comparing the cumulative
+    doc-count fraction (key-ascending) against the uniform null fractions
+    (OpenSearch's default when ``fractions`` is omitted). OpenSearch wraps D
+    in a Monte-Carlo p-value; we return the deterministic statistic itself
+    (documented divergence — a sampled p-value can't be SQL-checked or
+    reproduced bit-equal). Driver-side over the same driver-small bucket
+    stream as every pipeline agg. Returns (query_id, n_buckets,
+    ks_statistic), rounded half-up to 6 decimals.
+
+    Reference analog: OpenSearch BucketCountKSTestAggregationBuilder."""
+    import math
+
+    base = date_histogram(index_dir, queries, field=field, where=where)
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "n_buckets": pd.Series(dtype=np.int64),
+        "ks_statistic": pd.Series(dtype=np.float64),
+    }
+    if base.empty:
+        return pd.DataFrame(cols)
+    rows = []
+    for qid, g in base.groupby("query_id", sort=True):
+        c = g.sort_values("key")["n_docs"].to_numpy(np.int64)
+        n = len(c)
+        tot = float(c.sum())
+        cum = np.cumsum(c).astype(np.float64) / tot
+        uni = np.arange(1, n + 1, dtype=np.float64) / float(n)
+        d = float(np.abs(cum - uni).max())
+        rows.append((int(qid), n, math.floor(d * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame(rows, columns=["query_id", "n_buckets", "ks_statistic"]).astype(
+        {"query_id": np.int64, "n_buckets": np.int64, "ks_statistic": np.float64}
+    )
+
+
 def histogram_agg(
     index_dir: str,
     queries,

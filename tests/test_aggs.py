@@ -986,3 +986,48 @@ def test_sig_terms_gnd(smoke_fixture, smoke_index):
     ).astype({"query_id": np.int64, "fg_docs": np.int64, "bg_docs": np.int64,
               "score": np.float64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_bucket_correlation(smoke_index):
+    """bucket_correlation (count_correlation): per-query Pearson of the day
+    histogram's counts vs the 0..n-1 ramp, cross-checked with np.corrcoef;
+    constant-count and <2-bucket queries omitted."""
+    from remote_vector_index_builder_ray import (
+        bucket_correlation_date_histogram,
+        date_histogram,
+    )
+
+    got = bucket_correlation_date_histogram(smoke_index["index_dir"], QUERIES)
+    base = date_histogram(smoke_index["index_dir"], QUERIES, field="ts")
+    assert len(got) > 0
+    by_q = dict(zip(got["query_id"], got["correlation"]))
+    nb_q = dict(zip(got["query_id"], got["n_buckets"]))
+    for qid, g in base.groupby("query_id"):
+        c = g.sort_values("key")["n_docs"].to_numpy(np.float64)
+        if len(c) < 2 or c.min() == c.max():
+            assert int(qid) not in by_q
+            continue
+        want = np.corrcoef(c, np.arange(len(c)))[0, 1]
+        assert nb_q[int(qid)] == len(c)
+        assert abs(by_q[int(qid)] - want) < 1e-6
+
+
+def test_bucket_count_ks_test(smoke_index):
+    """bucket_count_ks_test: per-query two-sided K-S statistic of the day
+    histogram's cumulative count fraction vs uniform, brute-checked."""
+    from remote_vector_index_builder_ray import (
+        bucket_count_ks_test_date_histogram,
+        date_histogram,
+    )
+
+    got = bucket_count_ks_test_date_histogram(smoke_index["index_dir"], QUERIES)
+    base = date_histogram(smoke_index["index_dir"], QUERIES, field="ts")
+    assert len(got) > 0
+    by_q = dict(zip(got["query_id"], got["ks_statistic"]))
+    for qid, g in base.groupby("query_id"):
+        c = g.sort_values("key")["n_docs"].to_numpy(np.float64)
+        cum = np.cumsum(c) / c.sum()
+        uni = np.arange(1, len(c) + 1) / len(c)
+        want = float(np.abs(cum - uni).max())
+        assert abs(by_q[int(qid)] - want) < 1e-6
+        assert 0.0 <= by_q[int(qid)] <= 1.0
