@@ -2013,6 +2013,47 @@ def _q_bm25_decay(sf_dir: str):
                           field="ts", modifier="linear_decay", params=params)
 
 
+def _q_bm25_gauss_decay(sf_dir: str):
+    """OpenSearch function_score gauss decay on recency: BM25 x
+    exp(-d²/(2σ²)) with d = max(0, |ts - origin|), origin = newest turn,
+    scale = span/4, decay = 0.5 (σ² = -scale²/(2·ln 0.5) — the multiplier
+    is exactly 0.5 at distance scale, the OpenSearch contract)
+    (pipelines/query.function_score modifier='gauss_decay')."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.query import function_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    ts = pd.concat(
+        [pq.read_table(p, columns=["ts"]).to_pandas() for p in fx["transcripts"]]
+    )["ts"].astype("datetime64[us]").astype(np.int64)
+    params = {"origin": float(ts.max()),
+              "scale": float(max(1, int(ts.max()) - int(ts.min()))) / 4.0,
+              "decay": 0.5}
+    return function_score(index_dir, pd.read_parquet(fx["queries"]),
+                          field="ts", modifier="gauss_decay", params=params)
+
+
+def _q_bm25_exp_decay(sf_dir: str):
+    """OpenSearch function_score exp decay on recency: BM25 x
+    exp(ln(0.5)/scale · d) with d = max(0, |ts - origin|), origin = newest
+    turn, scale = span/4 (multiplier 0.5 at distance scale)
+    (pipelines/query.function_score modifier='exp_decay')."""
+    import pyarrow.parquet as pq
+
+    from remote_vector_index_builder_ray.pipelines.query import function_score
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    ts = pd.concat(
+        [pq.read_table(p, columns=["ts"]).to_pandas() for p in fx["transcripts"]]
+    )["ts"].astype("datetime64[us]").astype(np.int64)
+    params = {"origin": float(ts.max()),
+              "scale": float(max(1, int(ts.max()) - int(ts.min()))) / 4.0,
+              "decay": 0.5}
+    return function_score(index_dir, pd.read_parquet(fx["queries"]),
+                          field="ts", modifier="exp_decay", params=params)
+
+
 def _q_bm25_composite(sf_dir: str):
     """OpenSearch composite aggregation with two sources — terms(role) x
     date_histogram(day) — over each query's full match set
@@ -4624,6 +4665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram_empty": _q_bm25_date_histogram_empty,
         "ann_range_search": _q_ann_range_search,
         "bm25_decay": _q_bm25_decay,
+        "bm25_gauss_decay": _q_bm25_gauss_decay,
+        "bm25_exp_decay": _q_bm25_exp_decay,
         "bm25_composite": _q_bm25_composite,
         "bm25_delete_by_query": _q_bm25_delete_by_query,
         "bm25_update": _q_bm25_update,
@@ -9182,6 +9225,29 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # gauss / exp decay: same query shape as bm25_decay, scale = span/4 and
+    # the multiplier swapped — gauss exp(-d²/(2σ²)) with σ² =
+    # -scale²/(2·ln 0.5); exp-decay exp(ln(0.5)/scale · d); derived from the
+    # linear-decay SQL by asserted textual replaces so the shared scaffold
+    # can't drift
+    _lin_scale = "greatest(1, max(v) - min(v))::DOUBLE AS scale"
+    _q4_scale = "greatest(1, max(v) - min(v))::DOUBLE / 4 AS scale"
+    _lin_mult = "greatest(0, 1 - abs(t.v::DOUBLE - b.origin) / b.scale)"
+    _gauss_mult = (
+        "exp(-(greatest(abs(t.v::DOUBLE - b.origin), 0)"
+        " * greatest(abs(t.v::DOUBLE - b.origin), 0))"
+        " / (2 * (-(b.scale * b.scale) / (2 * ln(0.5)))))"
+    )
+    _exp_mult = ("exp(ln(0.5) / b.scale"
+                 " * greatest(abs(t.v::DOUBLE - b.origin), 0))")
+    assert out["bm25_decay"].count(_lin_scale) == 1
+    assert out["bm25_decay"].count(_lin_mult) == 1
+    out["bm25_gauss_decay"] = (out["bm25_decay"]
+                               .replace(_lin_scale, _q4_scale)
+                               .replace(_lin_mult, _gauss_mult))
+    out["bm25_exp_decay"] = (out["bm25_decay"]
+                             .replace(_lin_scale, _q4_scale)
+                             .replace(_lin_mult, _exp_mult))
     # composite agg: terms(role) x date_histogram(day) pairs per match set
     out["bm25_composite"] = f"""
 WITH docs AS MATERIALIZED (

@@ -2167,6 +2167,35 @@ class _ProbeFuncScore:
             scale = float(self.params["scale"])
             mult = 1.0 - np.abs(vals.astype(np.float64) - origin) / scale
             return score * np.maximum(mult, 0.0)
+        if self.modifier == "gauss_decay":
+            # OpenSearch gauss decay on an int64 field: multiplier =
+            # exp(-(max(0, |v - origin| - offset))^2 / (2*sigma^2)) with
+            # sigma^2 = -scale^2 / (2*ln(decay)) — the multiplier is
+            # exactly `decay` at distance offset+scale (the OpenSearch
+            # contract). Spelled so every float op is SQL-transcribable.
+            import math as _math
+
+            origin = float(self.params["origin"])
+            scale = float(self.params["scale"])
+            offset = float(self.params.get("offset", 0.0))
+            decay = float(self.params.get("decay", 0.5))
+            sigma2 = -(scale * scale) / (2.0 * _math.log(decay))
+            d = np.maximum(
+                np.abs(vals.astype(np.float64) - origin) - offset, 0.0)
+            return score * np.exp(-(d * d) / (2.0 * sigma2))
+        if self.modifier == "exp_decay":
+            # OpenSearch exp decay: multiplier =
+            # exp(ln(decay) / scale * max(0, |v - origin| - offset))
+            import math as _math
+
+            origin = float(self.params["origin"])
+            scale = float(self.params["scale"])
+            offset = float(self.params.get("offset", 0.0))
+            decay = float(self.params.get("decay", 0.5))
+            lam = _math.log(decay) / scale
+            d = np.maximum(
+                np.abs(vals.astype(np.float64) - origin) - offset, 0.0)
+            return score * np.exp(lam * d)
         if self.modifier == "rank_feature":
             # OpenSearch rank_feature query in a bool SHOULD: the feature
             # contribution ADDS to the match score. Three Lucene

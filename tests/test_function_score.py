@@ -136,3 +136,59 @@ def test_script_score_rejects_unsafe_expressions():
     fn = _compile_score_script("min(_score, 2.0) + sqrt(v)")
     out = fn(np.array([1.0, 9.0]), np.array([4.0, 16.0]))
     np.testing.assert_allclose(out, [3.0, 6.0])
+
+
+def _gold_decay(df, oracle, kind, params):
+    import math
+
+    rows = []
+    vals = df.set_index("docid")["ts"]
+    origin, scale = params["origin"], params["scale"]
+    decay = params.get("decay", 0.5)
+    for q in QUERIES.itertuples(index=False):
+        scores = oracle.score_query(q.text or "")
+        recs = []
+        for d_, s in scores.items():
+            d = max(abs(float(vals.loc[d_]) - origin), 0.0)
+            if kind == "gauss":
+                sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+                out = s * math.exp(-(d * d) / (2.0 * sigma2))
+            else:
+                out = s * math.exp(math.log(decay) / scale * d)
+            recs.append((int(d_), float(np.floor(out * 1e6 + 0.5) / 1e6)))
+        recs.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d_, s) in enumerate(recs[: int(q.k)], 1):
+            rows.append((int(q.query_id), rank, d_, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "docid", "score"]).astype(
+        {"query_id": np.int64, "rank": np.int32, "docid": np.int64,
+         "score": np.float64}
+    )
+
+
+def test_gauss_and_exp_decay_on_ts(smoke_fixture, smoke_index, smoke_oracle):
+    """gauss/exp decay: brute-force parity, plus the OpenSearch contract —
+    the multiplier is exactly `decay` at distance `scale` from origin."""
+    import math
+
+    df = _src(smoke_fixture)
+    ts_us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    span = float(max(1, ts_us.max() - ts_us.min()))
+    params = {"origin": float(ts_us.max()), "scale": span / 4.0, "decay": 0.5}
+    df2 = df.copy()
+    df2["ts"] = ts_us
+
+    got_g = function_score(smoke_index["index_dir"], QUERIES,
+                           field="ts", modifier="gauss_decay", params=params)
+    pd.testing.assert_frame_equal(got_g.reset_index(drop=True),
+                                  _gold_decay(df2, smoke_oracle, "gauss", params))
+    got_e = function_score(smoke_index["index_dir"], QUERIES,
+                           field="ts", modifier="exp_decay", params=params)
+    pd.testing.assert_frame_equal(got_e.reset_index(drop=True),
+                                  _gold_decay(df2, smoke_oracle, "exp", params))
+    assert len(got_g) > 0 and len(got_e) > 0
+
+    # contract: multiplier(scale) == decay for both shapes
+    scale, decay = params["scale"], 0.5
+    sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+    assert abs(math.exp(-(scale * scale) / (2.0 * sigma2)) - decay) < 1e-12
+    assert abs(math.exp(math.log(decay) / scale * scale) - decay) < 1e-12
