@@ -2214,6 +2214,31 @@ def _q_bm25_ks_test(sf_dir: str):
         index_dir, pd.read_parquet(fx["queries"])).reset_index(drop=True)
 
 
+def _q_ingest_simulate(sf_dir: str):
+    """OpenSearch ingest pipeline (`_ingest/pipeline` + `_simulate`): an
+    ordered processor chain — lowercase(text), gsub digits→'#', trim,
+    rename role→speaker, set pipeline='v1', remove tool — applied to every
+    transcript turn as ONE vectorized Arrow map_batches stage (RE2 ==
+    DuckDB regexp_replace 'g'; explicit trim characters so SQL trim(x,
+    chars) is bit-identical) (pipelines/ingest.ingest_apply)."""
+    from remote_vector_index_builder_ray import ingest_apply
+
+    name = _sf_name(sf_dir)
+    fx = _fx.ensure_fixture(name)
+    ds = ingest_apply(fx["transcripts"], [
+        {"lowercase": {"field": "text"}},
+        {"gsub": {"field": "text", "pattern": "[0-9]+",
+                  "replacement": "#"}},
+        {"trim": {"field": "text"}},
+        {"rename": {"field": "role", "target_field": "speaker"}},
+        {"set": {"field": "pipeline", "value": "v1"}},
+        {"remove": {"field": "tool"}},
+    ])
+    out = ds.to_pandas()
+    out = out[["conv_id", "turn_idx", "speaker", "pipeline", "text"]]
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def _q_chunk_docs(sf_dir: str):
     """Sliding-window token chunking (RAG/long-context preprocessing):
     32-token windows advancing by 24 (8-token overlap), final window short
@@ -4553,6 +4578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_min_bucket": _q_bm25_min_bucket,
         "bm25_bucket_correlation": _q_bm25_bucket_correlation,
         "bm25_ks_test": _q_bm25_ks_test,
+        "ingest_simulate": _q_ingest_simulate,
         "bm25_filters_other": _q_bm25_filters_other,
         "bm25_incremental": _q_bm25_incremental,
         "bm25_delete_search": _q_bm25_delete_search,
@@ -9590,6 +9616,16 @@ SELECT query_id, count(*)::BIGINT AS n_buckets,
 FROM stepped
 GROUP BY query_id
 ORDER BY query_id
+"""
+    # ingest pipeline: the same processor chain in SQL — lower, global
+    # regexp_replace, trim with the explicit character set, rename/set/
+    # remove as projection
+    out["ingest_simulate"] = f"""
+SELECT conv_id, turn_idx, role AS speaker, 'v1' AS pipeline,
+       trim(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+            ' ' || chr(9) || chr(10) || chr(13)) AS text
+FROM read_parquet('{_transcripts_glob(sf)}')
+ORDER BY conv_id, turn_idx
 """
     # sliding-window chunking: window starts 0, 24, 48, ... ; count =
     # 1 if n <= 32 else ceil((n-32)/24) + 1; last window short

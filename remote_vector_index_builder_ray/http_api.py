@@ -532,6 +532,43 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     return
                 self._send(200, {"count": n})
                 return
+            if self.path == "/_ingest/pipeline/_simulate":
+                # OpenSearch _ingest/pipeline/_simulate: run the processor
+                # chain over the request's inline docs and return the
+                # transformed docs — compile errors (unknown processor,
+                # missing config) 400 before anything runs
+                import pyarrow as pa
+
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("processors", "docs")
+                               if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"processors", "docs"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    docs = body["docs"]
+                    if (not isinstance(docs, list) or not docs
+                            or not all(isinstance(d, dict) for d in docs)):
+                        raise ValueError("docs must be a non-empty list of "
+                                         "objects")
+                    from remote_vector_index_builder_ray.pipelines.ingest import (
+                        compile_ingest_pipeline,
+                    )
+
+                    fn = compile_ingest_pipeline(body["processors"])
+                    out = fn(pa.Table.from_pylist(docs))
+                except (EngineError, ValueError, KeyError, TypeError,
+                        pa.lib.ArrowInvalid,
+                        json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, {"docs": out.to_pylist()})
+                return
             if self.path == "/_validate/query":
                 # OpenSearch _validate/query: checks the request would
                 # compile WITHOUT running it — schema, known mode, span-mode

@@ -529,3 +529,31 @@ def test_analyze_count_validate_cat_routes(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(base + "/_cat/indices")
     assert ei.value.code == 400
+
+
+def test_ingest_simulate_route(api):
+    """POST /_ingest/pipeline/_simulate: the processor chain runs over the
+    inline docs; compile errors 400 before anything runs."""
+    base, fx, idx_root = api
+    code, out = _post(base + "/_ingest/pipeline/_simulate", {
+        "processors": [
+            {"lowercase": {"field": "text"}},
+            {"gsub": {"field": "text", "pattern": "[0-9]+",
+                      "replacement": "#"}},
+            {"set": {"field": "pipeline", "value": "v1"}},
+        ],
+        "docs": [{"text": "Hello 42 World"}, {"text": "A1B2"}],
+    })
+    assert code == 200
+    assert out["docs"] == [{"text": "hello # world", "pipeline": "v1"},
+                           {"text": "a#b#", "pipeline": "v1"}]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_ingest/pipeline/_simulate", {
+            "processors": [{"explode": {"field": "text"}}],
+            "docs": [{"text": "x"}],
+        })
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_ingest/pipeline/_simulate",
+              {"processors": [], "docs": []})
+    assert ei.value.code == 400
