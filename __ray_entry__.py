@@ -908,6 +908,22 @@ def _q_bm25_fuzzy(sf_dir: str):
     )
 
 
+def _q_bm25_fuzzy_auto(sf_dir: str):
+    """fuzziness: AUTO — the edit budget follows each query term's length
+    (0 for 1-2 chars, 1 for 3-5, 2 above; the AUTO:3,6 default breakpoints)
+    before the same scoring-boolean rewrite
+    (pipelines/expand.search_fuzzy(max_edits='AUTO'))."""
+    from remote_vector_index_builder_ray import search_fuzzy
+
+    _, index_dir, _ = _ensure_index(sf_dir)
+    return _topk_rounded(
+        index_dir,
+        _ensure_expand_queries(sf_dir)["fuzzy"],
+        search_fn=search_fuzzy,
+        max_edits="AUTO",
+    )
+
+
 def _q_bm25_filtered(sf_dir: str):
     """Filtered search (where=role='user'): OpenSearch filter-context
     semantics — corpus stats unchanged, non-matching docs dropped from the
@@ -4599,6 +4615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_regexp": _q_bm25_regexp,
         "bm25_terms": _q_bm25_terms,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_fuzzy_auto": _q_bm25_fuzzy_auto,
         "bm25_snippets": _q_bm25_snippets,
         "bm25_snippets_multi": _q_bm25_snippets_multi,
         "bm25_facets": _q_bm25_facets,
@@ -5962,6 +5979,19 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # fuzziness AUTO: the edit budget follows the query term's length
+    # (0 / 1 / 2 at the AUTO:3,6 default breakpoints); derived from the
+    # fixed-edit fuzzy SQL by an asserted replace of the expansion join
+    _fz_fixed = """      ON abs(length(df.term) - length(fq.qterm)) <= 1
+     AND levenshtein(df.term, fq.qterm) <= 1"""
+    _fz_auto = """      ON abs(length(df.term) - length(fq.qterm))
+         <= (CASE WHEN length(fq.qterm) < 3 THEN 0
+                  WHEN length(fq.qterm) <= 5 THEN 1 ELSE 2 END)
+     AND levenshtein(df.term, fq.qterm)
+         <= (CASE WHEN length(fq.qterm) < 3 THEN 0
+                  WHEN length(fq.qterm) <= 5 THEN 1 ELSE 2 END)"""
+    assert out["bm25_fuzzy"].count(_fz_fixed) == 1
+    out["bm25_fuzzy_auto"] = out["bm25_fuzzy"].replace(_fz_fixed, _fz_auto)
     # percolator: docs matching EVERY term of each stored multi-term query
     out["bm25_percolate"] = f"""
 WITH {docs}, {_TOKS},

@@ -591,10 +591,20 @@ def search_synonyms(
     return search(index_dir, q, mode="blended", **kw)
 
 
+def auto_fuzziness(term: str) -> int:
+    """OpenSearch ``fuzziness: AUTO`` edit budget by term length: 0 edits
+    for 1-2 chars, 1 for 3-5, 2 above (AUTO:[low],[high] with the default
+    3/6 breakpoints)."""
+    n = len(term)
+    if n < 3:
+        return 0
+    return 1 if n <= 5 else 2
+
+
 def search_fuzzy(
     index_dir: str,
     queries: pd.DataFrame,
-    max_edits: int = 1,
+    max_edits: int | str = 1,
     prefix_length: int = 0,
     transpositions: bool = False,
     mode: str = "bmw",
@@ -604,13 +614,17 @@ def search_fuzzy(
     scoring-boolean rewrite: every query token expands to its edit-distance
     neighborhood in the term dictionary; the union scores as a plain BM25
     disjunction (each expanded term keeps its own idf). ``queries`` has
-    (query_id, text, k); tokens are analyzed with the index tokenizer."""
+    (query_id, text, k); tokens are analyzed with the index tokenizer.
+    ``max_edits="AUTO"`` is OpenSearch fuzziness AUTO: the per-token edit
+    budget follows the token's length (auto_fuzziness)."""
     from remote_vector_index_builder_ray.functions.tokenizer import (
         analyze_text,
         load_analyzer,
     )
     from remote_vector_index_builder_ray.pipelines.query import search
 
+    if isinstance(max_edits, str) and max_edits != "AUTO":
+        raise ValueError(f"max_edits must be an int or 'AUTO', got {max_edits!r}")
     an = load_analyzer(index_dir)
     cache: dict[str, list[str]] = {}
     terms_by_qid: dict[int, list[str]] = {}
@@ -619,8 +633,9 @@ def search_fuzzy(
         expanded: set[str] = set()
         for t in toks:
             if t not in cache:
+                edits = auto_fuzziness(t) if max_edits == "AUTO" else max_edits
                 cache[t] = expand_fuzzy(
-                    index_dir, t, max_edits, prefix_length, transpositions
+                    index_dir, t, edits, prefix_length, transpositions
                 )
             expanded.update(cache[t])
         terms_by_qid[int(r.query_id)] = sorted(expanded)

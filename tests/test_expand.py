@@ -283,3 +283,36 @@ def test_search_span_multi_is_span_or_over_expansions(smoke_index):
     ).to_pandas()
     pd.testing.assert_frame_equal(capped.reset_index(drop=True),
                                   direct2.reset_index(drop=True))
+
+
+def test_fuzziness_auto(smoke_index):
+    """fuzziness AUTO: per-token edit budgets 0/1/2 at the 3,6 breakpoints;
+    an all-long-token query equals max_edits=2 and an all-short-token query
+    equals max_edits=0 (exact)."""
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import search_fuzzy
+    from remote_vector_index_builder_ray.pipelines.expand import auto_fuzziness
+
+    assert [auto_fuzziness(t) for t in ["a", "ab", "abc", "abcde", "abcdef"]] \
+        == [0, 0, 1, 1, 2]
+
+    idx = smoke_index["index_dir"]
+    longq = pd.DataFrame({"query_id": [0], "text": ["w000123"],
+                          "k": pd.array([10], dtype="int32")})
+    got = search_fuzzy(idx, longq, max_edits="AUTO").to_pandas()
+    want = search_fuzzy(idx, longq, max_edits=2).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+    shortq = pd.DataFrame({"query_id": [0], "text": ["he"],
+                           "k": pd.array([10], dtype="int32")})
+    got0 = search_fuzzy(idx, shortq, max_edits="AUTO").to_pandas()
+    want0 = search_fuzzy(idx, shortq, max_edits=0).to_pandas()
+    pd.testing.assert_frame_equal(got0.reset_index(drop=True),
+                                  want0.reset_index(drop=True))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="AUTO"):
+        search_fuzzy(idx, shortq, max_edits="auto")
