@@ -532,6 +532,153 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     return
                 self._send(200, {"count": n})
                 return
+            if self.path == "/_forcemerge":
+                # OpenSearch _forcemerge (max_num_segments=1): expunge
+                # tombstones + fold generations via compact_index's atomic
+                # postings swap; counts-only wire payload
+                try:
+                    body = self._read_body()
+                    if "index_dir" not in body:
+                        raise ValueError("missing required fields: ['index_dir']")
+                    extra = set(body) - {"index_dir"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                from remote_vector_index_builder_ray.pipelines.incremental import (
+                    compact_index,
+                )
+
+                try:
+                    out = compact_index(str(body["index_dir"]))
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                out.pop("manifest", None)
+                self._send(200, {k: v for k, v in out.items()
+                                 if isinstance(v, (int, float, str, bool))})
+                return
+            if self.path == "/_aliases":
+                # OpenSearch _aliases (add action): a named filtered view
+                # stored in the manifest; re-adding overwrites (PUT-alias)
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "alias") if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "alias", "where"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    where = body.get("where")
+                    if where is not None:
+                        where = [tuple(t) for t in where]
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                from remote_vector_index_builder_ray.pipelines.incremental import (
+                    create_alias,
+                )
+
+                try:
+                    out = create_alias(str(body["index_dir"]),
+                                       str(body["alias"]), where=where)
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, out)
+                return
+            if self.path == "/_rollover":
+                # OpenSearch _rollover / ILM max_docs: admit pending batch
+                # REFERENCES and seal a generation when the policy trips;
+                # {"flush": true} forces the tail
+                try:
+                    body = self._read_body()
+                    if "index_dir" not in body:
+                        raise ValueError("missing required fields: ['index_dir']")
+                    extra = set(body) - {"index_dir", "input_paths",
+                                         "max_docs", "flush"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                except (ValueError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                from remote_vector_index_builder_ray.pipelines.incremental import (
+                    rollover_config,
+                    rollover_flush,
+                    rollover_ingest,
+                )
+
+                try:
+                    idx = str(body["index_dir"])
+                    if "max_docs" in body:
+                        ro = rollover_config(idx, int(body["max_docs"]))
+                        ro = ro.get("rollover", ro)
+                    elif body.get("flush"):
+                        ro = rollover_flush(idx)
+                    elif "input_paths" in body:
+                        ro = rollover_ingest(idx, list(body["input_paths"]))
+                    else:
+                        raise ValueError(
+                            "one of max_docs / input_paths / flush required")
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                # counts-only wire view of the rollover state
+                self._send(200, {
+                    "max_docs": int(ro["max_docs"]),
+                    "pending_batches": len(ro.get("pending", [])),
+                    "pending_rows": sum(int(b["n_rows"])
+                                        for b in ro.get("pending", [])),
+                    "rolled_generations": len(ro.get("history", [])),
+                })
+                return
+            if self.path == "/_render/template":
+                # OpenSearch _render/template: mustache substitution over
+                # (template, params) — unresolved placeholders 400 (they
+                # would silently match nothing)
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("template", "params")
+                               if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"template", "params"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    import pandas as pd
+
+                    from remote_vector_index_builder_ray.pipelines.query import (
+                        render_search_template,
+                    )
+
+                    frame = pd.DataFrame({
+                        "query_id": [0],
+                        "template": [str(body["template"])],
+                        "params": [json.dumps(body["params"])],
+                    })
+                    text = render_search_template(frame)["text"].iloc[0]
+                except (EngineError, ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                self._send(200, {"template_output": {"query": text}})
+                return
             if self.path == "/_ingest/pipeline/_simulate":
                 # OpenSearch _ingest/pipeline/_simulate: run the processor
                 # chain over the request's inline docs and return the

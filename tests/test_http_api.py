@@ -557,3 +557,66 @@ def test_ingest_simulate_route(api):
         _post(base + "/_ingest/pipeline/_simulate",
               {"processors": [], "docs": []})
     assert ei.value.code == 400
+
+
+def test_forcemerge_aliases_rollover_render_routes(api):
+    """The four lifecycle routes: /_aliases (filtered alias), /_rollover
+    (policy + ingest + flush, counts-only payload), /_forcemerge (compact),
+    /_render/template (mustache render; unresolved param 400s)."""
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    import pandas as pd
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "lifecycle_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    # a dense two-conversation batch for the rollover ingest
+    batch = pd.DataFrame({
+        "conv_id": ["conv-roll-a"] * 2 + ["conv-roll-b"] * 2,
+        "turn_idx": pd.array([0, 1, 0, 1], dtype="int32"),
+        "role": ["user", "assistant"] * 2,
+        "text": ["the play went well", "he went away",
+                 "play it again", "went home"],
+        "ts": pd.to_datetime(["2025-01-01"] * 4).astype("datetime64[us]"),
+        "tool": [""] * 4,
+    })
+    batch_path = str(idx_root / "roll_batch.parquet")
+    batch.to_parquet(batch_path)
+
+    # alias
+    code, out = _post(base + "/_aliases", {
+        "index_dir": idx, "alias": "user_turns",
+        "where": [["role", "==", "user"]]})
+    assert code == 200 and out["alias"] == "user_turns"
+
+    # rollover: policy, ingest below threshold, flush seals
+    code, out = _post(base + "/_rollover", {"index_dir": idx,
+                                            "max_docs": 10**9})
+    assert code == 200 and out["pending_batches"] == 0
+    code, out = _post(base + "/_rollover", {
+        "index_dir": idx, "input_paths": [batch_path]})
+    assert code == 200 and out["pending_batches"] == 1 \
+        and out["pending_rows"] > 0
+    code, out = _post(base + "/_rollover", {"index_dir": idx, "flush": True})
+    assert code == 200 and out["pending_batches"] == 0 \
+        and out["rolled_generations"] == 1
+
+    # forcemerge folds the sealed generation into the base
+    code, out = _post(base + "/_forcemerge", {"index_dir": idx})
+    assert code == 200
+    code, rows = _get(base + "/_cat/indices?index_dir="
+                      + __import__("urllib.parse", fromlist=["quote"]).quote(idx, safe=""))
+    assert code == 200 and rows[0]["docs.count"] == 2004
+
+    # render template
+    code, out = _post(base + "/_render/template", {
+        "template": "{{a}} and {{b}}", "params": {"a": "x", "b": "y"}})
+    assert code == 200 and out["template_output"]["query"] == "x and y"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_render/template",
+              {"template": "{{missing}}", "params": {}})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_rollover", {"index_dir": idx})
+    assert ei.value.code == 400
