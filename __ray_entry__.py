@@ -1653,6 +1653,29 @@ def _q_bm25_histogram(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_histogram_offset(sf_dir: str):
+    """histogram aggregation with `offset`: boundaries shift by 3, key =
+    floor((doc_len - 3)/8)*8 + 3 — doc_len 0-2 lands in the -5 bucket, as
+    in OpenSearch (pipelines/aggs.histogram_agg(offset=3))."""
+    from remote_vector_index_builder_ray import histogram_agg
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = histogram_agg(index_dir, pd.read_parquet(fx["queries"]),
+                        field="doc_len", interval=8, offset=3)
+    return out.reset_index(drop=True)
+
+
+def _q_bm25_month_histogram(sf_dir: str):
+    """date_histogram with calendar_interval=month: bucket key = month
+    start (pipelines/aggs.date_histogram(interval='month'))."""
+    from remote_vector_index_builder_ray import date_histogram
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    out = date_histogram(index_dir, pd.read_parquet(fx["queries"]),
+                         field="ts", interval="month")
+    return out.reset_index(drop=True)
+
+
 def _q_bm25_missing(sf_dir: str):
     """OpenSearch missing + value_count aggregations over the tool field of
     each query's full match set (pipelines/aggs.missing_agg): '' marks a
@@ -4661,6 +4684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stats_agg": _q_bm25_stats_agg,
         "bm25_extended_stats": _q_bm25_extended_stats,
         "bm25_histogram": _q_bm25_histogram,
+        "bm25_histogram_offset": _q_bm25_histogram_offset,
+        "bm25_month_histogram": _q_bm25_month_histogram,
         "bm25_missing": _q_bm25_missing,
         "bm25_filters": _q_bm25_filters,
         "bm25_adjacency": _q_bm25_adjacency,
@@ -9947,6 +9972,17 @@ FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, date_trunc('day', d.ts)
 ORDER BY m.query_id, key
 """
+    # calendar_interval=month: derived by an asserted replace of the
+    # day truncation
+    assert out["bm25_date_histogram"].count("date_trunc('day', d.ts)") == 2
+    out["bm25_month_histogram"] = out["bm25_date_histogram"].replace(
+        "date_trunc('day', d.ts)", "date_trunc('month', d.ts)")
+    # histogram offset=3: key = floor((dl - 3)/8.0)*8 + 3 (float floor ==
+    # Python // for the negative below-first-boundary bucket)
+    _h_key = "(dl.dl // 8) * 8 AS key"
+    _h_off = ("(CAST(floor((dl.dl - 3) / 8.0) AS BIGINT) * 8 + 3) AS key")
+    assert out["bm25_histogram"].count(_h_key) == 1
+    out["bm25_histogram_offset"] = out["bm25_histogram"].replace(_h_key, _h_off)
     # multi-key field sort: (role asc, ts desc, docid asc) top-k
     out["bm25_sorted_multi"] = f"""
 WITH docs AS MATERIALIZED (

@@ -234,6 +234,9 @@ class _ProbeAgg:
         keys = batch[self.field].combine_chunks().to_numpy(zero_copy_only=False)
         if self.interval == "day":
             keys = keys.astype("datetime64[D]").astype("datetime64[us]")
+        elif self.interval == "month":
+            # OpenSearch calendar_interval=month: truncate to month start
+            keys = keys.astype("datetime64[M]").astype("datetime64[us]")
         elif self.interval == "7d":
             # OpenSearch fixed_interval=7d: epoch-anchored 7-day windows
             # (1970-01-01 is day 0, so floor(days/7)*7 == the bucket start)
@@ -243,6 +246,13 @@ class _ProbeAgg:
             # value-count histogram partials (percentiles_agg): the raw
             # integer value IS the bucket key
             keys = keys.astype(np.int64)
+        elif isinstance(self.interval, tuple):
+            # OpenSearch `histogram` agg with `offset`: key =
+            # floor((v - offset) / interval) * interval + offset. Python //
+            # floors (v - offset may be negative below the first bucket
+            # boundary); the SQL twin floors on DOUBLE for the same result
+            iv, off = self.interval
+            keys = ((keys.astype(np.int64) - off) // iv) * iv + off
         elif isinstance(self.interval, int):
             # OpenSearch `histogram` agg: fixed numeric interval, key =
             # floor(v / interval) * interval (non-negative int fields here,
@@ -300,7 +310,7 @@ class _ProbeAgg:
             out_keys.extend(g.index.tolist())
             ns.extend(g["n"].tolist())
             sums.extend(g["s"].tolist())
-        if self.interval == "histogram" or isinstance(self.interval, int):
+        if self.interval == "histogram" or isinstance(self.interval, (int, tuple)):
             key_type = pa.int64()
         elif self.interval:
             key_type = pa.timestamp("us")
@@ -432,9 +442,10 @@ def date_histogram(
     interval: str = "day",
     where=None,
 ) -> pd.DataFrame:
-    """OpenSearch `date_histogram` aggregation (calendar_interval=day) over
-    each query's full match set: (query_id, key:timestamp[us] day floor,
-    n_docs), sorted by (query_id, key). Empty buckets are omitted
+    """OpenSearch `date_histogram` aggregation over each query's full match
+    set: (query_id, key:timestamp[us] bucket floor, n_docs), sorted by
+    (query_id, key). ``interval``: "day" / "month" (calendar_interval) or
+    "7d" (epoch-anchored fixed_interval). Empty buckets are omitted
     (min_doc_count=1 semantics)."""
     return _run_agg(index_dir, queries, field, interval, None, where)
 
@@ -537,14 +548,21 @@ def histogram_agg(
     field: str = "doc_len",
     interval: int = 8,
     where=None,
+    offset: int = 0,
 ) -> pd.DataFrame:
     """OpenSearch `histogram` aggregation (fixed numeric interval) over each
     query's full match set: (query_id, key:int64 = floor(v/interval)*interval,
     n_docs), sorted by (query_id, key). Empty buckets omitted
-    (min_doc_count=1 semantics)."""
+    (min_doc_count=1 semantics). ``offset`` shifts every bucket boundary
+    (OpenSearch histogram `offset`, 0 <= offset < interval): key =
+    floor((v - offset)/interval)*interval + offset — values below the first
+    shifted boundary land in a negative-start bucket, as in OpenSearch."""
     if not isinstance(interval, int) or interval <= 0:
         raise ValueError("interval must be a positive integer")
-    return _run_agg(index_dir, queries, field, interval, None, where)
+    if not isinstance(offset, int) or not (0 <= offset < interval):
+        raise ValueError("offset must be an integer in [0, interval)")
+    iv = (interval, offset) if offset else interval
+    return _run_agg(index_dir, queries, field, iv, None, where)
 
 
 def range_agg(

@@ -1031,3 +1031,39 @@ def test_bucket_count_ks_test(smoke_index):
         want = float(np.abs(cum - uni).max())
         assert abs(by_q[int(qid)] - want) < 1e-6
         assert 0.0 <= by_q[int(qid)] <= 1.0
+
+
+def test_histogram_offset_and_month_interval(smoke_index, smoke_fixture):
+    """histogram offset shifts bucket boundaries (below-first-boundary
+    values land in the negative-start bucket); date_histogram month
+    truncates to month start. Brute-checked from the raw corpus."""
+    from remote_vector_index_builder_ray import date_histogram, histogram_agg
+
+    df = _src(smoke_fixture)
+    got = histogram_agg(smoke_index["index_dir"], QUERIES,
+                        field="doc_len", interval=8, offset=3)
+    assert len(got) > 0
+    for row in got.itertuples(index=False):
+        assert (int(row.key) - 3) % 8 == 0
+    # brute: one query's buckets
+    q0 = QUERIES.iloc[0]
+    m = _match(df, q0.text)
+    want = {}
+    for n in m["toks"].str.len() if hasattr(m["toks"], "str") else []:
+        pass
+    dl = m["doc_len"] if "doc_len" in m.columns else m["toks"].map(len)
+    for v in dl:
+        k = (int(v) - 3) // 8 * 8 + 3
+        want[k] = want.get(k, 0) + 1
+    g0 = got[got["query_id"] == int(q0.query_id)]
+    assert dict(zip(g0["key"].astype(int), g0["n_docs"])) == want
+
+    gm = date_histogram(smoke_index["index_dir"], QUERIES,
+                        field="ts", interval="month")
+    assert len(gm) > 0
+    keys = pd.to_datetime(gm["key"])
+    assert (keys.dt.day == 1).all() and (keys.dt.hour == 0).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="offset"):
+        histogram_agg(smoke_index["index_dir"], QUERIES, interval=8, offset=8)
