@@ -295,7 +295,8 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     missing = [k for k in ("index_dir", "queries") if k not in body]
                     if missing:
                         raise ValueError(f"missing required fields: {missing}")
-                    extra = set(body) - {"index_dir", "queries", "mode"}
+                    extra = set(body) - {"index_dir", "queries", "mode",
+                                         "similarity"}
                     if extra:
                         raise ValueError(f"unknown fields: {sorted(extra)}")
                     q = parse_search_queries(body["queries"])
@@ -305,7 +306,8 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                 try:
                     out = _query_service().search(
                         str(body["index_dir"]), q,
-                        mode=str(body.get("mode", "bmw")))
+                        mode=str(body.get("mode", "bmw")),
+                        similarity=str(body.get("similarity", "bm25")))
                 except (EngineError, ValueError, KeyError, TypeError,
                         FileNotFoundError, OSError) as ex:
                     # request-level faults (bad index_dir, positionless

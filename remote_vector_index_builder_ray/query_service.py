@@ -61,11 +61,13 @@ class _Pool:
 class QueryService:
     """Serve searches from warm per-index searcher pools (module docstring).
 
-    Supported per-request arguments: ``mode`` and ``k`` (via the queries
-    frame). Options that change actor STATE (operator, min_should_match,
-    similarity, span windows, ...) are per-POOL: pass them to ``__init__``'s
-    ``searcher_kwargs`` or use the batch path (``pipelines/query.search``)
-    which validates the full surface. Per-request filter context (`where`)
+    Supported per-request arguments: ``mode``, ``similarity`` (each
+    (index, mode, similarity) warms its own pool — the nine similarity
+    modules plus ``scripted:<expr>`` serve over HTTP) and ``k`` (via the
+    queries frame). Other options that change actor STATE (operator,
+    min_should_match, span windows, ...) are per-POOL: pass them to
+    ``__init__``'s ``searcher_kwargs`` or use the batch path
+    (``pipelines/query.search``) which validates the full surface. Per-request filter context (`where`)
     is deliberately not offered here — a filtered request belongs on the
     batch path where the allow-list broadcast is built per call."""
 
@@ -110,7 +112,8 @@ class QueryService:
         self._lock = threading.Lock()
 
     # -- pool lifecycle -------------------------------------------------------
-    def _acquire_pool(self, index_dir: str, mode: str) -> _Pool:
+    def _acquire_pool(self, index_dir: str, mode: str,
+                      similarity: str = "bm25") -> _Pool:
         """Atomically look up / create the pool AND register this request as
         in-flight — retirement (fingerprint change, LRU eviction, shutdown)
         only marks a pool retired; its actors die when the LAST in-flight
@@ -119,21 +122,29 @@ class QueryService:
         from remote_vector_index_builder_ray.stages.search import BM25Searcher
 
         fp = manifest_fingerprint(index_dir)
-        key = (index_dir, mode, fp)
+        key = (index_dir, mode, similarity, fp)
         with self._lock:
             pool = self._pools.get(key)
             if pool is None:
                 # a changed fingerprint means the index mutated: retire every
-                # stale pool for this (index_dir, mode) before warming the
-                # new one
+                # stale pool for this (index_dir, mode, similarity) before
+                # warming the new one
                 for k in [k for k in self._pools
-                          if k[0] == index_dir and k[1] == mode]:
+                          if k[0] == index_dir and k[1] == mode
+                          and k[2] == similarity]:
                     self._retire_locked(k)
                 if mode in self._POSITIONAL:
                     self._require_positions(index_dir)
+                kw = dict(self.searcher_kwargs)
+                if similarity != "bm25":
+                    if "similarity" in kw:
+                        raise ValueError(
+                            "per-request similarity conflicts with the "
+                            "pool-level searcher_kwargs similarity")
+                    kw["similarity"] = similarity
                 act = ray.remote(num_cpus=self.actor_num_cpus)(BM25Searcher)
                 actors = [
-                    act.remote(index_dir, mode, None, **self.searcher_kwargs)
+                    act.remote(index_dir, mode, None, **kw)
                     for _ in range(self.pool_size)
                 ]
                 pool = self._pools[key] = _Pool(actors, time.time())
@@ -216,7 +227,7 @@ class QueryService:
 
     # -- serving ---------------------------------------------------------------
     def search(self, index_dir: str, queries: pd.DataFrame,
-               mode: str = "bmw") -> pd.DataFrame:
+               mode: str = "bmw", similarity: str = "bm25") -> pd.DataFrame:
         """Top-k over a warm pool. ``queries``: (query_id:int64, text:string,
         k:int32) — the pipeline contract — plus the optional positional-mode
         columns (slop:int, span_exclude:string for span_not,
@@ -233,6 +244,26 @@ class QueryService:
             raise ValueError(
                 f"unknown mode {mode!r}; supported: {sorted(self._MODES)}"
             )
+        if similarity != "bm25":
+            # per-request similarity module: each (index, mode, similarity)
+            # gets its own warm pool. Validate HERE, not inside the actor
+            # constructor, so a typo'd request is a clear 400 instead of a
+            # dead actor pool
+            from remote_vector_index_builder_ray.functions.bm25 import (
+                SIMILARITIES,
+                compile_sim_script,
+            )
+
+            if similarity.startswith("scripted:"):
+                compile_sim_script(similarity[len("scripted:"):])
+            elif similarity not in SIMILARITIES:
+                raise ValueError(
+                    f"unknown similarity {similarity!r}; supported: "
+                    f"{list(SIMILARITIES)} or 'scripted:<expr>'")
+            if mode != "exhaustive":
+                raise ValueError(
+                    "non-BM25 similarities require mode='exhaustive' "
+                    "(stored block maxes are BM25 bounds)")
         if mode in ("span_containing", "span_within"):
             # without a little span these scorers return zero rows — a
             # silent-success hole over HTTP (200 + empty) — and a per-ROW
@@ -255,7 +286,7 @@ class QueryService:
                     f"{queries.loc[bad, 'query_id'].tolist()} — each query "
                     "needs an inner span (a null little matches nothing)"
                 )
-        pool = self._acquire_pool(index_dir, mode)
+        pool = self._acquire_pool(index_dir, mode, similarity)
         try:
             q = queries
             if mode in self._POSITIONAL and len(q) > 1:

@@ -620,3 +620,50 @@ def test_forcemerge_aliases_rollover_render_routes(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/_rollover", {"index_dir": idx})
     assert ei.value.code == 400
+
+
+def test_search_route_similarity(api):
+    """POST /_search with a per-request similarity: the serving-path result
+    equals the batch pipeline with the same module; bad names and non-
+    exhaustive modes 400."""
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "sim_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    qrows = [{"query_id": 0, "text": "the play went", "k": 5},
+             {"query_id": 1, "text": "he went away", "k": 5}]
+    code, out = _post(base + "/_search", {
+        "index_dir": idx, "queries": qrows,
+        "mode": "exhaustive", "similarity": "ib_ll"})
+    assert code == 200 and out["total"] == 10
+    qdf = pd.DataFrame(qrows).astype({"query_id": "int64", "k": "int32"})
+    want = search(idx, qdf, mode="exhaustive", similarity="ib_ll") \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = pd.DataFrame(out["rows"]).sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    assert got["docid"].tolist() == want["docid"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx, "queries": qrows,
+                                  "mode": "exhaustive",
+                                  "similarity": "nope"})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx, "queries": qrows,
+                                  "mode": "bmw", "similarity": "ib_ll"})
+    assert ei.value.code == 400
+    # scripted over the wire, validated at the service boundary
+    code, out = _post(base + "/_search", {
+        "index_dir": idx, "queries": qrows[:1], "mode": "exhaustive",
+        "similarity": "scripted:sqrt(tf) / sqrt(dl)"})
+    assert code == 200 and out["total"] == 5
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_search", {"index_dir": idx, "queries": qrows[:1],
+                                  "mode": "exhaustive",
+                                  "similarity": "scripted:__import__"})
+    assert ei.value.code == 400
