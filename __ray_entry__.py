@@ -1653,6 +1653,18 @@ def _q_bm25_histogram(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_bm25_terms_size(sf_dir: str):
+    """terms aggregation with size=2 + sum_other_doc_count: per query the
+    two biggest role buckets by (count desc, key asc) with the truncated
+    buckets' total doc count riding each row
+    (pipelines/aggs.terms_agg_sized)."""
+    from remote_vector_index_builder_ray import terms_agg_sized
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return terms_agg_sized(index_dir, pd.read_parquet(fx["queries"]),
+                           field="role", size=2).reset_index(drop=True)
+
+
 def _q_bm25_histogram_offset(sf_dir: str):
     """histogram aggregation with `offset`: boundaries shift by 3, key =
     floor((doc_len - 3)/8)*8 + 3 — doc_len 0-2 lands in the -5 bucket, as
@@ -4685,6 +4697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_extended_stats": _q_bm25_extended_stats,
         "bm25_histogram": _q_bm25_histogram,
         "bm25_histogram_offset": _q_bm25_histogram_offset,
+        "bm25_terms_size": _q_bm25_terms_size,
         "bm25_month_histogram": _q_bm25_month_histogram,
         "bm25_missing": _q_bm25_missing,
         "bm25_filters": _q_bm25_filters,
@@ -9971,6 +9984,39 @@ SELECT m.query_id, date_trunc('day', d.ts) AS key, count(*)::BIGINT AS n_docs
 FROM m JOIN docs d USING (docid)
 GROUP BY m.query_id, date_trunc('day', d.ts)
 ORDER BY m.query_id, key
+"""
+    # terms agg size=2 + sum_other_doc_count: top buckets by (count desc,
+    # key asc), the truncated buckets' total riding each kept row
+    out["bm25_terms_size"] = f"""
+WITH docs AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docid,
+           conv_id, turn_idx, role, text
+    FROM read_parquet('{_transcripts_glob(sf)}')
+), {_TOKS},
+q AS (
+    SELECT query_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+    FROM read_parquet('{_queries_path(sf)}')
+),
+m AS (SELECT DISTINCT q.query_id, t.docid FROM q JOIN toks t USING (term)),
+agg AS (
+    SELECT m.query_id, d.role AS key, count(*)::BIGINT AS n_docs
+    FROM m JOIN docs d USING (docid)
+    GROUP BY m.query_id, d.role
+),
+ranked AS (
+    SELECT query_id, key, n_docs,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_docs DESC, key) AS rank,
+           sum(n_docs) OVER (PARTITION BY query_id) AS tot
+    FROM agg
+)
+SELECT query_id, rank::INT AS rank, key, n_docs,
+       (tot - sum(n_docs) OVER (PARTITION BY query_id))::BIGINT
+         AS sum_other_doc_count
+FROM ranked
+WHERE rank <= 2
+ORDER BY query_id, rank
 """
     # calendar_interval=month: derived by an asserted replace of the
     # day truncation

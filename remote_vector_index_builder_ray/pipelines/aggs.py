@@ -565,6 +565,44 @@ def histogram_agg(
     return _run_agg(index_dir, queries, field, iv, None, where)
 
 
+def terms_agg_sized(
+    index_dir: str,
+    queries,
+    field: str = "role",
+    size: int = 2,
+    where=None,
+) -> pd.DataFrame:
+    """OpenSearch `terms` aggregation with ``size`` + `sum_other_doc_count`:
+    per query the top ``size`` buckets by (doc count desc, key asc — the
+    OpenSearch tie order) with an explicit rank, plus the total doc count of
+    every truncated bucket riding each row as ``sum_other_doc_count``
+    (OpenSearch reports it as a sibling scalar; a flat frame repeats it).
+    The reduce is driver-side over the same driver-small (query × bucket)
+    stream as terms_agg — doc_count_error_upper_bound is identically 0 here
+    because the probe sees exact global counts, not per-shard top lists."""
+    base = terms_agg(index_dir, queries, field=field, where=where)
+    cols = {
+        "query_id": pd.Series(dtype=np.int64),
+        "rank": pd.Series(dtype=np.int32),
+        "key": pd.Series(dtype=object),
+        "n_docs": pd.Series(dtype=np.int64),
+        "sum_other_doc_count": pd.Series(dtype=np.int64),
+    }
+    if base.empty:
+        return pd.DataFrame(cols)
+    out = base.sort_values(["query_id", "n_docs", "key"],
+                           ascending=[True, False, True]).copy()
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int32)
+    tot = out.groupby("query_id")["n_docs"].transform("sum")
+    kept = out["n_docs"].where(out["rank"] <= size, 0)
+    kept_tot = kept.groupby(out["query_id"]).transform("sum")
+    out["sum_other_doc_count"] = (tot - kept_tot).astype(np.int64)
+    out = out[out["rank"] <= size]
+    return out[["query_id", "rank", "key", "n_docs",
+                "sum_other_doc_count"]].reset_index(drop=True).astype(
+        {"query_id": np.int64, "n_docs": np.int64})
+
+
 def range_agg(
     index_dir: str,
     queries,

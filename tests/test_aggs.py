@@ -1067,3 +1067,22 @@ def test_histogram_offset_and_month_interval(smoke_index, smoke_fixture):
 
     with pytest.raises(ValueError, match="offset"):
         histogram_agg(smoke_index["index_dir"], QUERIES, interval=8, offset=8)
+
+
+def test_terms_agg_sized(smoke_index):
+    """terms size + sum_other_doc_count: top-size buckets by (count desc,
+    key asc); the other-count equals the full agg's truncated total."""
+    from remote_vector_index_builder_ray import terms_agg, terms_agg_sized
+
+    base = terms_agg(smoke_index["index_dir"], QUERIES, field="role")
+    got = terms_agg_sized(smoke_index["index_dir"], QUERIES,
+                          field="role", size=2)
+    assert len(got) > 0
+    for qid, g in base.groupby("query_id"):
+        w = g.sort_values(["n_docs", "key"], ascending=[False, True])
+        kept = w.head(2)
+        other = int(w["n_docs"].sum() - kept["n_docs"].sum())
+        gg = got[got["query_id"] == qid].reset_index(drop=True)
+        assert gg["key"].tolist() == kept["key"].tolist()
+        assert gg["n_docs"].tolist() == kept["n_docs"].tolist()
+        assert (gg["sum_other_doc_count"] == other).all()
