@@ -534,6 +534,53 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                     return
                 self._send(200, {"count": n})
                 return
+            if self.path == "/_explain":
+                # OpenSearch _explain: per-term score breakdown of one
+                # (query text, docid) — contributions sum to the search
+                # score in term-ascending order (pipelines/query.explain)
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "text", "docid")
+                               if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "text", "docid"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    docid = int(body["docid"])
+                except (ValueError, TypeError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                try:
+                    import pandas as pd
+
+                    from remote_vector_index_builder_ray.pipelines.query import (
+                        explain,
+                    )
+
+                    q = pd.DataFrame({"query_id": [0],
+                                      "text": [str(body["text"])]})
+                    pairs = pd.DataFrame({"query_id": [0], "docid": [docid]})
+                    ex_df = explain(str(body["index_dir"]), q, pairs)
+                except (EngineError, ValueError, KeyError, TypeError,
+                        FileNotFoundError, OSError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                except Exception as ex:  # noqa: BLE001 — wire boundary
+                    self._send(500, {"error": str(ex)})
+                    return
+                details = [
+                    {"term": r.term, "tf": int(r.tf), "df": int(r.df),
+                     "contribution": float(r.contrib)}
+                    for r in ex_df.itertuples(index=False)
+                ]
+                self._send(200, {
+                    "matched": bool(details),
+                    "docid": docid,
+                    "value": float(sum(d["contribution"] for d in details)),
+                    "details": details,
+                })
+                return
             if self.path == "/_forcemerge":
                 # OpenSearch _forcemerge (max_num_segments=1): expunge
                 # tombstones + fold generations via compact_index's atomic

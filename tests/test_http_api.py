@@ -667,3 +667,28 @@ def test_search_route_similarity(api):
                                   "mode": "exhaustive",
                                   "similarity": "scripted:__import__"})
     assert ei.value.code == 400
+
+
+def test_explain_route(api):
+    """POST /_explain: per-term breakdown of one (text, docid); the
+    contributions sum to the /_search score for the same pair."""
+    from remote_vector_index_builder_ray import BuildConfig, build_index
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "explain_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    code, res = _post(base + "/_search", {
+        "index_dir": idx,
+        "queries": [{"query_id": 0, "text": "the play went", "k": 1}]})
+    assert code == 200 and res["total"] == 1
+    hit = res["rows"][0]
+    code, out = _post(base + "/_explain", {
+        "index_dir": idx, "text": "the play went", "docid": hit["docid"]})
+    assert code == 200 and out["matched"] is True
+    assert out["docid"] == hit["docid"]
+    assert len(out["details"]) >= 1
+    assert abs(out["value"] - hit["score"]) < 2e-6  # round6 per the policy
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_explain", {"index_dir": idx, "text": "x"})
+    assert ei.value.code == 400
