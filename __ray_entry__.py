@@ -3635,6 +3635,30 @@ def _q_bm25_rank_feature(sf_dir: str):
                         pivot=40.0, boost=1.5)
 
 
+def _q_bm25_rank_feature_log(sf_dir: str):
+    """rank_feature with the log function: the feature contribution is
+    boost * log(1 + dl / scaling), scaling=10, boost=1.5 (Lucene
+    FeatureQuery log shape; pipelines/query.rank_feature)."""
+    from remote_vector_index_builder_ray import rank_feature
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return rank_feature(index_dir, pd.read_parquet(fx["queries"]),
+                        field="doc_len", function="log",
+                        scaling=10.0, boost=1.5)
+
+
+def _q_bm25_rank_feature_sigmoid(sf_dir: str):
+    """rank_feature with the sigmoid function (exponent fixed at 2):
+    boost * dl² / (dl² + pivot²), pivot=40, boost=1.5 (Lucene FeatureQuery
+    sigmoid shape; pipelines/query.rank_feature)."""
+    from remote_vector_index_builder_ray import rank_feature
+
+    fx, index_dir, _ = _ensure_index(sf_dir)
+    return rank_feature(index_dir, pd.read_parquet(fx["queries"]),
+                        field="doc_len", function="sigmoid",
+                        pivot=40.0, boost=1.5)
+
+
 def _q_bm25_normalize(sf_dir: str):
     """OpenSearch normalize pipeline agg over the per-day date_histogram of
     each query's match set: percent_of_sum (n / Σn) and rescale_0_1
@@ -4722,6 +4746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_random_score": _q_bm25_random_score,
         "bm25_script_score": _q_bm25_script_score,
         "bm25_rank_feature": _q_bm25_rank_feature,
+        "bm25_rank_feature_log": _q_bm25_rank_feature_log,
+        "bm25_rank_feature_sigmoid": _q_bm25_rank_feature_sigmoid,
         "bm25_term_boosts": _q_bm25_term_boosts,
         "bm25_terms_set": _q_bm25_terms_set,
         "bm25_sliced": _q_bm25_sliced,
@@ -8511,6 +8537,16 @@ SELECT query_id, rank::INT AS rank, docid, score
 FROM ranked WHERE rank <= k
 ORDER BY query_id, rank
 """
+    # rank_feature log / sigmoid: same scaffold, the additive feature
+    # contribution swapped (asserted replaces)
+    _rf_sat = "1.5 * (dl.dl / (dl.dl + 40.0))"
+    _rf_log = "1.5 * ln(1 + dl.dl / 10.0)"
+    _rf_sig = "1.5 * ((dl.dl * dl.dl) / (dl.dl * dl.dl + 40.0 * 40.0))"
+    assert out["bm25_rank_feature"].count(_rf_sat) == 1
+    out["bm25_rank_feature_log"] = out["bm25_rank_feature"].replace(
+        _rf_sat, _rf_log)
+    out["bm25_rank_feature_sigmoid"] = out["bm25_rank_feature"].replace(
+        _rf_sat, _rf_sig)
     # per-term caret boosts: contribution = (boost * idf) * tfnorm; the SQL
     # parses the exact caret markup the engine parses (tokens are unique per
     # query by construction, so boost assignment is unambiguous)
