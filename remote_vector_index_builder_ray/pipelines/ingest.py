@@ -75,7 +75,10 @@ def compile_ingest_pipeline(processors: list[dict]):
             f = cfg["field"]
             if typ == "set":
                 if "value" in cfg:
-                    col = pa.array([cfg["value"]] * len(tbl))
+                    # explicit type: an empty batch would otherwise infer a
+                    # null-typed column and break cross-batch schema union
+                    vt = pa.scalar(cfg["value"]).type
+                    col = pa.array([cfg["value"]] * len(tbl), type=vt)
                 else:
                     _require(tbl, cfg["copy_from"], typ)
                     col = tbl[cfg["copy_from"]]
