@@ -369,6 +369,68 @@ def make_server(service: BuildService, host: str = "127.0.0.1", port: int = 0,
                         responses.append({"error": str(ex), "status": 500})
                 self._send(200, {"responses": responses})
                 return
+            if self.path == "/_msearch/template":
+                # OpenSearch _msearch/template: each leg is a (template,
+                # params, k) triple — rendered driver-side (unresolved
+                # placeholder -> that leg's own 400), then run over the same
+                # warm pools with per-leg statuses like /_msearch
+                try:
+                    body = self._read_body()
+                    missing = [k for k in ("index_dir", "searches")
+                               if k not in body]
+                    if missing:
+                        raise ValueError(f"missing required fields: {missing}")
+                    extra = set(body) - {"index_dir", "searches"}
+                    if extra:
+                        raise ValueError(f"unknown fields: {sorted(extra)}")
+                    legs = body["searches"]
+                    if not isinstance(legs, list) or not legs:
+                        raise ValueError("searches must be a non-empty list")
+                    for leg in legs:
+                        if not isinstance(leg, dict) or not (
+                                {"template", "params"} <= set(leg)):
+                            raise ValueError(
+                                "each search must be a {template, params, "
+                                "k?, mode?} object")
+                        lex = set(leg) - {"template", "params", "k", "mode"}
+                        if lex:
+                            raise ValueError(
+                                f"unknown search fields: {sorted(lex)}")
+                except (ValueError, TypeError, json.JSONDecodeError) as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                import pandas as pd
+
+                from remote_vector_index_builder_ray.pipelines.query import (
+                    render_search_template,
+                )
+
+                responses = []
+                for leg in legs:
+                    try:
+                        frame = pd.DataFrame({
+                            "query_id": [0],
+                            "template": [str(leg["template"])],
+                            "params": [json.dumps(leg["params"])],
+                        })
+                        text = render_search_template(frame)["text"].iloc[0]
+                        q = parse_search_queries([{
+                            "query_id": 0, "text": text,
+                            "k": int(leg.get("k", 10))}])
+                        out = _query_service().search(
+                            str(body["index_dir"]), q,
+                            mode=str(leg.get("mode", "bmw")))
+                        responses.append({
+                            "rows": out.to_dict(orient="records"),
+                            "total": int(len(out)), "status": 200,
+                        })
+                    except (EngineError, ValueError, KeyError, TypeError,
+                            FileNotFoundError, OSError) as ex:
+                        responses.append({"error": str(ex), "status": 400})
+                    except Exception as ex:  # noqa: BLE001 — wire boundary
+                        responses.append({"error": str(ex), "status": 500})
+                self._send(200, {"responses": responses})
+                return
             if self.path == "/_field_caps":
                 try:
                     body = self._read_body()

@@ -692,3 +692,38 @@ def test_explain_route(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base + "/_explain", {"index_dir": idx, "text": "x"})
     assert ei.value.code == 400
+
+
+def test_msearch_template_route(api):
+    """POST /_msearch/template: per-leg render + search with per-leg
+    statuses; an unresolved placeholder 400s only its own leg."""
+    import pandas as pd
+
+    from remote_vector_index_builder_ray import BuildConfig, build_index, search
+
+    base, fx, idx_root = api
+    idx = str(idx_root / "mst_api")
+    build_index(BuildConfig(input_paths=fx["transcripts"], index_dir=idx,
+                            num_partitions=2))
+    code, out = _post(base + "/_msearch/template", {
+        "index_dir": idx,
+        "searches": [
+            {"template": "{{a}} play", "params": {"a": "the"}, "k": 3},
+            {"template": "{{missing}}", "params": {}},
+            {"template": "he {{b}}", "params": {"b": "went"}, "k": 2,
+             "mode": "exhaustive"},
+        ]})
+    assert code == 200 and len(out["responses"]) == 3
+    ok0, bad, ok2 = out["responses"]
+    assert ok0["status"] == 200 and ok0["total"] == 3
+    assert bad["status"] == 400 and "missing" in bad["error"]
+    assert ok2["status"] == 200 and ok2["total"] == 2
+    # leg 0 equals the batch path over the rendered text
+    qdf = pd.DataFrame({"query_id": [0], "text": ["the play"],
+                        "k": pd.array([3], dtype="int32")})
+    want = search(idx, qdf, mode="bmw").to_pandas()
+    got = pd.DataFrame(ok0["rows"])
+    assert got["docid"].tolist() == want["docid"].tolist()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/_msearch/template", {"index_dir": idx, "searches": []})
+    assert ei.value.code == 400
